@@ -1,0 +1,53 @@
+"""Determinism helpers shared by every declared oracle query.
+
+Cross-engine float reproducibility: ``sum(double)`` is
+order-dependent, and Spark / DuckDB will aggregate rows in different
+orders, so any hash gate on raw double sums is flaky.  The fix is
+exact arithmetic: cast to decimal (exact for fixture data with <=6
+fractional digits), sum in decimal (exact, order-independent in both
+engines), then a single deterministic decimal->double cast at the
+end.  ``dsum``/``davg`` encapsulate that; the SQL twins in
+``queries/*`` use the identical CAST(SUM(CAST(..)))) shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# precision 30 leaves Spark's sum headroom (sum of decimal(30,6) ->
+# decimal(38,6)) while staying inside both engines' 38-digit max.
+DEC = "decimal(30,6)"
+
+
+def dsum(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent sum of a double column via exact decimals."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(DEC)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent mean: exact decimal sum / count, one double div."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    return out.alias(alias) if alias else out
+
+
+def sql_dsum(expr: str) -> str:
+    """DuckDB twin of dsum for use inside oracle SQL strings."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    """DuckDB twin of davg."""
+    return (f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+            f" / COUNT({expr})")
+
+
+def r6(col: Column, alias: str | None = None) -> Column:
+    """Round to 6 dp — for aggregates that cannot be made exact
+    (stddev/percentile); relative FP error ~1e-12 makes a 6-dp
+    boundary flip vanishingly unlikely."""
+    out = F.round(col, 6)
+    return out.alias(alias) if alias else out

@@ -1,0 +1,73 @@
+"""As-of join (nearest-prior-event match), SURVEY §2B J8.
+
+Spark has no native ASOF JOIN.  The naive rewrite — equi-join on the
+key plus ``r.ts <= l.ts`` then keep the max — materializes every
+(left, right) pair per key before pruning, which explodes on hot keys
+(a user with 1M events x 1M lookups).  This implementation uses the
+single-shuffle union + carry-forward trick instead (the distributed
+analogue of pandas ``merge_asof``):
+
+1. tag left and right rows, union them into one relation,
+2. hash-partition by key and sort by (ts, side) within partitions,
+3. carry the last non-null right-side payload forward with
+   ``last(..., ignorenulls=True)`` over an unbounded-preceding frame,
+4. keep only left rows.
+
+Cost at scale: ONE shuffle of |L|+|R| rows and a per-partition sort —
+no intermediate blow-up, skew bounded by the busiest key's row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_KEY, _TS, _SIDE = "__asof_key", "__asof_ts", "__asof_side"
+
+
+def asof_join(left: DataFrame, right: DataFrame, *,
+              left_ts: str, right_ts: str,
+              left_by: str, right_by: str,
+              right_cols: list[str],
+              strict: bool = False) -> DataFrame:
+    """For each left row, attach ``right_cols`` from the right row
+    with the greatest ``right_ts`` <= ``left_ts`` (strictly < when
+    ``strict``) within the same key group; nulls when no such row
+    (left-outer semantics, like DuckDB ``ASOF LEFT JOIN``).
+    """
+    # At equal ts a non-strict match admits the right row -> sort it
+    # before the left row; strict excludes it -> sort it after.
+    left_rank, right_rank = (1, 0) if not strict else (0, 1)
+
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+
+    lt = (left
+          .withColumn(_KEY, F.col(left_by))
+          .withColumn(_TS, F.col(left_ts))
+          .withColumn(_SIDE, F.lit(left_rank)))
+    for c in right_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(rtypes[c]))
+
+    rt = right.select(
+        F.col(right_by).alias(_KEY),
+        F.col(right_ts).alias(_TS),
+        F.lit(right_rank).alias(_SIDE),
+        *right_cols,
+    )
+    for c in left.columns:
+        rt = rt.withColumn(c, F.lit(None).cast(ltypes[c]))
+
+    unioned = lt.select(lt.columns).unionByName(rt.select(lt.columns))
+
+    w = (W.partitionBy(_KEY)
+         .orderBy(_TS, _SIDE)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    carried = unioned
+    for c in right_cols:
+        carried = carried.withColumn(
+            c, F.last(c, ignorenulls=True).over(w))
+
+    return (carried
+            .filter(F.col(_SIDE) == left_rank)
+            .drop(_KEY, _TS, _SIDE))

@@ -1,0 +1,928 @@
+"""Core relational surface: projection/filter (Q*), joins (J*),
+aggregation (A*), windows (W*), sort/limit/top-k (T*), set ops (U*).
+
+Replaces the reference's single "arbitrary command per file" operator
+(GetJobs.py:51-53) with a declarative relational algebra executed by
+Catalyst/Tungsten.  Every query here is a stock DataFrame plan — no
+RDDs, no Python in the hot path — so predicate pushdown, column
+pruning, broadcast selection and AQE apply untouched at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..exprs import DEC, davg, dsum, r6, sql_davg, sql_dsum
+from ..operators.asof import asof_join
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# A* — aggregation
+# --------------------------------------------------------------------------
+
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style pricing summary (A1+A12, Q3, T1).
+
+    scan -> pushed-down filter -> 2-phase hash agg (partial map-side
+    combine -> exchange on 6-value group key -> final) -> tiny sort.
+    At 100 TB the only shuffle moves 6 groups x partial states.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+A1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def a2_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: no-group aggregate — single global row, map-side partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_quantity", "total_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_discount", "avg_disc"),
+    )
+
+
+A2_SQL = f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       {sql_dsum('l_quantity')} AS total_qty,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       {sql_davg('l_discount')} AS avg_disc
+FROM lineitem
+"""
+
+
+def a3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: COUNT(DISTINCT), incl. a multi-column distinct via a
+    portable concat rewrite (DuckDB lacks multi-arg COUNT DISTINCT)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("n_order_lines"),
+    )
+
+
+A3_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)) AS n_order_lines
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def a4_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: sample stddev/variance, rounded to 6 dp (catastrophic
+    cancellation avoided: quantities are well-conditioned)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.stddev_samp("l_quantity"), "sd_qty"),
+        r6(F.var_samp("l_quantity"), "var_qty"),
+        r6(F.stddev_samp("l_discount"), "sd_disc"),
+    )
+
+
+A4_SQL = """
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+       ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+       ROUND(STDDEV_SAMP(l_discount), 6) AS sd_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def a5_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: post-aggregation filter (HAVING)."""
+    ord_ = _t(spark, sf_dir, "orders")
+    return (
+        ord_.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum("o_totalprice", "spend"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+A5_SQL = f"""
+SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS spend
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+"""
+
+
+def a6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: ROLLUP with grouping() indicator."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"),
+             F.count(F.lit(1)).alias("n"),
+             F.grouping("l_returnflag").cast("int").alias("g_rf"),
+             F.grouping("l_linestatus").cast("int").alias("g_ls"))
+    )
+
+
+A6_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def a6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: CUBE over two low-cardinality keys."""
+    ord_ = _t(spark, sf_dir, "orders")
+    return (
+        ord_.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "spend"))
+    )
+
+
+A6_CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {sql_dsum('o_totalprice')} AS spend
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def a7_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: min_by/max_by (argmin/argmax). c_acctbal is unique per
+    nation in the fixtures (checked), so the arg is deterministic."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
+        F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+A7_SQL = """
+SELECT c_nationkey,
+       ARG_MAX(c_custkey, c_acctbal) AS richest_cust,
+       ARG_MIN(c_custkey, c_acctbal) AS poorest_cust,
+       MAX(c_acctbal) AS max_bal
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def a8_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: collect_list canonicalized by sort_array (only the sorted
+    form is declared — bag order is nondeterministic by design)."""
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        nat.join(F.broadcast(reg),
+                 nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"),
+             F.sort_array(F.collect_set("n_nationkey")).alias("nation_keys"))
+    )
+
+
+A8_SQL = """
+SELECT r_name,
+       LIST_SORT(LIST(n_name)) AS nations,
+       LIST_SORT(LIST(DISTINCT n_nationkey)) AS nation_keys
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def a9_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: exact linear-interpolation percentiles, rounded 6 dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.percentile("l_quantity", 0.5), "p50_qty"),
+        r6(F.percentile("l_extendedprice", 0.25), "p25_price"),
+        r6(F.percentile("l_extendedprice", 0.75), "p75_price"),
+        r6(F.percentile("l_extendedprice", 0.95), "p95_price"),
+    )
+
+
+A9_SQL = """
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS p50_qty,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS p25_price,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 6) AS p75_price,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 6) AS p95_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def a10_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/A11: HLL distinct + approximate percentile.  Sketches are
+    engine-specific -> no SQL oracle; driver does rows-only check and
+    tests/test_operators.py asserts the 5% / rank-error bounds."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q* — projection / filter
+# --------------------------------------------------------------------------
+
+def q1_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: projection, aliasing, computed columns. Pure row-local
+    expressions — whole-stage-codegen'd, zero shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        (F.col("l_quantity") * 2.0).alias("double_qty"),
+        F.concat_ws("-", "l_returnflag", "l_linestatus").alias("flag_status"),
+    )
+
+
+Q1_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price,
+       l_quantity * 2.0 AS double_qty,
+       l_returnflag || '-' || l_linestatus AS flag_status
+FROM lineitem
+"""
+
+
+def q2_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: casts. NOTE the portable subset: double->int differs
+    across engines (Spark truncates, DuckDB rounds), so integerizing
+    uses explicit FLOOR; timestamp->date and int<->string are safe."""
+    ord_ = _t(spark, sf_dir, "orders")
+    return ord_.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_custkey").cast("double").alias("cust_dbl"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("int").alias("prio_num"),
+    )
+
+
+Q2_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(o_custkey AS DOUBLE) AS cust_dbl,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS prio_num
+FROM orders
+"""
+
+
+def q3_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: compound predicates — comparisons, AND/OR/NOT, IN,
+    BETWEEN, LIKE, IS NULL, CASE WHEN. All pushed to the parquet
+    scan by Catalyst (verified in tests via explain())."""
+    ord_ = _t(spark, sf_dir, "orders")
+    return (
+        ord_.filter(
+            F.col("o_totalprice").between(50000, 400000)
+            & F.col("o_orderstatus").isin("O", "F")
+            & (F.col("o_orderpriority").like("1-%")
+               | F.col("o_orderpriority").like("2-%"))
+            & F.col("o_orderdate").isNotNull()
+            & ~(F.col("o_orderkey") % 10 == 3)
+        )
+        .select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            F.when(F.col("o_totalprice") > 300000, "big")
+            .when(F.col("o_totalprice") > 150000, "mid")
+            .otherwise("small").alias("bucket"),
+        )
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CASE WHEN o_totalprice > 300000 THEN 'big'
+            WHEN o_totalprice > 150000 THEN 'mid'
+            ELSE 'small' END AS bucket
+FROM orders
+WHERE o_totalprice BETWEEN 50000 AND 400000
+  AND o_orderstatus IN ('O', 'F')
+  AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+  AND o_orderdate IS NOT NULL
+  AND NOT (o_orderkey % 10 = 3)
+"""
+
+
+def q4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: DISTINCT projection (hash-partitioned dedup at scale)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select("c_mktsegment", "c_nationkey").distinct()
+
+
+Q4_SQL = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+
+# --------------------------------------------------------------------------
+# J* — joins
+# --------------------------------------------------------------------------
+
+def j1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: inner equi-join, fact-to-dim; Catalyst/AQE picks the
+    physical strategy (broadcast at these sizes)."""
+    ord_ = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        ord_.join(cust, ord_.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum("o_totalprice", "revenue"))
+    )
+
+
+J1_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def j2_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left outer join preserving customers with zero orders;
+    aggregated into an order-count histogram."""
+    cust = _t(spark, sf_dir, "customer")
+    ord_ = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(ord_, cust.c_custkey == ord_.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers"))
+
+
+J2_SQL = """
+SELECT n_orders, COUNT(*) AS n_customers FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY n_orders
+"""
+
+
+def j2_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: full outer join (nation keyspace vs supplier keyspace)."""
+    nat = _t(spark, sf_dir, "nation")
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        nat.join(sup, nat.n_nationkey == sup.s_nationkey, "full")
+        .select(
+            F.coalesce("n_nationkey", "s_nationkey").alias("nationkey"),
+            F.col("n_name").alias("nation_name"),
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+        )
+    )
+
+
+J2_FULL_SQL = """
+SELECT COALESCE(n_nationkey, s_nationkey) AS nationkey,
+       n_name AS nation_name, s_suppkey AS suppkey, s_name AS supplier_name
+FROM nation FULL JOIN supplier ON n_nationkey = s_nationkey
+"""
+
+
+def j3_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left-semi (EXISTS) and left-anti (NOT EXISTS) counts per
+    segment, unioned with a discriminator column."""
+    cust = _t(spark, sf_dir, "customer")
+    ord_ = _t(spark, sf_dir, "orders")
+    keys = ord_.select(F.col("o_custkey").alias("c_custkey"))
+    semi = (cust.join(keys, "c_custkey", "left_semi")
+            .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("kind", F.lit("has_orders")))
+    anti = (cust.join(keys, "c_custkey", "left_anti")
+            .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("kind", F.lit("no_orders")))
+    return semi.unionByName(anti)
+
+
+J3_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n, 'has_orders' AS kind
+FROM customer SEMI JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+UNION ALL
+SELECT c_mktsegment, COUNT(*) AS n, 'no_orders' AS kind
+FROM customer ANTI JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def j4_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: cross join of two tiny dimension projections."""
+    reg = _t(spark, sf_dir, "region")
+    st = _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return reg.select("r_name").crossJoin(st)
+
+
+J4_SQL = """
+SELECT r_name, o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+"""
+
+
+def j5_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: explicit broadcast hints on the dim chain — the plan the
+    100 TB version must use (dims stay under the broadcast
+    threshold; fact never shuffles for the join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"))
+    )
+
+
+J5_SQL = f"""
+SELECT n_name, COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def j6_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: equi + theta residual — parts matched to lineitems priced
+    above 1.5x retail. The equi key keeps it a hash join with a
+    post-join residual filter (never a nested-loop at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(part, (li.l_partkey == part.p_partkey)
+                & (li.l_extendedprice > part.p_retailprice * 1.5))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_premium"))
+    )
+
+
+J6_SQL = """
+SELECT p_brand, COUNT(*) AS n_premium
+FROM lineitem JOIN part
+  ON l_partkey = p_partkey AND l_extendedprice > p_retailprice * 1.5
+GROUP BY p_brand
+"""
+
+
+def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: interval/range join — lineitems shipped within 90 days of
+    their order date. Equi key (orderkey) + range residual: hash
+    join, no IEJoin needed."""
+    ord_ = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        ord_.join(li, (ord_.o_orderkey == li.l_orderkey)
+                  & (li.l_shipdate >= ord_.o_orderdate)
+                  & (li.l_shipdate < F.col("o_orderdate")
+                     + F.expr("INTERVAL 90 DAYS")))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_fast_ship"),
+             dsum("l_quantity", "qty"))
+    )
+
+
+J7_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_fast_ship, {sql_dsum('l_quantity')} AS qty
+FROM orders JOIN lineitem
+  ON o_orderkey = l_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+"""
+
+
+def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: as-of join — for each purchase event, the nearest prior
+    click of the same user. Implemented with the single-shuffle
+    union+carry-forward operator (operators/asof.py), not a pair
+    blow-up; DuckDB twin is a native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"))
+    joined = asof_join(
+        purchases, clicks,
+        left_ts="ts", right_ts="c_ts",
+        left_by="user_id", right_by="c_user_id",
+        right_cols=["click_id"], strict=False)
+    return joined.select(
+        "event_id", "user_id", "value",
+        F.col("click_id").alias("prior_click_id"))
+
+
+J8_SQL = """
+SELECT p.event_id, p.user_id, p.value, c.event_id AS prior_click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+def j9_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: TPC-H Q5-style 6-way star join. Dims broadcast; the only
+    shuffles are fact-fact (orders⋈lineitem) and the final 2-phase
+    agg — the canonical 100 TB plan."""
+    cust = _t(spark, sf_dir, "customer")
+    ord_ = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+        .join(cust, ord_.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), (li.l_suppkey == sup.s_suppkey)
+              & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+J9_SQL = f"""
+SELECT r_name, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# W* — window functions
+# --------------------------------------------------------------------------
+
+def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: ranking family. Two windows: rank/dense/percent_rank/
+    cume_dist over a ties-bearing key (deterministic under ties);
+    row_number/ntile over a total order (tie-broken by PK)."""
+    cust = _t(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000).alias("bal_bucket")
+    w_ties = W.partitionBy("c_mktsegment").orderBy(F.col("bal_bucket").desc())
+    w_total = W.partitionBy("c_mktsegment").orderBy(
+        F.col("bal_bucket").desc(), F.col("c_custkey"))
+    return (
+        cust.select("c_custkey", "c_mktsegment", bucket)
+        .withColumn("rnk", F.rank().over(w_ties))
+        .withColumn("drnk", F.dense_rank().over(w_ties))
+        .withColumn("prnk", F.round(F.percent_rank().over(w_ties), 6))
+        .withColumn("cdist", F.round(F.cume_dist().over(w_ties), 6))
+        .withColumn("rn", F.row_number().over(w_total))
+        .withColumn("tile", F.ntile(4).over(w_total))
+    )
+
+
+W1_SQL = """
+SELECT c_custkey, c_mktsegment, CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+       RANK() OVER wt AS rnk,
+       DENSE_RANK() OVER wt AS drnk,
+       ROUND(PERCENT_RANK() OVER wt, 6) AS prnk,
+       ROUND(CUME_DIST() OVER wt, 6) AS cdist,
+       ROW_NUMBER() OVER wo AS rn,
+       NTILE(4) OVER wo AS tile
+FROM customer
+WINDOW wt AS (PARTITION BY c_mktsegment ORDER BY FLOOR(c_acctbal / 1000) DESC),
+       wo AS (PARTITION BY c_mktsegment ORDER BY FLOOR(c_acctbal / 1000) DESC, c_custkey)
+"""
+
+
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag/lead with defaults over a per-user event timeline."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.lag("value", 1, -1.0).over(w).alias("prev_value"),
+        F.lead("event_type", 1, "none").over(w).alias("next_type"),
+        F.lag("event_id", 2).over(w).alias("prev2_id"),
+    )
+
+
+W2_SQL = """
+SELECT event_id, user_id, event_type, value,
+       LAG(value, 1, -1.0) OVER w AS prev_value,
+       LEAD(event_type, 1, 'none') OVER w AS next_type,
+       LAG(event_id, 2) OVER w AS prev2_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def w3_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: ROWS frames — running total (exact decimal) + sliding
+    3-row min/max/count per user timeline."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    slide = w.rowsBetween(-2, 0)
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast(DEC)).over(run).cast("double")
+         .alias("running_value"),
+        F.min("value").over(slide).alias("min3"),
+        F.max("value").over(slide).alias("max3"),
+        F.count(F.lit(1)).over(slide).alias("cnt3"),
+    )
+
+
+W3_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_value,
+       MIN(value) OVER w3 AS min3,
+       MAX(value) OVER w3 AS max3,
+       COUNT(*) OVER w3 AS cnt3
+FROM events
+WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def w4_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: RANGE frame with a numeric offset — orders within 10k
+    price below each order, per customer."""
+    ord_ = _t(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_totalprice")
+         .rangeBetween(-10000, 0))
+    return ord_.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_10k"),
+        F.min("o_totalprice").over(w).alias("min_within_10k"),
+    )
+
+
+W4_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       COUNT(*) OVER w AS n_within_10k,
+       MIN(o_totalprice) OVER w AS min_within_10k
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def w5_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: first/last over a frame with IGNORE NULLS (nulls injected
+    via NULLIF on the 'error' event type)."""
+    ev = _t(spark, sf_dir, "events")
+    ok_type = F.nullif(F.col("event_type"), F.lit("error"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        ev.select("event_id", "user_id", "ts",
+                  ok_type.alias("ok_type"))
+        .select(
+            "event_id", "user_id",
+            F.first("ok_type", ignorenulls=True).over(w).alias("first_ok"),
+            F.last("ok_type", ignorenulls=True).over(w).alias("last_ok"),
+        )
+    )
+
+
+W5_SQL = """
+SELECT event_id, user_id,
+       FIRST_VALUE(NULLIF(event_type, 'error') IGNORE NULLS) OVER w AS first_ok,
+       LAST_VALUE(NULLIF(event_type, 'error') IGNORE NULLS) OVER w AS last_ok
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# T* — sort / limit / top-k
+# --------------------------------------------------------------------------
+
+def t1_multi_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: multi-key sort with explicit null placement (nulls
+    injected via NULLIF to exercise the null ordering)."""
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sup.select(
+            "s_suppkey", "s_name",
+            F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("mod5"),
+            "s_acctbal")
+        .orderBy(F.col("mod5").desc_nulls_last(),
+                 F.col("s_acctbal").asc(),
+                 F.col("s_suppkey"))
+    )
+
+
+T1_SQL = """
+SELECT s_suppkey, s_name, NULLIF(s_nationkey % 5, 0) AS mod5, s_acctbal
+FROM supplier
+ORDER BY mod5 DESC NULLS LAST, s_acctbal ASC, s_suppkey
+"""
+
+
+def t3_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: global top-k — Spark plans TakeOrderedAndProject (per-
+    partition heap + driver merge, no full sort). Tie-break on PK."""
+    ord_ = _t(spark, sf_dir, "orders")
+    return (
+        ord_.select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+T3_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
+def t4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: top-3 customers by balance per market segment
+    (row_number + filter; single shuffle on the partition key)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "rn", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+T4_SQL = """
+SELECT c_mktsegment, rn, c_custkey, c_name, c_acctbal FROM (
+  SELECT *, ROW_NUMBER() OVER
+    (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# U* — set operations
+# --------------------------------------------------------------------------
+
+def _u_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ord_ = _t(spark, sf_dir, "orders")
+    a = ord_.filter(F.col("o_orderstatus") == "O").select(
+        "o_custkey", "o_orderpriority")
+    b = ord_.filter(F.col("o_totalprice") > 250000).select(
+        "o_custkey", "o_orderpriority")
+    return a, b
+
+
+U_A = "SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'"
+U_B = "SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 250000"
+
+
+def u1_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: UNION ALL vs UNION DISTINCT, summarized by priority."""
+    a, b = _u_sides(spark, sf_dir)
+    all_n = (a.unionByName(b).groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("kind", F.lit("all")))
+    dis_n = (a.unionByName(b).distinct().groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("kind", F.lit("distinct")))
+    return all_n.unionByName(dis_n)
+
+
+U1_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n, 'all' AS kind
+FROM (({U_A}) UNION ALL ({U_B})) GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, COUNT(*) AS n, 'distinct' AS kind
+FROM (({U_A}) UNION ({U_B})) GROUP BY o_orderpriority
+"""
+
+
+def u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: INTERSECT and INTERSECT ALL row counts."""
+    a, b = _u_sides(spark, sf_dir)
+    return (a.intersect(b).agg(F.count(F.lit(1)).alias("n_distinct"))
+            .crossJoin(a.intersectAll(b).agg(F.count(F.lit(1)).alias("n_all"))))
+
+
+U2_SQL = f"""
+SELECT (SELECT COUNT(*) FROM (({U_A}) INTERSECT ({U_B}))) AS n_distinct,
+       (SELECT COUNT(*) FROM (({U_A}) INTERSECT ALL ({U_B}))) AS n_all
+"""
+
+
+def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: EXCEPT / EXCEPT ALL row counts."""
+    a, b = _u_sides(spark, sf_dir)
+    return (a.subtract(b).agg(F.count(F.lit(1)).alias("n_distinct"))
+            .crossJoin(a.exceptAll(b).agg(F.count(F.lit(1)).alias("n_all"))))
+
+
+U3_SQL = f"""
+SELECT (SELECT COUNT(*) FROM (({U_A}) EXCEPT ({U_B}))) AS n_distinct,
+       (SELECT COUNT(*) FROM (({U_A}) EXCEPT ALL ({U_B}))) AS n_all
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "a1_pricing_summary": (a1_pricing_summary, A1_SQL),
+    "a2_global_agg": (a2_global_agg, A2_SQL),
+    "a3_count_distinct": (a3_count_distinct, A3_SQL),
+    "a4_stddev_var": (a4_stddev_var, A4_SQL),
+    "a5_having": (a5_having, A5_SQL),
+    "a6_rollup": (a6_rollup, A6_SQL),
+    "a6_cube": (a6_cube, A6_CUBE_SQL),
+    "a7_argmax": (a7_argmax, A7_SQL),
+    "a8_collect_list": (a8_collect_list, A8_SQL),
+    "a9_percentile": (a9_percentile, A9_SQL),
+    "a10_approx_distinct": (a10_approx_distinct, None),
+    "q1_project_compute": (q1_project_compute, Q1_SQL),
+    "q2_cast": (q2_cast, Q2_SQL),
+    "q3_filter": (q3_filter, Q3_SQL),
+    "q4_distinct": (q4_distinct, Q4_SQL),
+    "j1_inner_join": (j1_inner_join, J1_SQL),
+    "j2_left_join": (j2_left_join, J2_SQL),
+    "j2_full_outer": (j2_full_outer, J2_FULL_SQL),
+    "j3_semi_anti": (j3_semi_anti, J3_SQL),
+    "j4_cross_join": (j4_cross_join, J4_SQL),
+    "j5_broadcast_join": (j5_broadcast_join, J5_SQL),
+    "j6_theta_join": (j6_theta_join, J6_SQL),
+    "j7_range_join": (j7_range_join, J7_SQL),
+    "j8_asof_join": (j8_asof_join, J8_SQL),
+    "j9_star_join": (j9_star_join, J9_SQL),
+    "w1_ranking": (w1_ranking, W1_SQL),
+    "w2_lag_lead": (w2_lag_lead, W2_SQL),
+    "w3_running_frames": (w3_running_frames, W3_SQL),
+    "w4_range_frame": (w4_range_frame, W4_SQL),
+    "w5_first_last": (w5_first_last, W5_SQL),
+    "t1_multi_sort": (t1_multi_sort, T1_SQL),
+    "t3_global_topk": (t3_global_topk, T3_SQL),
+    "t4_topk_per_group": (t4_topk_per_group, T4_SQL),
+    "u1_union": (u1_union, U1_SQL),
+    "u2_intersect": (u2_intersect, U2_SQL),
+    "u3_except": (u3_except, U3_SQL),
+}

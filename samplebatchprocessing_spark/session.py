@@ -1,0 +1,71 @@
+"""SparkSession builder for the engine.
+
+Defaults tuned for correctness-first local runs but designed for
+cluster scale: AQE handles runtime partition coalescing and skew
+joins, session timezone is pinned to UTC (the #1 oracle-mismatch
+risk), and Arrow is enabled for every Python<->JVM data crossing.
+
+On a real cluster the same builder is used; only master/memory come
+from the environment (spark-submit / cluster manager), never from
+code here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Engine-level defaults.  Everything here is also correct on a
+# 1000-executor cluster: AQE picks shuffle partition counts at
+# runtime from map-output statistics, so the static
+# spark.sql.shuffle.partitions is only the pre-AQE upper bound.
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+    # Timestamps in fixtures are ns-precision; Spark truncates to µs.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+}
+
+
+def get_spark(app_name: str = "samplebatchprocessing_spark",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or
+    ``local[*]``) when no cluster master is configured — i.e. tests
+    and bench run single-JVM, production runs whatever the cluster
+    manager provides.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    for k, v in {**ENGINE_CONF, **(extra_conf or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an externally provided
+    session (the driver hands us one in ``__spark_entry__.entry``).
+
+    Only runtime-mutable keys are set; static ones (master, memory)
+    are the caller's business.
+    """
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session — keep caller's value
+    return spark
