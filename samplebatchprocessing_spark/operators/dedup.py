@@ -1,0 +1,209 @@
+"""Deduplication operators for LLM data pipelines (SURVEY §2B L1,
+L5, L6 + SimHash / n-gram variants from the north-star mandate).
+
+Scale design (100 TB):
+- exact dedup hash-partitions on the content hash — one shuffle, no
+  driver state (L1);
+- candidate-pair generation is ALWAYS blocked (length bands for
+  Jaccard, LSH bands for MinHash) so no full O(n^2) self-join ever
+  materializes — the blocking key is part of the declared semantics;
+- MinHash/SimHash signatures are computed row-locally with fixed
+  seeds (deterministic), then pairs come from equi-joins on band
+  keys, which Catalyst plans as hash joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import token_set, tokenize
+
+# Deterministic MinHash parameters (seed vector fixed by design,
+# SURVEY §2B L6): h_i(x) = (a_i * xxhash64(x) + b_i) mod p.
+# 31-bit modulus keeps a*h + b < 2^63 (no ANSI overflow): a,h < 2^31.
+_MERSENNE31 = (1 << 31) - 1
+N_HASHES = 32
+N_BANDS = 8           # 8 bands x 4 rows: catches jaccard >= ~0.7 w.h.p.
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _hash_params(n: int = N_HASHES) -> list[tuple[int, int]]:
+    """Fixed multiplicative-shift family; python ints, no RNG."""
+    params = []
+    a, b = 0x9E3779B9, 0xC2B2AE3D
+    for i in range(n):
+        a = (a * 1103515245 + 12345) % _MERSENNE31
+        b = (b * 1103515245 + 12345) % _MERSENNE31
+        params.append((a | 1, b))
+    return params
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """L1: exact dedup by content hash, keep the minimum id.
+    Single shuffle keyed by md5(text)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT MD5(text) AS content_hash, MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY MD5(text)
+"""
+
+
+def _banded_self_pairs(sets_df: DataFrame, band_width: int = 10) -> DataFrame:
+    """Length-band blocked candidate pairs (a.doc_id < b.doc_id, same
+    token-count band).  The band key turns the self-join into an
+    equi-join — hash-partitioned, never a cross product."""
+    banded = sets_df.withColumn(
+        "band", F.floor(F.size("toks") / band_width).cast("int"))
+    a = banded.select(F.col("doc_id").alias("doc_a"),
+                      F.col("toks").alias("toks_a"), "band")
+    b = banded.select(F.col("doc_id").alias("doc_b"),
+                      F.col("toks").alias("toks_b"), "band")
+    return a.join(b, "band").filter(F.col("doc_a") < F.col("doc_b"))
+
+
+def jaccard_pairs(df: DataFrame, threshold: float = 0.8,
+                  text_col: str = "text",
+                  band_width: int = 10) -> DataFrame:
+    """L5: token-set Jaccard near-dup pairs with length-band
+    blocking.  jaccard = |A∩B| / |A∪B| computed as exact integer
+    division -> bit-identical across engines."""
+    sets_df = df.select("doc_id", token_set(F.col(text_col)).alias("toks"))
+    pairs = _banded_self_pairs(sets_df, band_width)
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    jac = inter.cast("double") / union
+    return (pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 2,
+                        threshold: float = 0.6,
+                        text_col: str = "text",
+                        band_width: int = 10) -> DataFrame:
+    """L5 variant: Jaccard over word n-gram shingles — order-aware
+    near-dup detection (catches re-ordered bags that token-set
+    Jaccard conflates)."""
+    toks = tokenize(F.col(text_col))
+    ngrams = F.array_sort(F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
+                                     for j in range(n)]))))
+    sets_df = df.select("doc_id", ngrams.alias("toks"))
+    pairs = _banded_self_pairs(sets_df, band_width)
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    jac = inter.cast("double") / union
+    return (pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def _minhash_component(toks, a: int, b: int):
+    """min over tokens of (a * h31(token) + b) mod M31, where h31 is
+    xxhash64 folded to 31 bits (keeps products inside int64)."""
+    def _h(t):
+        h31 = F.pmod(F.xxhash64(t), F.lit(_MERSENNE31))
+        return (F.lit(a) * h31 + F.lit(b)) % F.lit(_MERSENNE31)
+    return F.array_min(F.transform(toks, _h))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """L6: 32-hash MinHash signature per document, computed
+    row-locally from the token set with the fixed hash family."""
+    toks = token_set(F.col(text_col))
+    sig = F.array(*[_minhash_component(toks, a, b)
+                    for a, b in _hash_params()])
+    return df.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """L6: banded-LSH candidate pairs. Signature -> N_BANDS band
+    hashes -> explode -> equi-join on (band_idx, band_hash).
+    Deterministic (fixed seeds); probabilistic recall bounds are
+    property-tested against L5 ground truth, never hash-matched."""
+    sigs = minhash_signatures(df, text_col)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.hash(*[F.col("sig")[i] for i in
+                     range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)])
+            for b in range(N_BANDS)
+        ])).alias("band_idx", "band_hash"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    return (a.join(b, ["band_idx", "band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """SimHash: 64-bit locality-sensitive fingerprint.  Vectorized
+    Arrow/pandas path (numpy bit-twiddling beats 64 explode-joins);
+    deterministic via xxhash64-free pure-python hashing of tokens.
+    """
+    import pandas as pd  # noqa: F401  (needed by mapInPandas runtime)
+
+    out_schema = "doc_id long, simhash long"
+
+    def _part(batches):
+        import numpy as np
+        import pandas as pd
+
+        def h64(tok: str) -> int:
+            # FNV-1a 64-bit: stable across runs/processes (no PYTHONHASHSEED)
+            h = 0xCBF29CE484222325
+            for ch in tok.encode():
+                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            return h
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = [t for t in
+                        "".join(c if c.isalnum() or c == " " else " "
+                                for c in text.lower()).split() if t]
+                acc = np.zeros(bits, dtype=np.int64)
+                for t in toks:
+                    hv = h64(t)  # python int (may exceed int64) —
+                    bitvec = np.fromiter(((hv >> i) & 1 for i in range(bits)),
+                                         dtype=np.int64, count=bits)
+                    acc += np.where(bitvec == 1, 1, -1)
+                sh = 0
+                for i in range(bits):
+                    if acc[i] > 0:
+                        sh |= (1 << i)
+                # store as signed 64-bit
+                if sh >= 1 << 63:
+                    sh -= 1 << 64
+                ids.append(doc_id)
+                hashes.append(sh)
+            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
+
+    return df.select("doc_id", text_col).mapInPandas(_part, out_schema)
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
+                            block_col: str = "label") -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by a coarse key
+    (label here; at scale an LSH/IVF bucket id).  See
+    operators/similarity.py for the cosine machinery."""
+    from .similarity import cosine_expr
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("emb_a"),
+                   F.col(block_col).alias("blk"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("emb_b"),
+                   F.col(block_col).alias("blk"))
+    pairs = a.join(b, "blk").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = cosine_expr(F.col("emb_a"), F.col("emb_b"))
+    return (pairs.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

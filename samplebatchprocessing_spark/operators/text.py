@@ -1,0 +1,220 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY §2B L2-L4,
+plus language-ID, quality scoring, and fingerprinting from the
+north-star mandate).
+
+All operators are pure Spark SQL expressions — JVM-side, codegen'd,
+shuffle-free except where aggregation is the point.  The reference's
+only text operator was "run an arbitrary command on the file"
+(GetJobs.py:51-53); these are the declarative replacements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic per-language marker vocabularies for the heuristic
+# language-ID scorer.  Tiny on purpose: broadcastable as literals
+# into the plan (no join needed at any scale).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "nicht", "das"),
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de5", "shi4", "le5", "zai4", "wo3"),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "and", "of", "to", "is", "a", "in", "that", "it", "on",
+)
+
+_FP_MOD = 2147483647      # 2^31 - 1
+_FP_MULT = 1000003
+
+
+def tokenize(text: Column) -> Column:
+    """L2: normalize + tokenize. lower -> strip non [a-z0-9 ] ->
+    split on runs of spaces, drop empties."""
+    cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", " ")
+    return F.filter(F.split(F.trim(cleaned), r" +"), lambda t: t != "")
+
+
+def tokenize_sql(expr: str) -> str:
+    """DuckDB twin of :func:`tokenize`."""
+    return (f"LIST_FILTER(STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE("
+            f"LOWER({expr}), '[^a-z0-9 ]', ' ', 'g')), ' +'), t -> t <> '')")
+
+
+def token_set(text: Column) -> Column:
+    """Sorted distinct token set (canonical form for set similarity)."""
+    return F.array_sort(F.array_distinct(tokenize(text)))
+
+
+def token_set_sql(expr: str) -> str:
+    return f"LIST_SORT(LIST_DISTINCT({tokenize_sql(expr)}))"
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, token stats, punctuation and
+    stopword ratios, plus a composite keep/drop signal.  Row-local ->
+    embarrassingly parallel at 100 TB."""
+    text = F.col(text_col)
+    toks = tokenize(text)
+    n_chars = F.length(text)
+    n_toks = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])))
+    avg_tok_len = n_alpha.cast("double") / n_toks
+    stop_ratio = n_stop.cast("double") / F.size(F.array_distinct(toks))
+    alpha_ratio = n_alpha.cast("double") / n_chars
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        ((n_toks >= 10) & (n_toks <= 1000) & (alpha_ratio > 0.5))
+        .alias("keep"),
+    )
+
+
+QUALITY_SQL = f"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       LEN({tokenize_sql('text')}) AS n_tokens,
+       ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / LEN({tokenize_sql('text')}), 6) AS avg_token_len,
+       ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / LENGTH(text), 6) AS alpha_ratio,
+       ROUND(CAST(LEN(LIST_INTERSECT(LIST_DISTINCT({tokenize_sql('text')}),
+             {list(STOPWORDS)!r})) AS DOUBLE)
+             / LEN(LIST_DISTINCT({tokenize_sql('text')})), 6) AS stopword_ratio,
+       LEN({tokenize_sql('text')}) BETWEEN 10 AND 1000
+         AND CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / LENGTH(text) > 0.5 AS keep
+FROM documents
+"""
+
+
+def lang_scores(toks: Column) -> list[tuple[str, Column]]:
+    """Marker-overlap score per language."""
+    dis = F.array_distinct(toks)
+    return [
+        (lang, F.size(F.array_intersect(
+            dis, F.array(*[F.lit(m) for m in markers]))))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: argmax marker overlap, alphabetical
+    tie-break, 'und' (undetermined) when no marker hits."""
+    toks = tokenize(F.col(text_col))
+    scores = lang_scores(toks)
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # reversed so earlier (alphabetical) languages win ties
+    for lang, score in reversed(scores):
+        pred = F.when((score == best) & (best > 0), lang).otherwise(pred)
+    out = df.select("doc_id", F.col("lang").alias("labeled_lang"),
+                    pred.alias("pred_lang"), best.alias("marker_hits"))
+    return out
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = list(LANG_MARKERS[lang])
+    return (f"LEN(LIST_INTERSECT(LIST_DISTINCT({tokenize_sql('text')}), "
+            f"{markers!r}))")
+
+
+LANG_ID_SQL = (
+    "SELECT doc_id, lang AS labeled_lang,\n"
+    "  CASE WHEN " + " = 0 AND ".join(
+        _lang_score_sql(lg) for lg in sorted(LANG_MARKERS)) + " = 0 THEN 'und'\n"
+    + "".join(
+        f"  WHEN {_lang_score_sql(lg)} = GREATEST("
+        + ", ".join(_lang_score_sql(l2) for l2 in sorted(LANG_MARKERS))
+        + f") THEN '{lg}'\n"
+        for lg in sorted(LANG_MARKERS))
+    + "  END AS pred_lang,\n"
+    + "  GREATEST(" + ", ".join(
+        _lang_score_sql(l2) for l2 in sorted(LANG_MARKERS))
+    + ") AS marker_hits\nFROM documents"
+)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic polynomial rolling hash over tokens (document
+    fingerprint).  Pure 64-bit arithmetic fold -> identical on any
+    engine; used for grouping/sharding, not cryptography."""
+    code = lambda t: (F.length(t) * 31 + F.ascii(t)).cast("long")  # noqa: E731
+    return F.aggregate(
+        tokenize(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * _FP_MULT + code(t)) % _FP_MOD,
+    )
+
+
+FINGERPRINT_SQL_EXPR = (
+    "LIST_REDUCE(LIST_CONCAT([CAST(0 AS BIGINT)], "
+    f"LIST_TRANSFORM({tokenize_sql('text')}, "
+    "t -> CAST(LENGTH(t) * 31 + ASCII(t) AS BIGINT))), "
+    f"(acc, c) -> (acc * {_FP_MULT} + c) % {_FP_MOD})"
+)
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """L3: corpus token statistics — count + doc-frequency per token.
+    explode -> 2-phase agg; the shuffle key is the token (bounded
+    vocabulary -> bounded state at any scale)."""
+    return (
+        df.select("doc_id", F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"),
+             F.countDistinct("doc_id").alias("doc_freq"))
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, UNNEST({tokenize_sql('text')}) AS token FROM documents)
+GROUP BY token
+"""
+
+
+def tfidf(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """L4: TF-IDF — tf(doc, token) * (ln((N+1)/(df+1)) + 1), rounded
+    6 dp. Two shuffles: per-(doc,token) counts, then a broadcast-able
+    doc-frequency join (vocabulary is small relative to the corpus).
+    """
+    toks = df.select("doc_id",
+                     F.explode(tokenize(F.col(text_col))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n_docs = df.select(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "token", "tf", "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6).alias("tf_idf"),
+        )
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (SELECT doc_id, UNNEST({tokenize_sql('text')}) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT doc_id, tf.token, tf, df,
+       ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1), 6) AS tf_idf
+FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+"""

@@ -65,6 +65,11 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> dict:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
 
+    # Queries over raw file paths (L9 binary ingest) hardcode the
+    # driver's sf0.01 dir in their SQL; retarget for local runs at
+    # other scale factors.
+    oracle_sql = oracle_sql.replace("/root/testdata/sf0.01", sf_dir.rstrip("/"))
+
     conn = duck_conn(sf_dir)
     try:
         cur = conn.execute(oracle_sql)

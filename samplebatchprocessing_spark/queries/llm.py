@@ -1,3 +1,247 @@
-"""Placeholder — filled in as operators land."""
+"""LLM-data-pipeline queries (SURVEY §2B L1-L10 + the north-star
+text-analysis operators), over the documents/embeddings fixtures.
 
-QUERIES: dict = {}
+The implementations live in operators/{text,dedup,similarity}.py;
+these wrappers pin the declared parameters (thresholds, k, blocking
+keys — part of the semantics) and pair each with its DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..exprs import sql_davg
+from ..operators import dedup, similarity, text
+from ..operators.text import token_set_sql, tokenize_sql
+
+
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(doc)
+
+
+def l2_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: normalization + tokenization (order-preserving list plus
+    canonical sorted set)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        text.tokenize(F.col("text")).alias("tokens"),
+        text.token_set(F.col("text")).alias("token_set"),
+        F.size(text.tokenize(F.col("text"))).alias("n_tokens"),
+    )
+
+
+L2_SQL = f"""
+SELECT doc_id,
+       {tokenize_sql('text')} AS tokens,
+       {token_set_sql('text')} AS token_set,
+       LEN({tokenize_sql('text')}) AS n_tokens
+FROM documents
+"""
+
+
+def l3_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return text.token_counts(doc)
+
+
+def l4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return text.tfidf(doc)
+
+
+def l5_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(doc, threshold=0.8, band_width=10)
+
+
+L5_SQL = f"""
+WITH s AS (SELECT doc_id, {token_set_sql('text')} AS toks FROM documents),
+b AS (SELECT doc_id, toks, CAST(FLOOR(LEN(toks) / 10) AS INT) AS band FROM s)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(LEN(LIST_INTERSECT(a.toks, c.toks)) AS DOUBLE)
+         / (LEN(a.toks) + LEN(c.toks) - LEN(LIST_INTERSECT(a.toks, c.toks)))
+         AS jaccard
+FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id
+WHERE CAST(LEN(LIST_INTERSECT(a.toks, c.toks)) AS DOUBLE)
+      / (LEN(a.toks) + LEN(c.toks) - LEN(LIST_INTERSECT(a.toks, c.toks))) >= 0.8
+"""
+
+
+def l5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(doc, n=2, threshold=0.6, band_width=10)
+
+
+_NGRAMS = (f"LIST_SORT(LIST_DISTINCT(LIST_TRANSFORM("
+           f"RANGE(1, LEN({tokenize_sql('text')})), "
+           f"i -> {tokenize_sql('text')}[i] || ' ' || {tokenize_sql('text')}[i+1])))")
+
+L5_NGRAM_SQL = f"""
+WITH s AS (SELECT doc_id, {_NGRAMS} AS toks FROM documents),
+b AS (SELECT doc_id, toks, CAST(FLOOR(LEN(toks) / 10) AS INT) AS band FROM s)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(LEN(LIST_INTERSECT(a.toks, c.toks)) AS DOUBLE)
+         / (LEN(a.toks) + LEN(c.toks) - LEN(LIST_INTERSECT(a.toks, c.toks)))
+         AS jaccard
+FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id
+WHERE CAST(LEN(LIST_INTERSECT(a.toks, c.toks)) AS DOUBLE)
+      / (LEN(a.toks) + LEN(c.toks) - LEN(LIST_INTERSECT(a.toks, c.toks))) >= 0.6
+"""
+
+
+def l6_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: deterministic (fixed seeds) but engine-specific hashing ->
+    rows-only driver check; recall/precision property-tested in
+    tests/test_operators.py against L5 ground truth."""
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(doc)
+
+
+def l6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (Arrow/numpy path) — rows-only check."""
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(doc)
+
+
+def l7_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, F.col("vec_id") % 50 == 0, k=5)
+
+
+_COS_QC = similarity.cosine_sql_expr("q.embedding", "c.embedding")
+
+L7_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         {_COS_QC.replace('q.embedding', 'q.embedding').replace('c.embedding', 'c.embedding')} AS cosine
+  FROM q, embeddings c WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def l7_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 scale path (Arrow numpy kernel) — rows-only driver check;
+    equality to the exact operator property-tested in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk_numpy(
+        emb, F.col("vec_id") % 50 == 0, k=5)
+
+
+def l7_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 ANN variant (hyperplane-LSH bucketing) — rows-only check,
+    recall property-tested vs exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, F.col("vec_id") % 50 == 0, k=5)
+
+
+def l8_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.sim_join(emb, threshold=0.3, block_col="label")
+
+
+_COS_AB = similarity.cosine_sql_expr("a.embedding", "b.embedding")
+
+L8_SQL = f"""
+SELECT a.label AS blk, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_COS_AB}, 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_AB} >= 0.3
+"""
+
+
+def l9_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9/P5: multimodal binary ingest — every fixture parquet file
+    as an opaque blob with typed metadata (reference semantics R1/R6:
+    files are byte blobs, content never inspected — SendJobs.py:16,
+    GetJobs.py:48-50).  md5(content) parity vs python hashlib is
+    asserted in tests (DuckDB 1.0 cannot hash blobs)."""
+    bf = (spark.read.format("binaryFile")
+          .load(f"{sf_dir.rstrip('/')}/*.parquet"))
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+        F.col("length").alias("size"),
+    )
+
+
+L9_SQL = """
+SELECT parse_filename(filename) AS file_name, size
+FROM read_blob('/root/testdata/sf0.01/*.parquet')
+"""
+
+
+def l10_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return (
+        doc.filter(F.col("lang").isin("es", "de", "fr"))
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+    )
+
+
+L10_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       ROUND(AVG(n_chars), 6) AS avg_chars
+FROM documents WHERE lang IN ('es', 'de', 'fr')
+GROUP BY lang, source
+"""
+
+
+def x1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return text.lang_id(doc)
+
+
+def x2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return text.quality_features(doc)
+
+
+def x3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        text.fingerprint(F.col("text")).alias("fp"),
+        (text.fingerprint(F.col("text")) % 1024).alias("fp_shard"),
+    )
+
+
+X3_SQL = f"""
+SELECT doc_id,
+       {text.FINGERPRINT_SQL_EXPR} AS fp,
+       {text.FINGERPRINT_SQL_EXPR} % 1024 AS fp_shard
+FROM documents
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
+    "l2_tokenize": (l2_tokenize, L2_SQL),
+    "l3_token_counts": (l3_token_counts, text.TOKEN_COUNTS_SQL),
+    "l4_tfidf": (l4_tfidf, text.TFIDF_SQL),
+    "l5_jaccard_pairs": (l5_jaccard_pairs, L5_SQL),
+    "l5_ngram_jaccard": (l5_ngram_jaccard, L5_NGRAM_SQL),
+    "l6_minhash_lsh": (l6_minhash_lsh, None),
+    "l6_simhash": (l6_simhash, None),
+    "l7_cosine_topk": (l7_cosine_topk, L7_SQL),
+    "l7_topk_numpy": (l7_topk_numpy, None),
+    "l7_topk_lsh": (l7_topk_lsh, None),
+    "l8_sim_join": (l8_sim_join, L8_SQL),
+    "l9_binary_ingest": (l9_binary_ingest, L9_SQL),
+    "l10_lang_stats": (l10_lang_stats, L10_SQL),
+    "x1_lang_id": (x1_lang_id, text.LANG_ID_SQL),
+    "x2_quality_score": (x2_quality_score, text.QUALITY_SQL),
+    "x3_fingerprint": (x3_fingerprint, X3_SQL),
+}

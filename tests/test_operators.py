@@ -1,0 +1,126 @@
+"""Property tests for operators excluded from hash-matching
+(SURVEY §2B `property` rows): sketches, ANN variants, as-of join.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from samplebatchprocessing_spark.catalog import load_table
+from samplebatchprocessing_spark.operators import dedup, similarity
+
+
+def test_minhash_lsh_recall_vs_jaccard(spark, sf_smoke):
+    """L6 contract: candidate set contains (almost) all pairs with
+    jaccard >= 0.8 (within-band); 8x4 banding => miss prob per pair
+    (1 - 0.8^4)^8 ~ 1.3% -> demand >= 95% recall on the fixture."""
+    doc = load_table(spark, sf_smoke, "documents")
+    truth = {(r["doc_a"], r["doc_b"])
+             for r in dedup.jaccard_pairs(doc, threshold=0.8).collect()}
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_pairs(doc).collect()}
+    assert truth, "fixture should contain near-dup pairs"
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.95, f"LSH recall {recall:.3f} < 0.95"
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_smoke):
+    """Near-identical token sets must land within a small Hamming
+    distance; random pairs should average much larger."""
+    doc = load_table(spark, sf_smoke, "documents")
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(doc).collect()}
+    pairs = dedup.jaccard_pairs(doc, threshold=0.9).collect()
+    assert pairs
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    near = [ham(sh[p["doc_a"]], sh[p["doc_b"]]) for p in pairs]
+    low = [r for r in dedup.jaccard_pairs(doc, threshold=0.0).collect()
+           if r["jaccard"] < 0.4][:200]
+    far = [ham(sh[p["doc_a"]], sh[p["doc_b"]]) for p in low]
+    # measured on the fixture: ~14.7 vs ~22.0
+    assert sum(near) / len(near) < sum(far) / len(far) - 3
+
+
+def test_numpy_topk_matches_exact(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    exact = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+             for r in similarity.cosine_topk(emb, pred, k=5).collect()}
+    fast = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+            for r in similarity.brute_force_topk_numpy(emb, pred, k=5).collect()}
+    assert set(exact) == set(fast)
+    for key, (vid, cos) in exact.items():
+        fvid, fcos = fast[key]
+        assert fvid == vid
+        assert abs(fcos - cos) < 1e-5
+
+
+def test_lsh_topk_finds_planted_neighbors(spark, sf_smoke):
+    """ANN contract: genuinely-near vectors collide.  The fixture
+    vectors are uniform-random (near-orthogonal neighbors — no ANN
+    scheme prunes those well), so we PLANT near-duplicates: a scaled
+    clone has identical plane signs -> same bucket -> must be
+    retrieved as its base's top-1."""
+    emb = load_table(spark, sf_smoke, "embeddings").limit(100)
+    clones = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.9)).alias("embedding"),
+        "label")
+    both = emb.select("vec_id", "embedding", "label").unionByName(clones)
+    got = {r["query_id"]: r["vec_id"]
+           for r in similarity.lsh_topk(
+               both, F.col("vec_id") >= 100000, k=1).collect()}
+    hits = sum(1 for q, v in got.items() if v == q - 100000)
+    assert hits >= 95, f"only {hits}/100 planted neighbors found"
+
+
+def test_approx_count_distinct_bound(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact")).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_asof_join_matches_naive(spark, sf_smoke):
+    """Union+carry-forward as-of == naive max-prior-event rewrite."""
+    from samplebatchprocessing_spark.queries.relational import j8_asof_join
+    ev = load_table(spark, sf_smoke, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"))
+    naive = (
+        p.join(c, (p.user_id == F.col("cu")) & (F.col("cts") <= p.ts), "left")
+        .groupBy("event_id")
+        .agg(F.max_by("click_id", "cts").alias("prior_click_id")))
+    got = {(r["event_id"], r["prior_click_id"])
+           for r in j8_asof_join(spark, sf_smoke).collect()}
+    want = {(r["event_id"], r["prior_click_id"]) for r in naive.collect()}
+    assert got == want
+
+
+def test_binary_ingest_md5_parity(spark, sf_smoke):
+    """L9: Spark md5(content) of binaryFile == hashlib on raw bytes
+    (DuckDB 1.0 can't hash blobs, so this parity lives here)."""
+    import glob
+    import hashlib
+    import os
+    got = {
+        r["file_name"]: (r["size"], r["content_md5"])
+        for r in (
+            spark.read.format("binaryFile").load(f"{sf_smoke}/*.parquet")
+            .select(
+                F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+                F.col("length").alias("size"),
+                F.md5(F.col("content")).alias("content_md5"))
+            .collect())
+    }
+    for path in glob.glob(f"{sf_smoke}/*.parquet"):
+        raw = open(path, "rb").read()
+        name = os.path.basename(path)
+        assert got[name] == (len(raw), hashlib.md5(raw).hexdigest())
