@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""BENCH harness (BASELINE.md contract).
+
+Runs the headline query set — one representative per SURVEY §2B
+category — at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>}
+
+Timing = wall-clock of the full action (plan + execute + collect-ish
+materialization via count on the final DataFrame)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per category (SURVEY §6 / BASELINE.md query list).
+BENCH_QUERIES: tuple[str, ...] = (
+    "a1_pricing_summary",    # scan+filter+2-phase agg (TPC-H Q1)
+    "j9_star_join",          # 6-way star join
+    "t4_topk_per_group",     # window top-k
+    "a6_rollup",             # rollup + grouping sets
+    "w3_running_frames",     # running-total window frames
+    "u1_union",              # set ops
+    "f7_json",               # JSON extraction + agg
+    "s2_tumbling_batch",     # tumbling-window event agg (batch form)
+    "l1_exact_dedup",        # exact dedup
+    "l4_tfidf",              # TF-IDF
+    "l7_cosine_topk",        # cosine top-k (exact expression path)
+    "l7_topk_numpy",         # cosine top-k (Arrow/numpy scale path)
+    "l5_jaccard_pairs",      # blocked near-dup pairs
+    "p8_manifest_pipeline",  # reference-semantics identity pipeline
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from samplebatchprocessing_spark.session import get_spark
+    spark = get_spark("sbp-bench", master=f"local[{cpus}]", extra_conf={
+        "spark.sql.shuffle.partitions": str(max(int(cpus), 8)),
+        "spark.driver.memory": os.environ.get("SBP_DRIVER_MEM", "32g"),
+    })
+
+    from samplebatchprocessing_spark.queries import registry
+    reg = registry()
+
+    # JVM/codegen warm-up on a cheap query (not timed).
+    reg["a1_pricing_summary"][0](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in reg:
+            continue
+        fn = reg[name][0]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()

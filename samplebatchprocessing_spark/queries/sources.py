@@ -1,3 +1,204 @@
-"""Placeholder — filled in as operators land."""
+"""Sources & sinks (SURVEY §2B P1-P8): format scans, roundtrips
+through CSV/JSON/parquet sinks, partitioned writes, and the
+reference-semantics manifest pipeline.
 
-QUERIES: dict = {}
+Roundtrip queries materialize under /tmp/sbp_work/<name>/ (unique per
+scale factor), then aggregate the re-read data; the oracle aggregates
+the original views — equality proves the sink+source preserved
+values.  Double columns survive text roundtrips because Spark writes
+shortest-repr doubles (guaranteed re-parse identity).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..exprs import sql_dsum, dsum
+
+_WORK = "/tmp/sbp_work"
+
+
+def _work_dir(sf_dir: str, name: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(_WORK, f"{name}_{tag}")
+
+
+def p1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: parquet scan with projection + pushed filter (verified
+    pushed in tests/test_plans.py)."""
+    part = load_table(spark, sf_dir, "part")
+    return (part.filter(F.col("p_size") > 25)
+            .select("p_partkey", "p_brand", "p_size", "p_retailprice"))
+
+
+P1_SQL = """
+SELECT p_partkey, p_brand, p_size, p_retailprice
+FROM part WHERE p_size > 25
+"""
+
+
+def p2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: CSV sink + declared-schema scan; aggregate must equal the
+    original (oracle aggregates the parquet view directly)."""
+    out = _work_dir(sf_dir, "p2_csv")
+    ord_ = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    ord_.write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ])
+    back = spark.read.schema(schema).option("header", True).csv(out)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("key_sum"),
+                 dsum("o_totalprice", "price_sum")))
+
+
+P2_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS key_sum,
+       {sql_dsum('o_totalprice')} AS price_sum
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def p3_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: schema-inferred CSV scan — inference rules are
+    engine-specific, so this is a rows-only/property query: asserts
+    live in tests (row count + casted equality with P2)."""
+    out = _work_dir(sf_dir, "p2_csv")
+    if not os.path.exists(out):
+        p2_csv_roundtrip(spark, sf_dir).count()
+    back = spark.read.option("header", True).option(
+        "inferSchema", True).csv(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+def p4_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: JSON-lines sink + declared-schema scan."""
+    out = _work_dir(sf_dir, "p4_json")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props")
+    ev.write.mode("overwrite").json(out)
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    back = spark.read.schema(schema).json(out)
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("value", "value_sum"),
+                 F.sum(F.get_json_object("props", "$.k").cast("long"))
+                 .alias("k_sum")))
+
+
+P4_SQL = f"""
+SELECT event_type, COUNT(*) AS n, {sql_dsum('value')} AS value_sum,
+       SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS k_sum
+FROM events GROUP BY event_type
+"""
+
+
+def p6_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: parquet sink roundtrip (overwrite mode = the reference's
+    deterministic-output-key idempotence, GetJobs.py:57-60)."""
+    out = _work_dir(sf_dir, "p6_parquet")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 25)
+    li.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (back.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("l_extendedprice", "price_sum")))
+
+
+P6_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n, {sql_dsum('l_extendedprice')} AS price_sum
+FROM lineitem WHERE l_quantity >= 25 GROUP BY l_returnflag
+"""
+
+
+def p7_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: hive-style partitioned sink + partition-pruned re-read.
+    The pruning (only 2 of 6 partition dirs scanned) is asserted in
+    tests/test_plans.py; values here prove integrity."""
+    out = _work_dir(sf_dir, "p7_part")
+    li = load_table(spark, sf_dir, "lineitem")
+    (li.write.mode("overwrite")
+     .partitionBy("l_returnflag", "l_linestatus").parquet(out))
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return (back.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("l_quantity", "qty_sum")))
+
+
+P7_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_quantity')} AS qty_sum
+FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def p8_manifest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: the reference's pipeline end-to-end with the identity
+    transform (user-data.sh:4 `COMMAND="cp"`): stage fixture files as
+    input objects, build the job manifest, process, and report the
+    commit log with an input==output md5 check per file.  Rows-only
+    driver check; byte-exactness asserted in tests/test_pipeline.py.
+    """
+    import glob
+    import shutil
+
+    from ..pipeline.manifest import build_manifest, run_pipeline
+
+    bucket = _work_dir(sf_dir, "p8_bucket")
+    in_dir = os.path.join(bucket, "input")
+    os.makedirs(in_dir, exist_ok=True)
+    for src in sorted(glob.glob(f"{sf_dir.rstrip('/')}/*.parquet")):
+        dst = os.path.join(in_dir, os.path.basename(src))
+        if not os.path.exists(dst):
+            shutil.copy(src, dst)
+
+    manifest = build_manifest(spark, bucket)
+    log = run_pipeline(spark, manifest, transform=None, ext=".out")
+    # materialize: executors write output files as a side effect, and
+    # the binaryFile read below needs them on disk at plan time
+    log = log.cache()
+    log.count()
+
+    inputs = (spark.read.format("binaryFile").load(f"{in_dir}/*")
+              .select(F.regexp_extract("path", r"([^/]+)$", 1)
+                      .alias("file_name"),
+                      F.md5("content").alias("in_md5")))
+    outputs = (spark.read.format("binaryFile")
+               .load(os.path.join(bucket, "output", "*"))
+               .select(F.regexp_replace(
+                   F.regexp_extract("path", r"([^/]+)$", 1),
+                   r"\.out$", "").alias("file_name"),
+                   F.md5("content").alias("out_md5")))
+    return (log.join(inputs, "file_name").join(outputs, "file_name")
+            .select("file_name", "in_bytes", "out_bytes", "ok",
+                    (F.col("in_md5") == F.col("out_md5"))
+                    .alias("bytes_identical")))
+
+
+QUERIES: dict[str, tuple] = {
+    "p1_parquet_scan": (p1_parquet_scan, P1_SQL),
+    "p2_csv_roundtrip": (p2_csv_roundtrip, P2_SQL),
+    "p3_csv_infer": (p3_csv_infer, None),
+    "p4_json_roundtrip": (p4_json_roundtrip, P4_SQL),
+    "p6_parquet_sink": (p6_parquet_sink, P6_SQL),
+    "p7_partitioned_sink": (p7_partitioned_sink, P7_SQL),
+    "p8_manifest_pipeline": (p8_manifest_pipeline, None),
+}

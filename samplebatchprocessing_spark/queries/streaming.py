@@ -1,3 +1,229 @@
-"""Placeholder — filled in as operators land."""
+"""Streaming queries (SURVEY §2B S1-S8), each run to completion with
+Trigger.AvailableNow so the driver can treat them like batch queries.
 
-QUERIES: dict = {}
+Oracle strategy: on a finite input, every streaming result below is a
+deterministic function of the events table, so most rows get a REAL
+DuckDB oracle (stronger than the survey's parity plan).  Window
+starts are exported as epoch seconds (pure integer arithmetic on both
+engines — no tz/format drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exprs import DEC, dsum, sql_dsum
+from ..streaming.jobs import events_stream, run_available_now
+
+_HOUR_US = 3600 * 1_000_000
+_HALF_US = 1800 * 1_000_000
+
+
+def s1_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: micro-batch file source == batch scan of the same dir."""
+    sdf = events_stream(spark, sf_dir)
+    out = run_available_now(
+        sdf.select("event_id", "user_id", "event_type", "value"))
+    return out
+
+
+S1_SQL = "SELECT event_id, user_id, event_type, value FROM events"
+
+
+def s2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: tumbling 1-hour event-time windows (complete mode)."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (sdf.groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"), dsum("value", "value_sum")))
+    out = run_available_now(agg, output_mode="complete")
+    return out.select(
+        (F.unix_micros(F.col("window.start")) / 1_000_000).cast("long")
+        .alias("bucket_start"),
+        "event_type", "n", "value_sum")
+
+
+S2_SQL = f"""
+SELECT (EPOCH_US(CAST(ts AS TIMESTAMP)) - EPOCH_US(CAST(ts AS TIMESTAMP)) % {_HOUR_US})
+         // 1000000 AS bucket_start,
+       event_type, COUNT(*) AS n, {sql_dsum('value')} AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def s2_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 batch twin (used by BENCH; also the parity anchor for the
+    streaming form — identical output contract)."""
+    from ..catalog import load_table
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_micros(F.col("ts"))
+              - F.unix_micros(F.col("ts")) % _HOUR_US)
+    return (ev.groupBy((bucket / 1_000_000).cast("long")
+                       .alias("bucket_start"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), dsum("value", "value_sum")))
+
+
+def s3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: sliding 1-hour windows every 30 minutes — each event lands
+    in two windows."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (sdf.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    out = run_available_now(agg, output_mode="complete")
+    return out.select(
+        (F.unix_micros(F.col("window.start")) / 1_000_000).cast("long")
+        .alias("bucket_start"),
+        "event_type", "n")
+
+
+S3_SQL = f"""
+SELECT bucket_start, event_type, COUNT(*) AS n FROM (
+  SELECT UNNEST([
+           (EPOCH_US(CAST(ts AS TIMESTAMP)) - EPOCH_US(CAST(ts AS TIMESTAMP)) % {_HALF_US}) // 1000000,
+           (EPOCH_US(CAST(ts AS TIMESTAMP)) - EPOCH_US(CAST(ts AS TIMESTAMP)) % {_HALF_US}) // 1000000 - 1800
+         ]) AS bucket_start,
+         event_type
+  FROM events
+) GROUP BY 1, 2
+"""
+
+
+def s4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: 5-minute-gap session windows per user (complete mode).
+    A new session starts when the gap since the previous event is
+    >= 5 minutes (session windows merge on overlap)."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (sdf.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                dsum("value", "value_sum")))
+    out = run_available_now(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        "n_events", "value_sum")
+
+
+S4_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) - CAST(LAG(ts) OVER w AS TIMESTAMP)
+                   >= INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM o
+)
+SELECT user_id, EPOCH_US(MIN(CAST(ts AS TIMESTAMP))) AS session_start_us,
+       COUNT(*) AS n_events, {sql_dsum('value')} AS value_sum
+FROM s GROUP BY user_id, sid
+"""
+
+
+def s5_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: watermarked tumbling windows in APPEND mode — only windows
+    whose end <= final watermark (max ts - 10 min) are emitted.
+    Deterministic on finite input -> oracle-checkable."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (sdf.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    out = run_available_now(agg, output_mode="append")
+    return out.select(
+        (F.unix_micros(F.col("window.start")) / 1_000_000).cast("long")
+        .alias("bucket_start"),
+        "event_type", "n")
+
+
+S5_SQL = f"""
+WITH m AS (SELECT MAX(EPOCH_US(CAST(ts AS TIMESTAMP))) AS max_us FROM events),
+b AS (
+  SELECT (EPOCH_US(CAST(ts AS TIMESTAMP)) - EPOCH_US(CAST(ts AS TIMESTAMP)) % {_HOUR_US})
+           // 1000000 AS bucket_start,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket_start, event_type, n FROM b, m
+WHERE (bucket_start + 3600) * 1000000 <= m.max_us - 600 * 1000000
+"""
+
+
+def s6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: at-least-once -> effectively-once.  Input staged TWICE
+    (simulated SQS redelivery, GetJobs.py:37-40); watermarked
+    dropDuplicates on event_id restores exactly-once output."""
+    sdf = events_stream(spark, sf_dir, copies=2, tag="dedup")
+    dedup = (sdf.withWatermark("ts", "1 hour")
+             .dropDuplicates(["event_id"])
+             .select("event_id", "event_type", "value"))
+    return run_available_now(dedup)
+
+
+S6_SQL = "SELECT event_id, event_type, value FROM events"
+
+
+def s7_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: stateful per-key aggregation, complete mode."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (sdf.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                dsum("value", "value_sum"),
+                F.max("event_type").alias("max_type")))
+    return run_available_now(agg, output_mode="complete")
+
+
+S7_SQL = f"""
+SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value')} AS value_sum,
+       MAX(event_type) AS max_type
+FROM events GROUP BY user_id
+"""
+
+
+def s8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: foreachBatch + checkpoint — the reference's
+    delete-on-success commit point made transactional.  Each
+    micro-batch lands as parquet partitioned by batch id (idempotent
+    overwrite per epoch); kill/restart recovery is exercised in
+    tests/test_streaming.py.  Rows-only driver check."""
+    import hashlib
+    import os
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink = f"/tmp/sbp_stream/s8_sink_{tag}"
+    ckpt = f"/tmp/sbp_stream/s8_ckpt_{tag}"
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    sdf = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value")
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (df.write.mode("overwrite")
+         .parquet(os.path.join(sink, f"batch={batch_id}")))
+
+    q = (sdf.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{sink}/batch=*")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+QUERIES: dict[str, tuple] = {
+    "s1_stream_scan": (s1_stream_scan, S1_SQL),
+    "s2_tumbling_window": (s2_tumbling_window, S2_SQL),
+    "s2_tumbling_batch": (s2_tumbling_batch, S2_SQL),
+    "s3_sliding_window": (s3_sliding_window, S3_SQL),
+    "s4_session_window": (s4_session_window, S4_SQL),
+    "s5_watermark_append": (s5_watermark_append, S5_SQL),
+    "s6_stream_dedup": (s6_stream_dedup, S6_SQL),
+    "s7_stateful_agg": (s7_stateful_agg, S7_SQL),
+    "s8_foreach_batch_sink": (s8_foreach_batch_sink, None),
+}

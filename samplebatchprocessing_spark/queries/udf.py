@@ -1,3 +1,166 @@
-"""Placeholder — filled in as operators land."""
+"""UDF / UDAF / UDTF surface (SURVEY §2B D1-D6) — the generalization
+of the reference's arbitrary per-file ``command`` (GetJobs.py:51-53).
 
-QUERIES: dict = {}
+Every declared UDF body is a pure function mirrored as a DuckDB SQL
+expression, so these stay oracle-checkable.  Performance discipline:
+D1 exists to DECLARE row-at-a-time UDFs work, but every other entry
+is Arrow-vectorized (pandas_udf / applyInPandas / mapInPandas) — the
+only sanctioned Python hot paths at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+
+
+def d1_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: row-at-a-time Python UDF (declared pure: length % 97)."""
+    @F.udf(T.IntegerType())
+    def len_mod(s: str) -> int:
+        return len(s) % 97
+
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select("doc_id", len_mod("text").alias("len_mod97"))
+
+
+D1_SQL = "SELECT doc_id, CAST(LENGTH(text) % 97 AS INT) AS len_mod97 FROM documents"
+
+
+def d2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: vectorized Series->Series pandas UDF (Arrow batches).
+    net = price * (1 - discount): same IEEE double ops as SQL."""
+    @F.pandas_udf(T.DoubleType())
+    def net_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net"))
+
+
+D2_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net
+FROM lineitem
+"""
+
+
+def d3_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: grouped-map transform — per-user event normalization
+    (delta from the user's min value; order index by (ts, event_id)).
+    Exact arithmetic only (min/subtract/cumcount) so the oracle is a
+    window rewrite."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        pdf["delta_from_min"] = pdf["value"] - pdf["value"].min()
+        pdf["seq"] = range(1, len(pdf) + 1)
+        return pdf[["event_id", "user_id", "delta_from_min", "seq"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        per_user,
+        "event_id long, user_id long, delta_from_min double, seq long")
+
+
+D3_SQL = """
+SELECT event_id, user_id,
+       value - MIN(value) OVER (PARTITION BY user_id) AS delta_from_min,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events
+"""
+
+
+def d4_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: per-batch transform (the direct heir of the reference's
+    per-file command, R7): filter + computed columns."""
+    ord_ = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+
+    def op(batches):
+        for pdf in batches:
+            out = pdf[pdf["o_totalprice"] > 100000].copy()
+            out["half_price"] = out["o_totalprice"] * 0.5
+            out["status_lower"] = out["o_orderstatus"].str.lower()
+            yield out[["o_orderkey", "half_price", "status_lower"]]
+
+    return ord_.mapInPandas(
+        op, "o_orderkey long, half_price double, status_lower string")
+
+
+D4_SQL = """
+SELECT o_orderkey, o_totalprice * 0.5 AS half_price,
+       LOWER(o_orderstatus) AS status_lower
+FROM orders WHERE o_totalprice > 100000
+"""
+
+
+def d5_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: one-row-to-many via a UDF-produced array + explode
+    (plain whitespace split, distinct from L2's regex pipeline)."""
+    @F.udf(T.ArrayType(T.StringType()))
+    def ws_split(s: str) -> list[str]:
+        return s.split(" ")
+
+    doc = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100)
+    return (doc.select("doc_id",
+                       F.explode(ws_split("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+D5_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents WHERE doc_id < 100)
+GROUP BY token
+"""
+
+
+def d6_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: UDAF via applyInPandas reduction — per event_type ratio of
+    integer sums (exact int accumulation -> deterministic)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"))
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        k_sum = int(pdf["k"].sum())
+        n = len(pdf)
+        return pd.DataFrame({
+            "event_type": [pdf["event_type"].iloc[0]],
+            "k_sum": [k_sum],
+            "n": [n],
+            "k_mean": [k_sum / n],
+        })
+
+    return ev.groupBy("event_type").applyInPandas(
+        reduce_group, "event_type string, k_sum long, n long, k_mean double")
+
+
+D6_SQL = """
+SELECT event_type,
+       SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS k_sum,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS DOUBLE)
+         / COUNT(*) AS k_mean
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "d1_scalar_udf": (d1_scalar_udf, D1_SQL),
+    "d2_pandas_udf": (d2_pandas_udf, D2_SQL),
+    "d3_apply_in_pandas": (d3_apply_in_pandas, D3_SQL),
+    "d4_map_in_pandas": (d4_map_in_pandas, D4_SQL),
+    "d5_udtf_explode": (d5_udtf_explode, D5_SQL),
+    "d6_udaf_grouped": (d6_udaf_grouped, D6_SQL),
+}

@@ -1,0 +1,82 @@
+"""Streaming building blocks.
+
+Mapping from the reference (SURVEY §3A):
+- SQS long-poll loop (GetJobs.py:21-23)  -> file-source micro-batches;
+  new-file discovery == message arrival (R3/R4)
+- visibility timeout + delete-on-success (GetJobs.py:37-40,
+  README.md:44-47) -> checkpointing + idempotent sinks (S8)
+- drain-the-queue batch run               -> Trigger.AvailableNow
+
+All jobs here run against a staged copy of the events fixture (the
+file source wants a directory it can watch), with the same ns->µs
+timestamp handling as the batch catalog.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_STAGE = "/tmp/sbp_stream"
+
+
+def stage_events_dir(spark: SparkSession, sf_dir: str,
+                     copies: int = 1, tag: str = "") -> str:
+    """Stage events.parquet into a watchable directory (n copies —
+    >1 simulates at-least-once redelivery for S6)."""
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    h = hashlib.md5(f"{sf_dir}|{copies}|{tag}".encode()).hexdigest()[:8]
+    d = os.path.join(_STAGE, f"events_{h}")
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        for i in range(copies):
+            shutil.copy(src, os.path.join(d, f"events_{i}.parquet"))
+        open(marker, "w").write("ok")
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  copies: int = 1, tag: str = "") -> DataFrame:
+    """S1 source: micro-batch file stream of events with µs ts."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # AQE cannot re-plan stateful streaming stages, so the static
+    # shuffle-partition count is load-bearing here; replace the
+    # (pathological for local) 200-partition default only.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    stage = stage_events_dir(spark, sf_dir, copies, tag)
+    raw_schema = spark.read.parquet(
+        f"{stage}/events_0.parquet").schema
+    sdf = (spark.readStream.schema(raw_schema)
+           .option("pathGlobFilter", "*.parquet")
+           .parquet(stage))
+    if dict((f.name, f.dataType.simpleString())
+            for f in raw_schema.fields).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return sdf
+
+
+_MEMO = {"n": 0}
+
+
+def run_available_now(sdf_writer_input: DataFrame, *,
+                      output_mode: str = "append") -> DataFrame:
+    """Run a finite streaming query to completion (AvailableNow) into
+    a memory sink; return the materialized result table."""
+    _MEMO["n"] += 1
+    name = f"sbp_stream_out_{_MEMO['n']}"
+    q = (sdf_writer_input.writeStream
+         .outputMode(output_mode)
+         .format("memory")
+         .queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return sdf_writer_input.sparkSession.table(name)
