@@ -48,17 +48,34 @@ def cosine_sql_expr(a: str, b: str) -> str:
     return (f"({dsum(a, b)} / (SQRT({dsum(a, a)}) * SQRT({dsum(b, b)})))")
 
 
+def _norm_col(vec):
+    """sqrt of the sequential self-dot — one fold per vector."""
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    return F.sqrt(_seq_sum(F.zip_with(vd, vd, lambda x, y: x * y)))
+
+
 def cosine_topk(emb: DataFrame, query_pred, k: int = 5) -> DataFrame:
     """L7: exact top-k neighbors for each query vector (query_pred
     selects the query subset).  Broadcast the (small) query side;
-    rank with a (-cosine, vec_id) tie-break."""
+    rank with a (-cosine, vec_id) tie-break.
+
+    Plan note: norms are precomputed per VECTOR (one fold each side
+    of the join), not per pair — only the dot product runs per pair.
+    Same arithmetic as the naive per-pair form (a vector's norm fold
+    is identical wherever it's computed), 3x less work."""
     queries = emb.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"))
-    cands = emb.select("vec_id", "embedding")
+        F.col("embedding").alias("q_emb"),
+        _norm_col(F.col("embedding")).alias("q_norm"))
+    cands = emb.select(
+        "vec_id", "embedding",
+        _norm_col(F.col("embedding")).alias("c_norm"))
     pairs = (cands.crossJoin(F.broadcast(queries))
              .filter(F.col("vec_id") != F.col("query_id")))
-    cos = cosine_expr(F.col("q_emb"), F.col("embedding"))
+    qd = F.transform("q_emb", lambda x: x.cast("double"))
+    cd = F.transform("embedding", lambda x: x.cast("double"))
+    dot = _seq_sum(F.zip_with(qd, cd, lambda x, y: x * y))
+    cos = dot / (F.col("q_norm") * F.col("c_norm"))
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id"))
     return (pairs.select("query_id", "vec_id", cos.alias("cosine"))
@@ -74,12 +91,17 @@ def sim_join(emb: DataFrame, threshold: float,
     block, so the plan is an equi-join, never O(n^2)."""
     a = emb.select(F.col("vec_id").alias("vec_a"),
                    F.col("embedding").alias("emb_a"),
+                   _norm_col(F.col("embedding")).alias("norm_a"),
                    F.col(block_col).alias("blk"))
     b = emb.select(F.col("vec_id").alias("vec_b"),
                    F.col("embedding").alias("emb_b"),
+                   _norm_col(F.col("embedding")).alias("norm_b"),
                    F.col(block_col).alias("blk"))
     pairs = a.join(b, "blk").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = cosine_expr(F.col("emb_a"), F.col("emb_b"))
+    ad = F.transform("emb_a", lambda x: x.cast("double"))
+    bd = F.transform("emb_b", lambda x: x.cast("double"))
+    dot = _seq_sum(F.zip_with(ad, bd, lambda x, y: x * y))
+    cos = dot / (F.col("norm_a") * F.col("norm_b"))
     return (pairs.select("blk", "vec_a", "vec_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold)
             .withColumn("cosine", F.round("cosine", 6)))

@@ -1,0 +1,154 @@
+"""Tier-3 randomized differential testing (SURVEY §5B): compose
+random filter/join/agg/sort pipelines from a small grammar, render
+each AST BOTH as a DataFrame plan and as DuckDB SQL, and require
+exact equality.  Catches semantics drift the hand-written corpus
+misses (null ordering, coercion, literal typing).
+
+Deterministic: seeds are fixed; the same 40 pipelines run each time.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from samplebatchprocessing_spark.catalog import load_table
+from samplebatchprocessing_spark.exprs import dsum, sql_dsum
+from samplebatchprocessing_spark.oracle import compare
+
+META = {
+    "orders": {
+        "int": ["o_orderkey", "o_custkey"],
+        "dbl": ["o_totalprice"],
+        "cat": {"o_orderstatus": ["O", "F", "P"],
+                "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                    "4-NOT SPECIFIED", "5-LOW"]},
+        "ranges": {"o_totalprice": (1000.0, 500000.0),
+                   "o_custkey": (0, 1500), "o_orderkey": (0, 15000)},
+    },
+    "lineitem": {
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "dbl": ["l_quantity", "l_extendedprice", "l_discount"],
+        "cat": {"l_returnflag": ["A", "N", "R"],
+                "l_linestatus": ["O", "F"]},
+        "ranges": {"l_quantity": (1.0, 50.0),
+                   "l_extendedprice": (900.0, 105000.0),
+                   "l_discount": (0.0, 0.1),
+                   "l_partkey": (0, 2000), "l_suppkey": (0, 10),
+                   "l_orderkey": (0, 15000), "l_linenumber": (1, 7)},
+    },
+    "customer": {
+        "int": ["c_custkey", "c_nationkey"],
+        "dbl": ["c_acctbal"],
+        "cat": {"c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE",
+                                 "HOUSEHOLD", "MACHINERY"]},
+        "ranges": {"c_acctbal": (-1000.0, 10000.0),
+                   "c_custkey": (0, 1500), "c_nationkey": (0, 24)},
+    },
+}
+
+
+def gen_ast(seed: int) -> dict:
+    rng = random.Random(seed)
+    table = rng.choice(list(META))
+    m = META[table]
+    preds = []
+    for _ in range(rng.randint(0, 3)):
+        kind = rng.choice(["num_cmp", "cat_eq", "cat_in"])
+        if kind == "num_cmp":
+            col = rng.choice(m["int"] + m["dbl"])
+            lo, hi = m["ranges"][col]
+            v = rng.uniform(lo, hi)
+            if col in m["int"]:
+                v = int(v)
+            preds.append(("cmp", col, rng.choice([">=", "<=", "<", ">"]), v))
+        elif kind == "cat_eq":
+            col = rng.choice(list(m["cat"]))
+            preds.append(("eq", col, rng.choice(m["cat"][col])))
+        else:
+            col = rng.choice(list(m["cat"]))
+            vals = rng.sample(m["cat"][col],
+                              rng.randint(1, len(m["cat"][col])))
+            preds.append(("in", col, sorted(vals)))
+    group = rng.sample(list(m["cat"]), rng.randint(1, len(m["cat"])))
+    aggs = [("count",)]
+    for _ in range(rng.randint(1, 3)):
+        kind = rng.choice(["min", "max", "sumint", "sumdbl"])
+        if kind in ("min", "max"):
+            aggs.append((kind, rng.choice(m["int"] + m["dbl"])))
+        elif kind == "sumint":
+            aggs.append(("sumint", rng.choice(m["int"])))
+        else:
+            aggs.append(("sumdbl", rng.choice(m["dbl"])))
+    return {"table": table, "preds": preds, "group": group, "aggs": aggs}
+
+
+def _agg_alias(i: int) -> str:
+    return f"agg_{i}"
+
+
+def to_spark(ast: dict, spark, sf_dir):
+    df = load_table(spark, sf_dir, ast["table"])
+    for p in ast["preds"]:
+        if p[0] == "cmp":
+            _, col, op, v = p
+            c = F.col(col)
+            cond = {"<": c < v, ">": c > v, "<=": c <= v, ">=": c >= v}[op]
+        elif p[0] == "eq":
+            cond = F.col(p[1]) == p[2]
+        else:
+            cond = F.col(p[1]).isin(p[2])
+        df = df.filter(cond)
+    aggs = []
+    for i, a in enumerate(ast["aggs"]):
+        name = _agg_alias(i)
+        if a[0] == "count":
+            aggs.append(F.count(F.lit(1)).alias(name))
+        elif a[0] == "min":
+            aggs.append(F.min(a[1]).alias(name))
+        elif a[0] == "max":
+            aggs.append(F.max(a[1]).alias(name))
+        elif a[0] == "sumint":
+            aggs.append(F.sum(a[1]).alias(name))
+        else:
+            aggs.append(dsum(a[1], name))
+    return df.groupBy(*ast["group"]).agg(*aggs)
+
+
+def to_sql(ast: dict) -> str:
+    conds = []
+    for p in ast["preds"]:
+        if p[0] == "cmp":
+            _, col, op, v = p
+            conds.append(f"{col} {op} {v!r}" if isinstance(v, float)
+                         else f"{col} {op} {v}")
+        elif p[0] == "eq":
+            conds.append(f"{p[1]} = '{p[2]}'")
+        else:
+            vals = ", ".join(f"'{v}'" for v in p[2])
+            conds.append(f"{p[1]} IN ({vals})")
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    sels = list(ast["group"])
+    for i, a in enumerate(ast["aggs"]):
+        name = _agg_alias(i)
+        if a[0] == "count":
+            sels.append(f"COUNT(*) AS {name}")
+        elif a[0] == "min":
+            sels.append(f"MIN({a[1]}) AS {name}")
+        elif a[0] == "max":
+            sels.append(f"MAX({a[1]}) AS {name}")
+        elif a[0] == "sumint":
+            sels.append(f"SUM({a[1]}) AS {name}")
+        else:
+            sels.append(f"{sql_dsum(a[1])} AS {name}")
+    return (f"SELECT {', '.join(sels)} FROM {ast['table']}{where} "
+            f"GROUP BY {', '.join(ast['group'])}")
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_differential(spark, sf_oracle, seed):
+    ast = gen_ast(seed)
+    report = compare(to_spark(ast, spark, sf_oracle), to_sql(ast), sf_oracle)
+    assert report["ok"], f"seed={seed} ast={ast} report={report}"

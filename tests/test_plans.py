@@ -1,0 +1,107 @@
+"""Physical-plan assertions (SURVEY §4B "verify via explain()").
+
+Correct results with a wrong plan don't survive a 100x scale-up —
+these tests pin the plan properties that matter at 100 TB: predicate
+pushdown into parquet, column pruning, broadcast dims, partition
+pruning on hive layouts, whole-stage codegen, and top-k via
+TakeOrderedAndProject instead of a global sort.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from samplebatchprocessing_spark.catalog import load_table
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_parquet(spark, sf_smoke):
+    from samplebatchprocessing_spark.queries.sources import p1_parquet_scan
+    plan = plan_str(p1_parquet_scan(spark, sf_smoke))
+    assert "PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,25)]" in plan
+
+
+def test_column_pruning(spark, sf_smoke):
+    from samplebatchprocessing_spark.queries.relational import q4_distinct
+    plan = plan_str(q4_distinct(spark, sf_smoke))
+    # scan schema carries only the two projected columns
+    assert "c_mktsegment" in plan and "c_nationkey" in plan
+    assert "c_acctbal" not in plan and "c_name" not in plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_smoke):
+    from samplebatchprocessing_spark.queries.relational import j9_star_join
+    plan = plan_str(j9_star_join(spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_small_dim_join_is_broadcast_not_shuffle(spark, sf_smoke):
+    from samplebatchprocessing_spark.queries.relational import (
+        j5_broadcast_join)
+    plan = plan_str(j5_broadcast_join(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    # the fact table must not shuffle for the join itself
+    assert "SortMergeJoin" not in plan
+
+
+def test_partition_pruning_on_hive_layout(spark, sf_smoke):
+    """P7: a filter on the partition column must prune directories at
+    planning time (PartitionFilters), not scan-and-filter."""
+    import hashlib
+    import os
+    out = f"/tmp/sbp_work/p7_part_{hashlib.md5(sf_smoke.encode()).hexdigest()[:8]}"
+    li = load_table(spark, sf_smoke, "lineitem")
+    if not os.path.exists(out):
+        (li.write.mode("overwrite")
+         .partitionBy("l_returnflag", "l_linestatus").parquet(out))
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = plan_str(back)
+    assert "PartitionFilters" in plan and "l_returnflag" in plan
+    n_files = back.select(F.input_file_name()).distinct().count()
+    all_files = (spark.read.parquet(out)
+                 .select(F.input_file_name()).distinct().count())
+    assert n_files < all_files
+
+
+def test_whole_stage_codegen_covers_pipeline(spark, sf_smoke):
+    from samplebatchprocessing_spark.queries.relational import (
+        a1_pricing_summary)
+    plan = plan_str(a1_pricing_summary(spark, sf_smoke), mode="codegen")
+    assert "WholeStageCodegen" in plan and "Found" in plan
+
+
+def test_two_phase_aggregation(spark, sf_smoke):
+    """A12: map-side partial agg before the exchange, final after."""
+    from samplebatchprocessing_spark.queries.relational import (
+        a1_pricing_summary)
+    plan = plan_str(a1_pricing_summary(spark, sf_smoke))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_smoke):
+    from samplebatchprocessing_spark.queries.relational import t3_global_topk
+    plan = plan_str(t3_global_topk(spark, sf_smoke), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_in_blocked_similarity(spark, sf_smoke):
+    """L5/L8 contract: blocking keys make these equi-joins — a
+    cartesian product in the plan would mean the blocking broke."""
+    from samplebatchprocessing_spark.operators import dedup, similarity
+    doc = load_table(spark, sf_smoke, "documents")
+    emb = load_table(spark, sf_smoke, "embeddings")
+    for df in (dedup.jaccard_pairs(doc, threshold=0.8),
+               similarity.sim_join(emb, threshold=0.3)):
+        plan = plan_str(df, mode="simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

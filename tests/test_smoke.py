@@ -36,3 +36,22 @@ def test_driver_contract(spark):
 def test_events_ts_is_microsecond_timestamp(spark, sf_smoke):
     ev = load_table(spark, sf_smoke, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_engine_facade(spark, sf_smoke, tmp_path):
+    import glob
+    import shutil
+
+    from samplebatchprocessing_spark.engine import Engine
+
+    eng = Engine(spark).attach(sf_smoke)
+    assert eng.table("nation").count() == 25
+    assert eng.sql("SELECT COUNT(*) AS n FROM orders").first()["n"] == 1500
+
+    bucket = str(tmp_path / "bucket")
+    import os
+    os.makedirs(f"{bucket}/input")
+    for f in sorted(glob.glob(f"{sf_smoke}/*.parquet"))[:2]:
+        shutil.copy(f, f"{bucket}/input/")
+    log = eng.process_prefix(bucket).collect()
+    assert len(log) == 2 and all(r["ok"] for r in log)
