@@ -236,6 +236,49 @@ def simhash(df: DataFrame, text_col: str = "text",
     return df.select("doc_id", text_col).mapInPandas(_part, out_schema)
 
 
+def dedup_clusters(pairs: DataFrame, *, id_a: str = "doc_a",
+                   id_b: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair list -> duplicate
+    CLUSTERS (each doc labeled with the min doc_id of its component
+    — the canonical representative to keep).
+
+    Iterative label propagation: each round every node adopts the
+    minimum label among itself and its neighbors; converged when no
+    label changes.  O(graph diameter) rounds, each one shuffle; the
+    driver only sees a changed-row COUNT per round (no data
+    collect), and lineage is truncated with localCheckpoint so plans
+    don't grow unboundedly — the standard Spark iterative-algorithm
+    discipline.  Genuinely non-SQL-expressible (SURVEY §2B note) ->
+    rows-only driver check; equality vs union-find is pytest-checked.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(
+                 pairs.select(F.col(id_b).alias("src"),
+                              F.col(id_a).alias("dst")))
+             .distinct())
+    edges = edges.localCheckpoint()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels, edges.dst == labels.node)
+                        .groupBy("src")
+                        .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == neighbor_min.src, "left")
+                      .select("node",
+                              F.least("label", F.coalesce(
+                                  "nbr_label", "label")).alias("label")))
+        new_labels = new_labels.localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
                             block_col: str = "label") -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by a coarse key

@@ -193,8 +193,9 @@ def tfidf(df: DataFrame, text_col: str = "text") -> DataFrame:
                      F.explode(tokenize(F.col(text_col))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df"))
+    # doc-frequency derived from tf (one row per (doc, token)) — no
+    # second explode/shuffle over the raw token stream
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct("doc_id").alias("n_docs"))
     return (
         tf.join(F.broadcast(dfreq), "token")

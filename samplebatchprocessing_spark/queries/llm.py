@@ -180,6 +180,16 @@ FROM read_blob('/root/testdata/sf0.01/*.parquet')
 """
 
 
+def l11_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11 (beyond the survey list): duplicate-cluster assignment —
+    connected components over the Jaccard>=0.9 near-dup graph.
+    Iterative (label propagation) -> non-SQL-expressible, rows-only
+    driver check; union-find equality in tests."""
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(doc, threshold=0.9)
+    return dedup.dedup_clusters(pairs)
+
+
 def l10_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     return (
@@ -241,6 +251,7 @@ QUERIES: dict[str, tuple] = {
     "l8_sim_join": (l8_sim_join, L8_SQL),
     "l9_binary_ingest": (l9_binary_ingest, L9_SQL),
     "l10_lang_stats": (l10_lang_stats, L10_SQL),
+    "l11_dedup_clusters": (l11_dedup_clusters, None),
     "x1_lang_id": (x1_lang_id, text.LANG_ID_SQL),
     "x2_quality_score": (x2_quality_score, text.QUALITY_SQL),
     "x3_fingerprint": (x3_fingerprint, X3_SQL),

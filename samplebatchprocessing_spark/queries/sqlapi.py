@@ -1,0 +1,245 @@
+"""SQL-entry-point queries (SURVEY §3B entry point 2) + relational
+patterns best expressed in SQL: pivot/unpivot, EXISTS / IN /
+scalar / correlated subqueries, CTEs, and the MERGE/SCD2/salted-join
+operator family from operators/{scd,skew}.py.
+
+These run through ``spark.sql`` over the registered temp views —
+Catalyst's parser path — while their oracles run the (nearly
+identical) ANSI text on DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_views
+from ..exprs import dsum, sql_dsum
+from ..operators.scd import scd2_apply, upsert
+from ..operators.skew import salted_join
+
+
+def v1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus columns per returnflag (declared pivot
+    values -> stable schema)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .pivot("l_linestatus", ["O", "F"])
+            .agg(dsum("l_quantity")))
+
+
+V1_SQL = f"""
+SELECT l_returnflag,
+       {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS "O",
+       {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS "F"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def v2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide part metrics -> (metric, value) rows."""
+    part = load_table(spark, sf_dir, "part")
+    wide = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"))
+    return wide.unpivot("p_partkey", ["size", "retailprice"],
+                        "metric", "value")
+
+
+V2_SQL = """
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+"""
+
+
+def v3_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+          AND NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+    """)
+
+
+V3_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+  AND NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+"""
+
+
+def v4_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_mktsegment, COUNT(*) AS n
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 400000)
+        GROUP BY c_mktsegment
+    """)
+
+
+V4_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+GROUP BY c_mktsegment
+"""
+
+
+def v5_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery threshold: median is exact-deterministic on
+    both engines (linear interpolation over sorted doubles)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT percentile(c_acctbal, 0.5) FROM customer)
+    """)
+
+
+V5_SQL = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT QUANTILE_CONT(c_acctbal, 0.5) FROM customer)
+"""
+
+
+def v6_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH spend AS (
+          SELECT o_custkey,
+                 {sql_dsum('o_totalprice')
+                  .replace('DECIMAL(30,6)', 'DECIMAL(30,6)')} AS total
+          FROM orders GROUP BY o_custkey
+        ), ranked AS (
+          SELECT o_custkey, total,
+                 ROW_NUMBER() OVER (ORDER BY total DESC, o_custkey) AS rn
+          FROM spend
+        )
+        SELECT o_custkey, total, rn FROM ranked WHERE rn <= 20
+    """)
+
+
+V6_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, {sql_dsum('o_totalprice')} AS total
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, total,
+         ROW_NUMBER() OVER (ORDER BY total DESC, o_custkey) AS rn
+  FROM spend
+)
+SELECT o_custkey, total, rn FROM ranked WHERE rn <= 20
+"""
+
+
+def v7_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT s_suppkey, s_name,
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_suppkey = s_suppkey) AS n_items
+        FROM supplier
+    """)
+
+
+V7_SQL = """
+SELECT s_suppkey, s_name,
+       (SELECT COUNT(*) FROM lineitem WHERE l_suppkey = s_suppkey) AS n_items
+FROM supplier
+"""
+
+
+# -- MERGE / SCD2 / skew family ------------------------------------------
+
+def m1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert: every 100th order re-priced."""
+    ord_ = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    updates = (ord_.filter(F.col("o_orderkey") % 100 == 0)
+               .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+               .withColumn("o_orderstatus", F.lit("U")))
+    return upsert(ord_, updates, "o_orderkey")
+
+
+M1_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 100 <> 0
+UNION ALL
+SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+       o_totalprice * 2 AS o_totalprice
+FROM orders WHERE o_orderkey % 100 = 0
+"""
+
+
+def m2_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 over the customer dimension: every 10th customer gets a
+    new balance effective 2020-01-01."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    dim = (cust
+           .withColumn("valid_from", F.lit("1990-01-01").cast("date"))
+           .withColumn("valid_to", F.lit(None).cast("date"))
+           .withColumn("is_current", F.lit(True)))
+    changes = (cust.filter(F.col("c_custkey") % 10 == 0)
+               .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+               .withColumn("eff_date", F.lit("2020-01-01").cast("date")))
+    out = scd2_apply(dim, changes, key="c_custkey")
+    return out.select("c_custkey", "c_acctbal", "valid_from",
+                      "valid_to", "is_current")
+
+
+M2_SQL = """
+SELECT c_custkey, c_acctbal, DATE '1990-01-01' AS valid_from,
+       CASE WHEN c_custkey % 10 = 0 THEN DATE '2020-01-01' END AS valid_to,
+       c_custkey % 10 <> 0 AS is_current
+FROM customer
+UNION ALL
+SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+       DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+       TRUE AS is_current
+FROM customer WHERE c_custkey % 10 = 0
+"""
+
+
+def m3_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join == plain join, row for row."""
+    ord_ = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    joined = salted_join(ord_, cust, "o_custkey",
+                         salt_mod=8, unique_col="o_orderkey")
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice", "spend")))
+
+
+M3_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n, {sql_dsum('o_totalprice')} AS spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "v1_pivot": (v1_pivot, V1_SQL),
+    "v2_unpivot": (v2_unpivot, V2_SQL),
+    "v3_exists_subquery": (v3_exists_subquery, V3_SQL),
+    "v4_in_subquery": (v4_in_subquery, V4_SQL),
+    "v5_scalar_subquery": (v5_scalar_subquery, V5_SQL),
+    "v6_cte": (v6_cte, V6_SQL),
+    "v7_correlated_scalar": (v7_correlated_scalar, V7_SQL),
+    "m1_upsert": (m1_upsert, M1_SQL),
+    "m2_scd2": (m2_scd2, M2_SQL),
+    "m3_salted_join": (m3_salted_join, M3_SQL),
+}

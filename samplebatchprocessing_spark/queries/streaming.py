@@ -125,6 +125,17 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def s4_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 batch twin: gap-sessionization operator
+    (operators/sessionize.py) — same output contract and the SAME
+    oracle as the streaming session windows."""
+    from ..catalog import load_table
+    from ..operators.sessionize import session_stats
+    ev = load_table(spark, sf_dir, "events")
+    return (session_stats(ev, gap_minutes=5)
+            .select("user_id", "session_start_us", "n_events", "value_sum"))
+
+
 def s5_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: watermarked tumbling windows in APPEND mode — only windows
     whose end <= final watermark (max ts - 10 min) are emitted.
@@ -222,6 +233,7 @@ QUERIES: dict[str, tuple] = {
     "s2_tumbling_batch": (s2_tumbling_batch, S2_SQL),
     "s3_sliding_window": (s3_sliding_window, S3_SQL),
     "s4_session_window": (s4_session_window, S4_SQL),
+    "s4_session_batch": (s4_session_batch, S4_SQL),
     "s5_watermark_append": (s5_watermark_append, S5_SQL),
     "s6_stream_dedup": (s6_stream_dedup, S6_SQL),
     "s7_stateful_agg": (s7_stateful_agg, S7_SQL),

@@ -124,3 +124,54 @@ def test_binary_ingest_md5_parity(spark, sf_smoke):
         raw = open(path, "rb").read()
         name = os.path.basename(path)
         assert got[name] == (len(raw), hashlib.md5(raw).hexdigest())
+
+
+def test_dedup_clusters_match_union_find(spark, sf_smoke):
+    """Label-propagation connected components == driver-side
+    union-find on the same edge list."""
+    doc = load_table(spark, sf_smoke, "documents")
+    pairs = dedup.jaccard_pairs(doc, threshold=0.9)
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert edges
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == want
+
+
+def test_sessionize_matches_streaming_sessions(spark, sf_smoke):
+    """Batch gap-sessionization == streaming session_window output."""
+    from samplebatchprocessing_spark.queries.streaming import (
+        s4_session_batch, s4_session_window)
+    got = {tuple(r) for r in s4_session_batch(spark, sf_smoke).collect()}
+    want = {tuple(r) for r in s4_session_window(spark, sf_smoke).collect()}
+    assert got == want
+
+
+def test_salted_join_equals_plain_join(spark, sf_smoke):
+    from samplebatchprocessing_spark.operators.skew import salted_join
+    ord_ = load_table(spark, sf_smoke, "orders")
+    cust = load_table(spark, sf_smoke, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    salted = salted_join(ord_, cust, "o_custkey", salt_mod=8,
+                         unique_col="o_orderkey")
+    plain = ord_.join(cust, "o_custkey")
+    assert sorted(map(tuple, salted.select(sorted(salted.columns)).collect())) == \
+           sorted(map(tuple, plain.select(sorted(plain.columns)).collect()))
