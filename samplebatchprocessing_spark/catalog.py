@@ -40,6 +40,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # extraction and literals are session-tz-dependent in Spark but
     # naive-UTC in DuckDB (the oracle).  Runtime-settable, idempotent.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # and make worker-side closures importable (external drivers)
+    from .session import ship_package
+    ship_package(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))

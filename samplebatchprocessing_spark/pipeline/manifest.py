@@ -46,6 +46,8 @@ def build_manifest(spark: SparkSession, bucket_dir: str,
                    out_prefix: str = "output/") -> DataFrame:
     """SendJobs equivalent: list `bucket_dir/in_prefix`, emit one
     'process' job row per file (SendJobs.py:16-34)."""
+    from ..session import ship_package
+    ship_package(spark)
     listing = (spark.read.format("binaryFile")
                .load(os.path.join(bucket_dir, in_prefix, "*"))
                .select(F.regexp_extract("path", r"([^/]+)$", 1)

@@ -209,6 +209,50 @@ GROUP BY lang, source
 """
 
 
+def mm1_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: binary image column -> decoded features via
+    mapInPandas (deterministic stub decoder; rows-only check,
+    shape/determinism pytest-verified)."""
+    from ..operators import multimodal as mm
+    media = mm.media_table_from_fixture(spark, sf_dir, "image")
+    return mm.image_features(media)
+
+
+def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: video frame sampling over typed metadata."""
+    from ..operators import multimodal as mm
+    vid = mm.media_table_from_fixture(spark, sf_dir, "video")
+    return mm.frame_sample(vid, every_n=10)
+
+
+def mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: PCM-interpreted audio stats via mapInPandas."""
+    from ..operators import multimodal as mm
+    media = mm.media_table_from_fixture(spark, sf_dir, "image")
+    return mm.audio_features(media)
+
+
+def x4_text_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance text similarity (dedup adjunct): levenshtein
+    between each doc's head and its source tag; self-joins on tiny
+    prefixes stay bounded."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.levenshtein(F.substring("text", 1, 20),
+                      F.substring("text", 11, 20)).alias("head_shift_dist"),
+        F.levenshtein("lang", "source").alias("lang_src_dist"),
+    )
+
+
+X4_SQL = """
+SELECT doc_id,
+       LEVENSHTEIN(SUBSTRING(text, 1, 20), SUBSTRING(text, 11, 20)) AS head_shift_dist,
+       LEVENSHTEIN(lang, source) AS lang_src_dist
+FROM documents
+"""
+
+
 def x1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     return text.lang_id(doc)
@@ -252,6 +296,10 @@ QUERIES: dict[str, tuple] = {
     "l9_binary_ingest": (l9_binary_ingest, L9_SQL),
     "l10_lang_stats": (l10_lang_stats, L10_SQL),
     "l11_dedup_clusters": (l11_dedup_clusters, None),
+    "mm1_image_features": (mm1_image_features, None),
+    "mm2_frame_sample": (mm2_frame_sample, None),
+    "mm3_audio_features": (mm3_audio_features, None),
+    "x4_text_distance": (x4_text_distance, X4_SQL),
     "x1_lang_id": (x1_lang_id, text.LANG_ID_SQL),
     "x2_quality_score": (x2_quality_score, text.QUALITY_SQL),
     "x3_fingerprint": (x3_fingerprint, X3_SQL),

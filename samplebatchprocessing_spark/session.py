@@ -56,6 +56,46 @@ def get_spark(app_name: str = "samplebatchprocessing_spark",
     return spark
 
 
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of
+    the driver process's cwd/sys.path.
+
+    Worker-side closures (mapInPandas/applyInPandas/UDFs) that
+    reference module-level functions are pickled BY REFERENCE; the
+    worker then imports the module.  When the hosting process didn't
+    launch from the repo root (e.g. an external driver harness), that
+    import fails — so we zip the package once and addPyFile it, the
+    standard 'ship your code to the cluster' mechanism (works on real
+    clusters identically)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import hashlib
+    import os
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    tag = hashlib.md5(pkg_dir.encode()).hexdigest()[:8]
+    zip_path = f"/tmp/sbp_pkg_{tag}.zip"
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "samplebatchprocessing_spark",
+                            os.path.relpath(full, pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
 def apply_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an externally provided
     session (the driver hands us one in ``__spark_entry__.entry``).

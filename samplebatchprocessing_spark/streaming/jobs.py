@@ -44,6 +44,8 @@ def stage_events_dir(spark: SparkSession, sf_dir: str,
 def events_stream(spark: SparkSession, sf_dir: str,
                   copies: int = 1, tag: str = "") -> DataFrame:
     """S1 source: micro-batch file stream of events with µs ts."""
+    from ..session import ship_package
+    ship_package(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # AQE cannot re-plan stateful streaming stages, so the static
