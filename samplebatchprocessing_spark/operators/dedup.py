@@ -85,7 +85,10 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.8,
     array path (and at true 100 TB scale the exact-within-band
     operator should be preceded by MinHash-LSH (L6) candidate
     pruning — exact pairwise Jaccard is inherently quadratic)."""
-    sets_df = df.select("doc_id", token_set(F.col(text_col)).alias("toks"))
+    # Persisted: the vocabulary probe below and the pair join both
+    # consume the tokenized sets — one tokenize pass, not two.
+    sets_df = df.select(
+        "doc_id", token_set(F.col(text_col)).alias("toks")).persist()
     vocab = [r["t"] for r in sets_df
              .select(F.explode("toks").alias("t")).distinct()
              .orderBy("t").limit(65).collect()]
