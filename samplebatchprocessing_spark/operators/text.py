@@ -45,6 +45,50 @@ def tokenize_sql(expr: str) -> str:
             f"LOWER({expr}), '[^a-z0-9 ]', ' ', 'g')), ' +'), t -> t <> '')")
 
 
+# BPE-ish pattern (GPT-2 style, RE2/Java-portable subset): a token is
+# an optionally space-prefixed run of letters, digits, or other
+# symbols.  The alternatives cover disjoint character classes, so
+# leftmost-first (Java) and RE2 matching agree.
+_BPE_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def bpe_tokenize(text: Column) -> Column:
+    """North-star token counting, BPE-ish path: lowercase, collapse
+    whitespace runs to single spaces, then extract space-prefixed
+    subword-style pieces (the GPT-2 pre-tokenizer shape).  Unlike
+    :func:`tokenize` this keeps punctuation and the leading-space
+    distinction ('the' vs ' the'), which is what real BPE vocabs key
+    on."""
+    collapsed = F.regexp_replace(F.lower(text), r"\s+", " ")
+    return F.regexp_extract_all(collapsed, F.lit(_BPE_PATTERN), 0)
+
+
+def bpe_tokenize_sql(expr: str) -> str:
+    """DuckDB twin of :func:`bpe_tokenize`."""
+    return (f"REGEXP_EXTRACT_ALL(REGEXP_REPLACE(LOWER({expr}), "
+            f"'\\s+', ' ', 'g'), '{_BPE_PATTERN}')")
+
+
+def bpe_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus statistics over BPE-ish tokens: occurrences and doc
+    frequency per token piece.  Same 2-phase shape as
+    :func:`token_counts` — shuffle key is the token piece, state
+    bounded by vocabulary size at any corpus scale."""
+    return (df.select("doc_id",
+                      F.explode(bpe_tokenize(F.col(text_col)))
+                      .alias("piece"))
+            .groupBy("piece")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.countDistinct("doc_id").alias("doc_freq")))
+
+
+BPE_COUNTS_SQL = f"""
+SELECT piece, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, UNNEST({bpe_tokenize_sql('text')}) AS piece FROM documents)
+GROUP BY piece
+"""
+
+
 def token_set(text: Column) -> Column:
     """Sorted distinct token set (canonical form for set similarity)."""
     return F.array_sort(F.array_distinct(tokenize(text)))

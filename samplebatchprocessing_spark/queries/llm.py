@@ -209,6 +209,40 @@ GROUP BY lang, source
 """
 
 
+def l7_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 ANN variant 2: IVF cell-probed cosine top-k — rows-only
+    driver check; planted-neighbor recall property-tested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, F.col("vec_id") % 50 == 0, k=5,
+                               n_cells=16, n_probe=4)
+
+
+def l12_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (north-star dedup family),
+    blocked by label.  Threshold 0.4 is calibrated to the fixture
+    (uniform-ish vectors, max pair cosine ~0.51)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.4,
+                                         block_col="label")
+
+
+_COS_ND = similarity.cosine_sql_expr("a.embedding", "b.embedding")
+
+L12_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_COS_ND}, 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_COS_ND}, 6) >= 0.4
+"""
+
+
+def x5_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish regex path (north-star text analysis)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return text.bpe_token_counts(doc)
+
+
 def mm1_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary image column -> decoded features via
     mapInPandas (deterministic stub decoder; rows-only check,
@@ -296,6 +330,9 @@ QUERIES: dict[str, tuple] = {
     "l9_binary_ingest": (l9_binary_ingest, L9_SQL),
     "l10_lang_stats": (l10_lang_stats, L10_SQL),
     "l11_dedup_clusters": (l11_dedup_clusters, None),
+    "l7_topk_ivf": (l7_topk_ivf, None),
+    "l12_embedding_neardup": (l12_embedding_neardup, L12_SQL),
+    "x5_bpe_token_counts": (x5_bpe_token_counts, text.BPE_COUNTS_SQL),
     "mm1_image_features": (mm1_image_features, None),
     "mm2_frame_sample": (mm2_frame_sample, None),
     "mm3_audio_features": (mm3_audio_features, None),

@@ -77,6 +77,38 @@ def test_lsh_topk_finds_planted_neighbors(spark, sf_smoke):
     assert hits >= 95, f"only {hits}/100 planted neighbors found"
 
 
+def test_ivf_topk_finds_planted_neighbors(spark, sf_smoke):
+    """IVF contract: a scaled clone has the same nearest centroid as
+    its base (cosine is scale-invariant), so with the base in the
+    probed cell the clone's top-1 must be its base."""
+    emb = load_table(spark, sf_smoke, "embeddings").limit(100)
+    clones = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.9)).alias("embedding"),
+        "label")
+    both = emb.select("vec_id", "embedding", "label").unionByName(clones)
+    got = {r["query_id"]: r["vec_id"]
+           for r in similarity.ivf_topk(
+               both, F.col("vec_id") >= 100000, k=1,
+               n_cells=16, n_probe=1).collect()}
+    hits = sum(1 for q, v in got.items() if v == q - 100000)
+    assert hits == 100, f"only {hits}/100 planted neighbors found"
+
+
+def test_ivf_topk_recall_floor(spark, sf_smoke):
+    """Probing 4/16 cells must beat the random-pruning floor by a
+    wide margin on the fixture (measured ~0.8 recall@5)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    exact = {(r["query_id"], r["vec_id"])
+             for r in similarity.cosine_topk(emb, pred, k=5).collect()}
+    ivf = {(r["query_id"], r["vec_id"])
+           for r in similarity.ivf_topk(emb, pred, k=5,
+                                        n_cells=16, n_probe=4).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF recall@5 {recall:.3f} < 0.5"
+
+
 def test_approx_count_distinct_bound(spark, sf_smoke):
     li = load_table(spark, sf_smoke, "lineitem")
     row = li.agg(
