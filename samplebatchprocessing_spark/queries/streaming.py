@@ -195,6 +195,34 @@ FROM events GROUP BY user_id
 """
 
 
+def s9_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: custom stateful operator (applyInPandasWithState) — the
+    generalization of R7's arbitrary per-unit command to arbitrary
+    per-KEY state machines.  Single staged file -> one micro-batch ->
+    one final-state row per user; integer outputs get a full DuckDB
+    oracle."""
+    from ..streaming.jobs import stateful_user_sessions
+    sdf = events_stream(spark, sf_dir, tag="stateful")
+    return run_available_now(stateful_user_sessions(sdf))
+
+
+S9_SQL = """
+WITH t AS (
+  SELECT user_id, EPOCH_US(CAST(ts AS TIMESTAMP)) AS t_us
+  FROM events),
+g AS (
+  SELECT user_id, t_us,
+         t_us - LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us)
+           AS gap
+  FROM t)
+SELECT user_id, COUNT(*) AS n_events,
+       1 + COALESCE(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END), 0)
+         AS n_sessions,
+       COALESCE(MAX(gap), 0) AS max_gap_us
+FROM g GROUP BY user_id
+"""
+
+
 def s8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: foreachBatch + checkpoint — the reference's
     delete-on-success commit point made transactional.  Each
@@ -238,4 +266,5 @@ QUERIES: dict[str, tuple] = {
     "s6_stream_dedup": (s6_stream_dedup, S6_SQL),
     "s7_stateful_agg": (s7_stateful_agg, S7_SQL),
     "s8_foreach_batch_sink": (s8_foreach_batch_sink, None),
+    "s9_custom_stateful": (s9_custom_stateful, S9_SQL),
 }

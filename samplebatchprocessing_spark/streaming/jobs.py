@@ -65,6 +65,53 @@ def events_stream(spark: SparkSession, sf_dir: str,
     return sdf
 
 
+SESSION_GAP_US = 1800 * 1_000_000  # 30 min
+
+
+def stateful_user_sessions(sdf: DataFrame) -> DataFrame:
+    """Custom stateful operator (north-star mandate): per-user
+    session statistics via ``applyInPandasWithState`` — logic a
+    built-in streaming agg can't express (order-dependent gap
+    scanning with carried state across micro-batches).
+
+    State per user: (n_events, n_sessions, max_gap_us, last_ts_us).
+    A new session starts when the gap to the previous event exceeds
+    30 minutes.  All outputs are integers (µs arithmetic) — exact
+    cross-engine oracle, no float drift.  State is bounded: 4 longs
+    per user, independent of event volume."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("user_id long, n_events long, n_sessions long, "
+                  "max_gap_us long")
+    state_schema = "n long, s long, g long, last long"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        n, s, g, last = state.get if state.exists else (0, 0, 0, -1)
+        ts = pd.concat([pdf["ts_us"] for pdf in pdfs]).sort_values()
+        for t in ts:
+            t = int(t)
+            if last < 0:
+                s += 1
+            else:
+                gap = t - last
+                if gap > g:
+                    g = gap
+                if gap > SESSION_GAP_US:
+                    s += 1
+            n += 1
+            last = t
+        state.update((n, s, g, last))
+        yield pd.DataFrame([{"user_id": key[0], "n_events": n,
+                             "n_sessions": s, "max_gap_us": g}])
+
+    return (sdf.withColumn("ts_us", F.unix_micros("ts"))
+            .select("user_id", "ts_us")
+            .groupBy("user_id")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 _MEMO = {"n": 0}
 
 

@@ -61,3 +61,57 @@ def test_checkpoint_restart_no_dupes_no_loss(spark, sf_smoke):
     _run_to_sink(spark, src, sink, ckpt)
     assert spark.read.parquet(f"{sink}/batch=*").count() == 2000
     shutil.rmtree(BASE, ignore_errors=True)
+
+
+def test_stateful_sessions_carry_state_across_batches(spark, sf_smoke):
+    """S9: applyInPandasWithState must produce the same FINAL state
+    whether events arrive in one micro-batch or split across two
+    (state carried between invocations)."""
+    from samplebatchprocessing_spark.streaming.jobs import (
+        run_available_now, stateful_user_sessions)
+
+    base = "/tmp/sbp_stream_test_s9"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    # time-split: first half of events in file A, rest in file B, so
+    # most users span both micro-batches
+    cut = ev.approxQuantile("ts", [0.5], 0.0)[0]
+    os.makedirs(f"{base}/src")
+    for name, part in (("a", ev.filter(F.col("ts") <= cut)),
+                       ("b", ev.filter(F.col("ts") > cut))):
+        tmp = f"{base}/tmp_{name}"
+        part.coalesce(1).write.parquet(tmp)
+        pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp, pf), f"{base}/src/{name}.parquet")
+
+    raw_schema = ev.schema
+    sdf = (spark.readStream.schema(raw_schema)
+           .option("pathGlobFilter", "*.parquet")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(f"{base}/src"))
+    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    out = run_available_now(stateful_user_sessions(sdf)).collect()
+
+    # final state per user = the row with the largest n_events
+    # (monotone across batches)
+    final = {}
+    for r in out:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+
+    # single-batch reference over the unsplit input
+    sdf1 = events_stream(spark, sf_smoke, tag="s9ref")
+    ref = {r["user_id"]: r for r in
+           run_available_now(stateful_user_sessions(sdf1)).collect()}
+
+    assert set(final) == set(ref)
+    for uid, r in ref.items():
+        f = final[uid]
+        assert (f["n_events"], f["n_sessions"], f["max_gap_us"]) == \
+            (r["n_events"], r["n_sessions"], r["max_gap_us"]), uid
+    shutil.rmtree(base, ignore_errors=True)
