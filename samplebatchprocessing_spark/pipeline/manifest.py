@@ -75,23 +75,21 @@ def run_pipeline(spark: SparkSession, manifest: DataFrame,
     transform = transform or (lambda b: b)   # user-data.sh:4: cp = identity
 
     jobs = manifest.filter(F.col("action") == "process")   # GetJobs.py:30
-    buckets = [r["bucket"] for r in
-               jobs.select("bucket").distinct().collect()]
+    # one driver job for the (bucket, prefix) config set — these are
+    # deployment constants (a handful), never data-scale
+    locations = [(r["bucket"], r["in_prefix"]) for r in
+                 jobs.select("bucket", "in_prefix").distinct().collect()]
     files = None
-    for b in buckets:
-        prefixes = [r["in_prefix"] for r in
-                    jobs.filter(F.col("bucket") == b)
-                    .select("in_prefix").distinct().collect()]
-        for p in prefixes:
-            part = (spark.read.format("binaryFile")
-                    .load(os.path.join(b, p, "*"))
-                    .select(
-                        F.lit(b).alias("bucket"),
-                        F.lit(p).alias("in_prefix"),
-                        F.regexp_extract("path", r"([^/]+)$", 1)
-                        .alias("file_name"),
-                        "content"))
-            files = part if files is None else files.unionByName(part)
+    for b, p in locations:
+        part = (spark.read.format("binaryFile")
+                .load(os.path.join(b, p, "*"))
+                .select(
+                    F.lit(b).alias("bucket"),
+                    F.lit(p).alias("in_prefix"),
+                    F.regexp_extract("path", r"([^/]+)$", 1)
+                    .alias("file_name"),
+                    "content"))
+        files = part if files is None else files.unionByName(part)
     if files is None:
         raise ValueError("manifest contains no 'process' jobs")
 

@@ -101,7 +101,29 @@ def test_no_cartesian_in_blocked_similarity(spark, sf_smoke):
     doc = load_table(spark, sf_smoke, "documents")
     emb = load_table(spark, sf_smoke, "embeddings")
     for df in (dedup.jaccard_pairs(doc, threshold=0.8),
-               similarity.sim_join(emb, threshold=0.3)):
+               similarity.sim_join(emb, threshold=0.3),
+               dedup.embedding_neardup_pairs(emb, threshold=0.4)):
         plan = plan_str(df, mode="simple")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_probe_is_broadcast_equi_join(spark, sf_smoke):
+    """IVF contract: candidate restriction is a broadcast equi-join
+    on the cell id — no shuffle of the candidate side, no cartesian."""
+    from samplebatchprocessing_spark.operators import similarity
+    emb = load_table(spark, sf_smoke, "embeddings")
+    df = similarity.ivf_topk(emb, F.col("vec_id") % 50 == 0, k=5)
+    plan = plan_str(df, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_counts_two_phase(spark, sf_smoke):
+    """BPE token counting must partial-aggregate before the exchange
+    (shuffle volume = vocabulary, not token stream)."""
+    from samplebatchprocessing_spark.operators.text import bpe_token_counts
+    doc = load_table(spark, sf_smoke, "documents")
+    plan = plan_str(bpe_token_counts(doc))
+    assert plan.count("HashAggregate") >= 2
