@@ -1,0 +1,89 @@
+"""Dataset-management operators for training-data pipelines:
+deterministic splits, stratified samples, and sequence packing.
+
+Everything here is engineered for reproducibility at 100 TB:
+- splits key on a PORTABLE integer hash of the stable id (Knuth
+  multiplicative mixing in exact int64 arithmetic — identical in any
+  engine, no RNG, no engine-specific hash function), so the same doc
+  lands in the same split on every run, every cluster, every engine;
+- sampling is rank-based over a hashed order (row_number window) —
+  deterministic and rebalance-safe, unlike ``df.sample`` whose output
+  depends on partitioning;
+- packing is a window cumulative sum — one shuffle per shard key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# Knuth multiplicative hash constants: exact int64 arithmetic,
+# portable across engines (no overflow: id * A is reduced mod 2^31).
+_MIX_A = 2654435761
+_MIX_M = (1 << 31) - 1
+
+
+def hash_bucket(id_col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from an integer id.
+    The id is reduced mod 2^31-1 BEFORE mixing so the product stays
+    below 2^62 for any int64 id — no overflow at any corpus size."""
+    reduced = F.pmod(id_col, F.lit(_MIX_M))
+    return F.pmod(F.pmod(reduced * F.lit(_MIX_A), F.lit(_MIX_M)),
+                  F.lit(n_buckets))
+
+
+def hash_bucket_sql(expr: str, n_buckets: int = 100) -> str:
+    """DuckDB twin (same exact integer arithmetic)."""
+    red = f"(({expr}) % {_MIX_M} + {_MIX_M}) % {_MIX_M}"
+    inner = f"(({red} * {_MIX_A}) % {_MIX_M} + {_MIX_M}) % {_MIX_M}"
+    return f"(({inner}) % {n_buckets} + {n_buckets}) % {n_buckets}"
+
+
+def train_val_test_split(df: DataFrame, id_col: str = "doc_id",
+                         train_pct: int = 80,
+                         val_pct: int = 10) -> DataFrame:
+    """Stable 3-way split: bucket < 80 -> train, < 90 -> val, else
+    test.  Row-local (no shuffle); adding documents never moves an
+    existing document between splits."""
+    b = hash_bucket(F.col(id_col))
+    split = (F.when(b < train_pct, "train")
+             .when(b < train_pct + val_pct, "val")
+             .otherwise("test"))
+    return df.withColumn("split", split)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, k: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows within each
+    stratum by (hash of id, id) and keep the first k.  One shuffle
+    keyed by the stratum; at scale strata are the partition key, so
+    the window never sees more than one stratum per task."""
+    order = W.partitionBy(strata_col).orderBy(
+        hash_bucket(F.col(id_col), 1 << 30), F.col(id_col))
+    return (df.withColumn("rn", F.row_number().over(order))
+            .filter(F.col("rn") <= k)
+            .drop("rn"))
+
+
+def pack_sequences(df: DataFrame, budget: int,
+                   shard_col: str = "lang",
+                   id_col: str = "doc_id",
+                   token_count: Column | None = None) -> DataFrame:
+    """Sequence packing: assign documents (ordered by id within a
+    shard) to contiguous context-window bins of ~``budget`` tokens —
+    bin = floor((cumulative tokens - own tokens) / budget) over the
+    id order.  The declared semantics are contiguous-cumulative
+    packing (deterministic, windowed, one shuffle per shard), the
+    standard scalable approximation of greedy bin packing.
+    """
+    from .text import tokenize
+    toks = token_count if token_count is not None \
+        else F.size(tokenize(F.col("text")))
+    w = (W.partitionBy(shard_col).orderBy(id_col)
+         .rowsBetween(W.unboundedPreceding, 0))
+    cum = F.sum("n_tokens").over(w)
+    return (df.withColumn("n_tokens", toks)
+            .withColumn("bin",
+                        F.floor((cum - F.col("n_tokens"))
+                                / F.lit(budget)).cast("long"))
+            .select(id_col, shard_col, "n_tokens", "bin"))

@@ -243,6 +243,71 @@ def x5_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_token_counts(doc)
 
 
+def x6_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + per-split corpus stats
+    (training-data management; same doc -> same split on any run,
+    cluster, or engine)."""
+    from ..operators import sampling
+    doc = load_table(spark, sf_dir, "documents")
+    split = sampling.train_val_test_split(doc)
+    return (split.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text")).alias("total_chars"),
+                 F.countDistinct("lang").alias("n_langs")))
+
+
+def _x6_sql() -> str:
+    from ..operators.sampling import hash_bucket_sql
+    b = hash_bucket_sql("doc_id")
+    return f"""
+SELECT CASE WHEN {b} < 80 THEN 'train'
+            WHEN {b} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(LENGTH(text)) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY 1
+"""
+
+
+def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-language stratified sample."""
+    from ..operators import sampling
+    doc = load_table(spark, sf_dir, "documents")
+    return (sampling.stratified_sample(doc, "lang", k=5)
+            .select("doc_id", "lang", "source"))
+
+
+def _x7_sql() -> str:
+    from ..operators.sampling import hash_bucket_sql
+    h = hash_bucket_sql("doc_id", 1 << 30)
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id) <= 5
+"""
+
+
+def x8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: contiguous-cumulative 2048-token context
+    bins per language shard."""
+    from ..operators import sampling
+    doc = load_table(spark, sf_dir, "documents")
+    return sampling.pack_sequences(doc, budget=2048)
+
+
+X8_SQL = f"""
+WITH t AS (SELECT doc_id, lang,
+                  LEN({tokenize_sql('text')}) AS n_tokens
+           FROM documents)
+SELECT doc_id, lang, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 2048.0) AS BIGINT) AS bin
+FROM t
+"""
+
+
 def mm1_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary image column -> decoded features via
     mapInPandas (deterministic stub decoder; rows-only check,
@@ -333,6 +398,9 @@ QUERIES: dict[str, tuple] = {
     "l7_topk_ivf": (l7_topk_ivf, None),
     "l12_embedding_neardup": (l12_embedding_neardup, L12_SQL),
     "x5_bpe_token_counts": (x5_bpe_token_counts, text.BPE_COUNTS_SQL),
+    "x6_train_split": (x6_train_split, _x6_sql()),
+    "x7_stratified_sample": (x7_stratified_sample, _x7_sql()),
+    "x8_pack_sequences": (x8_pack_sequences, X8_SQL),
     "mm1_image_features": (mm1_image_features, None),
     "mm2_frame_sample": (mm2_frame_sample, None),
     "mm3_audio_features": (mm3_audio_features, None),
