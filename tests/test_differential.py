@@ -50,10 +50,34 @@ META = {
 }
 
 
+JOINS = [
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+]
+
+
+def _merged_meta(t1: str, t2: str) -> dict:
+    a, b = META[t1], META[t2]
+    return {
+        "int": a["int"] + b["int"],
+        "dbl": a["dbl"] + b["dbl"],
+        "cat": {**a["cat"], **b["cat"]},
+        "ranges": {**a["ranges"], **b["ranges"]},
+    }
+
+
 def gen_ast(seed: int) -> dict:
     rng = random.Random(seed)
-    table = rng.choice(list(META))
-    m = META[table]
+    join = None
+    if rng.random() < 0.45:
+        t1, t2, k1, k2 = rng.choice(JOINS)
+        jtype = rng.choice(["inner", "left"])
+        join = (t1, t2, k1, k2, jtype)
+        table = t1
+        m = _merged_meta(t1, t2)
+    else:
+        table = rng.choice(list(META))
+        m = META[table]
     preds = []
     for _ in range(rng.randint(0, 3)):
         kind = rng.choice(["num_cmp", "cat_eq", "cat_in"])
@@ -82,7 +106,8 @@ def gen_ast(seed: int) -> dict:
             aggs.append(("sumint", rng.choice(m["int"])))
         else:
             aggs.append(("sumdbl", rng.choice(m["dbl"])))
-    return {"table": table, "preds": preds, "group": group, "aggs": aggs}
+    return {"table": table, "join": join, "preds": preds,
+            "group": group, "aggs": aggs}
 
 
 def _agg_alias(i: int) -> str:
@@ -91,6 +116,10 @@ def _agg_alias(i: int) -> str:
 
 def to_spark(ast: dict, spark, sf_dir):
     df = load_table(spark, sf_dir, ast["table"])
+    if ast.get("join"):
+        t1, t2, k1, k2, jtype = ast["join"]
+        right = load_table(spark, sf_dir, t2)
+        df = df.join(right, df[k1] == right[k2], jtype)
     for p in ast["preds"]:
         if p[0] == "cmp":
             _, col, op, v = p
@@ -130,6 +159,11 @@ def to_sql(ast: dict) -> str:
             vals = ", ".join(f"'{v}'" for v in p[2])
             conds.append(f"{p[1]} IN ({vals})")
     where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    frm = ast["table"]
+    if ast.get("join"):
+        t1, t2, k1, k2, jtype = ast["join"]
+        kw = "JOIN" if jtype == "inner" else "LEFT JOIN"
+        frm = f"{t1} {kw} {t2} ON {k1} = {k2}"
     sels = list(ast["group"])
     for i, a in enumerate(ast["aggs"]):
         name = _agg_alias(i)
@@ -143,11 +177,11 @@ def to_sql(ast: dict) -> str:
             sels.append(f"SUM({a[1]}) AS {name}")
         else:
             sels.append(f"{sql_dsum(a[1])} AS {name}")
-    return (f"SELECT {', '.join(sels)} FROM {ast['table']}{where} "
+    return (f"SELECT {', '.join(sels)} FROM {frm}{where} "
             f"GROUP BY {', '.join(ast['group'])}")
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", range(60))
 def test_differential(spark, sf_oracle, seed):
     ast = gen_ast(seed)
     report = compare(to_spark(ast, spark, sf_oracle), to_sql(ast), sf_oracle)
