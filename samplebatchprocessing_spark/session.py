@@ -30,6 +30,11 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.cbo.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.shuffle.partitions": "32",
+    # Bound the bytes a single scan task handles (media/binary rows
+    # are large) and the rows per Arrow batch crossing into Python —
+    # the two knobs that keep per-task memory flat as data grows.
+    "spark.sql.files.maxPartitionBytes": "128MB",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.ui.enabled": "false",
     # Timestamps in fixtures are ns-precision; Spark truncates to µs.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
