@@ -8,7 +8,7 @@ keys — part of the semantics) and pair each with its DuckDB twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -308,6 +308,47 @@ FROM t
 """
 
 
+def x9_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline — the composition a training-data
+    run actually executes: quality gate -> exact-dedup keep-first ->
+    per-(split, lang) corpus stats.  One pass of row-local scoring,
+    one dedup shuffle, one stats shuffle."""
+    from ..operators import sampling
+    doc = load_table(spark, sf_dir, "documents")
+    q = text.quality_features(doc).filter(F.col("keep"))
+    kept = (doc.join(q.select("doc_id"), "doc_id")
+            .withColumn("content_hash", F.md5("text")))
+    w = W.partitionBy("content_hash").orderBy("doc_id")
+    deduped = (kept.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1))
+    split = sampling.train_val_test_split(deduped)
+    return (split.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text")).alias("total_chars")))
+
+
+def _x9_sql() -> str:
+    from ..operators.sampling import hash_bucket_sql
+    b = hash_bucket_sql("doc_id")
+    return f"""
+WITH q AS (
+  SELECT doc_id FROM documents
+  WHERE LEN({tokenize_sql('text')}) BETWEEN 10 AND 1000
+    AND CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        / LENGTH(text) > 0.5),
+kept AS (
+  SELECT d.* FROM documents d JOIN q USING (doc_id)),
+deduped AS (
+  SELECT * FROM kept
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) = 1)
+SELECT CASE WHEN {b} < 80 THEN 'train'
+            WHEN {b} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS total_chars
+FROM deduped GROUP BY 1, 2
+"""
+
+
 def mm1_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary image column -> decoded features via
     mapInPandas (deterministic stub decoder; rows-only check,
@@ -401,6 +442,7 @@ QUERIES: dict[str, tuple] = {
     "x6_train_split": (x6_train_split, _x6_sql()),
     "x7_stratified_sample": (x7_stratified_sample, _x7_sql()),
     "x8_pack_sequences": (x8_pack_sequences, X8_SQL),
+    "x9_corpus_curation": (x9_corpus_curation, _x9_sql()),
     "mm1_image_features": (mm1_image_features, None),
     "mm2_frame_sample": (mm2_frame_sample, None),
     "mm3_audio_features": (mm3_audio_features, None),

@@ -223,6 +223,39 @@ FROM g GROUP BY user_id
 """
 
 
+def s10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: stream-stream interval join — purchases matched to the
+    same user's clicks in the preceding hour.  Watermarks on both
+    sides bound the join state (Spark GCs rows older than the
+    interval + watermark); the join condition carries the time bound,
+    so state never grows with stream length."""
+    p = (events_stream(spark, sf_dir, tag="ssj_p")
+         .filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("p_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", "1 hour"))
+    c = (events_stream(spark, sf_dir, tag="ssj_c")
+         .filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("c_id"),
+                 F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts"))
+         .withWatermark("c_ts", "1 hour"))
+    j = p.join(c, (F.col("p_user") == F.col("c_user"))
+               & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+               & (F.col("c_ts") <= F.col("p_ts")))
+    return run_available_now(j.select("p_id", "c_id", "p_user"))
+
+
+S10_SQL = """
+SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 def s8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: foreachBatch + checkpoint — the reference's
     delete-on-success commit point made transactional.  Each
@@ -267,4 +300,5 @@ QUERIES: dict[str, tuple] = {
     "s7_stateful_agg": (s7_stateful_agg, S7_SQL),
     "s8_foreach_batch_sink": (s8_foreach_batch_sink, None),
     "s9_custom_stateful": (s9_custom_stateful, S9_SQL),
+    "s10_stream_stream_join": (s10_stream_stream_join, S10_SQL),
 }
