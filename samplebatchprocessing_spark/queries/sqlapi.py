@@ -231,6 +231,31 @@ GROUP BY c_mktsegment
 """
 
 
+def m4_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join == plain join, row for row; the plan
+    property (no Exchange under the join) is pinned in
+    tests/test_plans.py."""
+    from ..operators import bucketing
+    ord_ = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bucketing.write_bucketed(ord_, "m4_orders_b", "o_orderkey", 4)
+    bucketing.write_bucketed(li, "m4_lineitem_b", "l_orderkey", 4)
+    joined = bucketing.cogrouped_join(
+        spark, "m4_orders_b", "m4_lineitem_b",
+        "o_orderkey", "l_orderkey")
+    return (joined.groupBy("o_orderstatus", "l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("l_extendedprice", "revenue")))
+
+
+M4_SQL = f"""
+SELECT o_orderstatus, l_returnflag, COUNT(*) AS n,
+       {sql_dsum('l_extendedprice')} AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus, l_returnflag
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "v1_pivot": (v1_pivot, V1_SQL),
     "v2_unpivot": (v2_unpivot, V2_SQL),
@@ -242,4 +267,5 @@ QUERIES: dict[str, tuple] = {
     "m1_upsert": (m1_upsert, M1_SQL),
     "m2_scd2": (m2_scd2, M2_SQL),
     "m3_salted_join": (m3_salted_join, M3_SQL),
+    "m4_bucketed_join": (m4_bucketed_join, M4_SQL),
 }

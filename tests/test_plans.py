@@ -120,6 +120,34 @@ def test_ivf_probe_is_broadcast_equi_join(spark, sf_smoke):
     assert "SortMergeJoin" not in plan
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_smoke):
+    """Bucketed layout contract: a fact-fact join on the bucket key
+    plans with NO shuffle on either side — the co-location survives
+    any number of downstream queries (the 100 TB upgrade path for
+    orders x lineitem, SCALE.md)."""
+    from samplebatchprocessing_spark.operators import bucketing
+    ord_ = load_table(spark, sf_smoke, "orders")
+    li = load_table(spark, sf_smoke, "lineitem")
+    bucketing.write_bucketed(ord_, "t_orders_b", "o_orderkey", 4)
+    bucketing.write_bucketed(li, "t_lineitem_b", "l_orderkey", 4)
+    # at fixture scale Spark rightly broadcasts instead; force the
+    # 100 TB regime (both sides too big to broadcast) to expose the
+    # bucketed-join property
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketing.cogrouped_join(
+            spark, "t_orders_b", "t_lineitem_b",
+            "o_orderkey", "l_orderkey")
+        plan = plan_str(joined, mode="simple")
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and the result is right
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_bpe_counts_two_phase(spark, sf_smoke):
     """BPE token counting must partial-aggregate before the exchange
     (shuffle volume = vocabulary, not token stream)."""
