@@ -254,6 +254,61 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def a13_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: Pearson correlation + sample covariance, engineered
+    exact: the five moment sums (Σx, Σy, Σxy, Σx², Σy²) are
+    order-independent decimal sums; the final arithmetic runs the
+    SAME double operation tree on both engines -> bit-identical,
+    unlike built-in corr()/covar_samp() whose accumulation order is
+    engine-dependent."""
+    li = _t(spark, sf_dir, "lineitem")
+    # Widths sized to the data (qty < 10^3, price < 10^7) so Spark's
+    # product types stay under its 38-digit cap — exact, no rounding.
+    # The SQL twin uses DECIMAL(19,6) instead: DuckDB needs a >18
+    # width to switch to INT128 multiplication.  Both routes are
+    # exact, so the five sums agree bit-for-bit as doubles.
+    x = F.col("l_quantity").cast("decimal(9,6)")
+    y = F.col("l_extendedprice").cast("decimal(13,6)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = ((n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+    cov = (sxy - sx * sy / n) / (n - 1)
+    return agg.select(
+        "l_returnflag",
+        r6(corr, "corr_qty_price"),
+        r6(cov, "covar_qty_price"))
+
+
+A13_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                  * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                  * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                  * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+         AS corr_qty_price,
+       ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price
+FROM m
+"""
+
+
 def a10_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10/A11: HLL distinct + approximate percentile.  Sketches are
     engine-specific -> no SQL oracle; driver does rows-only check and
@@ -900,6 +955,7 @@ QUERIES: dict[str, tuple] = {
     "a8_collect_list": (a8_collect_list, A8_SQL),
     "a9_percentile": (a9_percentile, A9_SQL),
     "a10_approx_distinct": (a10_approx_distinct, None),
+    "a13_corr_covar": (a13_corr_covar, A13_SQL),
     "q1_project_compute": (q1_project_compute, Q1_SQL),
     "q2_cast": (q2_cast, Q2_SQL),
     "q3_filter": (q3_filter, Q3_SQL),
