@@ -130,6 +130,30 @@ FROM lineitem WHERE l_quantity >= 25 GROUP BY l_returnflag
 """
 
 
+def p9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: ORC sink + scan (Spark's other first-class columnar
+    format).  Same aggregate-equality oracle pattern as P6: the
+    oracle aggregates the original parquet view, so a match proves
+    the ORC sink+source preserved every value."""
+    out = _work_dir(sf_dir, "p9_orc")
+    ord_ = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 50000)
+    ord_.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice", "spend"),
+                 F.min("o_orderdate").alias("first_date"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
+P9_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum('o_totalprice')} AS spend,
+       MIN(o_orderdate) AS first_date, MAX(o_orderkey) AS max_key
+FROM orders WHERE o_totalprice >= 50000 GROUP BY o_orderstatus
+"""
+
+
 def p7_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: hive-style partitioned sink + partition-pruned re-read.
     The pruning (only 2 of 6 partition dirs scanned) is asserted in
@@ -201,4 +225,5 @@ QUERIES: dict[str, tuple] = {
     "p6_parquet_sink": (p6_parquet_sink, P6_SQL),
     "p7_partitioned_sink": (p7_partitioned_sink, P7_SQL),
     "p8_manifest_pipeline": (p8_manifest_pipeline, None),
+    "p9_orc_roundtrip": (p9_orc_roundtrip, P9_SQL),
 }
