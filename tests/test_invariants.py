@@ -1,0 +1,54 @@
+"""Structural invariants of the text/sampling operators — properties
+that hold for ALL inputs, checked over the fixture corpus plus
+adversarial values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from samplebatchprocessing_spark.catalog import load_table
+from samplebatchprocessing_spark.operators.sampling import hash_bucket
+from samplebatchprocessing_spark.operators.text import bpe_tokenize
+
+
+def test_bpe_tokenization_is_lossless(spark, sf_smoke):
+    """GPT-2-style pre-tokenization contract: concatenating the
+    pieces reconstructs the normalized text exactly — nothing is
+    dropped or duplicated by the piece regex."""
+    doc = load_table(spark, sf_smoke, "documents")
+    normalized = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    rebuilt = F.concat_ws("", bpe_tokenize(F.col("text")))
+    bad = doc.filter(rebuilt != normalized).count()
+    assert bad == 0
+
+
+def test_hash_bucket_bounds_and_stability(spark, sf_smoke):
+    """hash_bucket must be in [0, n) for any int64 id (including
+    negative and near-overflow ids) and identical across plans."""
+    ids = [0, 1, -1, 7, -12345, 2**62, -(2**62), 2**63 - 1,
+           -(2**63) + 1, 999999999999]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    out = df.select("id", hash_bucket(F.col("id")).alias("b")).collect()
+    assert all(0 <= r["b"] < 100 for r in out)
+    # stability: same ids through a different plan shape -> same buckets
+    out2 = {r["id"]: r["b"] for r in
+            df.repartition(4).select(
+                "id", hash_bucket(F.col("id")).alias("b")).collect()}
+    assert {r["id"]: r["b"] for r in out} == out2
+
+
+def test_split_is_append_stable(spark, sf_smoke):
+    """Adding new documents must never move an existing document to a
+    different split (the property that makes the split usable as a
+    persistent train/test boundary)."""
+    from samplebatchprocessing_spark.operators.sampling import (
+        train_val_test_split)
+    doc = load_table(spark, sf_smoke, "documents")
+    full = {r["doc_id"]: r["split"] for r in
+            train_val_test_split(doc).select("doc_id", "split").collect()}
+    half = {r["doc_id"]: r["split"] for r in
+            train_val_test_split(doc.limit(200))
+            .select("doc_id", "split").collect()}
+    for doc_id, split in half.items():
+        assert full[doc_id] == split
