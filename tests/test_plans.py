@@ -148,6 +148,40 @@ def test_bucketed_join_has_no_exchange(spark, sf_smoke):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_aqe_splits_skewed_join(spark, sf_smoke):
+    """AQE contract (SCALE.md): a pathologically skewed join key is
+    split at runtime — the executed final plan carries the
+    SortMergeJoin(skew=true) marker.  This is the mechanism that
+    absorbs moderate key skew at 100 TB without manual salting."""
+    restore = {k: spark.conf.get(k) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # shrink thresholds so local data sizes count as "skewed"
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                       "1")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "8KB")
+        left = spark.range(300000).withColumn(
+            "k", F.when(F.col("id") % 100 < 99, F.lit(7))
+                  .otherwise(F.col("id")))
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 297010
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed[:2000]
+    finally:
+        for k, v in restore.items():
+            spark.conf.set(k, v)
+
+
 def test_bpe_counts_two_phase(spark, sf_smoke):
     """BPE token counting must partial-aggregate before the exchange
     (shuffle volume = vocabulary, not token stream)."""
