@@ -256,6 +256,29 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def s11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: stream-static enrichment — the streaming fact joined to a
+    broadcast dimension inside each micro-batch (the standard
+    dimension-enrichment shape; the static side re-broadcasts per
+    batch, no streaming state at all)."""
+    from ..catalog import load_table
+    sdf = events_stream(spark, sf_dir, tag="enrich")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    enriched = sdf.join(F.broadcast(cust), "user_id")
+    agg = (enriched.groupBy("c_mktsegment", "event_type")
+           .agg(F.count(F.lit(1)).alias("n"), dsum("value", "value_sum")))
+    return run_available_now(agg, output_mode="complete")
+
+
+S11_SQL = f"""
+SELECT c_mktsegment, event_type, COUNT(*) AS n,
+       {sql_dsum('value')} AS value_sum
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+"""
+
+
 def s8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: foreachBatch + checkpoint — the reference's
     delete-on-success commit point made transactional.  Each
@@ -301,4 +324,5 @@ QUERIES: dict[str, tuple] = {
     "s8_foreach_batch_sink": (s8_foreach_batch_sink, None),
     "s9_custom_stateful": (s9_custom_stateful, S9_SQL),
     "s10_stream_stream_join": (s10_stream_stream_join, S10_SQL),
+    "s11_stream_static_join": (s11_stream_static_join, S11_SQL),
 }
