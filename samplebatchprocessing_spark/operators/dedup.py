@@ -72,29 +72,48 @@ def _banded_self_pairs(sets_df: DataFrame, band_width: int = 10) -> DataFrame:
 
 def jaccard_pairs(df: DataFrame, threshold: float = 0.8,
                   text_col: str = "text",
-                  band_width: int = 10) -> DataFrame:
-    """L5: token-set Jaccard near-dup pairs with length-band
-    blocking.  jaccard = |A∩B| / |A∪B| computed as exact integer
-    division -> bit-identical across engines.
+                  band_width: int = 10,
+                  open_vocab: str = "lsh") -> DataFrame:
+    """L5: token-set Jaccard near-dup pairs.  jaccard = |A∩B| / |A∪B|
+    computed as exact integer division -> bit-identical across
+    engines.
 
     Physical strategy is adaptive: when the corpus vocabulary fits in
-    one machine word (<= 64 distinct tokens), each token set becomes
+    one machine word (< 64 distinct tokens), each token set becomes
     a bitmask and per-pair intersection is one AND + popcount —
     ~30x faster than array_intersect over the blocked pairs (59s ->
-    2s at sf0.1).  Open-vocabulary corpora fall back to the generic
-    array path (and at true 100 TB scale the exact-within-band
-    operator should be preceded by MinHash-LSH (L6) candidate
-    pruning — exact pairwise Jaccard is inherently quadratic)."""
+    2s at sf0.1).  Open-vocabulary corpora default to MinHash-LSH
+    candidate generation (L6) + exact Jaccard verification on the
+    candidates only — length bands don't bound band population, so
+    exact-within-band is quadratic on a skewed key at corpus scale.
+    ``open_vocab="band"`` keeps the exact length-band plan as an
+    explicit small-corpus option (full recall, O(band^2) cost)."""
     # Persisted: the vocabulary probe below and the pair join both
     # consume the tokenized sets — one tokenize pass, not two.
+    # localCheckpoint (not persist): materializes the tokenize pass
+    # once for the probe + join, truncates lineage, and the blocks
+    # are dropped automatically when the DataFrame is GC'd — no
+    # cached-block accumulation across repeated calls (bench runs
+    # this 3x; l5/l11 share it).
     sets_df = df.select(
-        "doc_id", token_set(F.col(text_col)).alias("toks")).persist()
+        "doc_id", token_set(F.col(text_col)).alias("toks")).localCheckpoint()
     vocab = [r["t"] for r in sets_df
              .select(F.explode("toks").alias("t")).distinct()
              .orderBy("t").limit(65).collect()]
-    if len(vocab) <= 64:
+    # < 64, not <= : bit index 63 would need F.lit(1 << 63), which
+    # exceeds the signed JVM long max — a legal 64-token corpus must
+    # take the array path, not crash.
+    if len(vocab) < 64:
         return _jaccard_pairs_bitmask(sets_df, vocab, threshold, band_width)
-    pairs = _banded_self_pairs(sets_df, band_width)
+    if open_vocab == "lsh":
+        cand = _lsh_pairs_from_sets(sets_df)
+        a = sets_df.select(F.col("doc_id").alias("doc_a"),
+                           F.col("toks").alias("toks_a"))
+        b = sets_df.select(F.col("doc_id").alias("doc_b"),
+                           F.col("toks").alias("toks_b"))
+        pairs = cand.join(a, "doc_a").join(b, "doc_b")
+    else:
+        pairs = _banded_self_pairs(sets_df, band_width)
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter.cast("double") / union
@@ -163,21 +182,24 @@ def _minhash_component(toks, a: int, b: int):
     return F.array_min(F.transform(toks, _h))
 
 
+def _sig_expr(toks):
+    """MinHash signature expression over a token-array column."""
+    return F.array(*[_minhash_component(toks, a, b)
+                     for a, b in _hash_params()])
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     """L6: 32-hash MinHash signature per document, computed
     row-locally from the token set with the fixed hash family."""
-    toks = token_set(F.col(text_col))
-    sig = F.array(*[_minhash_component(toks, a, b)
-                    for a, b in _hash_params()])
-    return df.select("doc_id", sig.alias("sig"))
+    return df.select(
+        "doc_id", _sig_expr(token_set(F.col(text_col))).alias("sig"))
 
 
-def minhash_lsh_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """L6: banded-LSH candidate pairs. Signature -> N_BANDS band
-    hashes -> explode -> equi-join on (band_idx, band_hash).
-    Deterministic (fixed seeds); probabilistic recall bounds are
-    property-tested against L5 ground truth, never hash-matched."""
-    sigs = minhash_signatures(df, text_col)
+def _lsh_pairs_from_sets(sets_df: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs from a (doc_id, toks) frame.
+    Signature -> N_BANDS band hashes -> explode -> equi-join on
+    (band_idx, band_hash)."""
+    sigs = sets_df.select("doc_id", _sig_expr(F.col("toks")).alias("sig"))
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[
@@ -192,14 +214,76 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
             .select("doc_a", "doc_b").distinct())
 
 
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """L6: banded-LSH candidate pairs.  Deterministic (fixed seeds);
+    probabilistic recall bounds are property-tested against L5 ground
+    truth, never hash-matched."""
+    return _lsh_pairs_from_sets(
+        df.select("doc_id", token_set(F.col(text_col)).alias("toks")))
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             bits: int = 64) -> DataFrame:
-    """SimHash: 64-bit locality-sensitive fingerprint.  Vectorized
-    Arrow/pandas path (numpy bit-twiddling beats 64 explode-joins);
-    deterministic via xxhash64-free pure-python hashing of tokens.
-    """
-    import pandas as pd  # noqa: F401  (needed by mapInPandas runtime)
+    """SimHash: 64-bit locality-sensitive fingerprint, fully
+    vectorized inside each Arrow batch.
 
+    Per batch: tokenize (one C-regex split per doc), FNV-1a-hash the
+    batch's UNIQUE tokens as a numpy byte-matrix fold (vectorized
+    across tokens, looping only over the max token length), bit-unpack
+    every hash once into a (n_uniq, bits) ±1 matrix, and scatter-add
+    per document — no per-token or per-bit Python loop.  Values are
+    identical to :func:`simhash_reference` (differential-tested)."""
+    out_schema = "doc_id long, simhash long"
+
+    def _part(batches):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        splitter = re.compile(r"[\W_]+")   # runs of non-alphanumerics
+        shifts = np.arange(bits, dtype=np.uint64)
+        weights = np.uint64(1) << shifts
+        prime = np.uint64(0x100000001B3)
+        one = np.uint64(1)
+        for pdf in batches:
+            n = len(pdf)
+            tok_lists = [[t for t in splitter.split(txt.lower()) if t]
+                         for txt in pdf[text_col]]
+            acc = np.zeros((n, bits), dtype=np.int64)
+            flat = [t for toks in tok_lists for t in toks]
+            if flat:
+                counts = np.fromiter((len(t) for t in tok_lists),
+                                     dtype=np.int64, count=n)
+                doc_idx = np.repeat(np.arange(n), counts)
+                uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                                      return_inverse=True)
+                enc = [u.encode() for u in uniq]
+                lens = np.fromiter((len(e) for e in enc),
+                                   dtype=np.int64, count=len(enc))
+                mat = np.zeros((len(enc), int(lens.max())), dtype=np.uint64)
+                for i, e in enumerate(enc):
+                    mat[i, :len(e)] = np.frombuffer(e, dtype=np.uint8)
+                h = np.full(len(enc), 0xCBF29CE484222325, dtype=np.uint64)
+                for j in range(mat.shape[1]):       # FNV-1a, all tokens at once
+                    m = lens > j
+                    h[m] = (h[m] ^ mat[m, j]) * prime
+                bitmat = ((h[:, None] >> shifts) & one).astype(np.int64)
+                np.add.at(acc, doc_idx, 2 * bitmat[inv] - 1)
+            sh = ((acc > 0).astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "simhash": sh.view(np.int64)})
+
+    return df.select("doc_id", text_col).mapInPandas(_part, out_schema)
+
+
+def simhash_reference(df: DataFrame, text_col: str = "text",
+                      bits: int = 64) -> DataFrame:
+    """Scalar spec implementation of :func:`simhash` (per-token
+    FNV-1a, per-bit accumulation).  Kept only as the differential-test
+    oracle — O(tokens x bits) Python work per row; never use in a
+    pipeline."""
     out_schema = "doc_id long, simhash long"
 
     def _part(batches):

@@ -54,15 +54,48 @@ def _norm_col(vec):
     return F.sqrt(_seq_sum(F.zip_with(vd, vd, lambda x, y: x * y)))
 
 
+def _partition_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Partition-local top-k per query_id by (cosine desc, vec_id
+    asc), streaming over Arrow batches with a bounded running-best
+    frame.  Keeps every row that can appear in the GLOBAL top-k, so
+    composing with the global window is bit-identical to windowing
+    the unpruned input — but the exchange only carries
+    n_partitions x n_queries x k rows instead of every scored pair."""
+    def _prune(batches):
+        import numpy as np
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf], ignore_index=True) \
+                if best is not None else pdf
+            kept = []
+            for _qid, g in cur.groupby("query_id", sort=False):
+                if len(g) > k:
+                    idx = np.lexsort((g["vec_id"].to_numpy(),
+                                      -g["cosine"].to_numpy()))[:k]
+                    g = g.iloc[idx]
+                kept.append(g)
+            best = pd.concat(kept, ignore_index=True)
+        if best is not None and len(best):
+            yield best
+
+    return scored.mapInPandas(_prune, scored.schema)
+
+
 def cosine_topk(emb: DataFrame, query_pred, k: int = 5) -> DataFrame:
     """L7: exact top-k neighbors for each query vector (query_pred
     selects the query subset).  Broadcast the (small) query side;
     rank with a (-cosine, vec_id) tie-break.
 
-    Plan note: norms are precomputed per VECTOR (one fold each side
+    Plan notes: norms are precomputed per VECTOR (one fold each side
     of the join), not per pair — only the dot product runs per pair.
-    Same arithmetic as the naive per-pair form (a vector's norm fold
-    is identical wherever it's computed), 3x less work."""
+    Scored pairs are pruned to the per-partition top-k BEFORE the
+    global window (same discipline as the numpy scale path), so the
+    one exchange carries ~partitions x queries x k rows, not
+    |corpus| x |queries|; results are bit-identical because the prune
+    keeps every global-top-k candidate and doubles cross Arrow
+    losslessly."""
     queries = emb.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -76,9 +109,11 @@ def cosine_topk(emb: DataFrame, query_pred, k: int = 5) -> DataFrame:
     cd = F.transform("embedding", lambda x: x.cast("double"))
     dot = _seq_sum(F.zip_with(qd, cd, lambda x, y: x * y))
     cos = dot / (F.col("q_norm") * F.col("c_norm"))
+    scored = _partition_topk(
+        pairs.select("query_id", "vec_id", cos.alias("cosine")), k)
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id"))
-    return (pairs.select("query_id", "vec_id", cos.alias("cosine"))
+    return (scored
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .withColumn("cosine", F.round("cosine", 6)))
@@ -146,7 +181,10 @@ def brute_force_topk_numpy(emb: DataFrame, query_pred,
                 mask = ids != qi[j]
                 cid, cs = ids[mask], col[mask]
                 if len(cid) > k:                   # partition-local prune
-                    top = np.argpartition(-cs, k)[:k + 1]
+                    # lexsort on (-cosine, vec_id): keeps the declared
+                    # tie-break, so a boundary tie can't drop the
+                    # smaller vec_id before the global merge.
+                    top = np.lexsort((cid, -cs))[:k]
                     cid, cs = cid[top], cs[top]
                 frames.append(pd.DataFrame(
                     {"query_id": qi[j], "vec_id": cid, "cosine": cs}))
@@ -161,30 +199,79 @@ def brute_force_topk_numpy(emb: DataFrame, query_pred,
             .withColumn("cosine", F.round("cosine", 6)))
 
 
+def _kmeans_centroids(vecs, n_cells: int, n_iter: int = 8,
+                      seed: int = 7):
+    """Seeded spherical k-means on a driver-side SAMPLE (numpy).
+    k-means++ init, then Lloyd iterations with cosine assignment and
+    renormalized mean updates; empty cells keep their old centroid.
+    Deterministic for a fixed sample + seed."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cents = [vecs[int(rng.integers(len(vecs)))]]
+    for _ in range(n_cells - 1):               # k-means++ seeding
+        C = np.array(cents)
+        d2 = np.min(((vecs[:, None, :] - C[None]) ** 2).sum(-1), axis=1)
+        if d2.sum() == 0:
+            cents.append(vecs[int(rng.integers(len(vecs)))])
+            continue
+        cents.append(vecs[int(rng.choice(len(vecs), p=d2 / d2.sum()))])
+    C = np.array(cents)
+    for _ in range(n_iter):                    # Lloyd, cosine metric
+        assign = (vecs @ C.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = vecs[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[c] = m / n
+    return C
+
+
 def ivf_topk(emb: DataFrame, query_pred, k: int = 5,
-             n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+             n_cells: int = 16, n_probe: int = 4,
+             quantizer: str = "kmeans",
+             sample_cap: int = 4096) -> DataFrame:
     """L7 ANN variant 2: IVF (inverted-file) search.  A coarse
     quantizer assigns every vector to its nearest centroid cell
     (one Arrow pass, no shuffle); each query probes only its
     ``n_probe`` nearest cells, so the exact cosine runs on a
     ~n_probe/n_cells fraction of the corpus.
 
-    Deterministic coarse quantizer: the ``n_cells`` lowest-vec_id
-    vectors, normalized, serve as centroids (no RNG, oracle-friendly).
-    At real scale the centroids come from sampled k-means and the
-    cell id is precomputed at ingest + used as a partition key, so
-    the probe join prunes partitions — same plan shape as here.
+    Coarse quantizer (both deterministic, no unseeded RNG):
+    - ``"kmeans"`` (default): seeded sampled k-means — sample up to
+      ``sample_cap`` vectors by xxhash64(vec_id) order (a layout-
+      independent pseudo-random draw, one TakeOrdered job), run a few
+      Lloyd iterations driver-side, broadcast the centroids.  This is
+      the quantizer with actual clustering properties — recall
+      survives non-uniform data (property-tested on planted
+      clusters).
+    - ``"first"``: the ``n_cells`` lowest-vec_id vectors — the toy
+      stand-in, kept for tests that need centroids independent of the
+      sample machinery.
 
-    Candidate restriction is a broadcast equi-join on cell id; the
-    final top-k is a per-query window over the pruned candidates.
-    Recall is property-tested (planted neighbors + recall floor vs
-    the exact operator); rows-only driver check.
+    At real scale the cell id is precomputed at ingest + used as a
+    partition key, so the probe join prunes partitions — same plan
+    shape as here.  Candidate restriction is a broadcast equi-join on
+    cell id; the final top-k is a per-query window over the pruned
+    candidates.  Recall is property-tested (planted neighbors +
+    recall floor vs the exact operator); rows-only driver check.
     """
     import numpy as np
-    cent_rows = (emb.orderBy("vec_id").limit(n_cells)
-                 .select("embedding").collect())
-    cmat = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
-    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    if quantizer == "kmeans":
+        sample_rows = (emb.select("vec_id", "embedding")
+                       .orderBy(F.xxhash64(F.col("vec_id")))
+                       .limit(sample_cap).collect())
+        smat = np.array([r["embedding"] for r in sample_rows],
+                        dtype=np.float64)
+        cmat = _kmeans_centroids(smat, n_cells)
+    else:
+        cent_rows = (emb.orderBy("vec_id").limit(n_cells)
+                     .select("embedding").collect())
+        cmat = np.array([r["embedding"] for r in cent_rows],
+                        dtype=np.float64)
+        cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
     b_cent = emb.sparkSession.sparkContext.broadcast(cmat)
 
     assign_schema = ("vec_id long, embedding array<float>, cell int")

@@ -19,12 +19,25 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     """Equi-join ``big ⋈ small`` on ``key`` with the big side's hot
     keys spread over ``salt_mod`` shuffle partitions.
 
-    ``unique_col``: any big-side column making the salt deterministic
-    (defaults to the key itself via xxhash — still spreads since the
-    salt hashes the whole row id, not just the key)."""
-    salt_src = F.col(unique_col) if unique_col else F.spark_partition_id()
+    ``unique_col``: any big-side column to derive the salt from;
+    defaults to a uniform deterministic spread (xxhash64 of the key
+    plus a per-row uniform draw seeded by all columns is overkill —
+    monotonically_increasing_id is partition-layout-dependent, so the
+    default hashes the full row via xxhash64(*columns), which is
+    deterministic for a given row regardless of partitioning).
+
+    Only ``inner`` and ``left`` are supported: for right/full outer
+    the replicated small side would emit ``salt_mod`` duplicate rows
+    per unmatched key."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only, got {how!r}: "
+            "right/full outer would duplicate unmatched small-side "
+            "rows salt_mod times")
+    salt_src = (F.xxhash64(F.col(unique_col)) if unique_col
+                else F.xxhash64(*[F.col(c) for c in big.columns]))
     big_salted = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_mod)))
+        "__salt", F.pmod(salt_src, F.lit(salt_mod)))
     replicas = small.crossJoin(
         F.broadcast(
             small.sparkSession.range(salt_mod)

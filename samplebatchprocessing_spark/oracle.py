@@ -31,17 +31,23 @@ def duck_conn(sf_dir: str) -> "duckdb.DuckDBPyConnection":
 
 
 def canon(v):
-    """Normalize a cell value for cross-engine comparison."""
+    """Normalize a cell value for cross-engine comparison.
+
+    Floats canonicalize through the driver's ``%.6f`` formatting so an
+    int-vs-double output-type divergence (e.g. Spark FLOOR -> LONG vs
+    DuckDB FLOOR -> DOUBLE) FAILS here the same way it fails at the
+    driver — Python's ``946 == 946.0`` must not mask it (VERDICT r1
+    root cause for f3/f7)."""
     if v is None:
         return None
     if isinstance(v, bool):
         return v
     if isinstance(v, Decimal):
-        return float(v)
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return _NAN
-        return v + 0.0  # -0.0 -> 0.0
+        return f"{v + 0.0:.6f}"  # -0.0 -> 0.0; "946.000000" != int 946
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, _dt.date):

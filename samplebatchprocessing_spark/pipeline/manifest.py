@@ -48,8 +48,11 @@ def build_manifest(spark: SparkSession, bucket_dir: str,
     'process' job row per file (SendJobs.py:16-34)."""
     from ..session import ship_package
     ship_package(spark)
+    # load(dir), not load(dir/*): a literal glob makes Spark's
+    # streaming-sink metadata probe log a WARN+stack per query —
+    # stderr noise a real failure could hide in.
     listing = (spark.read.format("binaryFile")
-               .load(os.path.join(bucket_dir, in_prefix, "*"))
+               .load(os.path.join(bucket_dir, in_prefix))
                .select(F.regexp_extract("path", r"([^/]+)$", 1)
                        .alias("file_name")))
     return listing.select(
@@ -82,7 +85,7 @@ def run_pipeline(spark: SparkSession, manifest: DataFrame,
     files = None
     for b, p in locations:
         part = (spark.read.format("binaryFile")
-                .load(os.path.join(b, p, "*"))
+                .load(os.path.join(b, p))
                 .select(
                     F.lit(b).alias("bucket"),
                     F.lit(p).alias("in_prefix"),

@@ -24,20 +24,22 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def l2_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: normalization + tokenization (order-preserving list plus
-    canonical sorted set)."""
+    canonical sorted set), serialized to JSON strings per the §2B
+    canonicalization protocol (driver comparator needs scalar cells).
+    ``operators.text.tokenize`` remains the raw-array API."""
     doc = load_table(spark, sf_dir, "documents")
     return doc.select(
         "doc_id",
-        text.tokenize(F.col("text")).alias("tokens"),
-        text.token_set(F.col("text")).alias("token_set"),
+        F.to_json(text.tokenize(F.col("text"))).alias("tokens"),
+        F.to_json(text.token_set(F.col("text"))).alias("token_set"),
         F.size(text.tokenize(F.col("text"))).alias("n_tokens"),
     )
 
 
 L2_SQL = f"""
 SELECT doc_id,
-       {tokenize_sql('text')} AS tokens,
-       {token_set_sql('text')} AS token_set,
+       CAST(TO_JSON({tokenize_sql('text')}) AS VARCHAR) AS tokens,
+       CAST(TO_JSON({token_set_sql('text')}) AS VARCHAR) AS token_set,
        LEN({tokenize_sql('text')}) AS n_tokens
 FROM documents
 """
@@ -166,8 +168,11 @@ def l9_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     files are byte blobs, content never inspected — SendJobs.py:16,
     GetJobs.py:48-50).  md5(content) parity vs python hashlib is
     asserted in tests (DuckDB 1.0 cannot hash blobs)."""
+    # pathGlobFilter, not a literal glob path: a glob in load() makes
+    # the streaming-sink metadata probe log a WARN+stack (noise).
     bf = (spark.read.format("binaryFile")
-          .load(f"{sf_dir.rstrip('/')}/*.parquet"))
+          .option("pathGlobFilter", "*.parquet")
+          .load(sf_dir.rstrip("/")))
     return bf.select(
         F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
         F.col("length").alias("size"),

@@ -212,22 +212,27 @@ FROM customer GROUP BY c_nationkey
 
 def a8_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: collect_list canonicalized by sort_array (only the sorted
-    form is declared — bag order is nondeterministic by design)."""
+    form is declared — bag order is nondeterministic by design).
+    Arrays are serialized to JSON strings per the §2B canonicalization
+    protocol (the driver's comparator sorts/hashes scalar cells)."""
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
     return (
         nat.join(F.broadcast(reg),
                  nat.n_regionkey == reg.r_regionkey)
         .groupBy("r_name")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"),
-             F.sort_array(F.collect_set("n_nationkey")).alias("nation_keys"))
+        .agg(F.to_json(F.sort_array(F.collect_list("n_name")))
+              .alias("nations"),
+             F.to_json(F.sort_array(F.collect_set(
+                 F.col("n_nationkey").cast("long"))))
+              .alias("nation_keys"))
     )
 
 
 A8_SQL = """
 SELECT r_name,
-       LIST_SORT(LIST(n_name)) AS nations,
-       LIST_SORT(LIST(DISTINCT n_nationkey)) AS nation_keys
+       CAST(TO_JSON(LIST_SORT(LIST(n_name))) AS VARCHAR) AS nations,
+       CAST(TO_JSON(LIST_SORT(LIST(DISTINCT CAST(n_nationkey AS BIGINT)))) AS VARCHAR) AS nation_keys
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
@@ -310,15 +315,41 @@ FROM m
 
 
 def a10_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10/A11: HLL distinct + approximate percentile.  Sketches are
-    engine-specific -> no SQL oracle; driver does rows-only check and
-    tests/test_operators.py asserts the 5% / rank-error bounds."""
+    """A10/A11: HLL distinct + approximate percentile.  Sketch values
+    are engine-specific, so the declared output is the *property* the
+    sketch guarantees (HLL relative error <= 5%, percentile_approx
+    rank error << 0.05), checked as booleans the oracle states as
+    TRUE, plus the exact distinct count which IS cross-engine.  The
+    sketches still run for real on the Spark side — if accuracy
+    drifts out of bounds the booleans flip and the driver goes red.
+    Raw sketch outputs are additionally bound-tested in
+    tests/test_operators.py."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+        F.percentile("l_extendedprice", 0.45).alias("p45"),
+        F.percentile("l_extendedprice", 0.55).alias("p55"),
     )
+    rel_err = (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+               / F.col("exact_parts"))
+    return agg.select(
+        "l_returnflag",
+        F.col("exact_parts"),
+        (rel_err <= 0.05).alias("hll_within_5pct"),
+        F.col("approx_p50").between(F.col("p45"), F.col("p55"))
+         .alias("p50_within_rank_bound"),
+    )
+
+
+A10_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS hll_within_5pct,
+       TRUE AS p50_within_rank_bound
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # --------------------------------------------------------------------------
@@ -954,7 +985,7 @@ QUERIES: dict[str, tuple] = {
     "a7_argmax": (a7_argmax, A7_SQL),
     "a8_collect_list": (a8_collect_list, A8_SQL),
     "a9_percentile": (a9_percentile, A9_SQL),
-    "a10_approx_distinct": (a10_approx_distinct, None),
+    "a10_approx_distinct": (a10_approx_distinct, A10_SQL),
     "a13_corr_covar": (a13_corr_covar, A13_SQL),
     "q1_project_compute": (q1_project_compute, Q1_SQL),
     "q2_cast": (q2_cast, Q2_SQL),

@@ -119,8 +119,8 @@ F3_SQL = """
 SELECT l_orderkey, l_linenumber,
        ABS(l_quantity - 25) AS abs_dev,
        FLOOR(l_extendedprice / 10) / 100 AS price_k,
-       FLOOR(l_extendedprice) AS price_floor,
-       CEIL(l_extendedprice) AS price_ceil,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
        ROUND(SQRT(l_quantity), 6) AS sqrt_qty,
        ROUND(POW(l_discount + 1, 2), 6) AS disc_sq,
        ROUND(EXP(l_discount), 6) AS exp_disc,
@@ -172,11 +172,14 @@ def f5_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.slice(F.array_sort(F.array_distinct(toks)), 1, 5).alias("first5_sorted"),
+        F.to_json(F.slice(F.array_sort(F.array_distinct(toks)), 1, 5))
+         .alias("first5_sorted"),
         F.element_at(toks, 1).alias("tok1"),
         F.element_at(toks, -1).alias("tok_last"),
-        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias("head3_upper"),
-        F.filter(toks, lambda x: F.length(x) > 4).alias("long_tokens"),
+        F.to_json(F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)))
+         .alias("head3_upper"),
+        F.to_json(F.filter(toks, lambda x: F.length(x) > 4))
+         .alias("long_tokens"),
         F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
          .alias("total_token_chars"),
     )
@@ -187,11 +190,11 @@ SELECT doc_id,
        LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
        LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS has_spark,
        LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct_tokens,
-       LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' ')))[1:5] AS first5_sorted,
+       CAST(TO_JSON(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' ')))[1:5]) AS VARCHAR) AS first5_sorted,
        STRING_SPLIT(text, ' ')[1] AS tok1,
        STRING_SPLIT(text, ' ')[-1] AS tok_last,
-       LIST_TRANSFORM(STRING_SPLIT(text, ' ')[1:3], x -> UPPER(x)) AS head3_upper,
-       LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 4) AS long_tokens,
+       CAST(TO_JSON(LIST_TRANSFORM(STRING_SPLIT(text, ' ')[1:3], x -> UPPER(x))) AS VARCHAR) AS head3_upper,
+       CAST(TO_JSON(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 4)) AS VARCHAR) AS long_tokens,
        LIST_AGGREGATE(LIST_TRANSFORM(STRING_SPLIT(text, ' '), x -> LENGTH(x)), 'sum')
          AS total_token_chars
 FROM documents
@@ -199,8 +202,8 @@ FROM documents
 
 
 def f6_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6: struct/map construction + field access (built then
-    extracted back to primitives so the output stays hashable)."""
+    """F6: struct/map construction + field access; the one array
+    output (map_keys) is JSON-serialized per the §2B protocol."""
     nat = load_table(spark, sf_dir, "nation")
     st = F.struct(F.col("n_name").alias("name"),
                   F.col("n_regionkey").alias("rk"))
@@ -210,7 +213,7 @@ def f6_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         st.getField("name").alias("struct_name"),
         (st.getField("rk") + 100).alias("struct_rk_plus"),
-        F.sort_array(F.map_keys(mp)).alias("mkeys"),
+        F.to_json(F.sort_array(F.map_keys(mp))).alias("mkeys"),
         F.element_at(mp, "nk").alias("m_nk"),
         F.size(mp).alias("m_size"),
     )
@@ -220,7 +223,7 @@ F6_SQL = """
 SELECT n_nationkey,
        STRUCT_PACK(name := n_name, rk := n_regionkey).name AS struct_name,
        STRUCT_PACK(name := n_name, rk := n_regionkey).rk + 100 AS struct_rk_plus,
-       LIST_SORT(MAP_KEYS(MAP(['nk','rk'], [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)]))) AS mkeys,
+       CAST(TO_JSON(LIST_SORT(MAP_KEYS(MAP(['nk','rk'], [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)])))) AS VARCHAR) AS mkeys,
        MAP(['nk','rk'], [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)])['nk'][1] AS m_nk,
        CARDINALITY(MAP(['nk','rk'], [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)])) AS m_size
 FROM nation
@@ -244,7 +247,7 @@ def f7_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 F7_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS k_sum,
+       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
        MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS k_min,
        MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS k_max
 FROM events GROUP BY event_type

@@ -201,12 +201,12 @@ def p8_manifest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = log.cache()
     log.count()
 
-    inputs = (spark.read.format("binaryFile").load(f"{in_dir}/*")
+    inputs = (spark.read.format("binaryFile").load(in_dir)
               .select(F.regexp_extract("path", r"([^/]+)$", 1)
                       .alias("file_name"),
                       F.md5("content").alias("in_md5")))
     outputs = (spark.read.format("binaryFile")
-               .load(os.path.join(bucket, "output", "*"))
+               .load(os.path.join(bucket, "output"))
                .select(F.regexp_replace(
                    F.regexp_extract("path", r"([^/]+)$", 1),
                    r"\.out$", "").alias("file_name"),

@@ -83,7 +83,19 @@ def ship_package(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    tag = hashlib.md5(pkg_dir.encode()).hexdigest()[:8]
+    # Tag = hash of every .py file's bytes, not the directory path:
+    # a path-keyed cache keeps shipping a STALE zip after source
+    # edits, and the worker's sys.path puts shipped files ahead of
+    # the repo — silently executing outdated code.
+    digest = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                digest.update(os.path.relpath(full, pkg_dir).encode())
+                with open(full, "rb") as fh:
+                    digest.update(fh.read())
+    tag = digest.hexdigest()[:12]
     zip_path = f"/tmp/sbp_pkg_{tag}.zip"
     if not os.path.exists(zip_path):
         tmp = zip_path + ".tmp"

@@ -30,3 +30,17 @@ def test_rows_only(spark, sf_oracle, name):
     df = fn(spark, sf_oracle)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_driver_canonicalizable(spark, sf_oracle, name):
+    """The driver canonicalizes via pandas sort_values over raw cells
+    and crashes on list/dict cells (CORRECTNESS_r01: a8/f5/f6/l2).
+    Per SURVEY §2B, every oracle-paired output column must therefore
+    be scalar — arrays/maps/structs must be to_json'd."""
+    from pyspark.sql import types as T
+    fn, _ = REG[name]
+    schema = fn(spark, sf_oracle).schema
+    bad = [f.name for f in schema.fields
+           if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))]
+    assert not bad, f"{name}: non-scalar output columns {bad}"
