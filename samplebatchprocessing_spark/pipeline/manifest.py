@@ -64,17 +64,67 @@ def build_manifest(spark: SparkSession, bucket_dir: str,
     )
 
 
+def _command_transform(command: str) -> Callable[[bytes], bytes]:
+    """Wrap the reference's external-command contract as a
+    ``bytes -> bytes`` transform: stage the input to a task-local
+    temp file, run ``[command, in_path, out_path]``
+    (GetJobs.py:51-53), gate on returncode == 0 (GetJobs.py:54-56),
+    read back the output bytes.  Raising on failure feeds the
+    caller's no-commit path — exactly the reference's
+    skip-upload-and-redeliver behavior."""
+    def _run(raw: bytes) -> bytes:
+        import subprocess
+        import tempfile
+        with tempfile.TemporaryDirectory(prefix="sbp_cmd_") as d:
+            in_path = os.path.join(d, "in")
+            out_path = os.path.join(d, "out")
+            with open(in_path, "wb") as f:
+                f.write(raw)
+            rc = subprocess.call([command, in_path, out_path])
+            if rc != 0:
+                raise RuntimeError(f"{command!r} returned {rc}")
+            with open(out_path, "rb") as f:
+                return f.read()
+    return _run
+
+
 def run_pipeline(spark: SparkSession, manifest: DataFrame,
                  transform: Callable[[bytes], bytes] | None = None,
-                 ext: str = ".out") -> DataFrame:
+                 command: str | None = None,
+                 ext: str = ".out",
+                 commit: str = "replace") -> DataFrame:
     """GetJobs equivalent: dispatch manifest rows, transform each
     file's bytes, write results under the deterministic output key.
+
+    The transform is either a Python ``bytes -> bytes`` callable or —
+    the reference's actual contract — an arbitrary external
+    ``command``, executed per file as ``[command, in_path, out_path]``
+    with the same returncode gate (GetJobs.py:51-56; the default
+    deployment uses ``cp``, user-data.sh:4).  The command runs inside
+    the executor's Python worker against task-local temp files, so a
+    migrating user brings their shell tool unchanged.  ``transform``
+    and ``command`` are mutually exclusive; neither means identity.
+
+    ``commit`` picks the per-file commit strategy:
+    - ``"replace"`` (default): write a temp file, ``os.replace`` onto
+      the final key — atomic on POSIX filesystems.
+    - ``"tempkey"``: write the temp key, COPY to the final key, delete
+      the temp key — the strategy for object stores (s3a has no atomic
+      rename; copy-to-final-key is what rename compiles to there, and
+      a reader never observes a partial final object because the copy
+      is a single PUT).  See SCALE.md "Object-store commit".
 
     Returns a result DataFrame (file_name, in_bytes, out_bytes,
     out_path, ok) — the pipeline's commit log.  Executors write the
     output files directly (the reference's worker-side S3 put,
     GetJobs.py:57-60); rerunning overwrites the same keys.
     """
+    if transform is not None and command is not None:
+        raise ValueError("pass either transform= or command=, not both")
+    if commit not in ("replace", "tempkey"):
+        raise ValueError(f"unknown commit strategy {commit!r}")
+    if command is not None:
+        transform = _command_transform(command)
     transform = transform or (lambda b: b)   # user-data.sh:4: cp = identity
 
     jobs = manifest.filter(F.col("action") == "process")   # GetJobs.py:30
@@ -115,7 +165,12 @@ def run_pipeline(spark: SparkSession, manifest: DataFrame,
                     tmp = out_path + ".inprogress"
                     with open(tmp, "wb") as f:
                         f.write(result)
-                    os.replace(tmp, out_path)   # atomic commit per file
+                    if commit == "replace":
+                        os.replace(tmp, out_path)   # atomic on POSIX
+                    else:                           # tempkey: copy+delete
+                        import shutil
+                        shutil.copyfile(tmp, out_path)
+                        os.remove(tmp)
                     ok = True
                 except Exception:
                     # returncode gate (GetJobs.py:54-56): no upload,

@@ -70,3 +70,67 @@ def test_pipeline_idempotent_rerun(spark, bucket):
     run_pipeline(spark, m).collect()
     second = sorted(glob.glob(os.path.join(bucket, "output", "*")))
     assert first == second
+
+
+def test_pipeline_subprocess_cp_byte_exact(spark, bucket):
+    """The reference's true transform contract: an external command
+    run as [command, in, out] (GetJobs.py:51-53), default `cp`
+    (user-data.sh:4) — end-to-end byte-exact through the subprocess
+    path."""
+    log = run_pipeline(spark, build_manifest(spark, bucket),
+                       command="cp", ext=".out")
+    rows = log.collect()
+    assert len(rows) == 4 and all(r["ok"] for r in rows)
+    for src in glob.glob(os.path.join(bucket, "input", "*")):
+        out = os.path.join(bucket, "output",
+                           os.path.basename(src) + ".out")
+        assert (hashlib.md5(open(src, "rb").read()).hexdigest()
+                == hashlib.md5(open(out, "rb").read()).hexdigest())
+
+
+def test_pipeline_subprocess_returncode_gate(spark, bucket):
+    """Nonzero returncode -> no commit (GetJobs.py:54-56): `false`
+    ignores its args and exits 1."""
+    log = run_pipeline(spark, build_manifest(spark, bucket),
+                       command="false", ext=".f")
+    assert all(not r["ok"] for r in log.collect())
+    assert not glob.glob(os.path.join(bucket, "output", "*.f"))
+
+
+def test_pipeline_transform_and_command_exclusive(spark, bucket):
+    with pytest.raises(ValueError, match="not both"):
+        run_pipeline(spark, build_manifest(spark, bucket),
+                     transform=lambda b: b, command="cp")
+
+
+def test_pipeline_tempkey_commit(spark, bucket):
+    """Object-store commit strategy: temp key + copy + delete — final
+    bytes identical, no temp keys left behind."""
+    log = run_pipeline(spark, build_manifest(spark, bucket),
+                       commit="tempkey")
+    assert all(r["ok"] for r in log.collect())
+    assert not glob.glob(os.path.join(bucket, "output", "*.inprogress"))
+    for src in glob.glob(os.path.join(bucket, "input", "*")):
+        out = os.path.join(bucket, "output",
+                           os.path.basename(src) + ".out")
+        assert (hashlib.md5(open(src, "rb").read()).hexdigest()
+                == hashlib.md5(open(out, "rb").read()).hexdigest())
+
+
+def test_cli_send_get_end_to_end(spark, bucket, sf_smoke, capsys):
+    """`python -m samplebatchprocessing_spark send|get` reproduces the
+    reference's CLI flow (SendJobs.py:38-48, GetJobs.py:67-76) with
+    the default cp command, byte-exactly."""
+    from samplebatchprocessing_spark.__main__ import main
+    local = os.path.join(bucket, "local_src")
+    os.makedirs(local)
+    for src in sorted(glob.glob(f"{sf_smoke}/*.parquet"))[:2]:
+        shutil.copy(src, local)
+    cli_bucket = os.path.join(bucket, "cli_bucket")
+    assert main(["send", local, cli_bucket]) == 0
+    assert main(["get", cli_bucket]) == 0
+    for name in os.listdir(local):
+        src = os.path.join(local, name)
+        out = os.path.join(cli_bucket, "output", name + ".out")
+        assert (hashlib.md5(open(src, "rb").read()).hexdigest()
+                == hashlib.md5(open(out, "rb").read()).hexdigest())
