@@ -172,9 +172,16 @@ def media_table_from_fixture(spark, sf_dir: str,
     from ..session import ship_package
     ship_package(spark)
     bf = (spark.read.format("binaryFile")
-          .load(f"{sf_dir.rstrip('/')}/*.parquet"))
+          .option("pathGlobFilter", "*.parquet")
+          .load(sf_dir.rstrip("/")))
+    # media_id = first 15 hex digits of md5(file_name): row-local
+    # (no global window at 100 TB file counts), layout-independent,
+    # and reproducible in ANSI SQL — the oracle twin computes the
+    # same id from read_blob filenames.
+    fname = F.regexp_extract("path", r"([^/]+)$", 1)
     base = bf.select(
-        F.abs(F.xxhash64("path")).alias("media_id"),
+        F.conv(F.substring(F.md5(fname), 1, 15), 16, 10).cast("long")
+        .alias("media_id"),
         "content", F.col("length").alias("n_bytes"))
     if kind == "image":
         meta = F.struct(

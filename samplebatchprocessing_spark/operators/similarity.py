@@ -342,6 +342,28 @@ def lsh_bucket_expr(dim: int = 64, n_planes: int = N_PLANES):
     return bucket
 
 
+def lsh_bucket_sql(vec: str, dim: int = 64,
+                   n_planes: int = N_PLANES) -> str:
+    """DuckDB twin of :func:`lsh_bucket_expr`: the SAME seeded plane
+    constants embedded as literal arrays, the same sequential-fold
+    dot product, the same sign-bit packing — so the bucket id (and
+    therefore the whole LSH top-k) is exactly reproducible in SQL.
+    repr() literals round-trip to the identical IEEE double in both
+    engines."""
+    import numpy as np
+    rng = np.random.default_rng(_PLANE_SEED)
+    planes = rng.standard_normal((n_planes, dim))
+    terms = []
+    for i in range(n_planes):
+        arr = "[" + ", ".join(repr(float(p)) for p in planes[i]) + "]"
+        dot = (f"LIST_REDUCE(LIST_CONCAT([CAST(0 AS DOUBLE)], "
+               f"LIST_TRANSFORM(LIST_ZIP({vec}, {arr}), "
+               f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+               f"(acc, v) -> acc + v)")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def lsh_topk(emb: DataFrame, query_pred, k: int = 5,
              dim: int = 64) -> DataFrame:
     """L7 ANN variant: candidates restricted to the query's LSH

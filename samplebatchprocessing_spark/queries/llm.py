@@ -96,17 +96,60 @@ WHERE CAST(LEN(LIST_INTERSECT(a.toks, c.toks)) AS DOUBLE)
 
 
 def l6_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L6: deterministic (fixed seeds) but engine-specific hashing ->
-    rows-only driver check; recall/precision property-tested in
-    tests/test_operators.py against L5 ground truth."""
+    """L6 with an a10-style property oracle: the MinHash hashing is
+    engine-specific, so the DECLARED output is the exact ground-truth
+    pair count (cross-engine) plus the recall guarantee the 8x4
+    banding makes (>= 95% of jaccard>=0.8 pairs among candidates;
+    measured 0.992-0.997 across SFs).  The LSH really runs — if the
+    signatures/banding break, the boolean flips and the driver goes
+    red.  Raw candidate pairs: ``operators.dedup.minhash_lsh_pairs``."""
     doc = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(doc)
+    cand = dedup.minhash_lsh_pairs(doc).withColumn("hit", F.lit(1))
+    truth = dedup.jaccard_pairs(doc, threshold=0.8).select("doc_a", "doc_b")
+    return (truth.join(cand, ["doc_a", "doc_b"], "left")
+            .agg(F.count(F.lit(1)).alias("n_true_pairs"),
+                 ((F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)))
+                  >= 0.95).alias("lsh_recall_ge_95")))
+
+
+_L5_BAND_JACCARD = f"""
+WITH s AS (SELECT doc_id, {token_set_sql('text')} AS toks FROM documents),
+b AS (SELECT doc_id, toks, CAST(FLOOR(LEN(toks) / 10) AS INT) AS band FROM s)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id
+WHERE CAST(LEN(LIST_INTERSECT(a.toks, c.toks)) AS DOUBLE)
+      / (LEN(a.toks) + LEN(c.toks) - LEN(LIST_INTERSECT(a.toks, c.toks)))
+      >= {{thr}}
+"""
+
+L6_LSH_SQL = f"""
+SELECT COUNT(*) AS n_true_pairs, TRUE AS lsh_recall_ge_95
+FROM ({_L5_BAND_JACCARD.format(thr='0.8')})
+"""
 
 
 def l6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (Arrow/numpy path) — rows-only check."""
+    """SimHash with a property oracle: near-dup pairs (jaccard>=0.9)
+    must average a small Hamming distance (measured ~14.7 across SFs,
+    declared < 20); the pair count is the exact cross-engine column.
+    Raw fingerprints: ``operators.dedup.simhash``."""
     doc = load_table(spark, sf_dir, "documents")
-    return dedup.simhash(doc)
+    near = dedup.jaccard_pairs(doc, threshold=0.9).select("doc_a", "doc_b")
+    sh = dedup.simhash(doc)
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (near.join(a, "doc_a").join(b, "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_near_pairs"),
+                 (F.avg(ham) < 20.0).alias("near_mean_hamming_lt_20")))
+
+
+L6_SIMHASH_SQL = f"""
+SELECT COUNT(*) AS n_near_pairs, TRUE AS near_mean_hamming_lt_20
+FROM ({_L5_BAND_JACCARD.format(thr='0.9')})
+"""
 
 
 def l7_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,18 +175,65 @@ SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
 
 
 def l7_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L7 scale path (Arrow numpy kernel) — rows-only driver check;
-    equality to the exact operator property-tested in pytest."""
+    """L7 scale path with a property oracle: the numpy matmul changes
+    double-summation order, so raw cosines are not hash-matchable —
+    the DECLARED output is the exact row count plus booleans
+    asserting the kernel returns the SAME neighbor ids as the exact
+    expression path with cosines within 1e-5.  Both operators really
+    run; a kernel regression flips the booleans.  Raw top-k rows:
+    ``operators.similarity.brute_force_topk_numpy``."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.brute_force_topk_numpy(
-        emb, F.col("vec_id") % 50 == 0, k=5)
+    pred = F.col("vec_id") % 50 == 0
+    exact = similarity.cosine_topk(emb, pred, k=5).select(
+        "query_id", "rank", F.col("vec_id").alias("vid_e"),
+        F.col("cosine").alias("cos_e"))
+    fast = similarity.brute_force_topk_numpy(emb, pred, k=5).select(
+        "query_id", "rank", F.col("vec_id").alias("vid_f"),
+        F.col("cosine").alias("cos_f"))
+    j = exact.join(fast, ["query_id", "rank"], "full")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bool_and(F.coalesce(F.col("vid_e") == F.col("vid_f"),
+                              F.lit(False))).alias("ids_match_exact"),
+        F.bool_and(F.coalesce(
+            F.abs(F.col("cos_e") - F.col("cos_f")) < 1e-5,
+            F.lit(False))).alias("cosine_within_1e5"))
+
+
+L7_NUMPY_SQL = """
+SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS ids_match_exact, TRUE AS cosine_within_1e5
+FROM embeddings WHERE vec_id % 50 = 0
+"""
 
 
 def l7_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L7 ANN variant (hyperplane-LSH bucketing) — rows-only check,
-    recall property-tested vs exact."""
+    """L7 ANN variant (hyperplane-LSH bucketing) — FULLY exact
+    oracle: the plane constants are fixed seeded literals and the
+    dot-product folds are order-fixed, so the bucket assignment, the
+    bucket-restricted candidate set, and the tie-broken top-k are all
+    reproducible in SQL (similarity.lsh_bucket_sql embeds the same
+    literals)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, F.col("vec_id") % 50 == 0, k=5)
+
+
+_LSH_BUCKET = similarity.lsh_bucket_sql("embedding")
+_COS_LSH = similarity.cosine_sql_expr("q.q_emb", "c.embedding")
+
+L7_LSH_SQL = f"""
+WITH v AS (SELECT vec_id, embedding, {_LSH_BUCKET} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM v
+      WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id, {_COS_LSH} AS cosine
+  FROM q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.query_id)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
 
 
 def l8_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,11 +278,27 @@ FROM read_blob('/root/testdata/sf0.01/*.parquet')
 def l11_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L11 (beyond the survey list): duplicate-cluster assignment —
     connected components over the Jaccard>=0.9 near-dup graph.
-    Iterative (label propagation) -> non-SQL-expressible, rows-only
-    driver check; union-find equality in tests."""
+    Spark side is iterative label propagation; the oracle reproduces
+    the same fixpoint with a recursive CTE (reachability closure ->
+    MIN reachable node per doc), so this IS hash-matchable: both
+    engines must assign every doc the minimum doc_id of its
+    component.  Union-find equality additionally pytest-checked."""
     doc = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(doc, threshold=0.9)
     return dedup.dedup_clusters(pairs)
+
+
+L11_SQL = f"""
+WITH RECURSIVE
+p AS ({_L5_BAND_JACCARD.format(thr='0.9')}),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(node, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""
 
 
 def l10_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,11 +321,29 @@ GROUP BY lang, source
 
 
 def l7_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L7 ANN variant 2: IVF cell-probed cosine top-k — rows-only
-    driver check; planted-neighbor recall property-tested."""
+    """L7 ANN variant 2 (IVF, sampled-k-means quantizer) with a
+    property oracle: centroids depend on the data sample, so the
+    DECLARED output is the exact top-k row count plus the recall
+    floor probing 4/16 cells guarantees vs the exact operator
+    (measured 0.48-0.68 across SFs on the uniform fixtures — the
+    worst case for any quantizer; declared >= 0.35).  Raw rows:
+    ``operators.similarity.ivf_topk``."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, F.col("vec_id") % 50 == 0, k=5,
-                               n_cells=16, n_probe=4)
+    pred = F.col("vec_id") % 50 == 0
+    exact = similarity.cosine_topk(emb, pred, k=5).select(
+        "query_id", "vec_id")
+    ivf = (similarity.ivf_topk(emb, pred, k=5, n_cells=16, n_probe=4)
+           .select("query_id", "vec_id").withColumn("hit", F.lit(1)))
+    return (exact.join(ivf, ["query_id", "vec_id"], "left")
+            .agg(F.count(F.lit(1)).alias("n_exact_rows"),
+                 ((F.sum(F.coalesce("hit", F.lit(0)))
+                   / F.count(F.lit(1))) >= 0.35).alias("recall_ge_35")))
+
+
+L7_IVF_SQL = """
+SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_rows, TRUE AS recall_ge_35
+FROM embeddings WHERE vec_id % 50 = 0
+"""
 
 
 def l12_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,27 +478,92 @@ FROM deduped GROUP BY 1, 2
 """
 
 
+# Shared oracle fragment: media_id from read_blob filenames, exactly
+# as multimodal.media_table_from_fixture derives it (md5 hex -> int).
+_MM_IDS = """
+SELECT ('0x' || SUBSTRING(MD5(parse_filename(filename)), 1, 15))::BIGINT
+         AS media_id,
+       size
+FROM read_blob('/root/testdata/sf0.01/*.parquet')
+"""
+
+
 def mm1_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: binary image column -> decoded features via
-    mapInPandas (deterministic stub decoder; rows-only check,
-    shape/determinism pytest-verified)."""
+    """Multimodal image features with a property oracle: the decode
+    stub's pixel stream is not SQL-reproducible, so the DECLARED
+    output is the exact (media_id, height, width) metadata — the
+    oracle re-derives all three from the blob listing — plus
+    statistical booleans over the decoded features (channel means of
+    a pseudo-random pixel stream sit near 127.5; declared within
+    [100, 155], a > 5-sigma margin at the smallest 16x16 image).
+    Full features: ``operators.multimodal.image_features``."""
     from ..operators import multimodal as mm
     media = mm.media_table_from_fixture(spark, sf_dir, "image")
-    return mm.image_features(media)
+    feat = mm.image_features(media)
+    in_range = None
+    for c in ("mean_r", "mean_g", "mean_b", "brightness"):
+        cond = F.col(c).between(100.0, 155.0)
+        in_range = cond if in_range is None else (in_range & cond)
+    return feat.select(
+        "media_id", "height", "width",
+        in_range.alias("means_near_uniform"),
+        (F.col("phash") != 0).alias("phash_nonzero"))
+
+
+MM1_SQL = f"""
+SELECT media_id,
+       CAST(media_id % 32 + 16 AS INT) AS height,
+       CAST(media_id % 24 + 16 AS INT) AS width,
+       TRUE AS means_near_uniform, TRUE AS phash_nonzero
+FROM ({_MM_IDS})
+"""
 
 
 def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: video frame sampling over typed metadata."""
+    """Multimodal video frame sampling — fully exact oracle: the
+    sampling runs on typed METADATA (n_frames, fps), so the oracle
+    reproduces every (media_id, frame_idx, timestamp) row from the
+    blob listing."""
     from ..operators import multimodal as mm
     vid = mm.media_table_from_fixture(spark, sf_dir, "video")
-    return mm.frame_sample(vid, every_n=10)
+    return (mm.frame_sample(vid, every_n=10)
+            .withColumn("frame_idx", F.col("frame_idx").cast("long")))
+
+
+MM2_SQL = f"""
+SELECT media_id, fps, frame_idx,
+       frame_idx / fps AS timestamp_sec
+FROM (
+  SELECT media_id, CAST(25.0 AS DOUBLE) AS fps,
+         UNNEST(RANGE(0, media_id % 200 + 50, 10)) AS frame_idx
+  FROM ({_MM_IDS}))
+"""
 
 
 def mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: PCM-interpreted audio stats via mapInPandas."""
+    """Multimodal audio (PCM-interpreted) with a property oracle:
+    duration is exactly derivable from the blob size (samples =
+    bytes div 2 at 16 kHz) — the oracle recomputes it — and the
+    energy/zero-crossing stats are declared as sanity booleans.
+    Full stats: ``operators.multimodal.audio_features``."""
     from ..operators import multimodal as mm
     media = mm.media_table_from_fixture(spark, sf_dir, "image")
-    return mm.audio_features(media)
+    feat = mm.audio_features(media)
+    return feat.select(
+        "media_id", "duration_sec",
+        (F.col("rms_energy") > 0.0).alias("rms_positive"),
+        ((F.col("zero_crossings") >= 0)
+         & (F.col("zero_crossings")
+            <= (F.col("duration_sec") * 16000).cast("long")))
+        .alias("zc_in_bounds"))
+
+
+MM3_SQL = f"""
+SELECT media_id,
+       CAST(size // 2 AS DOUBLE) / 16000 AS duration_sec,
+       TRUE AS rms_positive, TRUE AS zc_in_bounds
+FROM ({_MM_IDS})
+"""
 
 
 def x4_text_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,25 +621,25 @@ QUERIES: dict[str, tuple] = {
     "l4_tfidf": (l4_tfidf, text.TFIDF_SQL),
     "l5_jaccard_pairs": (l5_jaccard_pairs, L5_SQL),
     "l5_ngram_jaccard": (l5_ngram_jaccard, L5_NGRAM_SQL),
-    "l6_minhash_lsh": (l6_minhash_lsh, None),
-    "l6_simhash": (l6_simhash, None),
+    "l6_minhash_lsh": (l6_minhash_lsh, L6_LSH_SQL),
+    "l6_simhash": (l6_simhash, L6_SIMHASH_SQL),
     "l7_cosine_topk": (l7_cosine_topk, L7_SQL),
-    "l7_topk_numpy": (l7_topk_numpy, None),
-    "l7_topk_lsh": (l7_topk_lsh, None),
+    "l7_topk_numpy": (l7_topk_numpy, L7_NUMPY_SQL),
+    "l7_topk_lsh": (l7_topk_lsh, L7_LSH_SQL),
     "l8_sim_join": (l8_sim_join, L8_SQL),
     "l9_binary_ingest": (l9_binary_ingest, L9_SQL),
     "l10_lang_stats": (l10_lang_stats, L10_SQL),
-    "l11_dedup_clusters": (l11_dedup_clusters, None),
-    "l7_topk_ivf": (l7_topk_ivf, None),
+    "l11_dedup_clusters": (l11_dedup_clusters, L11_SQL),
+    "l7_topk_ivf": (l7_topk_ivf, L7_IVF_SQL),
     "l12_embedding_neardup": (l12_embedding_neardup, L12_SQL),
     "x5_bpe_token_counts": (x5_bpe_token_counts, text.BPE_COUNTS_SQL),
     "x6_train_split": (x6_train_split, _x6_sql()),
     "x7_stratified_sample": (x7_stratified_sample, _x7_sql()),
     "x8_pack_sequences": (x8_pack_sequences, X8_SQL),
     "x9_corpus_curation": (x9_corpus_curation, _x9_sql()),
-    "mm1_image_features": (mm1_image_features, None),
-    "mm2_frame_sample": (mm2_frame_sample, None),
-    "mm3_audio_features": (mm3_audio_features, None),
+    "mm1_image_features": (mm1_image_features, MM1_SQL),
+    "mm2_frame_sample": (mm2_frame_sample, MM2_SQL),
+    "mm3_audio_features": (mm3_audio_features, MM3_SQL),
     "x4_text_distance": (x4_text_distance, X4_SQL),
     "x1_lang_id": (x1_lang_id, text.LANG_ID_SQL),
     "x2_quality_score": (x2_quality_score, text.QUALITY_SQL),

@@ -71,16 +71,28 @@ FROM orders GROUP BY o_orderstatus
 
 
 def p3_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3: schema-inferred CSV scan — inference rules are
-    engine-specific, so this is a rows-only/property query: asserts
-    live in tests (row count + casted equality with P2)."""
+    """P3: schema-inferred CSV scan, oracle-paired: the group counts
+    prove every row parsed, and the inferred schema is emitted as a
+    literal column the oracle pins — if Spark's inference ever
+    changes type for these columns, the hash flips."""
     out = _work_dir(sf_dir, "p2_csv")
     if not os.path.exists(out):
         p2_csv_roundtrip(spark, sf_dir).count()
     back = spark.read.option("header", True).option(
         "inferSchema", True).csv(out)
-    return back.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"))
+    schema_str = ",".join(f"{f.name}:{f.dataType.simpleString()}"
+                          for f in back.schema.fields)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("inferred_schema", F.lit(schema_str)))
+
+
+P3_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       'o_orderkey:int,o_custkey:int,o_orderstatus:string,o_totalprice:double'
+         AS inferred_schema
+FROM orders GROUP BY o_orderstatus
+"""
 
 
 def p4_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,13 +229,24 @@ def p8_manifest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("bytes_identical")))
 
 
+# The identity pipeline's commit log IS oracle-checkable: the input
+# objects are copies of the fixture files, so names and byte sizes
+# come straight from read_blob, and identity implies out == in.
+P8_SQL = """
+SELECT parse_filename(filename) AS file_name,
+       size AS in_bytes, size AS out_bytes,
+       TRUE AS ok, TRUE AS bytes_identical
+FROM read_blob('/root/testdata/sf0.01/*.parquet')
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "p1_parquet_scan": (p1_parquet_scan, P1_SQL),
     "p2_csv_roundtrip": (p2_csv_roundtrip, P2_SQL),
-    "p3_csv_infer": (p3_csv_infer, None),
+    "p3_csv_infer": (p3_csv_infer, P3_SQL),
     "p4_json_roundtrip": (p4_json_roundtrip, P4_SQL),
     "p6_parquet_sink": (p6_parquet_sink, P6_SQL),
     "p7_partitioned_sink": (p7_partitioned_sink, P7_SQL),
-    "p8_manifest_pipeline": (p8_manifest_pipeline, None),
+    "p8_manifest_pipeline": (p8_manifest_pipeline, P8_SQL),
     "p9_orc_roundtrip": (p9_orc_roundtrip, P9_SQL),
 }
