@@ -1,0 +1,102 @@
+"""Corpus-curation operators for LLM training-data pipelines
+(north-star mandate, beyond SURVEY §2B): PII redaction, markup
+stripping, mixture weighting, and benchmark-contamination checks.
+
+Scale design (100 TB):
+- redaction/stripping are row-local regexp expressions — JVM-side,
+  whole-stage codegen, no Python, no shuffle;
+- mixture weights aggregate to one row per SOURCE (dozens), then a
+  single tiny window over sources — state is O(sources), never rows;
+- contamination is a shingle equi-join: eval-set shingles (small by
+  contract) de-duplicated then joined against corpus shingles on the
+  shingle hash — the blocking key is the shingle itself, so the plan
+  is a hash join, never a scan product.  At 100 TB precompute the
+  corpus shingle index once and broadcast the eval shingles.
+
+The fixture corpus contains no real PII/markup, so the paired
+queries INJECT deterministic synthetic patterns (derived from
+doc_id/source) before scrubbing — both engines build the same input,
+so redaction counts and scrubbed hashes stay hash-matchable while
+the operators run for real.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RE2- and Java-regex-compatible patterns (no backrefs, no lookaround)
+EMAIL_RE = r"[a-z0-9._+-]+@[a-z0-9-]+\.[a-z0-9.-]+"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+TAG_RE = r"<[^>]*>"
+WS_RE = r"  +"
+
+
+def redact_pii(text: Column) -> dict[str, Column]:
+    """Row-local PII scrub: count then redact emails and phone
+    numbers.  Returns the scrubbed column and per-type counts —
+    everything a downstream filter/audit needs, all codegen-side."""
+    n_emails = F.regexp_count(text, F.lit(EMAIL_RE))
+    n_phones = F.regexp_count(text, F.lit(PHONE_RE))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+        PHONE_RE, "<PHONE>")
+    return {"scrubbed": scrubbed, "n_emails": n_emails,
+            "n_phones": n_phones}
+
+
+def strip_markup(text: Column) -> Column:
+    """Remove tags, collapse runs of spaces, trim — the standard
+    HTML-ish boilerplate scrub, as one codegen expression chain."""
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(text, TAG_RE, " "), WS_RE, " "))
+
+
+def mixture_weights(df: DataFrame, group_col: str = "source",
+                    alpha: float = 0.5,
+                    sample_budget: int = 100_000) -> DataFrame:
+    """Temperature-based mixture weighting: source s with share p_s
+    of the corpus gets weight ∝ p_s^alpha (alpha<1 upsamples rare
+    sources — the standard multilingual/multi-source trick), plus the
+    resulting document budget per source.  One aggregation to
+    O(sources) rows, then a single tiny window for normalization."""
+    from pyspark.sql import Window as W
+    per = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = W.partitionBy()
+    frac = F.col("n_docs") / F.sum("n_docs").over(total)
+    raw_w = F.pow(frac, F.lit(alpha))
+    weight = raw_w / F.sum(raw_w).over(total)
+    return (per.select(
+        group_col, "n_docs",
+        F.round(weight, 6).alias("mix_weight"),
+        F.round(weight * sample_budget, 2).alias("doc_budget"))
+    )
+
+
+def ngram_contamination(corpus: DataFrame, eval_pred,
+                        n: int = 8,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Benchmark-contamination check: for every non-eval document,
+    count distinct word n-grams it shares with the EVAL subset
+    (eval_pred).  The n-gram string is the join key — a plain hash
+    equi-join; eval shingles are distinct-reduced first (small by
+    contract -> broadcast at scale)."""
+    from .text import tokenize
+    toks = tokenize(F.col(text_col))
+    # Guard len < n: F.sequence(1, 0) would go DESCENDING in Spark.
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
+                                         for j in range(n)])))
+    ).otherwise(F.array().cast("array<string>"))
+    sh = corpus.select(
+        id_col, F.explode(shingles).alias("shingle"),
+        eval_pred.alias("is_eval"))
+    ev = sh.filter("is_eval").select("shingle").distinct()
+    train = sh.filter(~F.col("is_eval"))
+    return (train.join(ev, "shingle")
+            .groupBy(id_col)
+            .agg(F.count_distinct("shingle").alias("n_shared_ngrams")))

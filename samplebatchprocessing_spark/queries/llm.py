@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..exprs import sql_davg
-from ..operators import dedup, similarity, text
+from ..operators import curation, dedup, similarity, text
 from ..operators.text import token_set_sql, tokenize_sql
 
 
@@ -614,6 +614,118 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# x10-x13 — corpus curation (operators/curation.py).  The fixture has
+# no real PII/markup, so both engines INJECT the same deterministic
+# synthetic patterns before scrubbing (see curation.py docstring).
+# --------------------------------------------------------------------------
+
+def x10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+    doc = load_table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    r = curation.redact_pii(with_pii)
+    return doc.select(
+        "doc_id",
+        r["n_emails"].alias("n_emails"),
+        r["n_phones"].alias("n_phones"),
+        F.md5(r["scrubbed"]).alias("scrubbed_md5"),
+        F.length(r["scrubbed"]).alias("scrubbed_len"))
+
+
+_X10_PII = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+            "'@example.com or call +1-555-' || "
+            "LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+
+X10_SQL = f"""
+SELECT doc_id,
+       LEN(REGEXP_EXTRACT_ALL({_X10_PII}, '{curation.EMAIL_RE}')) AS n_emails,
+       LEN(REGEXP_EXTRACT_ALL({_X10_PII}, '{curation.PHONE_RE}')) AS n_phones,
+       MD5(REGEXP_REPLACE(REGEXP_REPLACE({_X10_PII},
+           '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
+           '{curation.PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5,
+       LENGTH(REGEXP_REPLACE(REGEXP_REPLACE({_X10_PII},
+           '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
+           '{curation.PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_len
+FROM documents
+"""
+
+
+def x11_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+    doc = load_table(spark, sf_dir, "documents")
+    html = F.concat(F.lit('<html><body class="'), F.col("source"),
+                    F.lit('"><p>'), F.col("text"),
+                    F.lit("</p></body></html>"))
+    stripped = curation.strip_markup(html)
+    return doc.select(
+        "doc_id",
+        F.md5(stripped).alias("stripped_md5"),
+        F.length(stripped).alias("stripped_len"))
+
+
+_X11_HTML = ("'<html><body class=\"' || source || '\"><p>' || text || "
+             "'</p></body></html>'")
+_X11_STRIP = (f"TRIM(REGEXP_REPLACE(REGEXP_REPLACE({_X11_HTML}, "
+              f"'{curation.TAG_RE}', ' ', 'g'), '{curation.WS_RE}', ' ', 'g'))")
+
+X11_SQL = f"""
+SELECT doc_id, MD5({_X11_STRIP}) AS stripped_md5,
+       LENGTH({_X11_STRIP}) AS stripped_len
+FROM documents
+"""
+
+
+def x12_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+    doc = load_table(spark, sf_dir, "documents")
+    return curation.mixture_weights(doc, "source", alpha=0.5,
+                                    sample_budget=100_000)
+
+
+X12_SQL = """
+WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+w AS (SELECT source, n_docs,
+             POWER(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 0.5) AS raw_w
+      FROM per)
+SELECT source, n_docs,
+       ROUND(raw_w / SUM(raw_w) OVER (), 6) AS mix_weight,
+       ROUND(raw_w / SUM(raw_w) OVER () * 100000, 2) AS doc_budget
+FROM w
+"""
+
+
+def x13_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+    doc = load_table(spark, sf_dir, "documents")
+    return curation.ngram_contamination(
+        doc, F.col("source") == "src0", n=8)
+
+
+_X13_SHINGLE = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]"
+                                  for j in range(8))
+
+X13_SQL = f"""
+WITH s AS (SELECT doc_id, {tokenize_sql('text')} AS toks,
+                  source = 'src0' AS is_eval
+           FROM documents),
+sh AS (SELECT doc_id, is_eval,
+              UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                RANGE(1, GREATEST(LEN(toks) - 7, 0) + 1),
+                i -> {_X13_SHINGLE}))) AS shingle
+       FROM s),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE is_eval)
+SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_shared_ngrams
+FROM sh t JOIN ev USING (shingle)
+WHERE NOT t.is_eval
+GROUP BY t.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -641,6 +753,10 @@ QUERIES: dict[str, tuple] = {
     "mm2_frame_sample": (mm2_frame_sample, MM2_SQL),
     "mm3_audio_features": (mm3_audio_features, MM3_SQL),
     "x4_text_distance": (x4_text_distance, X4_SQL),
+    "x10_pii_redaction": (x10_pii_redaction, X10_SQL),
+    "x11_markup_strip": (x11_markup_strip, X11_SQL),
+    "x12_mixture_weights": (x12_mixture_weights, X12_SQL),
+    "x13_contamination": (x13_contamination, X13_SQL),
     "x1_lang_id": (x1_lang_id, text.LANG_ID_SQL),
     "x2_quality_score": (x2_quality_score, text.QUALITY_SQL),
     "x3_fingerprint": (x3_fingerprint, X3_SQL),

@@ -334,3 +334,52 @@ def test_ivf_kmeans_centroids_beat_first_n(spark, sf_smoke):
     assert r_kmeans >= 0.9, f"kmeans IVF recall {r_kmeans:.3f} < 0.9"
     assert r_kmeans > r_first + 0.2, (
         f"kmeans {r_kmeans:.3f} should dominate first-N {r_first:.3f}")
+
+
+def test_curation_redact_and_strip_roundtrip(spark, sf_smoke):
+    """No-match inputs pass through unchanged; injected PII is fully
+    scrubbed; mixture weights sum to 1 and upsample rare sources."""
+    from samplebatchprocessing_spark.operators import curation
+    doc = load_table(spark, sf_smoke, "documents").limit(50)
+    r = curation.redact_pii(F.col("text"))
+    clean = doc.select(
+        (F.col("text") == r["scrubbed"]).alias("same"),
+        (r["n_emails"] + r["n_phones"]).alias("hits"))
+    assert all(row["same"] and row["hits"] == 0 for row in clean.collect())
+    pii = doc.select(curation.redact_pii(
+        F.concat(F.col("text"), F.lit(" a@b.com +1-555-1234")))["scrubbed"]
+        .alias("s"))
+    for row in pii.collect():
+        assert "a@b.com" not in row["s"] and "+1-555-1234" not in row["s"]
+        assert "<EMAIL>" in row["s"] and "<PHONE>" in row["s"]
+    stripped = doc.select(curation.strip_markup(
+        F.concat(F.lit("<b>x</b>  "), F.col("text"))).alias("s"),
+        F.col("text"))
+    assert all(row["s"] == "x " + row["text"] for row in stripped.collect())
+
+
+def test_mixture_weights_properties(spark, sf_smoke):
+    from samplebatchprocessing_spark.operators import curation
+    doc = load_table(spark, sf_smoke, "documents")
+    rows = curation.mixture_weights(doc, "source", alpha=0.5).collect()
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-4
+    # alpha<1 upsamples rare sources: weight/share ratio must be
+    # higher for the smallest source than for the largest
+    smallest = min(rows, key=lambda r: r["n_docs"])
+    largest = max(rows, key=lambda r: r["n_docs"])
+    n = sum(r["n_docs"] for r in rows)
+    if smallest["n_docs"] < largest["n_docs"]:
+        assert (smallest["mix_weight"] / (smallest["n_docs"] / n)
+                > largest["mix_weight"] / (largest["n_docs"] / n))
+
+
+def test_contamination_is_equi_join(spark, sf_smoke):
+    """The shingle join must plan as a hash equi-join on the shingle
+    key — never a nested-loop/cartesian product."""
+    from samplebatchprocessing_spark.operators import curation
+    doc = load_table(spark, sf_smoke, "documents")
+    df = curation.ngram_contamination(doc, F.col("source") == "src0", n=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert df.count() >= 0
