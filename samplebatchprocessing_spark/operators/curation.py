@@ -73,6 +73,65 @@ def mixture_weights(df: DataFrame, group_col: str = "source",
     )
 
 
+def _word_ngrams(toks, n: int):
+    """Order-preserving word n-grams of a token array (empty when the
+    doc is shorter than n — guards Spark's descending sequence())."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
+                                         for j in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(text: Column,
+                     max_dup_2gram: float = 0.30,
+                     max_dup_3gram: float = 0.20) -> dict[str, Column]:
+    """Gopher-style repetition quality signals: the fraction of
+    duplicate word 2-/3-grams per document, plus the keep/drop flag at
+    the given thresholds.  Pure row-local expressions — codegen, no
+    shuffle, no Python."""
+    from .text import tokenize
+    toks = tokenize(text)
+    out: dict[str, Column] = {}
+    for n, cap, key in ((2, max_dup_2gram, "dup_2gram_frac"),
+                        (3, max_dup_3gram, "dup_3gram_frac")):
+        g = _word_ngrams(toks, n)
+        total = F.size(g)
+        frac = F.when(
+            total > 0,
+            1.0 - F.size(F.array_distinct(g)).cast("double") / total
+        ).otherwise(F.lit(0.0))
+        out[key] = F.round(frac, 6)
+    out["keep"] = ((out["dup_2gram_frac"] <= max_dup_2gram)
+                   & (out["dup_3gram_frac"] <= max_dup_3gram))
+    return out
+
+
+def chunk_tokens(df: DataFrame, *, window: int = 64, stride: int = 48,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Context-window chunking: split each document's token stream
+    into windows of ``window`` tokens advancing by ``stride``
+    (overlap = window - stride), the standard LM pre-training shape.
+    One explode per doc — row-local, no shuffle; the chunk text is
+    re-materialized so downstream tokenize/pack operators compose."""
+    from .text import tokenize
+    toks = tokenize(F.col(text_col))
+    starts = F.when(F.size(toks) > 0,
+                    F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+                    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(
+        id_col, toks.alias("toks"),
+        F.posexplode(starts).alias("chunk_idx", "start"))
+    chunk = F.slice(F.col("toks"), F.col("start"), window)
+    return exploded.select(
+        id_col, "chunk_idx",
+        F.size(chunk).alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"))
+
+
 def ngram_contamination(corpus: DataFrame, eval_pred,
                         n: int = 8,
                         text_col: str = "text",
@@ -84,14 +143,7 @@ def ngram_contamination(corpus: DataFrame, eval_pred,
     contract -> broadcast at scale)."""
     from .text import tokenize
     toks = tokenize(F.col(text_col))
-    # Guard len < n: F.sequence(1, 0) would go DESCENDING in Spark.
-    shingles = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
-                                         for j in range(n)])))
-    ).otherwise(F.array().cast("array<string>"))
+    shingles = F.array_distinct(_word_ngrams(toks, n))
     sh = corpus.select(
         id_col, F.explode(shingles).alias("shingle"),
         eval_pred.alias("is_eval"))

@@ -726,6 +726,64 @@ GROUP BY t.doc_id
 """
 
 
+def x14_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: duplicate 2-/3-gram
+    fractions per doc + keep flag."""
+    from ..operators import curation
+    doc = load_table(spark, sf_dir, "documents")
+    r = curation.repetition_stats(F.col("text"))
+    return doc.select("doc_id",
+                      r["dup_2gram_frac"].alias("dup_2gram_frac"),
+                      r["dup_3gram_frac"].alias("dup_3gram_frac"),
+                      r["keep"].alias("keep"))
+
+
+def _ngram_sql(n: int) -> str:
+    joined = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]"
+                                for j in range(n))
+    return (f"LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - {n - 1}, 0) + 1), "
+            f"i -> {joined})")
+
+
+X14_SQL = f"""
+WITH s AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
+g AS (SELECT doc_id, {_ngram_sql(2)} AS g2, {_ngram_sql(3)} AS g3 FROM s),
+f AS (SELECT doc_id,
+             ROUND(CASE WHEN LEN(g2) > 0
+               THEN 1.0 - CAST(LEN(LIST_DISTINCT(g2)) AS DOUBLE) / LEN(g2)
+               ELSE 0.0 END, 6) AS dup_2gram_frac,
+             ROUND(CASE WHEN LEN(g3) > 0
+               THEN 1.0 - CAST(LEN(LIST_DISTINCT(g3)) AS DOUBLE) / LEN(g3)
+               ELSE 0.0 END, 6) AS dup_3gram_frac
+      FROM g)
+SELECT doc_id, dup_2gram_frac, dup_3gram_frac,
+       dup_2gram_frac <= 0.30 AND dup_3gram_frac <= 0.20 AS keep
+FROM f
+"""
+
+
+def x15_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (window 64, stride 48)."""
+    from ..operators import curation
+    doc = load_table(spark, sf_dir, "documents")
+    return curation.chunk_tokens(doc, window=64, stride=48)
+
+
+X15_SQL = f"""
+WITH s AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
+e AS (SELECT doc_id, toks,
+             UNNEST(RANGE(1, LEN(toks) + 1, 48)) AS start,
+             GENERATE_SUBSCRIPTS(RANGE(1, LEN(toks) + 1, 48), 1) - 1
+               AS chunk_idx
+      FROM s WHERE LEN(toks) > 0)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       LEN(toks[start : start + 63]) AS chunk_len,
+       MD5(LIST_AGGREGATE(toks[start : start + 63], 'string_agg', ' '))
+         AS chunk_md5
+FROM e
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -757,6 +815,8 @@ QUERIES: dict[str, tuple] = {
     "x11_markup_strip": (x11_markup_strip, X11_SQL),
     "x12_mixture_weights": (x12_mixture_weights, X12_SQL),
     "x13_contamination": (x13_contamination, X13_SQL),
+    "x14_repetition_filter": (x14_repetition_filter, X14_SQL),
+    "x15_chunk_tokens": (x15_chunk_tokens, X15_SQL),
     "x1_lang_id": (x1_lang_id, text.LANG_ID_SQL),
     "x2_quality_score": (x2_quality_score, text.QUALITY_SQL),
     "x3_fingerprint": (x3_fingerprint, X3_SQL),
