@@ -23,6 +23,8 @@ from .text import token_set, tokenize
 # SURVEY §2B L6): h_i(x) = (a_i * xxhash64(x) + b_i) mod p.
 # 31-bit modulus keeps a*h + b < 2^63 (no ANSI overflow): a,h < 2^31.
 _MERSENNE31 = (1 << 31) - 1
+# Previous jaccard_pairs tokenized-set cache (see its persist note).
+_PREV_SETS: list = []
 N_HASHES = 32
 N_BANDS = 8           # 8 bands x 4 rows: catches jaccard >= ~0.7 w.h.p.
 ROWS_PER_BAND = N_HASHES // N_BANDS
@@ -90,13 +92,21 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.8,
     explicit small-corpus option (full recall, O(band^2) cost)."""
     # Persisted: the vocabulary probe below and the pair join both
     # consume the tokenized sets — one tokenize pass, not two.
-    # localCheckpoint (not persist): materializes the tokenize pass
-    # once for the probe + join, truncates lineage, and the blocks
-    # are dropped automatically when the DataFrame is GC'd — no
-    # cached-block accumulation across repeated calls (bench runs
-    # this 3x; l5/l11 share it).
+    # persist (lazy cache) shares the tokenize pass between the
+    # vocabulary probe and the pair join.  To keep repeated calls
+    # from accumulating cached blocks in executor storage (bench runs
+    # this 3x; l5/l11 share it), each call unpersists the PREVIOUS
+    # call's cache — at most one tokenized frame is ever cached.
+    # (localCheckpoint would auto-clean on GC but its eager
+    # block-manager write costs ~25% of the operator's runtime.)
+    while _PREV_SETS:
+        try:
+            _PREV_SETS.pop().unpersist(blocking=False)
+        except Exception:
+            pass
     sets_df = df.select(
-        "doc_id", token_set(F.col(text_col)).alias("toks")).localCheckpoint()
+        "doc_id", token_set(F.col(text_col)).alias("toks")).persist()
+    _PREV_SETS.append(sets_df)
     vocab = [r["t"] for r in sets_df
              .select(F.explode("toks").alias("t")).distinct()
              .orderBy("t").limit(65).collect()]
