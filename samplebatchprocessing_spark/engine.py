@@ -64,13 +64,18 @@ class Engine:
                        in_prefix: str = "input/",
                        out_prefix: str = "output/",
                        transform: Callable[[bytes], bytes] | None = None,
-                       ext: str = ".out") -> DataFrame:
+                       command: str | None = None,
+                       ext: str = ".out",
+                       commit: str = "replace") -> DataFrame:
         """SendJobs+GetJobs in one call: manifest every file under
-        ``bucket_dir/in_prefix``, apply ``transform`` (default:
-        identity, the reference's `cp`), write results to
+        ``bucket_dir/in_prefix``, apply ``transform`` (a Python
+        ``bytes -> bytes``) or ``command`` (the reference's external
+        program, run as ``[command, in, out]``; default: identity,
+        the reference's `cp`), write results to
         ``bucket_dir/out_prefix`` with the deterministic key
         ``file_name + ext``. Returns the commit log."""
         manifest = build_manifest(self.spark, bucket_dir,
                                   in_prefix, out_prefix)
         return run_pipeline(self.spark, manifest,
-                            transform=transform, ext=ext)
+                            transform=transform, command=command,
+                            ext=ext, commit=commit)

@@ -147,10 +147,22 @@ def run_pipeline(spark: SparkSession, manifest: DataFrame,
         raise ValueError("manifest contains no 'process' jobs")
 
     joined = jobs.join(files, ["bucket", "in_prefix", "file_name"])
+    return (joined
+            .select("bucket", "in_prefix", "out_prefix", "file_name",
+                    "content")
+            .mapInPandas(_file_processor(transform, ext, commit),
+                         LOG_SCHEMA))
 
-    out_schema = ("file_name string, in_bytes long, out_bytes long, "
-                  "out_path string, ok boolean")
 
+LOG_SCHEMA = ("file_name string, in_bytes long, out_bytes long, "
+              "out_path string, ok boolean")
+
+
+def _file_processor(transform: Callable[[bytes], bytes],
+                    ext: str, commit: str):
+    """Arrow-batched per-file worker shared by the batch pipeline and
+    the streaming watcher: transform bytes, commit to the
+    deterministic key, emit one log row per file."""
     def _process(batches: Iterator) -> Iterator:
         import pandas as pd
         for pdf in batches:
@@ -180,8 +192,68 @@ def run_pipeline(spark: SparkSession, manifest: DataFrame,
                              out_path, ok))
             yield pd.DataFrame(rows, columns=[
                 "file_name", "in_bytes", "out_bytes", "out_path", "ok"])
+    return _process
 
-    return (joined
-            .select("bucket", "in_prefix", "out_prefix", "file_name",
-                    "content")
-            .mapInPandas(_process, out_schema))
+
+def watch_prefix(spark: SparkSession, bucket_dir: str,
+                 in_prefix: str = "input/",
+                 out_prefix: str = "output/",
+                 transform: Callable[[bytes], bytes] | None = None,
+                 command: str | None = None,
+                 ext: str = ".out",
+                 commit: str = "replace",
+                 checkpoint: str | None = None) -> DataFrame:
+    """The reference's LONG-POLL CONSUMER (GetJobs.py:21-23), made
+    rigorous: watch ``bucket_dir/in_prefix`` as a binaryFile
+    micro-batch stream; every newly discovered file is one job
+    (new-file discovery == SQS message arrival, R3/R4), processed by
+    the same transform/commit worker as :func:`run_pipeline`.
+
+    Exactly the reference's delivery contract, strengthened:
+    - streaming CHECKPOINT == delete-on-success (GetJobs.py:37-40) —
+      a processed file is never redelivered across restarts;
+    - task retry + idempotent deterministic output key == visibility
+      timeout redelivery (README.md:44-47);
+    - ``Trigger.AvailableNow`` == one drain-the-queue run — the call
+      returns when the backlog is empty instead of looping forever.
+
+    The per-file commit LOG is appended to
+    ``bucket_dir/_commit_log`` (parquet) by each micro-batch — an
+    executor-written sink, no driver accumulation — and returned as
+    a DataFrame.
+    """
+    from ..session import ship_package
+    ship_package(spark)
+    if transform is not None and command is not None:
+        raise ValueError("pass either transform= or command=, not both")
+    if command is not None:
+        transform = _command_transform(command)
+    transform = transform or (lambda b: b)
+
+    in_dir = os.path.join(bucket_dir, in_prefix)
+    log_dir = os.path.join(bucket_dir, "_commit_log")
+    checkpoint = checkpoint or os.path.join(bucket_dir, "_checkpoint")
+    # file streams need an explicit schema; binaryFile's is fixed
+    schema = ("path string, modificationTime timestamp, "
+              "length long, content binary")
+    sdf = (spark.readStream.format("binaryFile").schema(schema)
+           .load(in_dir))
+    proc = _file_processor(transform, ext, commit)
+
+    def _each_batch(batch_df: DataFrame, _bid: int) -> None:
+        log = (batch_df.select(
+            F.lit(bucket_dir).alias("bucket"),
+            F.lit(in_prefix).alias("in_prefix"),
+            F.lit(out_prefix).alias("out_prefix"),
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("file_name"),
+            "content")
+            .mapInPandas(proc, LOG_SCHEMA))
+        log.write.mode("append").parquet(log_dir)
+
+    q = (sdf.writeStream.foreachBatch(_each_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    if not os.path.exists(log_dir):     # nothing ever processed
+        return spark.createDataFrame([], LOG_SCHEMA)
+    return spark.read.parquet(log_dir)

@@ -240,6 +240,36 @@ FROM read_blob('/root/testdata/sf0.01/*.parquet')
 """
 
 
+def p10_watch_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: the reference's long-poll consumer as a CHECKPOINTED
+    binaryFile stream (R4 made rigorous) — stage the fixture files as
+    input objects, drain with Trigger.AvailableNow, return the
+    distinct commit log.  Re-running is a no-op drain (checkpoint ==
+    SQS delete-on-success), so the log is stable across repeats and
+    oracle-checkable against the blob listing."""
+    import glob
+    import shutil
+
+    from ..pipeline.manifest import watch_prefix
+
+    bucket = _work_dir(sf_dir, "p10_watch")
+    in_dir = os.path.join(bucket, "input")
+    os.makedirs(in_dir, exist_ok=True)
+    for src in sorted(glob.glob(f"{sf_dir.rstrip('/')}/*.parquet")):
+        dst = os.path.join(in_dir, os.path.basename(src))
+        if not os.path.exists(dst):
+            shutil.copy(src, dst)
+    log = watch_prefix(spark, bucket)
+    return log.select("file_name", "in_bytes", "out_bytes", "ok").distinct()
+
+
+P10_SQL = """
+SELECT parse_filename(filename) AS file_name,
+       size AS in_bytes, size AS out_bytes, TRUE AS ok
+FROM read_blob('/root/testdata/sf0.01/*.parquet')
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "p1_parquet_scan": (p1_parquet_scan, P1_SQL),
     "p2_csv_roundtrip": (p2_csv_roundtrip, P2_SQL),
@@ -249,4 +279,5 @@ QUERIES: dict[str, tuple] = {
     "p7_partitioned_sink": (p7_partitioned_sink, P7_SQL),
     "p8_manifest_pipeline": (p8_manifest_pipeline, P8_SQL),
     "p9_orc_roundtrip": (p9_orc_roundtrip, P9_SQL),
+    "p10_watch_prefix": (p10_watch_prefix, P10_SQL),
 }

@@ -134,3 +134,30 @@ def test_cli_send_get_end_to_end(spark, bucket, sf_smoke, capsys):
         out = os.path.join(cli_bucket, "output", name + ".out")
         assert (hashlib.md5(open(src, "rb").read()).hexdigest()
                 == hashlib.md5(open(out, "rb").read()).hexdigest())
+
+
+def test_watch_prefix_streaming_pipeline(spark, bucket, sf_smoke):
+    """Streaming GetJobs (R4): a drain run processes the backlog
+    byte-exactly; a second drain with the same checkpoint redelivers
+    NOTHING (the reference's delete-on-success); newly arriving files
+    are picked up by the next drain."""
+    from samplebatchprocessing_spark.pipeline.manifest import watch_prefix
+    log1 = watch_prefix(spark, bucket)
+    rows1 = log1.collect()
+    assert len(rows1) == 4 and all(r["ok"] for r in rows1)
+    for src in glob.glob(os.path.join(bucket, "input", "*")):
+        out = os.path.join(bucket, "output",
+                           os.path.basename(src) + ".out")
+        assert (hashlib.md5(open(src, "rb").read()).hexdigest()
+                == hashlib.md5(open(out, "rb").read()).hexdigest())
+
+    # drain again: checkpoint == delete-on-success -> no reprocessing
+    log2 = watch_prefix(spark, bucket)
+    assert log2.count() == 4
+
+    # a new file arrives -> exactly one more job on the next drain
+    extra = sorted(glob.glob(f"{sf_smoke}/*.parquet"))[5]
+    shutil.copy(extra, os.path.join(bucket, "input", "late_arrival.bin"))
+    log3 = watch_prefix(spark, bucket)
+    assert log3.count() == 5
+    assert log3.filter("file_name = 'late_arrival.bin'").first()["ok"]
