@@ -230,20 +230,28 @@ GROUP BY token
 
 def tfidf(df: DataFrame, text_col: str = "text") -> DataFrame:
     """L4: TF-IDF — tf(doc, token) * (ln((N+1)/(df+1)) + 1), rounded
-    6 dp. Two shuffles: per-(doc,token) counts, then a broadcast-able
-    doc-frequency join (vocabulary is small relative to the corpus).
-    """
+    6 dp.
+
+    Plan: per-(doc,token) counts (one shuffle of the exploded token
+    stream), then doc-frequency as a COUNT window over the SAME tf
+    rows partitioned by token (second, token-keyed shuffle).  The
+    earlier broadcast-join formulation recomputed the explode+count
+    subtree — Spark's exchange reuse did not fire across the two
+    branches, so the heaviest stage ran twice and the corpus was
+    scanned three times; the window form tokenizes exactly once,
+    which is the difference that matters at 100 TB.  n_docs is a
+    separate doc_id-only scan (column-pruned, cheap) broadcast as one
+    row."""
+    from pyspark.sql import Window as W
     toks = df.select("doc_id",
                      F.explode(tokenize(F.col(text_col))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("tf"))
-    # doc-frequency derived from tf (one row per (doc, token)) — no
-    # second explode/shuffle over the raw token stream
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct("doc_id").alias("n_docs"))
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("token")))
     return (
-        tf.join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(n_docs))
+        with_df.crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id", "token", "tf", "df",
             F.round(

@@ -189,3 +189,17 @@ def test_bpe_counts_two_phase(spark, sf_smoke):
     doc = load_table(spark, sf_smoke, "documents")
     plan = plan_str(bpe_token_counts(doc))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_tfidf_single_tokenize_pass(spark, sf_smoke):
+    """TF-IDF must tokenize the corpus exactly once: doc-frequency
+    comes from a window over the tf rows, not a rejoined recompute of
+    the explode+count subtree (which Spark does NOT reuse — it ran
+    the heaviest stage twice and scanned the corpus three times)."""
+    from samplebatchprocessing_spark.operators.text import tfidf
+    doc = load_table(spark, sf_smoke, "documents")
+    df = tfidf(doc)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one scan for the token stream + one doc_id-only scan for n_docs
+    assert plan.count("FileScan parquet") == 2, plan[:1500]
