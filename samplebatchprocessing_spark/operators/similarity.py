@@ -35,7 +35,10 @@ def cosine_expr(a, b):
     dot = _seq_sum(F.zip_with(ad, bd, lambda x, y: x * y))
     na = _seq_sum(F.zip_with(ad, ad, lambda x, y: x * y))
     nb = _seq_sum(F.zip_with(bd, bd, lambda x, y: x * y))
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    # try_divide: a zero-norm vector scores NULL (never a match)
+    # instead of raising under ANSI mode — DuckDB's `/` is already
+    # NULL on a zero divisor, so the twins agree.
+    return F.try_divide(dot, F.sqrt(na) * F.sqrt(nb))
 
 
 def cosine_sql_expr(a: str, b: str) -> str:
@@ -95,7 +98,16 @@ def cosine_topk(emb: DataFrame, query_pred, k: int = 5) -> DataFrame:
     one exchange carries ~partitions x queries x k rows, not
     |corpus| x |queries|; results are bit-identical because the prune
     keeps every global-top-k candidate and doubles cross Arrow
-    losslessly."""
+    losslessly.
+
+    Zero-norm invariant: a zero-norm embedding has no direction, so
+    the declared semantics are "zero-norm vectors never match".  The
+    hazards differ per path — ANSI Spark RAISES on 0/0, numpy yields
+    NaN which lexsort(-cosine) silently prunes while Spark's ORDER BY
+    DESC would rank it FIRST — so every path drops such rows: the
+    expression paths score them NULL via try_divide (DuckDB's `/` is
+    NULL on zero divisors, keeping the twins aligned) and filter
+    NULL/NaN before ranking; the numpy kernel masks NaN scores."""
     queries = emb.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -108,9 +120,10 @@ def cosine_topk(emb: DataFrame, query_pred, k: int = 5) -> DataFrame:
     qd = F.transform("q_emb", lambda x: x.cast("double"))
     cd = F.transform("embedding", lambda x: x.cast("double"))
     dot = _seq_sum(F.zip_with(qd, cd, lambda x, y: x * y))
-    cos = dot / (F.col("q_norm") * F.col("c_norm"))
+    cos = F.try_divide(dot, F.col("q_norm") * F.col("c_norm"))
     scored = _partition_topk(
-        pairs.select("query_id", "vec_id", cos.alias("cosine")), k)
+        pairs.select("query_id", "vec_id", cos.alias("cosine"))
+        .filter(F.col("cosine").isNotNull() & ~F.isnan("cosine")), k)
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id"))
     return (scored
@@ -136,7 +149,7 @@ def sim_join(emb: DataFrame, threshold: float,
     ad = F.transform("emb_a", lambda x: x.cast("double"))
     bd = F.transform("emb_b", lambda x: x.cast("double"))
     dot = _seq_sum(F.zip_with(ad, bd, lambda x, y: x * y))
-    cos = dot / (F.col("norm_a") * F.col("norm_b"))
+    cos = F.try_divide(dot, F.col("norm_a") * F.col("norm_b"))
     return (pairs.select("blk", "vec_a", "vec_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold)
             .withColumn("cosine", F.round("cosine", 6)))
@@ -158,7 +171,8 @@ def brute_force_topk_numpy(emb: DataFrame, query_pred,
     import numpy as np
     q_ids = [r["vec_id"] for r in queries]
     q_mat = np.array([r["embedding"] for r in queries], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
     spark = emb.sparkSession
     b_ids = spark.sparkContext.broadcast(q_ids)
     b_mat = spark.sparkContext.broadcast(q_mat)
@@ -173,12 +187,15 @@ def brute_force_topk_numpy(emb: DataFrame, query_pred,
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy()
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             sims = mat @ qm.T                      # (n_cand, n_query)
             frames = []
             for j in range(sims.shape[1]):
                 col = sims[:, j]
-                mask = ids != qi[j]
+                # drop NaN (zero-norm) scores — same invariant as the
+                # exact path, where lexsort/DESC would otherwise differ
+                mask = (ids != qi[j]) & ~np.isnan(col)
                 cid, cs = ids[mask], col[mask]
                 if len(cid) > k:                   # partition-local prune
                     # lexsort on (-cosine, vec_id): keeps the declared
@@ -309,6 +326,7 @@ def ivf_topk(emb: DataFrame, query_pred, k: int = 5,
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id"))
     return (pairs.select("query_id", "vec_id", cos.alias("cosine"))
+            .filter(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .withColumn("cosine", F.round("cosine", 6)))
@@ -382,6 +400,7 @@ def lsh_topk(emb: DataFrame, query_pred, k: int = 5,
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id"))
     return (pairs.select("query_id", "vec_id", cos.alias("cosine"))
+            .filter(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .withColumn("cosine", F.round("cosine", 6)))

@@ -71,10 +71,13 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> dict:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
 
-    # Queries over raw file paths (L9 binary ingest) hardcode the
-    # driver's sf0.01 dir in their SQL; retarget for local runs at
-    # other scale factors.
-    oracle_sql = oracle_sql.replace("/root/testdata/sf0.01", sf_dir.rstrip("/"))
+    # Queries over raw file paths (L9/P8/P10/mm* read_blob) hardcode
+    # the driver's sf0.01 dir in their SQL (the driver's oracle_sql()
+    # interface is a static string and it always runs at sf0.01);
+    # retarget ANY sf literal for local runs at other scale factors.
+    import re
+    oracle_sql = re.sub(r"/root/testdata/sf[0-9.]+",
+                        sf_dir.rstrip("/"), oracle_sql)
 
     conn = duck_conn(sf_dir)
     try:

@@ -34,7 +34,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 MANIFEST_SCHEMA = ("action string, bucket string, in_prefix string, "
@@ -219,8 +219,12 @@ def watch_prefix(spark: SparkSession, bucket_dir: str,
 
     The per-file commit LOG is appended to
     ``bucket_dir/_commit_log`` (parquet) by each micro-batch — an
-    executor-written sink, no driver accumulation — and returned as
-    a DataFrame.
+    executor-written sink, no driver accumulation.  Each row is
+    tagged with a per-run sequence number and the micro-batch id; the
+    RETURNED DataFrame is the cumulative log deduped to the NEWEST
+    row per file (a file that failed under an old checkpoint and
+    succeeded after a fresh one must not surface both its ok=false
+    and ok=true rows).  The on-disk log keeps full history.
     """
     from ..session import ship_package
     ship_package(spark)
@@ -240,14 +244,22 @@ def watch_prefix(spark: SparkSession, bucket_dir: str,
            .load(in_dir))
     proc = _file_processor(transform, ext, commit)
 
-    def _each_batch(batch_df: DataFrame, _bid: int) -> None:
+    import time
+    # Monotone across runs (unlike the checkpointed batch id, which
+    # RESETS when the user starts a fresh checkpoint) — gives the
+    # history-wide dedupe a global "newest wins" order.
+    run_seq = float(time.time())
+
+    def _each_batch(batch_df: DataFrame, bid: int) -> None:
         log = (batch_df.select(
             F.lit(bucket_dir).alias("bucket"),
             F.lit(in_prefix).alias("in_prefix"),
             F.lit(out_prefix).alias("out_prefix"),
             F.regexp_extract("path", r"([^/]+)$", 1).alias("file_name"),
             "content")
-            .mapInPandas(proc, LOG_SCHEMA))
+            .mapInPandas(proc, LOG_SCHEMA)
+            .withColumn("run_seq", F.lit(run_seq))
+            .withColumn("batch_id", F.lit(bid)))
         log.write.mode("append").parquet(log_dir)
 
     q = (sdf.writeStream.foreachBatch(_each_batch)
@@ -256,4 +268,15 @@ def watch_prefix(spark: SparkSession, bucket_dir: str,
     q.awaitTermination()
     if not os.path.exists(log_dir):     # nothing ever processed
         return spark.createDataFrame([], LOG_SCHEMA)
-    return spark.read.parquet(log_dir)
+    full = spark.read.parquet(log_dir)
+    if "run_seq" not in full.columns:   # pre-tagging log on disk
+        return full
+    # Latest row per file: a file that failed under an old checkpoint
+    # and succeeded after a fresh one surfaces ONLY its newest (ok)
+    # row; the on-disk log keeps the full history.
+    w = (W.partitionBy("file_name")
+         .orderBy(F.col("run_seq").desc(), F.col("batch_id").desc(),
+                  F.col("ok").desc()))
+    return (full.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "run_seq", "batch_id"))

@@ -105,7 +105,10 @@ def l6_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     red.  Raw candidate pairs: ``operators.dedup.minhash_lsh_pairs``."""
     doc = load_table(spark, sf_dir, "documents")
     cand = dedup.minhash_lsh_pairs(doc).withColumn("hit", F.lit(1))
-    truth = dedup.jaccard_pairs(doc, threshold=0.8).select("doc_a", "doc_b")
+    # open_vocab="band": the truth set must NOT be derived from the LSH
+    # candidates being measured, or recall is circular off-fixture.
+    truth = (dedup.jaccard_pairs(doc, threshold=0.8, open_vocab="band")
+             .select("doc_a", "doc_b"))
     return (truth.join(cand, ["doc_a", "doc_b"], "left")
             .agg(F.count(F.lit(1)).alias("n_true_pairs"),
                  ((F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)))
@@ -134,7 +137,10 @@ def l6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared < 20); the pair count is the exact cross-engine column.
     Raw fingerprints: ``operators.dedup.simhash``."""
     doc = load_table(spark, sf_dir, "documents")
-    near = dedup.jaccard_pairs(doc, threshold=0.9).select("doc_a", "doc_b")
+    # open_vocab="band" keeps the near-pair set aligned with the band-based
+    # SQL twin (and independent of the LSH path) on any vocabulary size.
+    near = (dedup.jaccard_pairs(doc, threshold=0.9, open_vocab="band")
+            .select("doc_a", "doc_b"))
     sh = dedup.simhash(doc)
     a = sh.select(F.col("doc_id").alias("doc_a"),
                   F.col("simhash").alias("sh_a"))
@@ -169,7 +175,7 @@ scored AS (
 SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
   SELECT query_id, vec_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-  FROM scored
+  FROM scored WHERE NOT ISNAN(cosine)
 ) WHERE rank <= 5
 """
 
@@ -232,7 +238,7 @@ SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
   SELECT query_id, vec_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, vec_id) AS rank
-  FROM scored) WHERE rank <= 5
+  FROM scored WHERE NOT ISNAN(cosine)) WHERE rank <= 5
 """
 
 
@@ -284,7 +290,9 @@ def l11_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines must assign every doc the minimum doc_id of its
     component.  Union-find equality additionally pytest-checked."""
     doc = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(doc, threshold=0.9)
+    # open_vocab="band" matches the recursive-CTE oracle's band edge set
+    # regardless of vocabulary size (LSH candidates would drop edges).
+    pairs = dedup.jaccard_pairs(doc, threshold=0.9, open_vocab="band")
     return dedup.dedup_clusters(pairs)
 
 

@@ -195,8 +195,8 @@ SELECT doc_id,
        STRING_SPLIT(text, ' ')[-1] AS tok_last,
        CAST(TO_JSON(LIST_TRANSFORM(STRING_SPLIT(text, ' ')[1:3], x -> UPPER(x))) AS VARCHAR) AS head3_upper,
        CAST(TO_JSON(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 4)) AS VARCHAR) AS long_tokens,
-       LIST_AGGREGATE(LIST_TRANSFORM(STRING_SPLIT(text, ' '), x -> LENGTH(x)), 'sum')
-         AS total_token_chars
+       CAST(LIST_AGGREGATE(LIST_TRANSFORM(STRING_SPLIT(text, ' '), x -> LENGTH(x)), 'sum')
+            AS BIGINT) AS total_token_chars
 FROM documents
 """
 

@@ -383,3 +383,27 @@ def test_contamination_is_equi_join(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert df.count() >= 0
+
+
+def test_zero_norm_vectors_dropped_consistently(spark):
+    """ADVICE r2: a zero-norm embedding scores cosine = NaN; Spark's
+    ORDER BY DESC ranks NaN first while numpy lexsort prunes it —
+    the declared invariant is that NaN rows are DROPPED on every
+    path, so the exact and numpy top-k stay identical."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),     # zero-norm: never a match
+            (3, [0.5, 0.5, 0.0, 0.0]),
+            (4, [0.0, 1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    pred = F.col("vec_id") == 0
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in similarity.cosine_topk(emb, pred, k=3).collect()}
+    fast = {(r["query_id"], r["rank"]): r["vec_id"]
+            for r in similarity.brute_force_topk_numpy(
+                emb, pred, k=3).collect()}
+    assert exact == fast
+    assert 2 not in exact.values(), "zero-norm vector must be dropped"
+    assert set(exact.values()) == {1, 3, 4}

@@ -161,3 +161,27 @@ def test_watch_prefix_streaming_pipeline(spark, bucket, sf_smoke):
     log3 = watch_prefix(spark, bucket)
     assert log3.count() == 5
     assert log3.filter("file_name = 'late_arrival.bin'").first()["ok"]
+
+
+def test_watch_prefix_retry_dedupes_log(spark, bucket):
+    """ADVICE r2: a file that FAILED under one checkpoint and
+    SUCCEEDED after a fresh one must surface only its newest (ok)
+    row — the cumulative _commit_log keeps both, the returned
+    DataFrame dedupes to latest-per-file."""
+    import os
+
+    from samplebatchprocessing_spark.pipeline.manifest import watch_prefix
+
+    def boom(b: bytes) -> bytes:
+        raise RuntimeError("transform failed")
+
+    bad = watch_prefix(spark, bucket, transform=boom, ext=".out",
+                       checkpoint=os.path.join(bucket, "_ckpt_bad"))
+    assert bad.count() == 4 and not any(r["ok"] for r in bad.collect())
+
+    # fresh checkpoint redelivers every file; identity transform wins
+    good = watch_prefix(spark, bucket,
+                        checkpoint=os.path.join(bucket, "_ckpt_good"))
+    rows = good.collect()
+    assert len(rows) == 4, "ok=false + ok=true rows must collapse"
+    assert all(r["ok"] for r in rows)
