@@ -663,23 +663,32 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 
 
 def j9_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9: TPC-H Q5-style 6-way star join. Dims broadcast; the only
-    shuffles are fact-fact (orders⋈lineitem) and the final 2-phase
-    agg — the canonical 100 TB plan."""
+    """J9: TPC-H Q5-style 6-way star join, with the region predicate
+    pushed to the FRONT of the join tree: region is filtered first,
+    folded into nation then supplier (all broadcast), and the
+    restricted supplier dim broadcast-joins lineitem BEFORE the
+    fact-fact shuffle — so the 2-of-5-regions filter drops ~60% of
+    lineitem rows before either shuffle (orders⋈lineitem, final agg)
+    instead of after all six joins.  At 100 TB that is the difference
+    between shuffling 40 TB and 100 TB; Catalyst won't reorder
+    user-declared joins this way on its own."""
     cust = _t(spark, sf_dir, "customer")
     ord_ = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
+    nr = (nat.join(F.broadcast(reg.filter(
+              F.col("r_name").isin("ASIA", "EUROPE"))),
+              nat.n_regionkey == reg.r_regionkey)
+          .select("n_nationkey", "n_name", "r_name"))
+    sup_f = (sup.join(F.broadcast(nr), sup.s_nationkey == nr.n_nationkey)
+             .select("s_suppkey", "s_nationkey", "n_name", "r_name"))
     return (
-        li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+        li.join(F.broadcast(sup_f), li.l_suppkey == sup_f.s_suppkey)
+        .join(ord_, li.l_orderkey == ord_.o_orderkey)
         .join(cust, ord_.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), (li.l_suppkey == sup.s_suppkey)
-              & (cust.c_nationkey == sup.s_nationkey))
-        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
-        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("r_name", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                   "revenue"),
