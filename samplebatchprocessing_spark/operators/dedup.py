@@ -14,7 +14,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import token_set, tokenize
@@ -392,3 +392,65 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
     cos = cosine_expr(F.col("emb_a"), F.col("emb_b"))
     return (pairs.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def paragraph_dedup(df: DataFrame, chunk: int = 5,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """C4/RefinedWeb-style PARAGRAPH-level exact dedup: split each
+    document into fixed-width token chunks ("paragraphs" — the
+    fixture text has no newlines), keep only the corpus-wide FIRST
+    occurrence of every chunk (ordered by doc_id, position), and
+    reassemble each document from its surviving chunks.  A document
+    whose every chunk already appeared elsewhere disappears entirely.
+
+    Scale (100 TB): one explode (row-local), ONE shuffle keyed by the
+    chunk text for the keep-first window, one reassembly agg keyed by
+    doc id.  Chunk totals ride along as a pre-explode expression, so
+    no extra pass or join.  All JVM expressions — no UDF.
+    """
+    toks = F.split(text_col, " ")
+    n_total = F.ceil(F.size(toks) / F.lit(chunk)).cast("long")
+    paras = (df.select(
+        id_col,
+        n_total.alias("n_paras_total"),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), (n_total - 1).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * chunk + 1, chunk))))
+        .alias("pos", "para")))
+    w = Window.partitionBy("para").orderBy(id_col, "pos")
+    kept = (paras.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "para"))),
+                        lambda s: s.getField("para")), " ")
+                 .alias("text_clean"),
+                 F.count(F.lit(1)).alias("n_paras_kept"),
+                 F.max("n_paras_total").alias("n_paras_total")))
+
+
+def incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Snapshot-ingest dedup: admit only NEW-batch documents whose
+    exact content (md5) appears neither in the existing corpus nor
+    earlier in the batch itself (keep-first by id within the batch).
+
+    Scale (100 TB): the corpus side reduces to DISTINCT hashes before
+    the join — at real scale that's the previous snapshot's persisted
+    hash index, so each ingest shuffles only the new batch plus a
+    hash column, never re-reads corpus text.  Left-anti hash join +
+    one keep-first window, both keyed on the content hash.
+    """
+    nh = new_df.withColumn("_h", F.md5(F.col(text_col)))
+    w = Window.partitionBy("_h").orderBy(id_col)
+    batch_first = (nh.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+    corpus_hashes = (corpus_df
+                     .select(F.md5(F.col(text_col)).alias("_h"))
+                     .distinct())
+    return (batch_first.join(corpus_hashes, "_h", "left_anti")
+            .drop("_h"))

@@ -792,6 +792,56 @@ FROM e
 """
 
 
+def l13_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L13: C4-style paragraph-level exact dedup — fixed-width token
+    chunks, corpus-wide keep-first, reassembled documents.  Fully
+    hash-matchable: chunking, the keep-first window, and reassembly
+    order are all deterministic in both engines."""
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup(doc, chunk=5)
+
+
+L13_SQL = """
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+p AS (SELECT doc_id, i AS pos,
+             ARRAY_TO_STRING(toks[(i*5+1):(i*5+5)], ' ') AS para,
+             CAST(CEIL(LEN(toks)/5.0) AS BIGINT) AS n_paras_total
+      FROM t, LATERAL (SELECT UNNEST(RANGE(0,
+               CAST(CEIL(LEN(toks)/5.0) AS INT))) AS i) r),
+k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY para
+                                   ORDER BY doc_id, pos) AS rn
+      FROM p)
+SELECT doc_id,
+       STRING_AGG(para, ' ' ORDER BY pos) AS text_clean,
+       COUNT(*) AS n_paras_kept,
+       MAX(n_paras_total) AS n_paras_total
+FROM k WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+def l14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L14: snapshot-ingest dedup — the src0 slice plays the existing
+    corpus, everything else the incoming batch; admit batch docs whose
+    exact content is new to both the corpus and the batch so far."""
+    doc = load_table(spark, sf_dir, "documents")
+    corpus = doc.filter(F.col("source") == "src0")
+    batch = doc.filter(F.col("source") != "src0")
+    return (dedup.incremental_dedup(batch, corpus)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+L14_SQL = """
+WITH corpus AS (SELECT DISTINCT MD5(text) AS h FROM documents
+                WHERE source = 'src0'),
+b AS (SELECT doc_id, lang, source, n_chars, MD5(text) AS h,
+             ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                                ORDER BY doc_id) AS rn
+      FROM documents WHERE source <> 'src0')
+SELECT doc_id, lang, source, n_chars FROM b
+WHERE rn = 1 AND h NOT IN (SELECT h FROM corpus)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -808,6 +858,8 @@ QUERIES: dict[str, tuple] = {
     "l9_binary_ingest": (l9_binary_ingest, L9_SQL),
     "l10_lang_stats": (l10_lang_stats, L10_SQL),
     "l11_dedup_clusters": (l11_dedup_clusters, L11_SQL),
+    "l13_paragraph_dedup": (l13_paragraph_dedup, L13_SQL),
+    "l14_incremental_dedup": (l14_incremental_dedup, L14_SQL),
     "l7_topk_ivf": (l7_topk_ivf, L7_IVF_SQL),
     "l12_embedding_neardup": (l12_embedding_neardup, L12_SQL),
     "x5_bpe_token_counts": (x5_bpe_token_counts, text.BPE_COUNTS_SQL),
