@@ -454,3 +454,17 @@ def incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
                      .distinct())
     return (batch_first.join(corpus_hashes, "_h", "left_anti")
             .drop("_h"))
+
+
+def apply_dedup_clusters(df: DataFrame, clusters: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Materialize the fuzzy-dedup decision: keep each near-dup
+    cluster's canonical representative (its min-id member, i.e. the
+    doc whose cluster_id equals its own id) plus every document that
+    belongs to no cluster.  One broadcast-or-hash join keyed by id —
+    the cluster table is |graph nodes| rows, far smaller than the
+    corpus at scale."""
+    return (df.join(clusters, id_col, "left")
+            .filter(F.col("cluster_id").isNull()
+                    | (F.col("cluster_id") == F.col(id_col)))
+            .drop("cluster_id"))

@@ -271,3 +271,43 @@ SELECT doc_id, tf.token, tf, df,
        ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1), 6) AS tf_idf
 FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
 """
+
+
+def corpus_freq_score(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Count-based document quality signal — the unigram analog of
+    CCNet's LM-perplexity filter: score each document by the MEAN
+    CORPUS FREQUENCY of its tokens (rare-token-heavy documents are
+    disproportionately boilerplate/noise; unusually common-token-heavy
+    ones are repetitive filler — both tails get gated).
+
+    Plan (single tokenize, like TF-IDF): one explode, a COUNT window
+    keyed by token (vocabulary-bounded shuffle) to attach each
+    token's corpus count, then the per-doc agg.  Integer arithmetic
+    end-to-end — sums are exact, the one double division happens last
+    — so the score is exactly reproducible cross-engine."""
+    from pyspark.sql import Window as W
+    toks = df.select(id_col,
+                     F.explode(tokenize(F.col(text_col))).alias("token"))
+    with_counts = toks.withColumn(
+        "n_occ", F.count(F.lit(1)).over(W.partitionBy("token")))
+    return (with_counts.groupBy(id_col)
+            .agg(F.sum("n_occ").alias("freq_sum"),
+                 F.count(F.lit(1)).alias("n_tokens"))
+            .select(id_col, "freq_sum", "n_tokens",
+                    F.round(F.col("freq_sum").cast("double")
+                            / F.col("n_tokens"), 6)
+                    .alias("mean_token_freq")))
+
+
+CORPUS_FREQ_SQL = f"""
+WITH e AS (SELECT doc_id, UNNEST({tokenize_sql('text')}) AS token
+           FROM documents),
+c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY token) AS n_occ
+      FROM e)
+SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS freq_sum,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(n_occ) AS DOUBLE) / COUNT(*), 6)
+         AS mean_token_freq
+FROM c GROUP BY doc_id
+"""

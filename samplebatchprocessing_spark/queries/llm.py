@@ -842,6 +842,42 @@ WHERE rn = 1 AND h NOT IN (SELECT h FROM corpus)
 """
 
 
+def l15_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L15: the fuzzy-dedup story MATERIALIZED — near-dup pairs
+    (jaccard>=0.9) -> connected components -> keep each cluster's
+    min-id representative plus all unclustered docs.  The surviving
+    corpus is what a training run would actually read."""
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(doc, threshold=0.9, open_vocab="band")
+    clusters = dedup.dedup_clusters(pairs)
+    return (dedup.apply_dedup_clusters(doc, clusters)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+L15_SQL = f"""
+WITH RECURSIVE
+p AS ({_L5_BAND_JACCARD.format(thr='0.9')}),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(node, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
+cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach
+       GROUP BY node)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+WHERE cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id
+"""
+
+
+def x16_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: count-based quality scoring (unigram analog of CCNet's
+    perplexity filter) — mean corpus frequency of each doc's tokens."""
+    doc = load_table(spark, sf_dir, "documents")
+    return text.corpus_freq_score(doc)
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -860,6 +896,8 @@ QUERIES: dict[str, tuple] = {
     "l11_dedup_clusters": (l11_dedup_clusters, L11_SQL),
     "l13_paragraph_dedup": (l13_paragraph_dedup, L13_SQL),
     "l14_incremental_dedup": (l14_incremental_dedup, L14_SQL),
+    "l15_fuzzy_dedup_keep": (l15_fuzzy_dedup_keep, L15_SQL),
+    "x16_corpus_freq_score": (x16_corpus_freq_score, text.CORPUS_FREQ_SQL),
     "l7_topk_ivf": (l7_topk_ivf, L7_IVF_SQL),
     "l12_embedding_neardup": (l12_embedding_neardup, L12_SQL),
     "x5_bpe_token_counts": (x5_bpe_token_counts, text.BPE_COUNTS_SQL),
