@@ -407,3 +407,71 @@ def test_zero_norm_vectors_dropped_consistently(spark):
     assert exact == fast
     assert 2 not in exact.values(), "zero-norm vector must be dropped"
     assert set(exact.values()) == {1, 3, 4}
+
+
+def test_paragraph_dedup_no_repeated_chunks(spark, sf_smoke):
+    """After paragraph dedup, no chunk text may appear twice in the
+    surviving corpus, and every doc's kept count is bounded by its
+    total."""
+    doc = load_table(spark, sf_smoke, "documents")
+    out = dedup.paragraph_dedup(doc, chunk=5)
+    re_split = out.select(
+        F.posexplode(F.split("text_clean", " ")).alias("i", "tok"))
+    # re-chunk the cleaned text the same way and assert global
+    # uniqueness of chunks
+    toks = F.split("text_clean", " ")
+    n = F.ceil(F.size(toks) / F.lit(5)).cast("int")
+    chunks = out.select(F.explode(F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 5 + 1, 5))))
+        .alias("para"))
+    assert chunks.count() == chunks.distinct().count()
+    assert out.filter(F.col("n_paras_kept") > F.col("n_paras_total")).count() == 0
+
+
+def test_incremental_dedup_disjoint_from_corpus(spark, sf_smoke):
+    """Admitted batch docs share no content hash with the corpus and
+    contain no internal duplicates."""
+    doc = load_table(spark, sf_smoke, "documents")
+    corpus = doc.filter(F.col("source") == "src0")
+    batch = doc.filter(F.col("source") != "src0")
+    out = dedup.incremental_dedup(batch, corpus)
+    oh = out.select(F.md5("text").alias("h"))
+    ch = corpus.select(F.md5("text").alias("h")).distinct()
+    assert oh.join(ch, "h").count() == 0
+    assert oh.count() == oh.distinct().count()
+
+
+def test_apply_dedup_clusters_exactly_one_per_cluster(spark, sf_smoke):
+    """The surviving corpus keeps exactly one representative per
+    near-dup cluster and every unclustered doc."""
+    doc = load_table(spark, sf_smoke, "documents")
+    pairs = dedup.jaccard_pairs(doc, threshold=0.9, open_vocab="band")
+    clusters = dedup.dedup_clusters(pairs)
+    kept = dedup.apply_dedup_clusters(doc, clusters)
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    n_clustered_docs = clusters.count()
+    assert kept.count() == doc.count() - n_clustered_docs + n_clusters
+    # every kept clustered doc IS its cluster representative
+    assert (kept.join(clusters, "doc_id")
+            .filter(F.col("cluster_id") != F.col("doc_id")).count() == 0)
+
+
+def test_corpus_freq_score_bounds(spark, sf_smoke):
+    """Scores are bounded by [1, corpus token count] and freq_sum is
+    consistent with an independent two-pass computation."""
+    from samplebatchprocessing_spark.operators import text as text_ops
+    doc = load_table(spark, sf_smoke, "documents")
+    out = text_ops.corpus_freq_score(doc)
+    toks = doc.select("doc_id", F.explode(
+        text_ops.tokenize(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").count()
+    two_pass = (toks.join(counts, "token").groupBy("doc_id")
+                .agg(F.sum("count").alias("fs")))
+    diff = (out.join(two_pass, "doc_id")
+            .filter(F.col("freq_sum") != F.col("fs")).count())
+    assert diff == 0
+    total = toks.count()
+    bad = out.filter((F.col("mean_token_freq") < 1)
+                     | (F.col("mean_token_freq") > total)).count()
+    assert bad == 0
