@@ -270,6 +270,69 @@ FROM read_blob('/root/testdata/sf0.01/*.parquet')
 """
 
 
+def p11_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: small-file compaction — the 100 TB housekeeping op.
+    Stage orders as 64 tiny parquet files (the pathological layout a
+    per-trigger streaming sink leaves behind), compact to 4 with a
+    single repartition write, and prove the compacted copy preserves
+    values (aggregate equality vs the original) while actually
+    shrinking the file count (driver-side listing -> boolean)."""
+    out_small = _work_dir(sf_dir, "p11_small")
+    out_big = _work_dir(sf_dir, "p11_compact")
+    ord_ = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    ord_.repartition(64).write.mode("overwrite").parquet(out_small)
+    small = spark.read.parquet(out_small)
+    small.repartition(4).write.mode("overwrite").parquet(out_big)
+    n_small = len([f for f in os.listdir(out_small)
+                   if f.endswith(".parquet")])
+    n_big = len([f for f in os.listdir(out_big)
+                 if f.endswith(".parquet")])
+    back = spark.read.parquet(out_big)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice", "total"))
+            .withColumn("compacted", F.lit(n_small > n_big)))
+
+
+P11_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total,
+       TRUE AS compacted
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def p12_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: schema-evolution read — two parquet batches written with
+    DIFFERENT column sets (the old snapshot lacks o_custkey, the new
+    one lacks o_totalprice), read as one dataset with mergeSchema;
+    missing columns surface as NULLs.  The oracle derives every
+    aggregate arithmetically from the single orders view (each batch
+    is one full copy), so no staged paths leak into the SQL."""
+    base = _work_dir(sf_dir, "p12_evolve")
+    ord_ = load_table(spark, sf_dir, "orders")
+    ord_.select("o_orderkey", "o_totalprice").write.mode(
+        "overwrite").parquet(os.path.join(base, "b1"))
+    ord_.select("o_orderkey", "o_custkey").write.mode(
+        "overwrite").parquet(os.path.join(base, "b2"))
+    back = (spark.read.option("mergeSchema", True)
+            .parquet(os.path.join(base, "b1"), os.path.join(base, "b2")))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("n_cust"),
+        F.count("o_totalprice").alias("n_price"),
+        F.sum("o_orderkey").alias("key_sum"))
+
+
+P12_SQL = """
+SELECT 2 * COUNT(*) AS n_rows,
+       COUNT(*) AS n_cust,
+       COUNT(*) AS n_price,
+       CAST(2 * SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "p1_parquet_scan": (p1_parquet_scan, P1_SQL),
     "p2_csv_roundtrip": (p2_csv_roundtrip, P2_SQL),
@@ -280,4 +343,6 @@ QUERIES: dict[str, tuple] = {
     "p8_manifest_pipeline": (p8_manifest_pipeline, P8_SQL),
     "p9_orc_roundtrip": (p9_orc_roundtrip, P9_SQL),
     "p10_watch_prefix": (p10_watch_prefix, P10_SQL),
+    "p11_compaction": (p11_compaction, P11_SQL),
+    "p12_schema_merge": (p12_schema_merge, P12_SQL),
 }
