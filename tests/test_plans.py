@@ -203,3 +203,30 @@ def test_tfidf_single_tokenize_pass(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # one scan for the token stream + one doc_id-only scan for n_docs
     assert plan.count("FileScan parquet") == 2, plan[:1500]
+
+
+def test_paragraph_dedup_single_scan_two_exchanges(spark, sf_smoke):
+    """L13 must tokenize/chunk in ONE pass: one parquet scan of
+    documents, one exchange keyed by chunk text (keep-first window),
+    one keyed by doc id (reassembly) — no rejoin that would rescan."""
+    import re
+
+    from samplebatchprocessing_spark.operators import dedup
+    doc = load_table(spark, sf_smoke, "documents")
+    plan = plan_str(dedup.paragraph_dedup(doc, chunk=5))
+    # count detail headers "(N) Op" — the tree section repeats names
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_corpus_freq_score_single_scan(spark, sf_smoke):
+    """X16 must not recompute the explode: one scan, one
+    vocabulary-keyed exchange (COUNT window), one doc-keyed exchange
+    (final agg)."""
+    import re
+
+    from samplebatchprocessing_spark.operators import text as text_ops
+    doc = load_table(spark, sf_smoke, "documents")
+    plan = plan_str(text_ops.corpus_freq_score(doc))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
