@@ -333,6 +333,53 @@ FROM orders
 """
 
 
+def p13_corrupt_tolerant_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: corrupt-record-tolerant ingestion — a malformed-row CSV
+    read under PERMISSIVE mode with a corrupt-record column, so bad
+    rows are quarantined instead of failing the job (the production
+    posture for 100 TB of scraped input; at scale add
+    ``badRecordsPath`` for a quarantine sink).  Every 10th key's line
+    is staged malformed, so the oracle derives clean/corrupt counts
+    arithmetically from the orders view."""
+    out = _work_dir(sf_dir, "p13_corrupt")
+    os.makedirs(out, exist_ok=True)
+    rows = (load_table(spark, sf_dir, "orders")
+            .select("o_orderkey")
+            .filter(F.col("o_orderkey") <= 1000)
+            .orderBy("o_orderkey").collect())
+    path = os.path.join(out, "data.csv")
+    with open(path, "w") as fh:
+        for r in rows:
+            k = r["o_orderkey"]
+            if k % 10 == 0:
+                fh.write("garbage,not-a-number,unexpected,extra\n")
+            else:
+                fh.write(f"{k},{k * 2}\n")
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("doubled", T.LongType()),
+        T.StructField("_corrupt", T.StringType()),
+    ])
+    back = (spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(path))
+    return back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_clean"),
+        F.count("_corrupt").alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("o_orderkey")))
+         .alias("clean_key_sum"))
+
+
+P13_SQL = """
+SELECT COUNT(*) FILTER (o_orderkey % 10 <> 0) AS n_clean,
+       COUNT(*) FILTER (o_orderkey % 10 = 0) AS n_corrupt,
+       CAST(SUM(o_orderkey) FILTER (o_orderkey % 10 <> 0) AS BIGINT)
+         AS clean_key_sum
+FROM orders WHERE o_orderkey <= 1000
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "p1_parquet_scan": (p1_parquet_scan, P1_SQL),
     "p2_csv_roundtrip": (p2_csv_roundtrip, P2_SQL),
@@ -345,4 +392,5 @@ QUERIES: dict[str, tuple] = {
     "p10_watch_prefix": (p10_watch_prefix, P10_SQL),
     "p11_compaction": (p11_compaction, P11_SQL),
     "p12_schema_merge": (p12_schema_merge, P12_SQL),
+    "p13_corrupt_csv": (p13_corrupt_tolerant_csv, P13_SQL),
 }
