@@ -230,3 +230,43 @@ def test_corpus_freq_score_single_scan(spark, sf_smoke):
     plan = plan_str(text_ops.corpus_freq_score(doc))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_smoke):
+    """At 100 TB a shuffle join's probe side should be pre-filtered by
+    a runtime Bloom filter built from the selective build side. Spark
+    injects might_contain(...) into the probe scan when the size
+    thresholds allow (enabled by default in Spark 4) — pin the
+    behavior and the conf knobs that gate it, so the scale story is
+    load-bearing rather than folklore.  Thresholds are shrunk here
+    because the fixtures are tiny; at real scale the defaults
+    (10 MB creation side / 10 GB application side) do the right
+    thing."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_smoke, "lineitem")
+        ords = (load_table(spark, sf_smoke, "orders")
+                .filter(F.col("o_totalprice") > 500000)
+                .select("o_orderkey"))
+        j = (li.join(ords, li.l_orderkey == ords.o_orderkey)
+             .groupBy().count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
