@@ -87,3 +87,32 @@ def pack_sequences(df: DataFrame, budget: int,
                         F.floor((cum - F.col("n_tokens"))
                                 / F.lit(budget)).cast("long"))
             .select(id_col, shard_col, "n_tokens", "bin"))
+
+
+def quota_sample(df: DataFrame, quota: int = 100,
+                 by_col: str = "source",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Mixture REALIZATION: downsample each group (source/domain) to
+    at most ``quota`` documents, chosen by deterministic pseudo-random
+    rank — the portable hash orders each group uniformly, so taking
+    the ``quota`` smallest hashes IS a uniform sample that is stable
+    across runs, engines, and appends of OTHER groups.  Integer
+    arithmetic end-to-end: no float keep-fraction boundary to diverge
+    on.
+
+    Scale (100 TB): one shuffle keyed by the group column; the rank
+    window is a top-k per group, which Spark executes with
+    WindowGroupLimit — partial limits run map-side BEFORE the
+    exchange, so a group's surplus never travels."""
+    w = (W.partitionBy(by_col)
+         .orderBy(hash_bucket(F.col(id_col), 1_000_000), id_col))
+    return (df.withColumn("_qr", F.row_number().over(w))
+            .filter(F.col("_qr") <= quota).drop("_qr"))
+
+
+def quota_sample_sql(quota: int = 100, by_col: str = "source",
+                     id_col: str = "doc_id") -> str:
+    """DuckDB twin ORDER BY expression fragment for quota_sample's
+    window rank (same portable hash, same tie-break)."""
+    return (f"ROW_NUMBER() OVER (PARTITION BY {by_col} "
+            f"ORDER BY {hash_bucket_sql(id_col, 1_000_000)}, {id_col})")

@@ -311,3 +311,53 @@ SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS freq_sum,
          AS mean_token_freq
 FROM c GROUP BY doc_id
 """
+
+
+def vocab_coverage(df: DataFrame, vocab_size: int = 100,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer-prep signal: fix the top-``vocab_size`` corpus
+    vocabulary (by count desc, token asc — deterministic) and report
+    each document's OOV rate against it.  High-OOV documents are the
+    ones a fixed tokenizer fragments worst.
+
+    Plan: pass 1 aggregates token counts (vocabulary-bounded) and
+    ranks the top-N on the tiny distinct-token side; pass 2 re-joins
+    membership onto the exploded corpus (vocab broadcast).  Two
+    corpus scans BY DESIGN: a vocabulary is a reusable artifact — at
+    scale it is computed once, persisted, and broadcast into every
+    downstream pass (same discipline as IVF centroids), not derived
+    inline per query."""
+    from pyspark.sql import Window as W
+    toks = df.select(id_col,
+                     F.explode(tokenize(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    wv = W.orderBy(F.col("n").desc(), "token")
+    vocab = (counts.withColumn("_r", F.row_number().over(wv))
+             .filter(F.col("_r") <= vocab_size)
+             .select("token", F.lit(1).alias("in_vocab")))
+    tagged = toks.join(F.broadcast(vocab), "token", "left")
+    return (tagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.count(F.when(F.col("in_vocab").isNull(), 1))
+                 .alias("n_oov"))
+            .select(id_col, "n_tokens", "n_oov",
+                    F.round(F.col("n_oov").cast("double")
+                            / F.col("n_tokens"), 6).alias("oov_frac")))
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH e AS (SELECT doc_id, UNNEST({tokenize_sql('text')}) AS token
+           FROM documents),
+c AS (SELECT token, COUNT(*) AS n FROM e GROUP BY token),
+v AS (SELECT token, 1 AS in_vocab FROM
+        (SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r
+         FROM c)
+      WHERE r <= 100)
+SELECT e.doc_id, COUNT(*) AS n_tokens,
+       COUNT(*) FILTER (v.in_vocab IS NULL) AS n_oov,
+       ROUND(CAST(COUNT(*) FILTER (v.in_vocab IS NULL) AS DOUBLE)
+             / COUNT(*), 6) AS oov_frac
+FROM e LEFT JOIN v ON e.token = v.token
+GROUP BY e.doc_id
+"""

@@ -878,6 +878,33 @@ def x16_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_freq_score(doc)
 
 
+def x17_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: per-doc OOV rate against the deterministic top-100 corpus
+    vocabulary (tokenizer-prep signal)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return text.vocab_coverage(doc, vocab_size=100)
+
+
+def x18_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: mixture realization — each source downsampled to 10 docs
+    by deterministic hash rank (stable across runs/engines/appends of
+    other sources)."""
+    from ..operators import sampling
+    doc = load_table(spark, sf_dir, "documents")
+    return (sampling.quota_sample(doc, quota=10)
+            .select("doc_id", "lang", "source"))
+
+
+def _x18_sql() -> str:
+    from ..operators.sampling import quota_sample_sql
+    rn = quota_sample_sql(quota=10)
+    return f"""
+SELECT doc_id, lang, source FROM
+  (SELECT doc_id, lang, source, {rn} AS qr FROM documents)
+WHERE qr <= 10
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -898,6 +925,8 @@ QUERIES: dict[str, tuple] = {
     "l14_incremental_dedup": (l14_incremental_dedup, L14_SQL),
     "l15_fuzzy_dedup_keep": (l15_fuzzy_dedup_keep, L15_SQL),
     "x16_corpus_freq_score": (x16_corpus_freq_score, text.CORPUS_FREQ_SQL),
+    "x17_vocab_coverage": (x17_vocab_coverage, text.VOCAB_COVERAGE_SQL),
+    "x18_quota_sample": (x18_quota_sample, _x18_sql()),
     "l7_topk_ivf": (l7_topk_ivf, L7_IVF_SQL),
     "l12_embedding_neardup": (l12_embedding_neardup, L12_SQL),
     "x5_bpe_token_counts": (x5_bpe_token_counts, text.BPE_COUNTS_SQL),
