@@ -475,3 +475,22 @@ def test_corpus_freq_score_bounds(spark, sf_smoke):
     bad = out.filter((F.col("mean_token_freq") < 1)
                      | (F.col("mean_token_freq") > total)).count()
     assert bad == 0
+
+
+def test_quota_sample_append_stable_and_maplocal(spark, sf_smoke):
+    """x18's sample for one source must not change when OTHER sources
+    are added/removed (hash rank is within-group only), and the rank
+    must execute as a partial WindowGroupLimit (surplus dropped
+    map-side)."""
+    from samplebatchprocessing_spark.operators import sampling
+    doc = load_table(spark, sf_smoke, "documents")
+    full = sampling.quota_sample(doc, quota=10)
+    partial_corpus = sampling.quota_sample(
+        doc.filter(F.col("source") != "src2"), quota=10)
+    a = {r["doc_id"] for r in
+         full.filter(F.col("source") == "src1").collect()}
+    b = {r["doc_id"] for r in
+         partial_corpus.filter(F.col("source") == "src1").collect()}
+    assert a == b and len(a) == 10
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
