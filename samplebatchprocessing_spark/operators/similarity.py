@@ -104,26 +104,31 @@ def cosine_topk(emb: DataFrame, query_pred, k: int = 5) -> DataFrame:
     the declared semantics are "zero-norm vectors never match".  The
     hazards differ per path — ANSI Spark RAISES on 0/0, numpy yields
     NaN which lexsort(-cosine) silently prunes while Spark's ORDER BY
-    DESC would rank it FIRST — so every path drops such rows: the
-    expression paths score them NULL via try_divide (DuckDB's `/` is
-    NULL on zero divisors, keeping the twins aligned) and filter
-    NULL/NaN before ranking; the numpy kernel masks NaN scores."""
-    queries = emb.filter(query_pred).select(
+    DESC would rank it FIRST.  Degenerate vectors are dropped PER
+    VECTOR, before the pair join (`norm > 0` and not NaN — a finite
+    float32 vector cannot produce a NaN/overflowing dot), so the
+    per-pair hot loop stays a plain codegen divide: wrapping it in
+    try_divide instead costs ~80% wall-clock on the pair scan
+    (measured 1.79 s vs 1.00 s at sf0.1).  The numpy kernel masks
+    NaN scores batch-side the same way."""
+    q_norm = _norm_col(F.col("embedding"))
+    queries = (emb.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        _norm_col(F.col("embedding")).alias("q_norm"))
-    cands = emb.select(
+        q_norm.alias("q_norm"))
+        .filter((F.col("q_norm") > 0) & ~F.isnan("q_norm")))
+    cands = (emb.select(
         "vec_id", "embedding",
         _norm_col(F.col("embedding")).alias("c_norm"))
+        .filter((F.col("c_norm") > 0) & ~F.isnan("c_norm")))
     pairs = (cands.crossJoin(F.broadcast(queries))
              .filter(F.col("vec_id") != F.col("query_id")))
     qd = F.transform("q_emb", lambda x: x.cast("double"))
     cd = F.transform("embedding", lambda x: x.cast("double"))
     dot = _seq_sum(F.zip_with(qd, cd, lambda x, y: x * y))
-    cos = F.try_divide(dot, F.col("q_norm") * F.col("c_norm"))
+    cos = dot / (F.col("q_norm") * F.col("c_norm"))
     scored = _partition_topk(
-        pairs.select("query_id", "vec_id", cos.alias("cosine"))
-        .filter(F.col("cosine").isNotNull() & ~F.isnan("cosine")), k)
+        pairs.select("query_id", "vec_id", cos.alias("cosine")), k)
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id"))
     return (scored
@@ -137,19 +142,22 @@ def sim_join(emb: DataFrame, threshold: float,
     """L8: pairwise similarity join (cosine >= threshold) with a
     mandatory blocking key — the declared semantics include the
     block, so the plan is an equi-join, never O(n^2)."""
-    a = emb.select(F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").alias("emb_a"),
-                   _norm_col(F.col("embedding")).alias("norm_a"),
-                   F.col(block_col).alias("blk"))
-    b = emb.select(F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").alias("emb_b"),
-                   _norm_col(F.col("embedding")).alias("norm_b"),
-                   F.col(block_col).alias("blk"))
+    a = (emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("emb_a"),
+                    _norm_col(F.col("embedding")).alias("norm_a"),
+                    F.col(block_col).alias("blk"))
+         .filter((F.col("norm_a") > 0) & ~F.isnan("norm_a")))
+    b = (emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("emb_b"),
+                    _norm_col(F.col("embedding")).alias("norm_b"),
+                    F.col(block_col).alias("blk"))
+         .filter((F.col("norm_b") > 0) & ~F.isnan("norm_b")))
     pairs = a.join(b, "blk").filter(F.col("vec_a") < F.col("vec_b"))
     ad = F.transform("emb_a", lambda x: x.cast("double"))
     bd = F.transform("emb_b", lambda x: x.cast("double"))
     dot = _seq_sum(F.zip_with(ad, bd, lambda x, y: x * y))
-    cos = F.try_divide(dot, F.col("norm_a") * F.col("norm_b"))
+    # plain divide is safe: zero/NaN norms were dropped per-vector
+    cos = dot / (F.col("norm_a") * F.col("norm_b"))
     return (pairs.select("blk", "vec_a", "vec_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold)
             .withColumn("cosine", F.round("cosine", 6)))
