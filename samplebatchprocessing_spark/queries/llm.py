@@ -105,9 +105,10 @@ def l6_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     red.  Raw candidate pairs: ``operators.dedup.minhash_lsh_pairs``."""
     doc = load_table(spark, sf_dir, "documents")
     cand = dedup.minhash_lsh_pairs(doc).withColumn("hit", F.lit(1))
-    # open_vocab="band": the truth set must NOT be derived from the LSH
-    # candidates being measured, or recall is circular off-fixture.
-    truth = (dedup.jaccard_pairs(doc, threshold=0.8, open_vocab="band")
+    # open_vocab="signature": exact band-semantics pairs — the truth
+    # set must NOT derive from the LSH candidates being measured, or
+    # recall is circular off-fixture.
+    truth = (dedup.jaccard_pairs(doc, threshold=0.8, open_vocab="signature")
              .select("doc_a", "doc_b"))
     return (truth.join(cand, ["doc_a", "doc_b"], "left")
             .agg(F.count(F.lit(1)).alias("n_true_pairs"),
@@ -137,9 +138,9 @@ def l6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared < 20); the pair count is the exact cross-engine column.
     Raw fingerprints: ``operators.dedup.simhash``."""
     doc = load_table(spark, sf_dir, "documents")
-    # open_vocab="band" keeps the near-pair set aligned with the band-based
-    # SQL twin (and independent of the LSH path) on any vocabulary size.
-    near = (dedup.jaccard_pairs(doc, threshold=0.9, open_vocab="band")
+    # exact band-semantics pairs keep the near-pair set aligned with
+    # the band-based SQL twin (and independent of LSH) on any vocab.
+    near = (dedup.jaccard_pairs(doc, threshold=0.9, open_vocab="signature")
             .select("doc_a", "doc_b"))
     sh = dedup.simhash(doc)
     a = sh.select(F.col("doc_id").alias("doc_a"),
@@ -290,9 +291,9 @@ def l11_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines must assign every doc the minimum doc_id of its
     component.  Union-find equality additionally pytest-checked."""
     doc = load_table(spark, sf_dir, "documents")
-    # open_vocab="band" matches the recursive-CTE oracle's band edge set
+    # open_vocab="signature" matches the recursive-CTE oracle's band edge set
     # regardless of vocabulary size (LSH candidates would drop edges).
-    pairs = dedup.jaccard_pairs(doc, threshold=0.9, open_vocab="band")
+    pairs = dedup.jaccard_pairs(doc, threshold=0.9, open_vocab="signature")
     return dedup.dedup_clusters(pairs)
 
 
@@ -848,7 +849,7 @@ def l15_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id representative plus all unclustered docs.  The surviving
     corpus is what a training run would actually read."""
     doc = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(doc, threshold=0.9, open_vocab="band")
+    pairs = dedup.jaccard_pairs(doc, threshold=0.9, open_vocab="signature")
     clusters = dedup.dedup_clusters(pairs)
     return (dedup.apply_dedup_clusters(doc, clusters)
             .select("doc_id", "lang", "source", "n_chars"))

@@ -494,3 +494,24 @@ def test_quota_sample_append_stable_and_maplocal(spark, sf_smoke):
     assert a == b and len(a) == 10
     plan = full._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_jaccard_signature_path_equals_band_exact(spark, sf_smoke):
+    """The 1024-bit signature pre-filter is COMPLETE: on an
+    open-vocabulary corpus (forced past the bitmask path), the
+    signature plan returns exactly the band path's pairs — collisions
+    can only overestimate Jaccard, never drop a true pair."""
+    doc = load_table(spark, sf_smoke, "documents").limit(300)
+    open_doc = doc.select(
+        "doc_id",
+        F.concat_ws(" ", "text",
+                    F.concat(F.lit("uniq"), (F.col("doc_id") % 200))
+                    ).alias("text"))
+    sig = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           dedup.jaccard_pairs(open_doc, threshold=0.8,
+                               open_vocab="signature").collect()}
+    band = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+            dedup.jaccard_pairs(open_doc, threshold=0.8,
+                                open_vocab="band").collect()}
+    assert band, "fixture should contain near-dup pairs"
+    assert sig == band
