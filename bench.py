@@ -34,6 +34,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "l7_cosine_topk",        # cosine top-k (exact expression path)
     "l7_topk_numpy",         # cosine top-k (Arrow/numpy scale path)
     "l5_jaccard_pairs",      # blocked near-dup pairs
+    "l5_ngram_jaccard",      # shingle near-dup, signature prefilter (round 3)
     "l13_paragraph_dedup",   # chunk-level keep-first dedup (round 3)
     "x16_corpus_freq_score", # corpus-frequency quality score (round 3)
     "p8_manifest_pipeline",  # reference-semantics identity pipeline
