@@ -906,6 +906,39 @@ WHERE qr <= 10
 """
 
 
+def x19_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19: frequent-items sketch (Karp et al. via DataFrame
+    ``freqItems``) with an a10-style property oracle — the sketch's
+    one-sided guarantee is that it returns a SUPERSET of the true
+    heavy hitters, so the DECLARED output is the exact cross-engine
+    heavy-hitter count plus a boolean asserting every true hitter
+    (token freq > 2% of the corpus) appears in the sketch.  The
+    sketch really runs; dropping a true hitter flips the boolean.
+    Completes the sketch family: HLL (a10), approx-percentile (a11),
+    frequent items (x19)."""
+    support = 0.02
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select(F.explode(text.tokenize(F.col("text"))).alias("t"))
+    sketch = set(toks.freqItems(["t"], support=support).collect()[0][0])
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("n_total"))
+    true_hh = (counts.crossJoin(F.broadcast(tot))
+               .filter(F.col("cnt") > F.lit(support) * F.col("n_total")))
+    return true_hh.agg(
+        F.count(F.lit(1)).alias("n_true_hh"),
+        F.coalesce(F.min(F.col("t").isin(*sketch)), F.lit(True))
+         .alias("sketch_superset"))
+
+
+X19_SQL = f"""
+WITH e AS (SELECT UNNEST({tokenize_sql('text')}) AS t FROM documents),
+c AS (SELECT t, COUNT(*) AS cnt FROM e GROUP BY t),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM c)
+SELECT COUNT(*) AS n_true_hh, TRUE AS sketch_superset
+FROM c, tot WHERE c.cnt > 0.02 * tot.n_total
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -928,6 +961,7 @@ QUERIES: dict[str, tuple] = {
     "x16_corpus_freq_score": (x16_corpus_freq_score, text.CORPUS_FREQ_SQL),
     "x17_vocab_coverage": (x17_vocab_coverage, text.VOCAB_COVERAGE_SQL),
     "x18_quota_sample": (x18_quota_sample, _x18_sql()),
+    "x19_heavy_hitters": (x19_heavy_hitters, X19_SQL),
     "l7_topk_ivf": (l7_topk_ivf, L7_IVF_SQL),
     "l12_embedding_neardup": (l12_embedding_neardup, L12_SQL),
     "x5_bpe_token_counts": (x5_bpe_token_counts, text.BPE_COUNTS_SQL),
