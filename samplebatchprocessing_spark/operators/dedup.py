@@ -188,35 +188,56 @@ def _signature_banded_pairs(sets_df: DataFrame, threshold: float,
                             band_width: int,
                             n_words: int = SIG_WORDS) -> DataFrame:
     """EXACT open-vocabulary candidate generation: a fixed-width hash
-    signature (Bloom-style bitmask over ``64*n_words`` bits) bounds
-    the Jaccard FROM ABOVE — a hash collision can only merge distinct
-    tokens into one shared bit, so ``popcount(A&B) >= |A∩B|`` while
-    true set sizes are used for the union — which makes
-    ``sig_jaccard >= true_jaccard`` a COMPLETE pre-filter (no false
-    negatives, unlike MinHash banding).  The exact array intersect
-    runs only on surviving candidates.
+    signature (Bloom-style bitmask over ``64*n_words`` bits) gives a
+    sound UPPER bound on the intersection, so pruning below the
+    threshold can never drop a true pair (unlike MinHash banding).
+
+    The bound needs care: common tokens set common bits, so
+    ``bits(A∩B) <= popcount(maskA & maskB)`` — but two COMMON tokens
+    can collide into one shared bit, making popcount(A&B) an
+    UNDERcount of |A∩B|.  The undercount is at most the number of
+    intra-set collisions on either side (a common-token collision is
+    in particular a collision within A and within B), which is
+    observable per document: ``|s| - popcount(mask)``.  Hence
+
+        |A∩B| <= popcount(A&B) + min(|A|-pc(A), |B|-pc(B))
+               <= min(|A|, |B|)
+
+    and filtering on the Jaccard computed from that bound is a
+    COMPLETE pre-filter (randomized differential test asserts
+    signature == band on planted near-dups; the naive bound WITHOUT
+    the slack term provably drops boundary pairs).  The exact array
+    intersect runs only on surviving candidates.
 
     Occupancy scales with tokens-per-set, NOT vocabulary size, so the
     prune stays sharp on any corpus; size ``n_words`` at ~8x the
     typical set size / 64.  The band join carries only (id, size,
-    n_words longs) — the token arrays rejoin AFTER the filter, so the
-    exchange never ships them per-pair (shipping them cost 3x wall,
-    measured).  Returns exact (doc_a, doc_b, jaccard) pairs."""
+    popcount, n_words longs) — the token arrays rejoin AFTER the
+    filter, so the exchange never ships them per-pair (shipping them
+    cost 3x wall, measured).  Returns exact (doc_a, doc_b, jaccard)
+    pairs."""
+    pc_terms = [F.bit_count(F.col(f"_w{w}")) for w in range(n_words)]
+    pc = pc_terms[0]
+    for t in pc_terms[1:]:
+        pc = pc + t
     m = (sets_df
          .withColumn("idxs", F.transform(
              "toks", lambda t: F.pmod(F.xxhash64(t),
                                       F.lit(n_words * 64))))
          .select("doc_id", "toks", F.size("toks").alias("sz"),
-                 *_sig_mask_cols(n_words)))
+                 *_sig_mask_cols(n_words))
+         .withColumn("pc", pc))
     slim = (m.drop("toks", "idxs")
             .withColumn("band",
                         F.floor(F.col("sz") / band_width).cast("int")))
     a = slim.select(F.col("doc_id").alias("doc_a"),
-                    F.col("sz").alias("sz_a"), "band",
+                    F.col("sz").alias("sz_a"), F.col("pc").alias("pc_a"),
+                    "band",
                     *[F.col(f"_w{w}").alias(f"_a{w}")
                       for w in range(n_words)])
     b = slim.select(F.col("doc_id").alias("doc_b"),
-                    F.col("sz").alias("sz_b"), "band",
+                    F.col("sz").alias("sz_b"), F.col("pc").alias("pc_b"),
+                    "band",
                     *[F.col(f"_w{w}").alias(f"_b{w}")
                       for w in range(n_words)])
     terms = [F.bit_count(F.col(f"_a{w}").bitwiseAND(F.col(f"_b{w}")))
@@ -224,10 +245,15 @@ def _signature_banded_pairs(sets_df: DataFrame, threshold: float,
     ib = terms[0]
     for t in terms[1:]:
         ib = ib + t
+    slack = F.least(F.col("sz_a") - F.col("pc_a"),
+                    F.col("sz_b") - F.col("pc_b"))
+    inter_ub = F.least(F.col("_ib") + slack,
+                       F.least(F.col("sz_a"), F.col("sz_b")))
     cand = (a.join(b, "band").filter(F.col("doc_a") < F.col("doc_b"))
             .withColumn("_ib", ib)
-            .filter(F.col("_ib").cast("double")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("_ib"))
+            .withColumn("_iub", inter_ub)
+            .filter(F.col("_iub").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("_iub"))
                     >= threshold)
             .select("doc_a", "doc_b"))
     ta = sets_df.select(F.col("doc_id").alias("doc_a"),

@@ -515,3 +515,34 @@ def test_jaccard_signature_path_equals_band_exact(spark, sf_smoke):
                                 open_vocab="band").collect()}
     assert band, "fixture should contain near-dup pairs"
     assert sig == band
+
+
+def test_signature_prefilter_randomized_differential(spark):
+    """Random open-vocab corpora with planted near-dups, three
+    thresholds: the signature path must equal the band path EXACTLY
+    — completeness must hold under arbitrary token draws and hash
+    collisions, not just on the fixtures."""
+    import random
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    rows, did = [], 0
+    for _ in range(120):
+        base = rng.sample(vocab, rng.randint(20, 60))
+        rows.append((did, " ".join(base)))
+        did += 1
+        if rng.random() < 0.5:       # planted near-dup
+            mut = base.copy()
+            for _ in range(rng.randint(0, 3)):
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((did, " ".join(mut)))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.6, 0.8, 0.9):
+        sig = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in
+               dedup.jaccard_pairs(df, threshold=thr,
+                                   open_vocab="signature").collect()}
+        band = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in
+                dedup.jaccard_pairs(df, threshold=thr,
+                                    open_vocab="band").collect()}
+        assert sig == band, f"divergence at threshold {thr}"
+    assert band, "generator should plant at least one near-dup pair"
