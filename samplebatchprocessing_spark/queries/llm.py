@@ -939,6 +939,82 @@ FROM c, tot WHERE c.cnt > 0.02 * tot.n_total
 """
 
 
+def x20_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20: the COMPLETE pretraining-data funnel as one entry —
+    language filter -> quality gate -> exact dedup (keep-first by
+    content hash) -> fuzzy dedup (jaccard>=0.9 connected components,
+    keep representatives) -> per-source quota sample.  The output IS
+    the funnel: one row per stage with its survivor count, the
+    numbers a data-curation run actually reports.  Every stage
+    composes the already-verified operators over SUBSETS (not the
+    full fixture), which exercises their parameterization; the twin
+    reproduces the entire funnel in one CTE chain."""
+    from ..operators import sampling
+    doc = load_table(spark, sf_dir, "documents")
+    s1 = doc.filter(F.col("lang") == "en")
+    q = text.quality_features(s1).filter(F.col("keep")).select("doc_id")
+    s2 = s1.join(q, "doc_id")
+    wk = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    s3 = (s2.withColumn("_rn", F.row_number().over(wk))
+          .filter(F.col("_rn") == 1).drop("_rn"))
+    pairs = dedup.jaccard_pairs(s3, threshold=0.9, open_vocab="signature")
+    clusters = dedup.dedup_clusters(pairs)
+    s4 = dedup.apply_dedup_clusters(s3, clusters)
+    s5 = sampling.quota_sample(s4, quota=10)
+    stages = [("0_raw", doc), ("1_lang", s1), ("2_quality", s2),
+              ("3_exact_dedup", s3), ("4_fuzzy_dedup", s4),
+              ("5_quota_sample", s5)]
+    out = None
+    for nm, d in stages:
+        c = (d.agg(F.count(F.lit(1)).alias("n_docs"))
+             .select(F.lit(nm).alias("stage"), "n_docs"))
+        out = c if out is None else out.unionAll(c)
+    return out
+
+
+def _x20_sql() -> str:
+    from ..operators.sampling import hash_bucket_sql
+    hb = hash_bucket_sql("doc_id", 1_000_000)
+    return f"""
+WITH RECURSIVE
+s1 AS (SELECT * FROM documents WHERE lang = 'en'),
+s2 AS (SELECT * FROM s1
+       WHERE LEN({tokenize_sql('text')}) BETWEEN 10 AND 1000
+         AND CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g'))
+                  AS DOUBLE) / LENGTH(text) > 0.5),
+s3 AS (SELECT * FROM s2
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                                  ORDER BY doc_id) = 1),
+t AS (SELECT doc_id, {token_set_sql('text')} AS toks FROM s3),
+bnd AS (SELECT doc_id, toks,
+               CAST(FLOOR(LEN(toks) / 10) AS INT) AS band FROM t),
+p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM bnd a JOIN bnd c ON a.band = c.band AND a.doc_id < c.doc_id
+      WHERE CAST(LEN(LIST_INTERSECT(a.toks, c.toks)) AS DOUBLE)
+            / (LEN(a.toks) + LEN(c.toks)
+               - LEN(LIST_INTERSECT(a.toks, c.toks))) >= 0.9),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(node, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
+cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach
+       GROUP BY node),
+s4 AS (SELECT s3.* FROM s3 LEFT JOIN cl USING (doc_id)
+       WHERE cl.cluster_id IS NULL OR cl.cluster_id = s3.doc_id),
+s5 AS (SELECT * FROM s4
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY {hb}, doc_id) <= 10)
+SELECT '0_raw' AS stage, COUNT(*) AS n_docs FROM documents
+UNION ALL SELECT '1_lang', COUNT(*) FROM s1
+UNION ALL SELECT '2_quality', COUNT(*) FROM s2
+UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM s3
+UNION ALL SELECT '4_fuzzy_dedup', COUNT(*) FROM s4
+UNION ALL SELECT '5_quota_sample', COUNT(*) FROM s5
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -962,6 +1038,7 @@ QUERIES: dict[str, tuple] = {
     "x17_vocab_coverage": (x17_vocab_coverage, text.VOCAB_COVERAGE_SQL),
     "x18_quota_sample": (x18_quota_sample, _x18_sql()),
     "x19_heavy_hitters": (x19_heavy_hitters, X19_SQL),
+    "x20_pretrain_pipeline": (x20_pretrain_pipeline, _x20_sql()),
     "l7_topk_ivf": (l7_topk_ivf, L7_IVF_SQL),
     "l12_embedding_neardup": (l12_embedding_neardup, L12_SQL),
     "x5_bpe_token_counts": (x5_bpe_token_counts, text.BPE_COUNTS_SQL),
