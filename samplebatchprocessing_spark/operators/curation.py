@@ -152,3 +152,62 @@ def ngram_contamination(corpus: DataFrame, eval_pred,
     return (train.join(ev, "shingle")
             .groupBy(id_col)
             .agg(F.count_distinct("shingle").alias("n_shared_ngrams")))
+
+
+def source_overlap_matrix(df: DataFrame, window: int = 10,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          source_col: str = "source") -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources
+    (unordered, including a source with itself), the number of
+    document pairs that share at least one duplicated ``window``-token
+    substring — the "who copied whom" rollup that decides which
+    source to drop when near-dup rates spike.
+
+    Never enumerates document pairs: per duplicated window it counts
+    docs per source (``c``), then combines counts arithmetically
+    (``c_a*c_b`` across sources, ``c*(c-1)/2`` within).  The
+    combination is a ROW-LOCAL expression over each window's
+    collected (source, count) list — sources are deployment-constant
+    (dozens), so the list is tiny and no self-join ever runs.  ONE
+    scan, four key-chained shuffles (pair distinct, per-source count,
+    per-window collect, final source-pair rollup), all state bounded
+    by |windows| x |sources|.  NOTE: a doc pair sharing k windows is
+    counted k times (per-window evidence mass, by design — the exact
+    doc-pair distinct count is a join over candidates, which L5/L6
+    already provide)."""
+    from .text import tokenize
+    toks = (df.select(id_col, source_col,
+                      tokenize(F.col(text_col)).alias("t"))
+            .filter(F.size("t") >= window))
+    wd = toks.select(
+        id_col, source_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("t") - window + 1),
+            lambda i: F.array_join(F.slice("t", i, window), " ")))
+        .alias("win")).distinct()
+    per_win = (wd.groupBy("win", source_col)
+               .agg(F.count(F.lit(1)).alias("c"))
+               .groupBy("win")
+               .agg(F.collect_list(
+                   F.struct(F.col(source_col).alias("s"), "c"))
+                   .alias("sc"))
+               .filter(F.expr(
+                   "aggregate(sc, 0L, (acc, x) -> acc + x.c) >= 2")))
+    # All unordered source pairs of one window, with their doc-pair
+    # mass, as a pure array expression (distinct list entries have
+    # distinct sources, so a.s = b.s only pairs an entry with itself).
+    pair_mass = (
+        "filter(flatten(transform(sc, a -> transform(sc, b -> "
+        "CASE WHEN a.s < b.s THEN"
+        " named_struct('sa', a.s, 'sb', b.s,"
+        "              'm', CAST(a.c * b.c AS DOUBLE)) "
+        "WHEN a.s = b.s AND a.c >= 2 THEN"
+        " named_struct('sa', a.s, 'sb', b.s,"
+        "              'm', a.c * (a.c - 1) / 2) "
+        "ELSE NULL END))), x -> x IS NOT NULL)")
+    return (per_win.select(F.explode(F.expr(pair_mass)).alias("p"))
+            .groupBy(F.col("p.sa").alias("source_a"),
+                     F.col("p.sb").alias("source_b"))
+            .agg(F.sum("p.m").cast("long")
+                  .alias("n_shared_window_doc_pairs")))

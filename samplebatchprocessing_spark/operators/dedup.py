@@ -586,3 +586,40 @@ def apply_dedup_clusters(df: DataFrame, clusters: DataFrame,
             .filter(F.col("cluster_id").isNull()
                     | (F.col("cluster_id") == F.col(id_col)))
             .drop("cluster_id"))
+
+
+def dup_window_stats(df: DataFrame, window: int = 10,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicated-substring detection, the token-window variant
+    of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better"): slide a fixed-width token window over every
+    document, count how many of a document's windows also occur
+    elsewhere in the corpus (any second occurrence, same doc or not),
+    and report the per-document duplicated-window fraction — the
+    signal that drives substring-level (not whole-doc) dedup.
+
+    Scale (100 TB): the window explode is row-local (one output row
+    per token, ~window x text volume in bytes, bounded by ``window``);
+    occurrence counting is ONE shuffle keyed by the window text via a
+    count-over-partition window function (no second pass, no join);
+    the per-doc rollup is one more shuffle keyed by doc id.  At real
+    scale swap the shuffle key for a 128-bit content hash of the
+    window (e.g. ``md5``) to move hashes, not strings — counts are
+    unchanged; the string key here keeps the op engine-exact.
+    """
+    toks = (df.select(id_col, tokenize(F.col(text_col)).alias("t"))
+            .filter(F.size("t") >= window))
+    wins = toks.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("t") - window + 1),
+            lambda i: F.array_join(F.slice("t", i, window), " ")))
+        .alias("win"))
+    occ = F.count(F.lit(1)).over(Window.partitionBy("win"))
+    flagged = wins.select(id_col, (occ >= 2).cast("int").alias("is_dup"))
+    return (flagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.sum("is_dup").alias("n_dup_windows"),
+                 F.round(F.sum("is_dup") / F.count(F.lit(1)), 6)
+                  .alias("dup_frac")))

@@ -116,3 +116,52 @@ def quota_sample_sql(quota: int = 100, by_col: str = "source",
     window rank (same portable hash, same tie-break)."""
     return (f"ROW_NUMBER() OVER (PARTITION BY {by_col} "
             f"ORDER BY {hash_bucket_sql(id_col, 1_000_000)}, {id_col})")
+
+
+def deterministic_shuffle(df: DataFrame, seed: int = 7,
+                          n_buckets: int = 1024,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Reproducible global training-order shuffle: every row gets a
+    position ``(bucket, pos)`` derived only from ``(id, seed)`` —
+    identical on every run, cluster, and engine, unlike
+    ``df.orderBy(rand())``.  Reading buckets in order, each sorted by
+    ``pos``, yields the full shuffled epoch; a different ``seed``
+    yields an independent permutation.
+
+    Scale (100 TB): a single global ``row_number`` would funnel the
+    corpus through ONE partition — instead the md5 key is split into
+    a bucket prefix (the shuffle/write partition) and a within-bucket
+    rank, so the only window function runs per-bucket (corpus/1024
+    rows of state, embarrassingly parallel).  Lexicographic
+    ``(bucket, pos)`` IS the global order."""
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                          F.lit(str(seed))))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+              % F.lit(n_buckets))
+    w = W.partitionBy("shuffle_bucket").orderBy("_h", id_col)
+    return (df.select(id_col, h.alias("_h"),
+                      bucket.alias("shuffle_bucket"))
+            .withColumn("shuffle_pos", F.row_number().over(w))
+            .drop("_h"))
+
+
+def deterministic_shuffle_sql(seed: int = 7, n_buckets: int = 1024,
+                              id_col: str = "doc_id",
+                              table: str = "documents") -> str:
+    """DuckDB twin of :func:`deterministic_shuffle`."""
+    return f"""
+WITH keyed AS (
+  SELECT {id_col},
+         MD5(CAST({id_col} AS VARCHAR) || ':' || '{seed}') AS h
+  FROM {table}),
+b AS (
+  SELECT {id_col}, h,
+         ('0x' || SUBSTRING(h, 1, 4))::INTEGER % {n_buckets}
+           AS shuffle_bucket
+  FROM keyed)
+SELECT {id_col}, shuffle_bucket,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_bucket
+                               ORDER BY h, {id_col}) AS BIGINT)
+         AS shuffle_pos
+FROM b
+"""

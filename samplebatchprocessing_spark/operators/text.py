@@ -361,3 +361,47 @@ SELECT e.doc_id, COUNT(*) AS n_tokens,
 FROM e LEFT JOIN v ON e.token = v.token
 GROUP BY e.doc_id
 """
+
+
+def bpe_pair_counts(df: DataFrame, top_k: int = 20,
+                    text_col: str = "text") -> DataFrame:
+    """The first iteration of BPE vocabulary training (Sennrich et
+    al. 2016): count adjacent character-pair frequencies across the
+    corpus, weighted by word frequency — the statistic whose argmax
+    becomes the first merge rule.  Returns the ``top_k`` pairs with a
+    deterministic tiebreak (count desc, pair asc).
+
+    Scale (100 TB): the corpus collapses to the word-frequency table
+    FIRST (one shuffle, vocabulary-sized — millions of rows, not
+    trillions); pair explosion then runs over the vocabulary only
+    (row-local, ~word-length rows per word), and the final count is a
+    shuffle over the pair alphabet (<= |chars|^2 keys).  The top-k is
+    a TakeOrderedAndProject, never a global sort."""
+    words = (df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("wf")))
+    pairs = (words.filter(F.length("word") >= 2)
+             .select(F.explode(F.expr(
+                 "transform(sequence(1, length(word) - 1),"
+                 " i -> substring(word, i, 2))")).alias("pair"),
+                 "wf"))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("wf").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "pair")
+            .limit(top_k))
+
+
+def bpe_pair_counts_sql(top_k: int = 20) -> str:
+    """DuckDB twin of :func:`bpe_pair_counts`."""
+    return f"""
+WITH words AS (
+  SELECT w AS word, COUNT(*) AS wf
+  FROM (SELECT UNNEST({tokenize_sql('text')}) AS w FROM documents)
+  GROUP BY w),
+pairs AS (
+  SELECT SUBSTRING(word, i, 2) AS pair, wf
+  FROM words, UNNEST(range(1, LENGTH(word))) AS u(i)
+  WHERE LENGTH(word) >= 2)
+SELECT pair, CAST(SUM(wf) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair LIMIT {top_k}
+"""

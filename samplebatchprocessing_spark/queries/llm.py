@@ -1015,6 +1015,89 @@ UNION ALL SELECT '5_quota_sample', COUNT(*) FROM s5
 """
 
 
+def x21_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21: exact duplicated-substring stats (Lee et al. 2021 token
+    windows, scaled to the fixture's short docs: 10-token windows).
+    Per doc: total windows, windows whose text occurs >= 2 times
+    corpus-wide, and the duplicated fraction."""
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.dup_window_stats(doc, window=10)
+
+
+X21_SQL = f"""
+WITH toks AS (SELECT doc_id, {tokenize_sql('text')} AS t
+              FROM documents),
+w AS (
+  SELECT doc_id, ARRAY_TO_STRING(t[i:i+9], ' ') AS win
+  FROM toks, UNNEST(range(1, LEN(t) - 10 + 2)) AS u(i)
+  WHERE LEN(t) >= 10),
+f AS (
+  SELECT doc_id,
+         CASE WHEN COUNT(*) OVER (PARTITION BY win) >= 2
+              THEN 1 ELSE 0 END AS is_dup
+  FROM w)
+SELECT doc_id, COUNT(*) AS n_windows,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_windows,
+       ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+FROM f GROUP BY doc_id
+"""
+
+
+def x22_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22: first BPE merge iteration — corpus-wide adjacent
+    character-pair frequencies weighted by word frequency, top 20
+    with deterministic tiebreak."""
+    doc = load_table(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(doc, top_k=20)
+
+
+def x23_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23: reproducible global training-order shuffle — per-doc
+    (bucket, pos) derived only from (doc_id, seed); lexicographic
+    (bucket, pos) is the epoch order.  No single-partition window."""
+    from ..operators import sampling
+    doc = load_table(spark, sf_dir, "documents")
+    out = sampling.deterministic_shuffle(doc, seed=7, n_buckets=1024)
+    return out.withColumn("shuffle_pos",
+                          F.col("shuffle_pos").cast("long"))
+
+
+def _x23_sql() -> str:
+    from ..operators.sampling import deterministic_shuffle_sql
+    return deterministic_shuffle_sql(seed=7, n_buckets=1024)
+
+
+def x24_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: cross-source contamination matrix over duplicated
+    10-token windows — per unordered source pair, the count-combined
+    number of doc pairs sharing a duplicated window."""
+    doc = load_table(spark, sf_dir, "documents")
+    return curation.source_overlap_matrix(doc, window=10)
+
+
+X24_SQL = f"""
+WITH toks AS (SELECT doc_id, source, {tokenize_sql('text')} AS t
+              FROM documents),
+w AS (
+  SELECT DISTINCT doc_id, source, ARRAY_TO_STRING(t[i:i+9], ' ') AS win
+  FROM toks, UNNEST(range(1, LEN(t) - 10 + 2)) AS u(i)
+  WHERE LEN(t) >= 10),
+g AS (
+  SELECT win, source, COUNT(*) AS c,
+         SUM(COUNT(*)) OVER (PARTITION BY win) AS tot
+  FROM w GROUP BY win, source),
+gf AS (SELECT * FROM g WHERE tot >= 2)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(SUM(CASE WHEN a.source = b.source
+                     THEN a.c * (a.c - 1) / 2
+                     ELSE a.c * b.c END) AS BIGINT)
+         AS n_shared_window_doc_pairs
+FROM gf a JOIN gf b ON a.win = b.win AND a.source <= b.source
+WHERE a.source < b.source OR (a.source = b.source AND a.c >= 2)
+GROUP BY a.source, b.source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -1039,6 +1122,12 @@ QUERIES: dict[str, tuple] = {
     "x18_quota_sample": (x18_quota_sample, _x18_sql()),
     "x19_heavy_hitters": (x19_heavy_hitters, X19_SQL),
     "x20_pretrain_pipeline": (x20_pretrain_pipeline, _x20_sql()),
+    "x21_substring_dedup": (x21_substring_dedup, X21_SQL),
+    "x22_bpe_pair_counts": (x22_bpe_pair_counts,
+                            text.bpe_pair_counts_sql(top_k=20)),
+    "x23_deterministic_shuffle": (x23_deterministic_shuffle,
+                                  _x23_sql()),
+    "x24_source_overlap": (x24_source_overlap, X24_SQL),
     "l7_topk_ivf": (l7_topk_ivf, L7_IVF_SQL),
     "l12_embedding_neardup": (l12_embedding_neardup, L12_SQL),
     "x5_bpe_token_counts": (x5_bpe_token_counts, text.BPE_COUNTS_SQL),

@@ -52,3 +52,36 @@ def test_split_is_append_stable(spark, sf_smoke):
             .select("doc_id", "split").collect()}
     for doc_id, split in half.items():
         assert full[doc_id] == split
+
+
+def test_deterministic_shuffle_is_seeded_permutation(spark, sf_smoke):
+    """X23: same seed -> identical order across runs; different seed
+    -> a different permutation; (bucket, pos) is a total order that
+    covers every doc exactly once."""
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.operators.sampling import (
+        deterministic_shuffle)
+    doc = load_table(spark, sf_smoke, "documents")
+    a = sorted(tuple(r) for r in deterministic_shuffle(doc, seed=7).collect())
+    b = sorted(tuple(r) for r in deterministic_shuffle(doc, seed=7).collect())
+    c = sorted(tuple(r) for r in deterministic_shuffle(doc, seed=8).collect())
+    assert a == b != c
+    assert len({(r[1], r[2]) for r in a}) == len(a) == doc.count()
+
+
+def test_dup_window_stats_bounds(spark, sf_smoke):
+    """X21: dup windows never exceed total windows; window count is
+    n_tokens - 10 + 1 for every doc with >= 10 tokens."""
+    from pyspark.sql import functions as F
+
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.operators import text as text_ops
+    from samplebatchprocessing_spark.operators.dedup import dup_window_stats
+    doc = load_table(spark, sf_smoke, "documents")
+    out = dup_window_stats(doc, window=10)
+    assert out.filter(F.col("n_dup_windows") > F.col("n_windows")).count() == 0
+    joined = out.join(
+        doc.select("doc_id",
+                   F.size(text_ops.tokenize(F.col("text"))).alias("nt")),
+        "doc_id")
+    assert joined.filter(F.col("n_windows") != F.col("nt") - 9).count() == 0

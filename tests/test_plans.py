@@ -270,3 +270,40 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_smoke):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_substring_dedup_single_scan_two_exchanges(spark, sf_smoke):
+    """X21: window explode + occurrence count + doc rollup must be
+    one scan and exactly two key-chained exchanges (window text,
+    then doc id) — no join, no recomputed explode branch."""
+    import re
+
+    from samplebatchprocessing_spark.operators import dedup
+    doc = load_table(spark, sf_smoke, "documents")
+    plan = plan_str(dedup.dup_window_stats(doc, window=10))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_source_overlap_no_self_join_single_scan(spark, sf_smoke):
+    """X24 combines per-window source counts ROW-LOCALLY — the plan
+    must contain no join at all and read documents exactly once."""
+    import re
+
+    from samplebatchprocessing_spark.operators import curation
+    doc = load_table(spark, sf_smoke, "documents")
+    plan = plan_str(curation.source_overlap_matrix(doc, window=10))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4
+
+
+def test_deterministic_shuffle_no_global_sort(spark, sf_smoke):
+    """X23's only window runs per bucket — the plan must show a
+    hash-partitioned exchange on the bucket, never a single-partition
+    (global) sort/window."""
+    from samplebatchprocessing_spark.operators import sampling
+    doc = load_table(spark, sf_smoke, "documents")
+    plan = plan_str(sampling.deterministic_shuffle(doc))
+    assert "hashpartitioning(shuffle_bucket" in plan
+    assert "SinglePartition" not in plan
