@@ -37,6 +37,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "l5_ngram_jaccard",      # shingle near-dup, signature prefilter (round 3)
     "l13_paragraph_dedup",   # chunk-level keep-first dedup (round 3)
     "x16_corpus_freq_score", # corpus-frequency quality score (round 3)
+    "x21_substring_dedup",   # duplicated token-window stats (round 3)
     "p8_manifest_pipeline",  # reference-semantics identity pipeline
 )
 

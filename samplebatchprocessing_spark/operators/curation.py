@@ -180,12 +180,17 @@ def source_overlap_matrix(df: DataFrame, window: int = 10,
     toks = (df.select(id_col, source_col,
                       tokenize(F.col(text_col)).alias("t"))
             .filter(F.size("t") >= window))
-    wd = toks.select(
+    # Shuffle the window's 64-bit xxhash64, not the string — all
+    # three window-keyed shuffles move 8-byte keys (see
+    # dedup.dup_window_stats for the collision-odds note).
+    wd = (toks.select(
         id_col, source_col,
         F.explode(F.transform(
             F.sequence(F.lit(1), F.size("t") - window + 1),
             lambda i: F.array_join(F.slice("t", i, window), " ")))
-        .alias("win")).distinct()
+        .alias("w0"))
+        .select(id_col, source_col, F.xxhash64("w0").alias("win"))
+        .distinct())
     per_win = (wd.groupBy("win", source_col)
                .agg(F.count(F.lit(1)).alias("c"))
                .groupBy("win")
