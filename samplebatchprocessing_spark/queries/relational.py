@@ -983,6 +983,104 @@ SELECT (SELECT COUNT(*) FROM (({U_A}) EXCEPT ({U_B}))) AS n_distinct,
 """
 
 
+def j10_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: entity-resolution fuzzy self-join — customer-name pairs
+    within edit distance 1, candidate-generated by a PREFIX BLOCK
+    (first 16 chars equal) so the join is a hash equi-join on the
+    block key plus a per-pair levenshtein filter, never an O(n^2)
+    scan product.  The blocking key is part of the declared
+    semantics: a true match differing inside the prefix is out of
+    scope (standard blocking trade-off; widen with a second pass on
+    another key — e.g. suffix — to tighten recall).
+
+    Scale (100 TB): candidates ∝ sum of block sizes squared; the
+    16-char prefix bounds blocks to the name-format's trailing-digit
+    cardinality (100 here), and levenshtein runs JVM-side inside
+    whole-stage codegen on candidates only."""
+    cust = (_t(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name",
+                    F.substring("c_name", 1, 16).alias("blk")))
+    a = cust.select(F.col("blk"), F.col("c_custkey").alias("key_a"),
+                    F.col("c_name").alias("name_a"))
+    b = cust.select(F.col("blk"), F.col("c_custkey").alias("key_b"),
+                    F.col("c_name").alias("name_b"))
+    return (a.join(b, "blk")
+            .filter(F.col("key_a") < F.col("key_b"))
+            .withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("dist") <= 1)
+            .select("key_a", "key_b", "dist"))
+
+
+J10_SQL = """
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       LEVENSHTEIN(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b
+  ON SUBSTRING(a.c_name, 1, 16) = SUBSTRING(b.c_name, 1, 16)
+ AND a.c_custkey < b.c_custkey
+WHERE LEVENSHTEIN(a.c_name, b.c_name) <= 1
+"""
+
+
+def w6_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: time-series gap-fill — per user, an hourly grid spanning
+    their [first, last] event hour, hourly event count + exact-decimal
+    value sum, and the classic forward-fill (carry the last observed
+    hourly sum across empty hours).  Hours are integer epoch-hour
+    buckets (engine-exact; no interval/timezone arithmetic).
+
+    Scale (100 TB): events collapse to the (user, hour) aggregate
+    FIRST (one shuffle, state ∝ users x span-hours, not events); the
+    grid explode is row-local over the per-user span; the grid-to-agg
+    join and the forward-fill window are both keyed by user, so the
+    partitioning is reused.  Never a global sort, never a grid over
+    the corpus time range for absent users."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.select("user_id",
+                        F.floor(F.unix_micros("ts") / 3_600_000_000)
+                        .alias("h"), "value")
+              .groupBy("user_id", "h")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   dsum("value", "hour_sum")))
+    spans = (hourly.groupBy("user_id")
+             .agg(F.min("h").alias("h0"), F.max("h").alias("h1")))
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h"))
+    wff = (W.partitionBy("user_id").orderBy("h")
+           .rowsBetween(W.unboundedPreceding, 0))
+    return (grid.join(hourly, ["user_id", "h"], "left")
+            .select("user_id",
+                    (F.col("h") * 3600).alias("bucket_start"),
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    "hour_sum",
+                    F.last("hour_sum", ignorenulls=True).over(wff)
+                     .alias("filled_sum"),
+                    F.col("hour_sum").isNull().alias("is_gap")))
+
+
+W6_SQL = f"""
+WITH hourly AS (
+  SELECT user_id,
+         CAST(FLOOR(EXTRACT(EPOCH FROM ts) / 3600) AS BIGINT) AS h,
+         COUNT(*) AS n_events,
+         {sql_dsum('value')} AS hour_sum
+  FROM events GROUP BY 1, 2),
+spans AS (
+  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly
+  GROUP BY user_id),
+grid AS (
+  SELECT user_id, UNNEST(range(h0, h1 + 1)) AS h FROM spans)
+SELECT g.user_id, g.h * 3600 AS bucket_start,
+       COALESCE(hourly.n_events, 0) AS n_events,
+       hourly.hour_sum,
+       LAST_VALUE(hourly.hour_sum IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS UNBOUNDED PRECEDING) AS filled_sum,
+       hourly.hour_sum IS NULL AS is_gap
+FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id
+                            AND g.h = hourly.h
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "a1_pricing_summary": (a1_pricing_summary, A1_SQL),
     "a2_global_agg": (a2_global_agg, A2_SQL),
@@ -1010,11 +1108,13 @@ QUERIES: dict[str, tuple] = {
     "j7_range_join": (j7_range_join, J7_SQL),
     "j8_asof_join": (j8_asof_join, J8_SQL),
     "j9_star_join": (j9_star_join, J9_SQL),
+    "j10_fuzzy_join": (j10_fuzzy_join, J10_SQL),
     "w1_ranking": (w1_ranking, W1_SQL),
     "w2_lag_lead": (w2_lag_lead, W2_SQL),
     "w3_running_frames": (w3_running_frames, W3_SQL),
     "w4_range_frame": (w4_range_frame, W4_SQL),
     "w5_first_last": (w5_first_last, W5_SQL),
+    "w6_gapfill": (w6_gapfill, W6_SQL),
     "t1_multi_sort": (t1_multi_sort, T1_SQL),
     "t3_global_topk": (t3_global_topk, T3_SQL),
     "t4_topk_per_group": (t4_topk_per_group, T4_SQL),

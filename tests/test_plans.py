@@ -307,3 +307,22 @@ def test_deterministic_shuffle_no_global_sort(spark, sf_smoke):
     plan = plan_str(sampling.deterministic_shuffle(doc))
     assert "hashpartitioning(shuffle_bucket" in plan
     assert "SinglePartition" not in plan
+
+
+def test_fuzzy_join_is_blocked_equi_join(spark, sf_smoke):
+    """J10 must candidate-generate via the prefix block — the plan is
+    a hash/sort-merge equi-join on the block key, never a cartesian
+    product with a distance filter."""
+    from samplebatchprocessing_spark.queries.relational import j10_fuzzy_join
+    plan = plan_str(j10_fuzzy_join(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_no_single_partition_window(spark, sf_smoke):
+    """W6's forward-fill window is keyed by user — no global
+    single-partition window, and the grid join stays an equi-join."""
+    from samplebatchprocessing_spark.queries.relational import w6_gapfill
+    plan = plan_str(w6_gapfill(spark, sf_smoke))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
