@@ -1,0 +1,135 @@
+"""Event-flow analytics operators: ordered funnels, cohort
+retention, and sweep-line peak concurrency.
+
+These are the classic product-analytics queries a batch engine runs
+over an append-only event log (reference parity: the reference's job
+model is "process a prefix of files" — `GetJobs.py:40-56` — with no
+event semantics at all, so these are Spark-first designs, not ports).
+
+Scale notes (100 TB event log):
+- Every shuffle here is keyed by ``user_id`` (funnel, retention) or
+  by calendar day (concurrency).  The funnel's three stage
+  aggregations hash-partition on the same key, so Spark reuses the
+  exchange across stages (one physical shuffle per stage input, no
+  re-key).  No driver-side collect anywhere.
+- Peak concurrency deliberately avoids the textbook global
+  ``ORDER BY t`` running sum — a single-partition window is the #1
+  sweep-line scale-killer.  Intervals are clipped to calendar days
+  and the running sum is windowed *per day*, which parallelizes
+  across the date range while staying exact for intra-day intervals
+  (cross-midnight tails are clipped; documented in the query
+  contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def funnel_stages(events: DataFrame, steps: list[str],
+                  user_col: str = "user_id",
+                  type_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Ordered-sequence funnel: how many users performed step[0],
+    then step[1] *strictly after* their first step[0], then step[2]
+    strictly after that, ...  One row per stage:
+    (stage_idx, stage, n_users), monotonically non-increasing.
+
+    Implementation: stage k's frontier is ``min(ts) where type =
+    steps[k] and ts > first reach of stage k-1``, a chain of
+    groupBy(user) + co-partitioned joins; frontiers are unioned with
+    a stage tag and aggregated in ONE job (no driver-side count per
+    stage).  All joins key on ``user_col``; frontiers shrink
+    monotonically down the funnel so AQE can flip later joins to
+    broadcast when the surviving cohort is small.  Each frontier is
+    persisted — it feeds both its stage-count branch and the next
+    stage's join, and without the pin the union re-derives stage
+    k's lineage k times.
+    """
+    base = events.select(user_col, type_col, ts_col).filter(
+        F.col(type_col).isin(steps))
+    frontier = (base.filter(F.col(type_col) == steps[0])
+                .groupBy(user_col).agg(F.min(ts_col).alias("t"))
+                .persist())
+    tagged = frontier.select(
+        F.lit(0).alias("stage_idx"), F.lit(steps[0]).alias("stage"),
+        F.col(user_col))
+    for i, step in enumerate(steps[1:], start=1):
+        frontier = (base.filter(F.col(type_col) == step)
+                    .join(frontier.select(user_col, "t"), user_col)
+                    .filter(F.col(ts_col) > F.col("t"))
+                    .groupBy(user_col).agg(F.min(ts_col).alias("t"))
+                    .persist())
+        tagged = tagged.unionByName(frontier.select(
+            F.lit(i).alias("stage_idx"), F.lit(step).alias("stage"),
+            F.col(user_col)))
+    return (tagged.groupBy("stage_idx", "stage")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def cohort_retention(events: DataFrame,
+                     user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention matrix.
+
+    cohort_week = ISO week (date_trunc) of the user's first event;
+    a (cohort_week, weeks_since) cell counts distinct users from that
+    cohort active in that later week.  Two user-keyed shuffles (first
+    event per user; distinct activity weeks) + one small final agg —
+    the canonical two-phase plan, no self-join on the raw log.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    first = (events.groupBy(user_col)
+             .agg(F.min(week).alias("cohort_week")))
+    active = (events.select(F.col(user_col), week.alias("act_week"))
+              .distinct())
+    return (active.join(first, user_col)
+            .groupBy(F.to_date("cohort_week").alias("cohort_week"),
+                     (F.datediff(F.to_date("act_week"),
+                                 F.to_date("cohort_week")) / 7)
+                     .cast("int").alias("weeks_since"))
+            .agg(F.count_distinct(F.col(user_col)).alias("n_active")))
+
+
+def peak_concurrency(events: DataFrame,
+                     dur_col: Column,
+                     ts_col: str = "ts") -> DataFrame:
+    """Per-day peak concurrency of intervals [ts, ts + dur), sweep-line.
+
+    Each event opens an interval at ``ts`` lasting ``dur_col``
+    (a Column of seconds, may be fractional).  Emits (day, peak):
+    the maximum number of simultaneously-open intervals that day.
+    Intervals are clipped to their opening day's boundary (exact for
+    intra-day intervals; a cross-midnight tail does not carry into
+    the next day — declared contract, keeps the window per-day).
+
+    Exactness: all arithmetic in integer milliseconds; the running
+    sum uses the default RANGE frame so all delta rows at the same
+    (t, delta) instant are peers — the sum at any row is
+    order-independent, hence deterministic.  Ends sort before starts
+    at the same instant (delta ASC), giving half-open [s, e)
+    semantics.
+    """
+    start_ms = (F.unix_millis(F.col(ts_col))).alias("t")
+    day = F.to_date(F.col(ts_col)).alias("day")
+    day_end_ms = F.unix_millis(
+        F.date_add(F.to_date(F.col(ts_col)), 1).cast("timestamp"))
+    # floor, not cast: DuckDB's double->int CAST rounds half-even
+    # while Spark's truncates — FLOOR on both sides is the only
+    # rounding that agrees (durations are declared non-negative).
+    end_ms = F.least(
+        F.unix_millis(F.col(ts_col))
+        + F.floor(dur_col * 1000).cast("bigint"),
+        day_end_ms).alias("t")
+    starts = events.select(day, start_ms, F.lit(1).alias("delta"))
+    ends = events.select(day, end_ms, F.lit(-1).alias("delta"))
+    deltas = starts.unionByName(ends)
+    running = deltas.withColumn(
+        "conc",
+        F.sum("delta").over(
+            Window.partitionBy("day").orderBy("t", "delta")))
+    return (running.groupBy("day")
+            .agg(F.max("conc").alias("peak"))
+            .select(F.col("day"), F.col("peak").cast("bigint")))

@@ -23,12 +23,12 @@ Entry = tuple[SparkFn, str | None]
 
 
 def registry() -> dict[str, Entry]:
-    from . import (llm, relational, scalar_funcs, sources, sqlapi,
-                   streaming, udf)
+    from . import (analytics, llm, relational, scalar_funcs, sources,
+                   sqlapi, streaming, udf)
 
     out: dict[str, Entry] = {}
     for mod in (relational, scalar_funcs, llm, udf, sources, streaming,
-                sqlapi):
+                sqlapi, analytics):
         for name, entry in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")

@@ -1,0 +1,273 @@
+"""Event-log + statistical analytics queries: ordered funnel, cohort
+retention, sweep-line peak concurrency, group-wise OLS regression,
+fixed-width histograms, and integer fixed-point PageRank.
+
+The reference has no analytics surface (its only operator is a
+per-file shell transform, `GetJobs.py:51-56`); these are the
+product/ML-analytics workloads a batch engine at this layer is
+expected to run, designed Spark-first.
+
+Determinism: counts and bucket ids are integers; regression outputs
+follow the a13 exact-moment idiom (order-independent decimal sums,
+then one shared double expression tree on both engines); PageRank is
+scaled fixed-point BIGINT so a fixed iteration count is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..exprs import r6
+from ..operators.eventflow import (cohort_retention, funnel_stages,
+                                   peak_concurrency)
+from ..operators.graph import pagerank_fixedpoint
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def x25_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25: ordered conversion funnel view -> click -> purchase.
+
+    Stage k counts users whose first step-k event is strictly after
+    their stage-(k-1) frontier.  All stage joins are keyed on
+    user_id (one logical shuffle key end-to-end); frontiers shrink
+    down the funnel so AQE broadcasts the tail joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(ev, _FUNNEL_STEPS)
+
+
+X25_SQL = """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id)
+SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage, COUNT(*) AS n_users FROM s0
+UNION ALL
+SELECT CAST(1 AS INT), 'click', COUNT(*) FROM s1
+UNION ALL
+SELECT CAST(2 AS INT), 'purchase', COUNT(*) FROM s2
+"""
+
+
+def x26_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26: weekly cohort retention matrix — (cohort_week,
+    weeks_since, n_active distinct users).  Two user-keyed shuffles
+    (first-event week; distinct activity weeks) then one small agg;
+    no self-join on the raw event log.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+X26_SQL = """
+WITH first AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+       CAST((CAST(a.act_week AS DATE) - CAST(f.cohort_week AS DATE)) // 7
+            AS INT) AS weeks_since,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+def x27_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27: per-day peak concurrency of event intervals
+    [ts, ts + value seconds), sweep-line as +1/-1 deltas with a
+    per-day running sum — NOT the textbook global ORDER BY running
+    sum, whose single-partition window is the classic sweep-line
+    scale-killer.  Day-partitioned windows parallelize across the
+    date range; intervals are clipped at midnight (declared).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return peak_concurrency(ev, F.greatest(F.col("value"), F.lit(0.0)))
+
+
+X27_SQL = """
+WITH deltas AS (
+  SELECT CAST(ts AS DATE) AS day, epoch_ms(ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT CAST(ts AS DATE) AS day,
+         LEAST(epoch_ms(ts)
+                 + CAST(FLOOR(GREATEST("value", 0.0) * 1000) AS BIGINT),
+               epoch_ms(CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP))) AS t,
+         -1 AS delta
+  FROM events),
+running AS (
+  SELECT day,
+         SUM(delta) OVER (PARTITION BY day ORDER BY t, delta) AS conc
+  FROM deltas)
+SELECT day, CAST(MAX(conc) AS BIGINT) AS peak
+FROM running GROUP BY day
+"""
+
+
+def a14_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: group-wise OLS regression (slope / intercept / r²) of
+    extendedprice on quantity per returnflag — the exact-moment
+    idiom of a13 (`relational.py:262`): five order-independent
+    decimal moment sums per group, then ONE shared double expression
+    tree, so both engines produce bit-identical doubles (built-in
+    regr_slope/regr_intercept accumulate in engine-dependent order
+    and cannot hash-match).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(9,6)")
+    y = F.col("l_extendedprice").cast("decimal(13,6)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)
+          / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        r6(slope, "slope"),
+        r6(intercept, "intercept"),
+        r6(r2, "r2"))
+
+
+A14_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                  * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                  * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                  * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+"""
+
+
+_HIST_LO, _HIST_HI, _HIST_N = 0.0, 600000.0, 24
+
+
+def x28_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28: fixed-width histogram of o_totalprice (24 buckets over
+    [0, 600k), under/overflow clamped into the edge buckets).  One
+    scan + one tiny agg; the bucket id is FLOOR arithmetic written
+    identically on both engines (Spark's width_bucket has no DuckDB
+    counterpart, and double->int casts round differently — floor is
+    the portable kernel).
+    """
+    ord_ = load_table(spark, sf_dir, "orders")
+    width = (_HIST_HI - _HIST_LO) / _HIST_N
+    bucket = F.least(
+        F.lit(_HIST_N - 1),
+        F.greatest(F.lit(0),
+                   F.floor((F.col("o_totalprice") - _HIST_LO) / width)
+                   .cast("int"))).alias("bucket")
+    return (ord_.groupBy(bucket)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 r6(F.min("o_totalprice"), "lo"),
+                 r6(F.max("o_totalprice"), "hi")))
+
+
+X28_SQL = f"""
+SELECT LEAST({_HIST_N - 1},
+             GREATEST(0, CAST(FLOOR((o_totalprice - {_HIST_LO})
+                                    / {(_HIST_HI - _HIST_LO) / _HIST_N})
+                              AS INT))) AS bucket,
+       COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 6) AS lo,
+       ROUND(MAX(o_totalprice), 6) AS hi
+FROM orders GROUP BY 1
+"""
+
+
+def x29_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29: weighted PageRank over the customer-nation -> supplier-
+    nation trade graph (edge weight = lineitem count), 3 iterations
+    of integer fixed-point `pagerank_fixedpoint`
+    (`operators/graph.py`).  The edge build is the heavy part at
+    scale (lineitem⋈orders⋈customer⋈supplier, two broadcast dims);
+    each iteration is a ranks⋈edges join + dst aggregation against
+    a pinned src-partitioned edge layout.  Bit-exact: the oracle
+    unrolls the same BIGINT recurrence as a 3-step CTE chain.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ord_ = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    edges = (li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+             .join(F.broadcast(cust), ord_.o_custkey == cust.c_custkey)
+             .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+             .groupBy(F.col("c_nationkey").alias("src"),
+                      F.col("s_nationkey").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("w")))
+    return pagerank_fixedpoint(edges, iterations=3)
+
+
+_PR_STEP = """
+r{k} AS (
+  SELECT n.node,
+         CAST(150000 + COALESCE(s.s, 0) AS BIGINT) AS rank_scaled
+  FROM nodes n LEFT JOIN (
+    SELECT l.v, SUM((r.rank_scaled * 85 * l.w) // (100 * l.out_w)) AS s
+    FROM links l JOIN r{p} r ON l.u = r.node GROUP BY l.v) s
+  ON n.node = s.v)
+"""
+
+X29_SQL = ("""
+WITH edges AS (
+  SELECT c_nationkey AS u, s_nationkey AS v, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2),
+nodes AS (
+  SELECT u AS node FROM edges UNION SELECT v FROM edges),
+outw AS (SELECT u, SUM(w) AS out_w FROM edges GROUP BY u),
+links AS (
+  SELECT e.u, e.v, CAST(e.w AS BIGINT) AS w,
+         CAST(o.out_w AS BIGINT) AS out_w
+  FROM edges e JOIN outw o ON e.u = o.u),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_scaled FROM nodes),"""
+           + ",".join(_PR_STEP.format(k=k, p=k - 1) for k in (1, 2, 3))
+           + """
+SELECT node, rank_scaled FROM r3
+""")
+
+
+QUERIES: dict[str, tuple] = {
+    "x25_funnel": (x25_funnel, X25_SQL),
+    "x26_retention": (x26_retention, X26_SQL),
+    "x27_peak_concurrency": (x27_peak_concurrency, X27_SQL),
+    "a14_regression": (a14_regression, A14_SQL),
+    "x28_histogram": (x28_histogram, X28_SQL),
+    "x29_pagerank": (x29_pagerank, X29_SQL),
+}

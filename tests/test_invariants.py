@@ -85,3 +85,57 @@ def test_dup_window_stats_bounds(spark, sf_smoke):
                    F.size(text_ops.tokenize(F.col("text"))).alias("nt")),
         "doc_id")
     assert joined.filter(F.col("n_windows") != F.col("nt") - 9).count() == 0
+
+
+def test_funnel_counts_monotone_non_increasing(spark, sf_smoke):
+    from samplebatchprocessing_spark.queries.analytics import x25_funnel
+    rows = sorted(x25_funnel(spark, sf_smoke).collect(),
+                  key=lambda r: r.stage_idx)
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > 0
+
+
+def test_pagerank_matches_pure_python_reference(spark):
+    """The fixed-point recurrence is bit-exact: the DataFrame loop
+    must equal a direct Python evaluation of the same integer
+    recurrence on an adversarial little graph (dangling node, skewed
+    weights, self-loop)."""
+    from samplebatchprocessing_spark.operators.graph import (
+        SCALE, pagerank_fixedpoint)
+    edges = [(1, 2, 3), (1, 3, 1), (2, 3, 5), (3, 1, 2), (3, 3, 1),
+             (4, 1, 7)]  # node 5 unreachable; 2->3 heavy; 3 self-loop
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    got = {r.node: r.rank_scaled
+           for r in pagerank_fixedpoint(edf, iterations=3).collect()}
+
+    nodes = {u for u, _, _ in edges} | {v for _, v, _ in edges}
+    out_w = {}
+    for u, _, w in edges:
+        out_w[u] = out_w.get(u, 0) + w
+    rank = {n: SCALE for n in nodes}
+    for _ in range(3):
+        nxt = {n: SCALE * 15 // 100 for n in nodes}
+        for u, v, w in edges:
+            nxt[v] += (rank[u] * 85 * w) // (100 * out_w[u])
+        rank = nxt
+    assert got == rank
+
+
+def test_regression_matches_numpy_lstsq(spark, sf_smoke):
+    """A14's exact-moment slope/intercept agree with numpy's least
+    squares on the same rows to float tolerance."""
+    import numpy as np
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.queries.analytics import a14_regression
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice").toPandas()
+    got = {r.l_returnflag: r for r in
+           a14_regression(spark, sf_smoke).collect()}
+    for flag, grp in li.groupby("l_returnflag"):
+        slope, intercept = np.polyfit(grp.l_quantity.to_numpy(),
+                                      grp.l_extendedprice.to_numpy(), 1)
+        assert abs(got[flag].slope - slope) < 1e-4 * max(1.0, abs(slope))
+        assert (abs(got[flag].intercept - intercept)
+                < 1e-4 * max(1.0, abs(intercept)))
+        assert 0.0 <= got[flag].r2 <= 1.0

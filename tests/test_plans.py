@@ -326,3 +326,22 @@ def test_gapfill_no_single_partition_window(spark, sf_smoke):
     plan = plan_str(w6_gapfill(spark, sf_smoke))
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_peak_concurrency_day_partitioned_window(spark, sf_smoke):
+    """X27's sweep-line running sum is windowed per calendar day —
+    never the textbook global ORDER BY t single-partition window."""
+    from samplebatchprocessing_spark.queries.analytics import (
+        x27_peak_concurrency)
+    plan = plan_str(x27_peak_concurrency(spark, sf_smoke))
+    assert "hashpartitioning(day" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pagerank_edge_layout_pinned(spark, sf_smoke):
+    """X29: each PageRank iteration joins ranks against the pinned
+    src-partitioned edge layout (InMemoryTableScan), instead of
+    re-deriving the 4-table edge build per iteration."""
+    from samplebatchprocessing_spark.queries.analytics import x29_pagerank
+    plan = plan_str(x29_pagerank(spark, sf_smoke), mode="simple")
+    assert "InMemoryTableScan" in plan
