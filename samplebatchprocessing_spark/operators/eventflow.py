@@ -69,6 +69,33 @@ def funnel_stages(events: DataFrame, steps: list[str],
             .agg(F.count(F.lit(1)).alias("n_users")))
 
 
+def conversion_lags(events: DataFrame, steps: list[str],
+                    user_col: str = "user_id",
+                    type_col: str = "event_type",
+                    ts_col: str = "ts") -> DataFrame:
+    """Per converted user, the lag from first step[0] to completing
+    the whole ordered funnel: (user, lag_ms BIGINT).  Same frontier
+    chain as ``funnel_stages`` but carries the stage-0 timestamp
+    through, so the timing query shares the funnel's shuffle
+    shape (all joins keyed on ``user_col``).
+    """
+    base = events.select(user_col, type_col, ts_col).filter(
+        F.col(type_col).isin(steps))
+    frontier = (base.filter(F.col(type_col) == steps[0])
+                .groupBy(user_col).agg(F.min(ts_col).alias("t"))
+                .withColumn("t0", F.col("t")))
+    for step in steps[1:]:
+        frontier = (base.filter(F.col(type_col) == step)
+                    .join(frontier.select(user_col, "t", "t0"), user_col)
+                    .filter(F.col(ts_col) > F.col("t"))
+                    .groupBy(user_col, "t0")
+                    .agg(F.min(ts_col).alias("t")))
+    return frontier.select(
+        F.col(user_col),
+        (F.unix_millis(F.col("t")) - F.unix_millis(F.col("t0")))
+        .alias("lag_ms"))
+
+
 def cohort_retention(events: DataFrame,
                      user_col: str = "user_id",
                      ts_col: str = "ts") -> DataFrame:

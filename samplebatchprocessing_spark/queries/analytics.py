@@ -20,8 +20,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..exprs import r6
-from ..operators.eventflow import (cohort_retention, funnel_stages,
-                                   peak_concurrency)
+from ..operators.eventflow import (cohort_retention, conversion_lags,
+                                   funnel_stages, peak_concurrency)
 from ..operators.graph import pagerank_fixedpoint
 
 _FUNNEL_STEPS = ["view", "click", "purchase"]
@@ -263,6 +263,141 @@ SELECT node, rank_scaled FROM r3
 """)
 
 
+def x30_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30: per-user z-score anomaly detection over event values —
+    per-user exact decimal moments (one user-keyed shuffle), then a
+    co-partitioned join back to the events to flag |v - mean| >
+    3*stddev.  The mean/std doubles come from order-independent
+    decimal sums through one shared expression tree (a13 idiom), so
+    the outlier booleans agree bit-for-bit with the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(19,6)")
+    mom = (ev.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                F.sum(v).cast("double").alias("sv"),
+                F.sum(v * v).cast("double").alias("svv"))
+           .filter(F.col("n") >= 2))
+    n, sv, svv = F.col("n"), F.col("sv"), F.col("svv")
+    stats = mom.select(
+        "user_id", n,
+        (sv / n).alias("mean"),
+        F.sqrt((svv - sv * sv / n) / (n - 1)).alias("std"))
+    flagged = (ev.join(stats, "user_id")
+               .withColumn("is_out",
+                           (F.abs(F.col("value") - F.col("mean"))
+                            > 3 * F.col("std")).cast("int")))
+    return (flagged.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("is_out").cast("bigint").alias("n_outliers"))
+            .filter(F.col("n_outliers") > 0))
+
+
+X30_SQL = """
+WITH m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST("value" AS DECIMAL(19,6))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST("value" AS DECIMAL(19,6))
+                  * CAST("value" AS DECIMAL(19,6))) AS DOUBLE) AS svv
+  FROM events GROUP BY user_id HAVING COUNT(*) >= 2),
+s AS (
+  SELECT user_id, sv / n AS mean,
+         SQRT((svv - sv * sv / n) / (n - 1)) AS std
+  FROM m)
+SELECT e.user_id, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN ABS(e."value" - s.mean) > 3 * s.std
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN s ON e.user_id = s.user_id
+GROUP BY e.user_id
+HAVING SUM(CASE WHEN ABS(e."value" - s.mean) > 3 * s.std
+               THEN 1 ELSE 0 END) > 0
+"""
+
+
+_DECILES = [i / 10 for i in range(1, 10)]
+
+
+def x31_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31: global decile bucketing WITHOUT a global sort — the
+    textbook ntile(10) OVER () is a single-partition window (the
+    same scale-killer class as a global running sum).  Instead:
+    exact interpolated percentile boundaries (one tiny agg row),
+    broadcast-crossJoin them back, and bucket each row with a
+    comparison-count expression — fully parallel, one scan + one
+    1-row agg.
+    """
+    ord_ = load_table(spark, sf_dir, "orders")
+    bounds = ord_.agg(*[
+        F.percentile(F.col("o_totalprice"), F.lit(q)).alias(f"b{i}")
+        for i, q in enumerate(_DECILES, start=1)])
+    decile = (
+        F.lit(1)
+        + sum((F.col("o_totalprice") > F.col(f"b{i}")).cast("int")
+              for i in range(1, 10))).cast("int").alias("decile")
+    return (ord_.crossJoin(F.broadcast(bounds))
+            .groupBy(decile)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 r6(F.min("o_totalprice"), "lo"),
+                 r6(F.max("o_totalprice"), "hi")))
+
+
+X31_SQL = ("""
+WITH b AS (
+  SELECT """
+           + ", ".join(f"QUANTILE_CONT(o_totalprice, {q}) AS b{i}"
+                       for i, q in enumerate(_DECILES, start=1))
+           + """
+  FROM orders)
+SELECT CAST(1 + """
+           + " + ".join(
+               f"(CASE WHEN o_totalprice > b{i} THEN 1 ELSE 0 END)"
+               for i in range(1, 10))
+           + """ AS INT) AS decile,
+       COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 6) AS lo,
+       ROUND(MAX(o_totalprice), 6) AS hi
+FROM orders, b GROUP BY 1
+""")
+
+
+def x32_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32: time-to-convert through the x25 funnel — per converted
+    user the first-view -> funnel-completion lag, summarized exactly:
+    count, mean lag (exact BIGINT ms sum, one shared double divide)
+    and interpolated median.  Shares the funnel frontier chain
+    (`operators/eventflow.py::conversion_lags`), all user-keyed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    lags = conversion_lags(ev, _FUNNEL_STEPS)
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        r6(F.sum("lag_ms").cast("double") / F.count(F.lit(1)),
+           "avg_lag_ms"),
+        r6(F.percentile(F.col("lag_ms"), F.lit(0.5)), "p50_lag_ms"))
+
+
+X32_SQL = """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (
+  SELECT e.user_id, MIN(s0.t) AS t0, MIN(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id),
+s2 AS (
+  SELECT e.user_id, MIN(s1.t0) AS t0, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id),
+lags AS (
+  SELECT user_id, epoch_ms(t) - epoch_ms(t0) AS lag_ms FROM s2)
+SELECT COUNT(*) AS n_converted,
+       ROUND(CAST(SUM(lag_ms) AS DOUBLE) / COUNT(*), 6) AS avg_lag_ms,
+       ROUND(QUANTILE_CONT(lag_ms, 0.5), 6) AS p50_lag_ms
+FROM lags
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "x25_funnel": (x25_funnel, X25_SQL),
     "x26_retention": (x26_retention, X26_SQL),
@@ -270,4 +405,7 @@ QUERIES: dict[str, tuple] = {
     "a14_regression": (a14_regression, A14_SQL),
     "x28_histogram": (x28_histogram, X28_SQL),
     "x29_pagerank": (x29_pagerank, X29_SQL),
+    "x30_zscore_outliers": (x30_zscore_outliers, X30_SQL),
+    "x31_decile_stats": (x31_decile_stats, X31_SQL),
+    "x32_conversion_lag": (x32_conversion_lag, X32_SQL),
 }

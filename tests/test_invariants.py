@@ -139,3 +139,50 @@ def test_regression_matches_numpy_lstsq(spark, sf_smoke):
         assert (abs(got[flag].intercept - intercept)
                 < 1e-4 * max(1.0, abs(intercept)))
         assert 0.0 <= got[flag].r2 <= 1.0
+
+
+def test_zscore_outliers_bounded_and_rare(spark, sf_smoke):
+    """X30: every flagged user has 0 < n_outliers <= n_events, and
+    the 3-sigma rule keeps the global outlier fraction small."""
+    from samplebatchprocessing_spark.queries.analytics import (
+        x30_zscore_outliers)
+    out = x30_zscore_outliers(spark, sf_smoke)
+    assert out.filter((F.col("n_outliers") <= 0)
+                      | (F.col("n_outliers") > F.col("n_events"))
+                      ).count() == 0
+    tot = out.agg(F.sum("n_outliers").alias("o"),
+                  F.sum("n_events").alias("e")).collect()[0]
+    if tot.o is not None:
+        assert tot.o <= 0.2 * tot.e
+
+
+def test_decile_stats_partition_orders(spark, sf_smoke):
+    """X31: the decile buckets partition the orders table (counts sum
+    to the table size) and the [lo, hi] ranges are ordered."""
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.queries.analytics import (
+        x31_decile_stats)
+    rows = sorted(x31_decile_stats(spark, sf_smoke).collect(),
+                  key=lambda r: r.decile)
+    n_orders = load_table(spark, sf_smoke, "orders").count()
+    assert sum(r.n for r in rows) == n_orders
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+
+
+def test_conversion_lag_consistent_with_funnel(spark, sf_smoke):
+    """X32: converted-user count equals the funnel's final-stage
+    count and every lag is positive (strict ts ordering)."""
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.operators.eventflow import (
+        conversion_lags)
+    from samplebatchprocessing_spark.queries.analytics import (
+        _FUNNEL_STEPS, x25_funnel, x32_conversion_lag)
+    ev = load_table(spark, sf_smoke, "events")
+    lags = conversion_lags(ev, _FUNNEL_STEPS)
+    assert lags.filter(F.col("lag_ms") <= 0).count() == 0
+    final = sorted(x25_funnel(spark, sf_smoke).collect(),
+                   key=lambda r: r.stage_idx)[-1].n_users
+    got = x32_conversion_lag(spark, sf_smoke).collect()[0]
+    assert got.n_converted == final
+    assert got.avg_lag_ms > 0 and got.p50_lag_ms > 0
