@@ -160,6 +160,98 @@ FROM supplier
 """
 
 
+# -- Classic TPC-H-shaped analytic pipelines (single shared ANSI text) ---
+#
+# The reference has no relational surface (its operator is a per-file
+# shell transform); these are the canonical warehouse pipelines any
+# replacement engine must run.  One ANSI string drives BOTH engines —
+# Spark parses it through Catalyst (AQE broadcasts the dimension
+# sides; revenue sums use the exact-decimal dsum shape so the double
+# outputs are order-independent and hash-stable cross-engine).
+
+_REVENUE = sql_dsum("l_extendedprice * (1 - l_discount)")
+
+V8_SQL = f"""
+SELECT l_orderkey, o_orderdate, {_REVENUE} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def v8_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 (TPC-H Q3 shape): shipping-priority revenue top-10.
+
+    Catalyst broadcasts the filtered customer side; the order/line
+    join shuffles on the orderkey only after both date filters have
+    been pushed to the scans.  Top-10 plans TakeOrderedAndProject
+    (no global sort); l_orderkey tiebreak keeps the LIMIT
+    deterministic.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(V8_SQL)
+
+
+V9_SQL = f"""
+SELECT n_name, {_REVENUE} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def v9_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V9 (TPC-H Q5 shape): local-supplier volume per nation.
+
+    Six-table join tree: region/nation/supplier/customer are all
+    dimension-sized and broadcast; the lineitem-orders join is the
+    only big shuffle, keyed on orderkey.  The c_nationkey =
+    s_nationkey co-nationality predicate rides the supplier join.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(V9_SQL)
+
+
+V10_SQL = f"""
+SELECT c_custkey, c_name, {_REVENUE} AS revenue, c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def v10_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V10 (TPC-H Q10 shape): returned-item revenue losers, top-20.
+
+    One quarter of orders joins returned lineitems; the customer and
+    nation dims broadcast onto the fact shuffle.  Same deterministic
+    TakeOrderedAndProject top-k as V8.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(V10_SQL)
+
+
 # -- MERGE / SCD2 / skew family ------------------------------------------
 
 def m1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,6 +356,9 @@ QUERIES: dict[str, tuple] = {
     "v5_scalar_subquery": (v5_scalar_subquery, V5_SQL),
     "v6_cte": (v6_cte, V6_SQL),
     "v7_correlated_scalar": (v7_correlated_scalar, V7_SQL),
+    "v8_tpch_q3": (v8_tpch_q3, V8_SQL),
+    "v9_tpch_q5": (v9_tpch_q5, V9_SQL),
+    "v10_tpch_q10": (v10_tpch_q10, V10_SQL),
     "m1_upsert": (m1_upsert, M1_SQL),
     "m2_scd2": (m2_scd2, M2_SQL),
     "m3_salted_join": (m3_salted_join, M3_SQL),

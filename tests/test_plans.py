@@ -345,3 +345,20 @@ def test_pagerank_edge_layout_pinned(spark, sf_smoke):
     from samplebatchprocessing_spark.queries.analytics import x29_pagerank
     plan = plan_str(x29_pagerank(spark, sf_smoke), mode="simple")
     assert "InMemoryTableScan" in plan
+
+
+def test_tpch_q5_dims_broadcast_and_filters_pushed(spark, sf_smoke):
+    """V9: region/nation/supplier/customer must broadcast onto the
+    lineitem-orders shuffle, and the o_orderdate range must reach the
+    orders scan (at 100 TB that pushdown is most of the query)."""
+    from samplebatchprocessing_spark.queries.sqlapi import v9_tpch_q5
+    plan = plan_str(v9_tpch_q5(spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_tpch_q3_topk_no_global_sort(spark, sf_smoke):
+    """V8: ORDER BY + LIMIT must plan TakeOrderedAndProject."""
+    from samplebatchprocessing_spark.queries.sqlapi import v8_tpch_q3
+    plan = plan_str(v8_tpch_q3(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
