@@ -588,6 +588,32 @@ def apply_dedup_clusters(df: DataFrame, clusters: DataFrame,
             .drop("cluster_id"))
 
 
+def apply_dedup_clusters_best(df: DataFrame, clusters: DataFrame,
+                              score_col: str,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware dedup materialization: instead of the min-id
+    member, keep each near-dup cluster's HIGHEST-``score_col`` member
+    (ties -> lowest id) plus every unclustered document — the
+    keep-the-best-copy policy training-data pipelines actually want
+    (the copies differ by boilerplate, and min-id is arbitrary).
+
+    Scale: same single id-keyed join as ``apply_dedup_clusters``; the
+    argmax window partitions by cluster_id over ONLY the clustered
+    rows (graph-node count, not corpus count), so window state is
+    bounded by the largest near-dup cluster."""
+    from pyspark.sql import Window
+    joined = df.join(clusters, id_col, "left")
+    unclustered = (joined.filter(F.col("cluster_id").isNull())
+                   .drop("cluster_id"))
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(F.col(score_col).desc(), F.col(id_col)))
+    best = (joined.filter(F.col("cluster_id").isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "cluster_id"))
+    return unclustered.unionByName(best)
+
+
 def dup_window_stats(df: DataFrame, window: int = 10,
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:

@@ -872,6 +872,131 @@ WHERE cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id
 """
 
 
+def l16_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L16: quality-aware fuzzy dedup — same near-dup clusters as
+    L15, but each cluster keeps its highest-``alpha_ratio`` member
+    (ties -> lowest doc_id) instead of the arbitrary min-id copy.
+    This is the keep-the-best-copy policy real curation pipelines
+    use: near-dup copies differ by markup/boilerplate, and the
+    cleanest copy is the one worth training on."""
+    doc = load_table(spark, sf_dir, "documents")
+    alpha = F.round(
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+        .cast("double") / F.length(F.col("text")), 6)
+    scored = doc.select("doc_id", "source", alpha.alias("alpha_ratio"))
+    pairs = dedup.jaccard_pairs(doc, threshold=0.9,
+                                open_vocab="signature")
+    clusters = dedup.dedup_clusters(pairs)
+    return dedup.apply_dedup_clusters_best(scored, clusters,
+                                           "alpha_ratio")
+
+
+L16_SQL = f"""
+WITH RECURSIVE
+p AS ({_L5_BAND_JACCARD.format(thr='0.9')}),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(node, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
+cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach
+       GROUP BY node),
+q AS (SELECT doc_id, source,
+             ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '',
+                                              'g')) AS DOUBLE)
+                   / LENGTH(text), 6) AS alpha_ratio
+      FROM documents),
+j AS (SELECT q.doc_id, q.source, q.alpha_ratio, cl.cluster_id
+      FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id),
+r AS (SELECT doc_id, source, alpha_ratio,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY alpha_ratio DESC, doc_id)
+               AS rn
+      FROM j WHERE cluster_id IS NOT NULL)
+SELECT doc_id, source, alpha_ratio FROM j WHERE cluster_id IS NULL
+UNION ALL
+SELECT doc_id, source, alpha_ratio FROM r WHERE rn = 1
+"""
+
+
+_ZIPF_K = 100
+
+
+def x33_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33: Zipf's-law fit of the corpus token distribution — OLS of
+    ln(frequency) on ln(rank) over the top-100 tokens (slope ≈ -1 for
+    natural text; a corpus-health diagnostic next to X19/X22).
+
+    Scale: token counts are a vocabulary-sized 2-phase agg; the
+    top-k is TakeOrderedAndProject (never a global sort); the rank
+    window then runs over exactly k=100 rows (bounded, single tiny
+    partition by construction).  ln values are rounded to 6 dp and
+    summed as exact decimals (a14 idiom) so the moments are
+    order-independent and cross-engine stable — built-in regr_*
+    aggregates accumulate doubles in engine order and cannot
+    hash-match.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    counts = text.token_counts(doc).select("token", "n_occurrences")
+    top = (counts.orderBy(F.col("n_occurrences").desc(), "token")
+           .limit(_ZIPF_K))
+    w = W.orderBy(F.col("n_occurrences").desc(), "token")
+    ranked = top.select(F.row_number().over(w).alias("rank"),
+                        "n_occurrences")
+    x = F.round(F.ln(F.col("rank")), 6).cast("decimal(10,6)")
+    y = F.round(F.ln(F.col("n_occurrences")), 6).cast("decimal(10,6)")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)
+          / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    from ..exprs import r6
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_tokens"),
+        r6(slope, "zipf_slope"),
+        r6(intercept, "intercept"),
+        r6(r2, "r2"))
+
+
+X33_SQL = f"""
+WITH tc AS (
+  SELECT token, COUNT(*) AS cnt
+  FROM (SELECT UNNEST({tokenize_sql('text')}) AS token FROM documents)
+  GROUP BY token),
+top AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM tc QUALIFY rank <= {_ZIPF_K}),
+v AS (
+  SELECT CAST(ROUND(LN(rank), 6) AS DECIMAL(10,6)) AS x,
+         CAST(ROUND(LN(cnt), 6) AS DECIMAL(10,6)) AS y
+  FROM top),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM v)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+"""
+
+
 def x16_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X16: count-based quality scoring (unigram analog of CCNet's
     perplexity filter) — mean corpus frequency of each doc's tokens."""
@@ -1117,6 +1242,8 @@ QUERIES: dict[str, tuple] = {
     "l13_paragraph_dedup": (l13_paragraph_dedup, L13_SQL),
     "l14_incremental_dedup": (l14_incremental_dedup, L14_SQL),
     "l15_fuzzy_dedup_keep": (l15_fuzzy_dedup_keep, L15_SQL),
+    "l16_dedup_keep_best": (l16_dedup_keep_best, L16_SQL),
+    "x33_zipf_fit": (x33_zipf_fit, X33_SQL),
     "x16_corpus_freq_score": (x16_corpus_freq_score, text.CORPUS_FREQ_SQL),
     "x17_vocab_coverage": (x17_vocab_coverage, text.VOCAB_COVERAGE_SQL),
     "x18_quota_sample": (x18_quota_sample, _x18_sql()),

@@ -186,3 +186,34 @@ def test_conversion_lag_consistent_with_funnel(spark, sf_smoke):
     got = x32_conversion_lag(spark, sf_smoke).collect()[0]
     assert got.n_converted == final
     assert got.avg_lag_ms > 0 and got.p50_lag_ms > 0
+
+
+def test_keep_best_same_clusters_higher_quality(spark, sf_smoke):
+    """L16 keeps exactly one doc per cluster (same survivor count as
+    L15's min-id policy) and its total kept quality dominates L15's."""
+    from samplebatchprocessing_spark.queries.llm import (
+        l15_fuzzy_dedup_keep, l16_dedup_keep_best)
+    keep_first = l15_fuzzy_dedup_keep(spark, sf_smoke)
+    keep_best = l16_dedup_keep_best(spark, sf_smoke)
+    assert keep_best.count() == keep_first.count()
+    alpha = (F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+             .cast("double") / F.length(F.col("text")))
+    from samplebatchprocessing_spark.catalog import load_table
+    doc = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", F.round(alpha, 6).alias("a"))
+    s_first = (keep_first.join(doc, "doc_id")
+               .agg(F.sum("a")).collect()[0][0])
+    s_best = (keep_best.join(doc, "doc_id")
+              .agg(F.sum("a")).collect()[0][0])
+    assert s_best >= s_first - 1e-9
+
+
+def test_zipf_fit_is_decreasing_power_law(spark, sf_smoke):
+    """X33: natural-ish text must fit with negative slope and a
+    meaningful r²; rank-1 frequency implied by the fit stays within
+    the observed max."""
+    from samplebatchprocessing_spark.queries.llm import x33_zipf_fit
+    row = x33_zipf_fit(spark, sf_smoke).collect()[0]
+    assert row.n_tokens > 10
+    assert row.zipf_slope < 0
+    assert 0.0 <= row.r2 <= 1.0
