@@ -1,0 +1,72 @@
+"""Custom Python Data Source (Spark 4 ``pyspark.sql.datasource``).
+
+The reference ingests work by listing an S3 prefix and fanning file
+names out over SQS consumers (`SendJobs.py:38-48`, `GetJobs.py:67-76`);
+the Spark-native analog of "a source the engine doesn't ship" is the
+Python Data Source API: declare a schema, plan explicit input
+partitions, and stream Arrow-friendly tuples per partition.  This
+module provides a deterministic synthetic event generator as that
+custom source — the plumbing (registration, partition planning,
+per-partition readers, option handling) is the operator; the payload
+is arithmetic chosen to be exactly reproducible in ANSI SQL so the
+driver's DuckDB oracle can audit a full scan.
+
+Scale: ``partitions()`` returns one split per requested partition —
+readers are independent, carry no shared state, and never touch the
+driver after planning, so the source parallelizes like any file scan
+(a real deployment would put one blob/manifest-shard per partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# Modular-hash payload: id * MULT % MOD stays inside int64 for any
+# id < 2^32 and is a plain arithmetic expression in any SQL engine.
+MULT = 2654435761
+MOD = 1000003
+
+
+class RangePartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class SynthEventsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_parts = int(options.get("n_parts", 4))
+
+    def partitions(self) -> list[RangePartition]:
+        per = -(-self.n_rows // self.n_parts)  # ceil
+        return [RangePartition(lo, min(lo + per, self.n_rows))
+                for lo in range(0, self.n_rows, per)]
+
+    def read(self, partition: RangePartition):
+        for i in range(partition.start, partition.end):
+            v = (i * MULT) % MOD
+            yield (i, v % 16, v)
+
+
+class SynthEventsSource(DataSource):
+    """``spark.read.format("synth_events").option("n_rows", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, value bigint"
+
+    def reader(self, schema) -> SynthEventsReader:
+        return SynthEventsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration on any (vanilla) session.  The class
+    is pickled by reference, so ship the package to the workers
+    first (same mechanism every UDF path uses)."""
+    from ..session import ship_package
+    ship_package(spark)
+    spark.dataSource.register(SynthEventsSource)

@@ -380,6 +380,37 @@ FROM orders WHERE o_orderkey <= 1000
 """
 
 
+def p14_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14: custom Python Data Source (Spark 4
+    ``pyspark.sql.datasource``) — register, plan 8 explicit input
+    partitions, stream 10k deterministic rows, aggregate per bucket.
+    The payload arithmetic (id*MULT % MOD) is replayed exactly by the
+    DuckDB twin over RANGE(10000), so the oracle audits the entire
+    custom-source read path (schema, options, partition planning,
+    per-partition readers), not a sample."""
+    from ..operators import pysource
+    pysource.register(spark)
+    df = (spark.read.format("synth_events")
+          .option("n_rows", 10000).option("n_parts", 8).load())
+    return (df.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("sum_value"),
+                 F.min("id").alias("min_id"),
+                 F.max("id").alias("max_id")))
+
+
+P14_SQL = """
+WITH g AS (
+  SELECT i AS id,
+         CAST((i * 2654435761) % 1000003 % 16 AS INT) AS bucket,
+         (i * 2654435761) % 1000003 AS value
+  FROM (SELECT UNNEST(RANGE(0, 10000)) AS i))
+SELECT bucket, COUNT(*) AS n, CAST(SUM(value) AS BIGINT) AS sum_value,
+       MIN(id) AS min_id, MAX(id) AS max_id
+FROM g GROUP BY bucket
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "p1_parquet_scan": (p1_parquet_scan, P1_SQL),
     "p2_csv_roundtrip": (p2_csv_roundtrip, P2_SQL),
@@ -393,4 +424,5 @@ QUERIES: dict[str, tuple] = {
     "p11_compaction": (p11_compaction, P11_SQL),
     "p12_schema_merge": (p12_schema_merge, P12_SQL),
     "p13_corrupt_csv": (p13_corrupt_tolerant_csv, P13_SQL),
+    "p14_python_datasource": (p14_python_datasource, P14_SQL),
 }

@@ -362,3 +362,16 @@ def test_tpch_q3_topk_no_global_sort(spark, sf_smoke):
     from samplebatchprocessing_spark.queries.sqlapi import v8_tpch_q3
     plan = plan_str(v8_tpch_q3(spark, sf_smoke))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_python_datasource_plans_requested_partitions(spark):
+    """P14: the custom Python Data Source must fan out into exactly
+    the requested number of independent input partitions — that
+    planning is what makes it a parallel source rather than a
+    driver-side generator."""
+    from samplebatchprocessing_spark.operators import pysource
+    pysource.register(spark)
+    df = (spark.read.format("synth_events")
+          .option("n_rows", 1000).option("n_parts", 5).load())
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 1000
