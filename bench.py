@@ -38,6 +38,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "l13_paragraph_dedup",   # chunk-level keep-first dedup (round 3)
     "x16_corpus_freq_score", # corpus-frequency quality score (round 3)
     "x21_substring_dedup",   # duplicated token-window stats (round 3)
+    "v9_tpch_q5",            # 6-table TPC-H Q5 join tree (round 3)
     "p8_manifest_pipeline",  # reference-semantics identity pipeline
 )
 
