@@ -216,3 +216,78 @@ def source_overlap_matrix(df: DataFrame, window: int = 10,
                      F.col("p.sb").alias("source_b"))
             .agg(F.sum("p.m").cast("long")
                   .alias("n_shared_window_doc_pairs")))
+
+
+def source_drift(df: DataFrame, *, group_col: str = "source",
+                 value_col: str = "n_chars",
+                 lo: float = 0.0, width: float = 200.0,
+                 n_buckets: int = 8) -> DataFrame:
+    """Mixture-distribution monitor: per-source total-variation
+    distance between the source's ``value_col`` histogram and the
+    whole-corpus histogram — the drift signal a training-data
+    pipeline watches to catch a source whose content shifted between
+    snapshots.
+
+    Determinism: TVD = Σ_b |c_sb·N − C_b·n_s| / (2·n_s·N) is computed
+    with an EXACT integer numerator (counts only; order-independent),
+    then one double division — no float summation anywhere, so both
+    engines hash-match.  At corpus scales where c_sb·N overflows
+    int64 (~>3·10⁹ docs), widen the products to decimal(38,0); the
+    shape is unchanged.
+
+    Scale: one scan to (source, bucket) counts — everything after is
+    arithmetic on a sources×buckets grid (deployment-constant rows).
+    The zero-count grid cells a join would drop are restored with a
+    crossJoin of the two tiny key sets (TVD needs the |0 − C_b·n_s|
+    terms).
+    """
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0),
+                   F.floor((F.col(value_col) - lo) / width).cast("int")
+                   )).alias("bucket")
+    sb = (df.select(F.col(group_col).alias("source"), bucket)
+          .groupBy("source", "bucket")
+          .agg(F.count(F.lit(1)).alias("c_sb")))
+    sb = sb.persist()
+    s_tot = sb.groupBy("source").agg(F.sum("c_sb").alias("n_s"))
+    b_tot = sb.groupBy("bucket").agg(F.sum("c_sb").alias("c_b"))
+    n_tot = sb.agg(F.sum("c_sb").alias("n"))
+    grid = (s_tot.crossJoin(F.broadcast(b_tot))
+            .crossJoin(F.broadcast(n_tot))
+            .join(sb, ["source", "bucket"], "left")
+            .withColumn("c_sb", F.coalesce(F.col("c_sb"), F.lit(0))))
+    num = F.abs(F.col("c_sb") * F.col("n") - F.col("c_b") * F.col("n_s"))
+    return (grid.groupBy("source")
+            .agg(F.max("n_s").alias("n_docs"),
+                 F.round((F.sum(num) / (2.0 * F.max("n_s") * F.max("n")))
+                         .cast("double"), 6).alias("tvd")))
+
+
+def source_drift_sql(*, lo: float = 0.0, width: float = 200.0,
+                     n_buckets: int = 8) -> str:
+    """DuckDB twin of :func:`source_drift` over ``documents``."""
+    return f"""
+WITH base AS (
+  SELECT source,
+         LEAST({n_buckets - 1},
+               GREATEST(0, CAST(FLOOR((n_chars - {lo}) / {width})
+                               AS INT))) AS bucket
+  FROM documents),
+sb AS (SELECT source, bucket, COUNT(*) AS c_sb FROM base
+       GROUP BY source, bucket),
+s_tot AS (SELECT source, CAST(SUM(c_sb) AS BIGINT) AS n_s FROM sb
+          GROUP BY source),
+b_tot AS (SELECT bucket, CAST(SUM(c_sb) AS BIGINT) AS c_b FROM sb
+          GROUP BY bucket),
+n_tot AS (SELECT CAST(SUM(c_sb) AS BIGINT) AS n FROM sb),
+grid AS (
+  SELECT s_tot.source, b_tot.bucket, s_tot.n_s, b_tot.c_b, n_tot.n,
+         COALESCE(sb.c_sb, 0) AS c_sb
+  FROM s_tot CROSS JOIN b_tot CROSS JOIN n_tot
+  LEFT JOIN sb ON sb.source = s_tot.source AND sb.bucket = b_tot.bucket)
+SELECT source, MAX(n_s) AS n_docs,
+       ROUND(CAST(SUM(ABS(c_sb * n - c_b * n_s)) AS DOUBLE)
+             / (2.0 * MAX(n_s) * MAX(n)), 6) AS tvd
+FROM grid GROUP BY source
+"""

@@ -997,6 +997,15 @@ FROM m
 """
 
 
+def x34_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34: mixture monitoring — per-source total-variation distance
+    of the doc-length histogram vs the corpus histogram (the drift
+    alarm between corpus snapshots).  Exact-integer numerator, one
+    double division (`operators/curation.py::source_drift`)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return curation.source_drift(doc)
+
+
 def x16_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X16: count-based quality scoring (unigram analog of CCNet's
     perplexity filter) — mean corpus frequency of each doc's tokens."""
@@ -1244,6 +1253,7 @@ QUERIES: dict[str, tuple] = {
     "l15_fuzzy_dedup_keep": (l15_fuzzy_dedup_keep, L15_SQL),
     "l16_dedup_keep_best": (l16_dedup_keep_best, L16_SQL),
     "x33_zipf_fit": (x33_zipf_fit, X33_SQL),
+    "x34_source_drift": (x34_source_drift, curation.source_drift_sql()),
     "x16_corpus_freq_score": (x16_corpus_freq_score, text.CORPUS_FREQ_SQL),
     "x17_vocab_coverage": (x17_vocab_coverage, text.VOCAB_COVERAGE_SQL),
     "x18_quota_sample": (x18_quota_sample, _x18_sql()),

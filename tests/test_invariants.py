@@ -217,3 +217,14 @@ def test_zipf_fit_is_decreasing_power_law(spark, sf_smoke):
     assert row.n_tokens > 10
     assert row.zipf_slope < 0
     assert 0.0 <= row.r2 <= 1.0
+
+
+def test_source_drift_is_bounded_tvd(spark, sf_smoke):
+    """X34: TVD is a metric in [0,1]; per-source doc counts must sum
+    to the corpus size (the grid restored every zero cell)."""
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.queries.llm import x34_source_drift
+    rows = x34_source_drift(spark, sf_smoke).collect()
+    assert all(0.0 <= r.tvd <= 1.0 for r in rows)
+    n = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r.n_docs for r in rows) == n
