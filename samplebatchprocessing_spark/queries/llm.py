@@ -1006,6 +1006,44 @@ def x34_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.source_drift(doc)
 
 
+def x36_dupgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36: triangle census of the near-dup graph (jaccard>=0.8) —
+    edge + triangle counts.  A triangle-dense dup graph means whole
+    template families, not pairwise accidents: it's the signal that
+    cluster-level dedup (L11/L15) will collapse far more volume than
+    pair counts alone suggest.
+
+    Plan: the oriented edge list (doc_a < doc_b) joins itself twice —
+    wedge build keyed on the shared middle vertex, then a closing
+    equi-join on the (lo, hi) endpoint pair; both are plain shuffles
+    on small keys, never a cross join.  The a<b orientation counts
+    each triangle exactly once.  At whale-node scale you'd orient
+    edges by (degree, id) instead of raw id to bound wedge fan-out —
+    same two joins.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    p = (dedup.jaccard_pairs(doc, threshold=0.8, open_vocab="signature")
+         .select("doc_a", "doc_b").persist())
+    e1, e2, e3 = p.alias("e1"), p.alias("e2"), p.alias("e3")
+    tri = (e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+           .join(e3, (F.col("e3.doc_a") == F.col("e1.doc_a"))
+                 & (F.col("e3.doc_b") == F.col("e2.doc_b")))
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    edges = p.agg(F.count(F.lit(1)).alias("n_edges"))
+    return edges.crossJoin(tri)
+
+
+X36_SQL = f"""
+WITH p AS ({_L5_BAND_JACCARD.format(thr='0.8')}),
+tri AS (SELECT COUNT(*) AS n_triangles
+        FROM p e1
+        JOIN p e2 ON e1.doc_b = e2.doc_a
+        JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+ec AS (SELECT COUNT(*) AS n_edges FROM p)
+SELECT ec.n_edges, tri.n_triangles FROM ec, tri
+"""
+
+
 def x16_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X16: count-based quality scoring (unigram analog of CCNet's
     perplexity filter) — mean corpus frequency of each doc's tokens."""
@@ -1254,6 +1292,7 @@ QUERIES: dict[str, tuple] = {
     "l16_dedup_keep_best": (l16_dedup_keep_best, L16_SQL),
     "x33_zipf_fit": (x33_zipf_fit, X33_SQL),
     "x34_source_drift": (x34_source_drift, curation.source_drift_sql()),
+    "x36_dupgraph_triangles": (x36_dupgraph_triangles, X36_SQL),
     "x16_corpus_freq_score": (x16_corpus_freq_score, text.CORPUS_FREQ_SQL),
     "x17_vocab_coverage": (x17_vocab_coverage, text.VOCAB_COVERAGE_SQL),
     "x18_quota_sample": (x18_quota_sample, _x18_sql()),

@@ -1081,6 +1081,78 @@ FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id
 """
 
 
+def x35_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35: declarative data-quality audit — the expectation checks a
+    pipeline runs before trusting an ingested snapshot.  Row-local
+    rules (range / domain / null) compile to ONE conditional-sum scan
+    per table; the referential-integrity rule is a broadcast anti-join
+    (orders missing their customer).  Output is (rule, n_violations),
+    so a clean table is all-zeros — and the whole audit is a fixed
+    number of tiny aggregate rows regardless of data volume.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    ord_ = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def viol(cond, rule):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint"), rule
+
+    li_rules = [
+        viol(~F.col("l_quantity").between(1, 50), "lineitem_quantity_range"),
+        viol(~F.col("l_discount").between(0.0, 0.1),
+             "lineitem_discount_range"),
+        viol(F.col("l_shipdate").isNull(), "lineitem_shipdate_null"),
+        viol(F.col("l_extendedprice") <= 0, "lineitem_price_positive"),
+    ]
+    ord_rules = [
+        viol(~F.col("o_orderstatus").isin("O", "F", "P"),
+             "orders_status_domain"),
+        viol(F.col("o_totalprice") <= 0, "orders_totalprice_positive"),
+    ]
+    li_audit = li.agg(*[c.alias(r) for c, r in li_rules]).unpivot(
+        [], [r for _, r in li_rules], "rule", "n_violations")
+    ord_audit = ord_.agg(*[c.alias(r) for c, r in ord_rules]).unpivot(
+        [], [r for _, r in ord_rules], "rule", "n_violations")
+    orphans = (ord_.join(cust, ord_.o_custkey == cust.c_custkey,
+                         "left_anti")
+               .agg(F.count(F.lit(1)).alias("n_violations"))
+               .select(F.lit("orders_custkey_fk").alias("rule"),
+                       "n_violations"))
+    return li_audit.unionByName(ord_audit).unionByName(orphans)
+
+
+X35_SQL = """
+SELECT 'lineitem_quantity_range' AS rule,
+       CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST(SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+                THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'lineitem_shipdate_null',
+       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'lineitem_price_positive',
+       CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'orders_status_domain',
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orders_custkey_fk',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "a1_pricing_summary": (a1_pricing_summary, A1_SQL),
     "a2_global_agg": (a2_global_agg, A2_SQL),
@@ -1109,6 +1181,7 @@ QUERIES: dict[str, tuple] = {
     "j8_asof_join": (j8_asof_join, J8_SQL),
     "j9_star_join": (j9_star_join, J9_SQL),
     "j10_fuzzy_join": (j10_fuzzy_join, J10_SQL),
+    "x35_quality_audit": (x35_quality_audit, X35_SQL),
     "w1_ranking": (w1_ranking, W1_SQL),
     "w2_lag_lead": (w2_lag_lead, W2_SQL),
     "w3_running_frames": (w3_running_frames, W3_SQL),

@@ -228,3 +228,44 @@ def test_source_drift_is_bounded_tvd(spark, sf_smoke):
     assert all(0.0 <= r.tvd <= 1.0 for r in rows)
     n = load_table(spark, sf_smoke, "documents").count()
     assert sum(r.n_docs for r in rows) == n
+
+
+def test_quality_audit_reports_every_rule(spark, sf_smoke):
+    """X35: one row per declared rule, counts non-negative, and the
+    FK rule agrees with a direct anti-join."""
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.queries.relational import (
+        x35_quality_audit)
+    rows = {r.rule: r.n_violations
+            for r in x35_quality_audit(spark, sf_smoke).collect()}
+    assert len(rows) == 7 and all(v >= 0 for v in rows.values())
+    ord_ = load_table(spark, sf_smoke, "orders")
+    cust = load_table(spark, sf_smoke, "customer")
+    orphans = ord_.join(cust, ord_.o_custkey == cust.c_custkey,
+                        "left_anti").count()
+    assert rows["orders_custkey_fk"] == orphans
+
+
+def test_dupgraph_triangles_match_python_census(spark, sf_smoke):
+    """X36: the two-join triangle count equals a direct Python count
+    over the same edge list."""
+    from itertools import combinations
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.operators import dedup
+    from samplebatchprocessing_spark.queries.llm import (
+        x36_dupgraph_triangles)
+    doc = load_table(spark, sf_smoke, "documents")
+    edges = {(r.doc_a, r.doc_b) for r in
+             dedup.jaccard_pairs(doc, threshold=0.8,
+                                 open_vocab="signature")
+             .select("doc_a", "doc_b").collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n_tri = sum(1 for v, nbrs in adj.items()
+                for a, b in combinations(sorted(nbrs), 2)
+                if a > v and (a, b) in edges) if adj else 0
+    got = x36_dupgraph_triangles(spark, sf_smoke).collect()[0]
+    assert got.n_edges == len(edges)
+    assert got.n_triangles == n_tri
