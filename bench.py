@@ -34,7 +34,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "l7_cosine_topk",        # cosine top-k (exact expression path)
     "l7_topk_numpy",         # cosine top-k (Arrow/numpy scale path)
     "l5_jaccard_pairs",      # blocked near-dup pairs
-    "l5_ngram_jaccard",      # shingle near-dup, signature prefilter (round 3)
+    "l5_ngram_lsh",          # shingle near-dup, LSH + exact verify (round 4)
     "l13_paragraph_dedup",   # chunk-level keep-first dedup (round 3)
     "x16_corpus_freq_score", # corpus-frequency quality score (round 3)
     "x21_substring_dedup",   # duplicated token-window stats (round 3)
@@ -69,7 +69,18 @@ def main() -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         return brute_force_topk_numpy(emb, F.col("vec_id") % 50 == 0, k=5)
 
-    overrides = {"l7_topk_numpy": _l7_numpy_raw}
+    # l5_ngram_lsh's registry entry runs LSH *and* the exact signature
+    # path to emit its recall property — the headline number is the
+    # LSH pipeline alone (the 100 TB scale path; VERDICT r3 item #5).
+    def _l5_ngram_lsh_raw(spark, sf_dir):
+        from samplebatchprocessing_spark.catalog import load_table
+        from samplebatchprocessing_spark.operators import dedup
+        doc = load_table(spark, sf_dir, "documents")
+        return dedup.ngram_jaccard_pairs(doc, n=2, threshold=0.6,
+                                         method="lsh")
+
+    overrides = {"l7_topk_numpy": _l7_numpy_raw,
+                 "l5_ngram_lsh": _l5_ngram_lsh_raw}
 
     # Warm-up (not timed): JVM/codegen on a cheap query, plus the
     # Python worker pool + numpy/pandas import for the Arrow paths —
@@ -89,30 +100,45 @@ def main() -> None:
     # Median of 3 full plan+execute runs per query (BASELINE.md
     # protocol) — this box carries variable background load and a
     # single sample is too noisy to grade against.
-    timings: dict[str, float] = {}
+    # Per-query error isolation (VERDICT r3 item #2): one raising query
+    # must not zero the whole round's perf signal — record {"err": ...}
+    # for it, keep timing the rest, ALWAYS print the final JSON line.
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         if name not in reg:
             continue
         fn = overrides.get(name, reg[name][0])
         samples = []
-        for _ in range(3):
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            samples.append(time.monotonic() - t0)
+        try:
+            for _ in range(3):
+                t0 = time.monotonic()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                samples.append(time.monotonic() - t0)
+        except Exception as e:  # noqa: BLE001 — isolate, report, continue
+            msg = f"{type(e).__name__}: {e}"
+            errors[name] = msg[:500]
+            timings[name] = {"err": msg[:200]}
+            print(f"# {name}: ERROR {msg[:200]}", file=sys.stderr)
+            continue
         timings[name] = round(sorted(samples)[1], 3)
         print(f"# {name}: {timings[name]:.3f}s median of "
               f"{[round(s, 3) for s in samples]} ({n} rows)",
               file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    total = round(sum(v for v in timings.values()
+                      if isinstance(v, (int, float))), 3)
+    out = {
         "metric": "bench_suite_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -5,6 +5,14 @@ Mirrors the reference's "input dataset = S3 prefix of files"
 same code reads ``s3a://bucket/prefix`` — Spark's DataSource V2 +
 the S3A committer replace the reference's boto put/get per file
 (GetJobs.py:48-60).
+
+Ingest robustness (round-4): the driver may regenerate fixtures with
+different physical timestamp encodings (seen so far: TIMESTAMP(NANOS),
+naive ``timestamp[us]`` -> TIMESTAMP_NTZ).  ``load_table`` normalizes
+the known-lossless drifts and then *asserts* every table against
+``SCHEMA_CONTRACT`` (the FIXTURES.md dtype contract) so a future regen
+surfaces as one clear ``SchemaDriftError``, not dozens of scattered
+``DATATYPE_MISMATCH`` failures downstream.
 """
 
 from __future__ import annotations
@@ -22,8 +30,95 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+class SchemaDriftError(RuntimeError):
+    """A fixture table no longer matches the FIXTURES.md dtype contract
+    and no lossless normalization applies."""
+
+
+# Spark-side dtype contract per table, post-normalization.  Each column
+# maps to the tuple of ACCEPTED dtype strings (first = canonical).
+# o_orderdate / l_shipdate accept tz-less and tz'd encodings because
+# every consumer goes through to_date()/date_trunc() which are
+# value-identical for all three under the pinned UTC session zone;
+# events.ts must be a true TIMESTAMP (unix_micros & window() require it)
+# so load_table casts it rather than widening the contract.
+SCHEMA_CONTRACT: dict[str, dict[str, tuple[str, ...]]] = {
+    "region": {"r_regionkey": ("int",), "r_name": ("string",)},
+    "nation": {"n_nationkey": ("int",), "n_name": ("string",),
+               "n_regionkey": ("int",)},
+    "customer": {"c_custkey": ("bigint",), "c_name": ("string",),
+                 "c_nationkey": ("int",), "c_acctbal": ("double",),
+                 "c_mktsegment": ("string",)},
+    "supplier": {"s_suppkey": ("bigint",), "s_name": ("string",),
+                 "s_nationkey": ("int",), "s_acctbal": ("double",)},
+    "part": {"p_partkey": ("bigint",), "p_name": ("string",),
+             "p_brand": ("string",), "p_type": ("string",),
+             "p_size": ("int",), "p_retailprice": ("double",)},
+    "orders": {"o_orderkey": ("bigint",), "o_custkey": ("bigint",),
+               "o_orderstatus": ("string",), "o_totalprice": ("double",),
+               "o_orderdate": ("timestamp_ntz", "timestamp", "date"),
+               "o_orderpriority": ("string",)},
+    "lineitem": {"l_orderkey": ("bigint",), "l_partkey": ("bigint",),
+                 "l_suppkey": ("bigint",), "l_linenumber": ("int",),
+                 "l_quantity": ("double",), "l_extendedprice": ("double",),
+                 "l_discount": ("double",), "l_tax": ("double",),
+                 "l_returnflag": ("string",), "l_linestatus": ("string",),
+                 "l_shipdate": ("timestamp_ntz", "timestamp", "date")},
+    "events": {"event_id": ("bigint",), "ts": ("timestamp",),
+               "user_id": ("bigint",), "event_type": ("string",),
+               "value": ("double",), "props": ("string",)},
+    "documents": {"doc_id": ("bigint",), "text": ("string",),
+                  "lang": ("string",), "source": ("string",),
+                  "n_chars": ("bigint",)},
+    "embeddings": {"vec_id": ("bigint",),
+                   "embedding": ("array<float>", "array<double>"),
+                   "label": ("int",)},
+}
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Lossless ``ts`` normalization for every fixture shape seen so far.
+
+    - ``bigint``: legacy TIMESTAMP(NANOS) read under
+      ``spark.sql.legacy.parquet.nanosAsLong`` — rebuild a µs timestamp
+      (fixture is µs-aligned; DuckDB's NS->US cast truncates identically).
+    - ``timestamp_ntz``: naive ``timestamp[us]`` fixture (2026-08 regen).
+      Under the pinned UTC session zone ``cast('timestamp')`` is
+      value-identical (verified: unix_micros + oracle hashes agree).
+    - ``timestamp``: already canonical.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def conform(name: str, df: DataFrame) -> DataFrame:
+    """Assert ``df`` against SCHEMA_CONTRACT[name]; raise SchemaDriftError
+    with the full drift picture (missing columns + off-contract dtypes)
+    in ONE message.  Extra columns are allowed (forward-compatible)."""
+    contract = SCHEMA_CONTRACT.get(name)
+    if contract is None:
+        return df
+    dtypes = dict(df.dtypes)
+    missing = [c for c in contract if c not in dtypes]
+    drifted = {c: dtypes[c] for c, allowed in contract.items()
+               if c in dtypes and dtypes[c] not in allowed}
+    if missing or drifted:
+        raise SchemaDriftError(
+            f"fixture table '{name}' violates the FIXTURES.md dtype "
+            f"contract: missing columns {missing}; off-contract dtypes "
+            f"{drifted} (accepted: "
+            f"{ {c: contract[c] for c in drifted} }). The fixtures were "
+            "likely regenerated — add a lossless normalization in "
+            "catalog.load_table or update SCHEMA_CONTRACT.")
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -31,10 +126,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     group — one task per ~128MB at scale via
     spark.sql.files.maxPartitionBytes.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the fixture parquet, which
-    Spark rejects ([PARQUET_TYPE_ILLEGAL]); we read nanos as long and
-    rebuild a µs timestamp (the fixture is µs-aligned, and DuckDB's
-    TIMESTAMP_NS -> TIMESTAMP cast truncates identically).
+    Normalizes known-lossless dtype drift (``events.ts``) and asserts
+    the result against SCHEMA_CONTRACT — see module docstring.
     """
     # Pin UTC on whatever session we were handed — timestamp->date
     # extraction and literals are session-tz-dependent in Spark but
@@ -45,12 +138,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ship_package(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = normalize_events_ts(spark.read.parquet(table_path(sf_dir, name)))
+        return conform(name, df)
+    return conform(name, spark.read.parquet(table_path(sf_dir, name)))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -23,11 +23,27 @@ from .text import token_set, tokenize
 # SURVEY §2B L6): h_i(x) = (a_i * xxhash64(x) + b_i) mod p.
 # 31-bit modulus keeps a*h + b < 2^63 (no ANSI overflow): a,h < 2^31.
 _MERSENNE31 = (1 << 31) - 1
-# Previous jaccard_pairs tokenized-set cache (see its persist note).
-_PREV_SETS: list = []
 N_HASHES = 32
 N_BANDS = 8           # 8 bands x 4 rows: catches jaccard >= ~0.7 w.h.p.
 ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _stage_sets(sets_df: DataFrame) -> DataFrame:
+    """Materialize a (doc_id, toks) frame consumed by 2-3 downstream
+    branches (vocab probe / signature build / token rejoin) so the
+    tokenize pass runs once.
+
+    ``localCheckpoint(eager=False)`` instead of ``persist()``: blocks
+    land in the same MEMORY_AND_DISK storage on first action, but the
+    checkpointed RDD is released by Spark's ContextCleaner when the
+    DataFrame is garbage-collected — no module-level cache registry,
+    no unbounded accumulation across repeated calls (persist() entries
+    live in the CacheManager until an explicit unpersist).  Trade-off,
+    documented: localCheckpoint truncates lineage, so a lost executor
+    cannot recompute its blocks — fine for local/static clusters; on a
+    dynamic-allocation cluster pass an externally persisted frame via
+    the operators' ``sets_df`` parameter instead."""
+    return sets_df.localCheckpoint(eager=False)
 
 
 def _hash_params(n: int = N_HASHES) -> list[tuple[int, int]]:
@@ -75,7 +91,8 @@ def _banded_self_pairs(sets_df: DataFrame, band_width: int = 10) -> DataFrame:
 def jaccard_pairs(df: DataFrame, threshold: float = 0.8,
                   text_col: str = "text",
                   band_width: int = 10,
-                  open_vocab: str = "lsh") -> DataFrame:
+                  open_vocab: str = "lsh",
+                  sets_df: DataFrame | None = None) -> DataFrame:
     """L5: token-set Jaccard near-dup pairs.  jaccard = |A∩B| / |A∪B|
     computed as exact integer division -> bit-identical across
     engines.
@@ -94,24 +111,14 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.8,
     result exactly but prunes pairs with a 1024-bit hash signature
     first (:func:`_signature_banded_pairs`) — band-pair count still
     applies, but each pruned pair costs 16 AND+popcounts instead of
-    an array intersect (~14x on shingle-sized sets)."""
-    # Persisted: the vocabulary probe below and the pair join both
-    # consume the tokenized sets — one tokenize pass, not two.
-    # persist (lazy cache) shares the tokenize pass between the
-    # vocabulary probe and the pair join.  To keep repeated calls
-    # from accumulating cached blocks in executor storage (bench runs
-    # this 3x; l5/l11 share it), each call unpersists the PREVIOUS
-    # call's cache — at most one tokenized frame is ever cached.
-    # (localCheckpoint would auto-clean on GC but its eager
-    # block-manager write costs ~25% of the operator's runtime.)
-    while _PREV_SETS:
-        try:
-            _PREV_SETS.pop().unpersist(blocking=False)
-        except Exception:
-            pass
-    sets_df = df.select(
-        "doc_id", token_set(F.col(text_col)).alias("toks")).persist()
-    _PREV_SETS.append(sets_df)
+    an array intersect (~14x on shingle-sized sets).
+
+    ``sets_df``: optional caller-owned pre-tokenized (doc_id, toks)
+    frame (persist it yourself and you own the unpersist); default
+    builds one and stages it via :func:`_stage_sets`."""
+    if sets_df is None:
+        sets_df = _stage_sets(df.select(
+            "doc_id", token_set(F.col(text_col)).alias("toks")))
     vocab = [r["t"] for r in sets_df
              .select(F.explode("toks").alias("t")).distinct()
              .orderBy("t").limit(65).collect()]
@@ -268,52 +275,89 @@ def _signature_banded_pairs(sets_df: DataFrame, threshold: float,
             .filter(F.col("jaccard") >= threshold))
 
 
+def ngram_shingle_sets(df: DataFrame, n: int = 2,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, toks) where toks = sorted distinct word n-gram
+    shingles.  The token array is STAGED into a column before the
+    shingle transform — referencing ``tokenize(text)`` inside the
+    lambda re-runs the tokenizer regex per ``element_at`` (measured
+    ~4x slower)."""
+    return (df.withColumn("_tk", tokenize(F.col(text_col)))
+            .withColumn("toks", F.array_sort(F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_tk") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at("_tk", i + j)
+                               for j in range(n)])))))
+            .select("doc_id", "toks"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, n: int = 2,
                         threshold: float = 0.6,
                         text_col: str = "text",
-                        band_width: int = 10) -> DataFrame:
+                        band_width: int = 10,
+                        method: str = "signature") -> DataFrame:
     """L5 variant: Jaccard over word n-gram shingles — order-aware
     near-dup detection (catches re-ordered bags that token-set
     Jaccard conflates).  Shingle vocabularies never fit one machine
-    word, so candidates come from the exact signature pre-filter
-    (:func:`_signature_banded_pairs`): identical results to the band
-    self-join, ~14x faster at sf0.1 (117 s -> ~8 s) because the
-    per-pair shingle-array intersect only runs on true candidates.
-    The token array is STAGED into a column before the shingle
-    transform — referencing ``tokenize(text)`` inside the lambda
-    re-runs the tokenizer regex per ``element_at`` (measured ~4x
-    slower)."""
-    staged = (df.withColumn("_tk", tokenize(F.col(text_col)))
-              .withColumn("toks", F.array_sort(F.array_distinct(
-                  F.transform(
-                      F.sequence(F.lit(1), F.size("_tk") - (n - 1)),
-                      lambda i: F.concat_ws(
-                          " ", *[F.element_at("_tk", i + j)
-                                 for j in range(n)])))))
-              .select("doc_id", "toks"))
-    while _PREV_SETS:      # same bounded-cache discipline as jaccard_pairs
-        try:
-            _PREV_SETS.pop().unpersist(blocking=False)
-        except Exception:
-            pass
-    sets_df = staged.persist()
-    _PREV_SETS.append(sets_df)
+    word, so two physical strategies:
+
+    - ``method="signature"`` (exact, the oracle twin): candidates from
+      the exact signature pre-filter (:func:`_signature_banded_pairs`)
+      — identical results to the band self-join, ~14x faster at sf0.1
+      (117 s -> ~8 s), but the band join is still O(band^2) pairs by
+      construction.
+    - ``method="lsh"`` (the scale path / bench headline): MinHash-LSH
+      candidate generation (8 bands x 4 rows; the corpus' true
+      near-dups sit at jaccard>=0.8 where per-pair recall is
+      1-(1-j^4)^8 >= 0.97, measured 1.0 at sf0.1 — and crucially the
+      r=4 rows keep moderate-similarity word-soup pairs OUT: at
+      j=0.3 the collision rate is 0.06 vs 0.78 under a 16x2 banding,
+      751 candidates vs 218k measured) followed by EXACT Jaccard
+      verification on candidates only.  Output is a subset of the
+      exact pairs with property-tested recall (>=95%,
+      ``l5_ngram_lsh`` registry row); pair-generation cost is linear
+      in true-match density, not band population — this is the plan
+      that survives 100 TB.
+    """
+    sets_df = _stage_sets(ngram_shingle_sets(df, n, text_col))
+    if method == "lsh":
+        cand = _lsh_pairs_from_sets(sets_df, n_bands=8)
+        a = sets_df.select(F.col("doc_id").alias("doc_a"),
+                           F.col("toks").alias("toks_a"))
+        b = sets_df.select(F.col("doc_id").alias("doc_b"),
+                           F.col("toks").alias("toks_b"))
+        pairs = cand.join(a, "doc_a").join(b, "doc_b")
+        inter = F.size(F.array_intersect("toks_a", "toks_b"))
+        union = F.size("toks_a") + F.size("toks_b") - inter
+        jac = inter.cast("double") / union
+        return (pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
     return _signature_banded_pairs(sets_df, threshold, band_width)
 
 
-def _minhash_component(toks, a: int, b: int):
-    """min over tokens of (a * h31(token) + b) mod M31, where h31 is
-    xxhash64 folded to 31 bits (keeps products inside int64)."""
-    def _h(t):
-        h31 = F.pmod(F.xxhash64(t), F.lit(_MERSENNE31))
-        return (F.lit(a) * h31 + F.lit(b)) % F.lit(_MERSENNE31)
-    return F.array_min(F.transform(toks, _h))
+def _h31_expr(toks):
+    """Per-token 31-bit base hash array: pmod(xxhash64(token), M31).
+    Computed ONCE and shared by all N_HASHES components — the string
+    hash dominates the per-component linear map, so hashing inside
+    each component costs ~N_HASHES x more (measured)."""
+    return F.transform(toks, lambda t: F.pmod(F.xxhash64(t),
+                                              F.lit(_MERSENNE31)))
+
+
+def _sig_from_hashes(hs):
+    """MinHash signature from a precomputed h31 array column:
+    component_i = min over tokens of (a_i * h31 + b_i) mod M31
+    (a,h < 2^31 keeps products inside int64)."""
+    return F.array(*[
+        F.array_min(F.transform(
+            hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE31)))
+        for a, b in _hash_params()])
 
 
 def _sig_expr(toks):
     """MinHash signature expression over a token-array column."""
-    return F.array(*[_minhash_component(toks, a, b)
-                     for a, b in _hash_params()])
+    return _sig_from_hashes(_h31_expr(toks))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -323,17 +367,21 @@ def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", _sig_expr(token_set(F.col(text_col))).alias("sig"))
 
 
-def _lsh_pairs_from_sets(sets_df: DataFrame) -> DataFrame:
+def _lsh_pairs_from_sets(sets_df: DataFrame,
+                         n_bands: int = N_BANDS) -> DataFrame:
     """Banded-LSH candidate pairs from a (doc_id, toks) frame.
-    Signature -> N_BANDS band hashes -> explode -> equi-join on
-    (band_idx, band_hash)."""
-    sigs = sets_df.select("doc_id", _sig_expr(F.col("toks")).alias("sig"))
+    Signature -> ``n_bands`` band hashes (rows-per-band =
+    N_HASHES/n_bands; more bands -> lower s-curve threshold) ->
+    explode -> equi-join on (band_idx, band_hash)."""
+    rpb = N_HASHES // n_bands
+    sigs = (sets_df.withColumn("_hs", _h31_expr(F.col("toks")))
+            .select("doc_id", _sig_from_hashes(F.col("_hs")).alias("sig")))
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[
             F.hash(*[F.col("sig")[i] for i in
-                     range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)])
-            for b in range(N_BANDS)
+                     range(b * rpb, (b + 1) * rpb)])
+            for b in range(n_bands)
         ])).alias("band_idx", "band_hash"))
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")

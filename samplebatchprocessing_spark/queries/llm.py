@@ -95,6 +95,36 @@ WHERE CAST(LEN(LIST_INTERSECT(a.toks, c.toks)) AS DOUBLE)
 """
 
 
+def l5_ngram_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5/L6 scale path (bench headline since round 4): MinHash-LSH
+    candidate generation over 2-gram shingles + exact Jaccard
+    verification, property-checked against the exact signature-path
+    pairs — verified LSH output is a SUBSET of the exact pairs, so
+    recall = fraction of exact pairs the LSH path reproduces (measured
+    1.0 at all SFs with 8x4 banding).  The LSH path may additionally
+    surface true near-dup pairs that STRADDLE a length-band boundary
+    (the exact path's bands exclude them by declared semantics) — the
+    left join from truth makes the property insensitive to those.
+    The exact column is the true pair count (cross-engine); the
+    boolean flips red if the banding/signatures break."""
+    doc = load_table(spark, sf_dir, "documents")
+    lsh = (dedup.ngram_jaccard_pairs(doc, n=2, threshold=0.6, method="lsh")
+           .select("doc_a", "doc_b").withColumn("hit", F.lit(1)))
+    truth = (dedup.ngram_jaccard_pairs(doc, n=2, threshold=0.6,
+                                       method="signature")
+             .select("doc_a", "doc_b"))
+    return (truth.join(lsh, ["doc_a", "doc_b"], "left")
+            .agg(F.count(F.lit(1)).alias("n_true_pairs"),
+                 ((F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)))
+                  >= 0.95).alias("lsh_recall_ge_95")))
+
+
+L5_NGRAM_LSH_SQL = f"""
+SELECT COUNT(*) AS n_true_pairs, TRUE AS lsh_recall_ge_95
+FROM ({L5_NGRAM_SQL})
+"""
+
+
 def l6_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6 with an a10-style property oracle: the MinHash hashing is
     engine-specific, so the DECLARED output is the exact ground-truth
@@ -1277,6 +1307,7 @@ QUERIES: dict[str, tuple] = {
     "l4_tfidf": (l4_tfidf, text.TFIDF_SQL),
     "l5_jaccard_pairs": (l5_jaccard_pairs, L5_SQL),
     "l5_ngram_jaccard": (l5_ngram_jaccard, L5_NGRAM_SQL),
+    "l5_ngram_lsh": (l5_ngram_lsh, L5_NGRAM_LSH_SQL),
     "l6_minhash_lsh": (l6_minhash_lsh, L6_LSH_SQL),
     "l6_simhash": (l6_simhash, L6_SIMHASH_SQL),
     "l7_cosine_topk": (l7_cosine_topk, L7_SQL),

@@ -59,10 +59,10 @@ def events_stream(spark: SparkSession, sf_dir: str,
     sdf = (spark.readStream.schema(raw_schema)
            .option("pathGlobFilter", "*.parquet")
            .parquet(stage))
-    if dict((f.name, f.dataType.simpleString())
-            for f in raw_schema.fields).get("ts") == "bigint":
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return sdf
+    # Same lossless ts normalization as the batch catalog (nanos-as-long
+    # legacy shape OR the naive-µs TIMESTAMP_NTZ regen shape -> TIMESTAMP).
+    from ..catalog import normalize_events_ts
+    return normalize_events_ts(sdf)
 
 
 SESSION_GAP_US = 1800 * 1_000_000  # 30 min

@@ -9,6 +9,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
+from samplebatchprocessing_spark.catalog import normalize_events_ts
 from samplebatchprocessing_spark.streaming.jobs import events_stream
 
 BASE = "/tmp/sbp_stream_test"
@@ -19,7 +20,7 @@ def _run_to_sink(spark, src_dir, sink, ckpt):
         os.path.join(src_dir, os.listdir(src_dir)[0])).schema
     sdf = (spark.readStream.schema(raw_schema)
            .option("pathGlobFilter", "*.parquet").parquet(src_dir))
-    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    sdf = normalize_events_ts(sdf)
 
     def write_batch(df, batch_id):
         df.write.mode("overwrite").parquet(
@@ -76,13 +77,14 @@ def test_stateful_sessions_carry_state_across_batches(spark, sf_smoke):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    ev = normalize_events_ts(spark.read.parquet(f"{sf_smoke}/events.parquet"))
     # time-split: first half of events in file A, rest in file B, so
     # most users span both micro-batches
-    cut = ev.approxQuantile("ts", [0.5], 0.0)[0]
+    ev = ev.withColumn("ts_us", F.unix_micros("ts"))
+    cut = ev.approxQuantile("ts_us", [0.5], 0.0)[0]
     os.makedirs(f"{base}/src")
-    for name, part in (("a", ev.filter(F.col("ts") <= cut)),
-                       ("b", ev.filter(F.col("ts") > cut))):
+    for name, part in (("a", ev.filter(F.col("ts_us") <= cut).drop("ts_us")),
+                       ("b", ev.filter(F.col("ts_us") > cut).drop("ts_us"))):
         tmp = f"{base}/tmp_{name}"
         part.coalesce(1).write.parquet(tmp)
         pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
@@ -93,7 +95,7 @@ def test_stateful_sessions_carry_state_across_batches(spark, sf_smoke):
            .option("pathGlobFilter", "*.parquet")
            .option("maxFilesPerTrigger", 1)
            .parquet(f"{base}/src"))
-    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    sdf = normalize_events_ts(sdf)
     out = run_available_now(stateful_user_sessions(sdf)).collect()
 
     # final state per user = the row with the largest n_events
