@@ -352,6 +352,45 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def a11_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (dedicated row since round 4 — previously rode a10):
+    ``percentile_approx`` at q ∈ {0.25, 0.5, 0.9} per group.  The
+    sketch values are engine-specific (KLL/GK-style), so the declared
+    output is the rank-error property: each approximate quantile must
+    land between the EXACT q-0.02 and q+0.02 percentiles (Spark's
+    default accuracy=10000 bounds rank error at 1e-4, far inside the
+    declared 0.02), plus the exact row count which IS cross-engine.
+    The sketch really runs — accuracy drift flips a boolean and the
+    driver goes red.
+
+    Scale: partial sketches merge associatively map-side, one shuffle
+    of O(groups x sketch_size) — the same 2-phase plan as A1."""
+    li = _t(spark, sf_dir, "lineitem")
+    qs = (25, 50, 90)
+    agg = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.percentile_approx("l_extendedprice", q / 100.0)
+          .alias(f"ap{q}") for q in qs],
+        *[F.percentile("l_extendedprice", (q - 2) / 100.0)
+          .alias(f"lo{q}") for q in qs],
+        *[F.percentile("l_extendedprice", (q + 2) / 100.0)
+          .alias(f"hi{q}") for q in qs],
+    )
+    return agg.select(
+        "l_linestatus", "n_rows",
+        *[F.col(f"ap{q}").between(F.col(f"lo{q}"), F.col(f"hi{q}"))
+          .alias(f"p{q}_within_rank_bound") for q in qs])
+
+
+A11_SQL = """
+SELECT l_linestatus, COUNT(*) AS n_rows,
+       TRUE AS p25_within_rank_bound,
+       TRUE AS p50_within_rank_bound,
+       TRUE AS p90_within_rank_bound
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
 # --------------------------------------------------------------------------
 # Q* — projection / filter
 # --------------------------------------------------------------------------
@@ -1165,6 +1204,7 @@ QUERIES: dict[str, tuple] = {
     "a8_collect_list": (a8_collect_list, A8_SQL),
     "a9_percentile": (a9_percentile, A9_SQL),
     "a10_approx_distinct": (a10_approx_distinct, A10_SQL),
+    "a11_approx_percentile": (a11_approx_percentile, A11_SQL),
     "a13_corr_covar": (a13_corr_covar, A13_SQL),
     "q1_project_compute": (q1_project_compute, Q1_SQL),
     "q2_cast": (q2_cast, Q2_SQL),

@@ -252,6 +252,76 @@ def v10_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(V10_SQL)
 
 
+_QTY_SUM = sql_dsum("l_quantity")
+
+V11_SQL = f"""
+SELECT c_custkey, o_orderkey, o_totalprice, {_QTY_SUM} AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING {_QTY_SUM} > 150.0)
+GROUP BY c_custkey, o_orderkey, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def v11_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V11 (TPC-H Q18 shape): large-volume customers — the classic
+    group-HAVING-in-subquery pipeline.  The IN subquery aggregates the
+    FACT table and Catalyst plans it as a semi-join of lineitem
+    against its own aggregate: both sides shuffle on l_orderkey (one
+    key, co-partitioned), then the qualifying orders join customer.
+
+    Scale: the HAVING aggregate is the classic pre-filter — at 100 TB
+    it reduces the fact table to the handful of qualifying orderkeys
+    BEFORE the customer join, so the second join's probe side is tiny.
+    Quantity sums use the exact-decimal dsum shape (order-independent,
+    hash-stable cross-engine)."""
+    register_views(spark, sf_dir)
+    return spark.sql(V11_SQL)
+
+
+V12_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_quantity > 30.0
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_quantity > 30.0)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+def v12_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V12 (TPC-H Q21 shape): the multi-EXISTS anti-join chain —
+    suppliers who were the SOLE high-quantity line in multi-supplier
+    finished orders.  (The fixture lineitem has no commit/receipt
+    dates, so ``l_quantity > 30`` stands in for Q21's late-delivery
+    predicate; the join/subquery topology — fact self-EXISTS plus
+    fact self-NOT-EXISTS, both correlated on the order key — is the
+    shape under test.)
+
+    Scale: Catalyst plans both correlated subqueries as
+    LeftSemi/LeftAnti hash joins of lineitem against itself, all
+    keyed on l_orderkey — with the fact table hash-partitioned once
+    on orderkey, all three fact-fact joins co-locate on the same
+    exchange; supplier/orders broadcast."""
+    register_views(spark, sf_dir)
+    return spark.sql(V12_SQL)
+
+
 # -- MERGE / SCD2 / skew family ------------------------------------------
 
 def m1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,6 +429,8 @@ QUERIES: dict[str, tuple] = {
     "v8_tpch_q3": (v8_tpch_q3, V8_SQL),
     "v9_tpch_q5": (v9_tpch_q5, V9_SQL),
     "v10_tpch_q10": (v10_tpch_q10, V10_SQL),
+    "v11_tpch_q18": (v11_tpch_q18, V11_SQL),
+    "v12_tpch_q21": (v12_tpch_q21, V12_SQL),
     "m1_upsert": (m1_upsert, M1_SQL),
     "m2_scd2": (m2_scd2, M2_SQL),
     "m3_salted_join": (m3_salted_join, M3_SQL),
