@@ -108,6 +108,22 @@ def test_no_cartesian_in_blocked_similarity(spark, sf_smoke):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ngram_lsh_path_is_banded_equi_join(spark, sf_smoke):
+    """r4 l5_ngram_lsh headline contract: candidate generation is an
+    equi-join on (band_idx, band_hash) and the exact verification
+    joins are id-keyed — no cartesian/NLJ anywhere, and no
+    length-band self-join (the O(band^2) shape the LSH path exists
+    to avoid)."""
+    from samplebatchprocessing_spark.operators import dedup
+    doc = load_table(spark, sf_smoke, "documents")
+    df = dedup.ngram_jaccard_pairs(doc, n=2, threshold=0.6, method="lsh")
+    plan = plan_str(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_hash" in plan        # LSH band equi-join present
+    assert "_iub" not in plan         # signature band path absent
+
+
 def test_ivf_probe_is_broadcast_equi_join(spark, sf_smoke):
     """IVF contract: candidate restriction is a broadcast equi-join
     on the cell id — no shuffle of the candidate side, no cartesian."""
