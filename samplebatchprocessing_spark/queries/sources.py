@@ -29,6 +29,21 @@ def _work_dir(sf_dir: str, name: str) -> str:
     return os.path.join(_WORK, f"{name}_{tag}")
 
 
+def _copy_if_changed(src: str, dst: str) -> None:
+    """Stage ``src`` at ``dst`` unless an up-to-date copy exists.
+    (mtime, size) is the freshness key — the driver regenerates
+    fixtures between rounds, and an exists-only check would silently
+    keep feeding the pipeline stale bytes while the DuckDB oracle
+    reads the new files."""
+    import shutil
+    st = os.stat(src)
+    if os.path.exists(dst):
+        dt = os.stat(dst)
+        if dt.st_size == st.st_size and dt.st_mtime >= st.st_mtime:
+            return
+    shutil.copy2(src, dst)
+
+
 def p1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: parquet scan with projection + pushed filter (verified
     pushed in tests/test_plans.py)."""
@@ -194,7 +209,6 @@ def p8_manifest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver check; byte-exactness asserted in tests/test_pipeline.py.
     """
     import glob
-    import shutil
 
     from ..pipeline.manifest import build_manifest, run_pipeline
 
@@ -202,9 +216,7 @@ def p8_manifest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = os.path.join(bucket, "input")
     os.makedirs(in_dir, exist_ok=True)
     for src in sorted(glob.glob(f"{sf_dir.rstrip('/')}/*.parquet")):
-        dst = os.path.join(in_dir, os.path.basename(src))
-        if not os.path.exists(dst):
-            shutil.copy(src, dst)
+        _copy_if_changed(src, os.path.join(in_dir, os.path.basename(src)))
 
     manifest = build_manifest(spark, bucket)
     log = run_pipeline(spark, manifest, transform=None, ext=".out")
@@ -248,7 +260,6 @@ def p10_watch_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQS delete-on-success), so the log is stable across repeats and
     oracle-checkable against the blob listing."""
     import glob
-    import shutil
 
     from ..pipeline.manifest import watch_prefix
 
@@ -256,9 +267,7 @@ def p10_watch_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = os.path.join(bucket, "input")
     os.makedirs(in_dir, exist_ok=True)
     for src in sorted(glob.glob(f"{sf_dir.rstrip('/')}/*.parquet")):
-        dst = os.path.join(in_dir, os.path.basename(src))
-        if not os.path.exists(dst):
-            shutil.copy(src, dst)
+        _copy_if_changed(src, os.path.join(in_dir, os.path.basename(src)))
     log = watch_prefix(spark, bucket)
     return log.select("file_name", "in_bytes", "out_bytes", "ok").distinct()
 

@@ -29,7 +29,14 @@ def stage_events_dir(spark: SparkSession, sf_dir: str,
     """Stage events.parquet into a watchable directory (n copies —
     >1 simulates at-least-once redelivery for S6)."""
     src = f"{sf_dir.rstrip('/')}/events.parquet"
-    h = hashlib.md5(f"{sf_dir}|{copies}|{tag}".encode()).hexdigest()[:8]
+    # The source's (mtime, size) is part of the cache key: the driver
+    # regenerates fixtures between rounds (observed 2026-08), and a
+    # stale staged copy would silently feed every streaming query old
+    # data while the oracle reads the new file.
+    st = os.stat(src)
+    h = hashlib.md5(
+        f"{sf_dir}|{copies}|{tag}|{st.st_mtime_ns}|{st.st_size}"
+        .encode()).hexdigest()[:8]
     d = os.path.join(_STAGE, f"events_{h}")
     marker = os.path.join(d, "_STAGED")
     if not os.path.exists(marker):
