@@ -622,6 +622,47 @@ def incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
             .drop("_h"))
 
 
+def incremental_fuzzy_dedup(new_df: DataFrame, corpus_df: DataFrame,
+                            threshold: float = 0.8,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Fuzzy snapshot-ingest dedup (the near-dup extension of
+    :func:`incremental_dedup`): admit only NEW-batch documents that
+    are not a near-duplicate (same-length-band token-set Jaccard >=
+    ``threshold``) of ANY corpus document or of any lower-id document
+    in the batch itself.  Band-restricted semantics keep the operator
+    exactly SQL-expressible (the declared contract, same as L5).
+
+    Scale (100 TB): near-dup pairs come from ONE signature-pruned
+    band join over corpus+batch (``open_vocab="signature"``, sound
+    upper bound — no true pair dropped); at real scale the corpus
+    side is the previous snapshot's persisted (band, signature)
+    index, so each ingest shuffles only the new batch against index
+    buckets, never re-tokenizing corpus text.  The rejection logic is
+    two hash joins on doc ids (pair list is near-dup-density-sized,
+    far smaller than the corpus)."""
+    new_ids = new_df.select(F.col(id_col).alias("x"))
+    both = new_df.unionByName(corpus_df)
+    pairs = jaccard_pairs(both, threshold=threshold, text_col=text_col,
+                          open_vocab="signature")
+    # undirected pair list -> both orientations (x = candidate-for-
+    # rejection side, y = the witness)
+    und = (pairs.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+           .unionByName(pairs.select(F.col("doc_b").alias("x"),
+                                     F.col("doc_a").alias("y"))))
+    in_batch = und.join(new_ids, "x")
+    corpus_ids = corpus_df.select(F.col(id_col).alias("y"))
+    batch_witness = new_ids.select(F.col("x").alias("y"))
+    rejected = (in_batch.join(corpus_ids, "y", "left_semi")
+                .unionByName(
+                    in_batch.join(batch_witness, "y", "left_semi")
+                    .filter(F.col("y") < F.col("x")))
+                .select("x").distinct())
+    return (new_df.join(rejected.withColumnRenamed("x", id_col),
+                        id_col, "left_anti")
+            .select(id_col))
+
+
 def apply_dedup_clusters(df: DataFrame, clusters: DataFrame,
                          id_col: str = "doc_id") -> DataFrame:
     """Materialize the fuzzy-dedup decision: keep each near-dup

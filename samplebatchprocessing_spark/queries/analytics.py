@@ -398,6 +398,78 @@ FROM lags
 """
 
 
+def x37_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37 (r4): join-key skew diagnosis — the report you run BEFORE
+    picking a join strategy at 100 TB.  For each candidate join key,
+    one row: distinct keys, total rows, max per-key rows, the exact
+    p50/p99 of the per-key distribution, the skew factor
+    (max / mean, x1000 as an exact integer — no float division), and
+    the heaviest key.  A skew factor in the thousands says "salt or
+    AQE-skew-split this join"; ~1000 says the key is uniform.
+
+    Scale: one shuffle per key column (groupBy count), then the
+    percentile/argmax run over the per-key COUNTS frame — |keys|
+    rows, not |fact| rows.  Exact integers end to end -> hash-stable
+    cross-engine oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    out = None
+    for label, df, key in (("lineitem.l_suppkey", li, "l_suppkey"),
+                           ("lineitem.l_orderkey", li, "l_orderkey"),
+                           ("events.user_id", ev, "user_id")):
+        per_key = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("c"))
+        rep = (per_key.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_rows"),
+            # exact integer percentiles of the count distribution:
+            # FLOOR of the interpolated value on both engines
+            F.floor(F.percentile("c", 0.5)).alias("p50_rows"),
+            F.floor(F.percentile("c", 0.99)).alias("p99_rows"),
+            F.max_by("k", F.struct(F.col("c"), (-F.col("k")).alias("nk")))
+             .alias("heaviest_key"))
+            .select(
+                F.lit(label).alias("join_key"),
+                "n_keys", "n_rows", "max_rows", "p50_rows", "p99_rows",
+                # skew = max/mean scaled x1000, exact integer division
+                F.expr("(max_rows * n_keys * 1000L) DIV n_rows")
+                 .alias("skew_x1000"),
+                "heaviest_key"))
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+X37_SQL = """
+WITH g1 AS (SELECT l_suppkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+g2 AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+g3 AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1)
+SELECT 'lineitem.l_suppkey' AS join_key, COUNT(*) AS n_keys,
+       SUM(c) AS n_rows, MAX(c) AS max_rows,
+       CAST(FLOOR(QUANTILE_CONT(c, 0.5)) AS BIGINT) AS p50_rows,
+       CAST(FLOOR(QUANTILE_CONT(c, 0.99)) AS BIGINT) AS p99_rows,
+       MAX(c) * COUNT(*) * 1000 // SUM(c) AS skew_x1000,
+       (SELECT MIN(k) FROM g1 WHERE c = (SELECT MAX(c) FROM g1))
+         AS heaviest_key
+FROM g1
+UNION ALL
+SELECT 'lineitem.l_orderkey', COUNT(*), SUM(c), MAX(c),
+       CAST(FLOOR(QUANTILE_CONT(c, 0.5)) AS BIGINT),
+       CAST(FLOOR(QUANTILE_CONT(c, 0.99)) AS BIGINT),
+       MAX(c) * COUNT(*) * 1000 // SUM(c),
+       (SELECT MIN(k) FROM g2 WHERE c = (SELECT MAX(c) FROM g2))
+FROM g2
+UNION ALL
+SELECT 'events.user_id', COUNT(*), SUM(c), MAX(c),
+       CAST(FLOOR(QUANTILE_CONT(c, 0.5)) AS BIGINT),
+       CAST(FLOOR(QUANTILE_CONT(c, 0.99)) AS BIGINT),
+       MAX(c) * COUNT(*) * 1000 // SUM(c),
+       (SELECT MIN(k) FROM g3 WHERE c = (SELECT MAX(c) FROM g3))
+FROM g3
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "x25_funnel": (x25_funnel, X25_SQL),
     "x26_retention": (x26_retention, X26_SQL),
@@ -408,4 +480,5 @@ QUERIES: dict[str, tuple] = {
     "x30_zscore_outliers": (x30_zscore_outliers, X30_SQL),
     "x31_decile_stats": (x31_decile_stats, X31_SQL),
     "x32_conversion_lag": (x32_conversion_lag, X32_SQL),
+    "x37_join_skew_report": (x37_join_skew_report, X37_SQL),
 }

@@ -873,6 +873,39 @@ WHERE rn = 1 AND h NOT IN (SELECT h FROM corpus)
 """
 
 
+def x38_incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38 (r4): the NEAR-dup extension of L14 — the src0 slice plays
+    the persisted corpus, everything else the incoming snapshot batch;
+    admit batch docs that are not a near-duplicate (band-restricted
+    token-set jaccard >= 0.8, the L5 contract) of any corpus doc or of
+    any lower-id batch doc.  See
+    ``operators.dedup.incremental_fuzzy_dedup`` for the scale design
+    (signature-pruned band join; corpus side becomes a persisted
+    band+signature index at real scale)."""
+    doc = load_table(spark, sf_dir, "documents")
+    corpus = doc.filter(F.col("source") == "src0")
+    batch = doc.filter(F.col("source") != "src0")
+    return dedup.incremental_fuzzy_dedup(batch, corpus, threshold=0.8)
+
+
+X38_SQL = f"""
+WITH s AS (SELECT doc_id, source, {token_set_sql('text')} AS toks
+           FROM documents),
+bnd AS (SELECT doc_id, source, toks,
+               CAST(FLOOR(LEN(toks) / 10) AS INT) AS band FROM s),
+p AS (SELECT a.doc_id AS x, a.source AS xs, c.doc_id AS y, c.source AS ys
+      FROM bnd a JOIN bnd c
+        ON a.band = c.band AND a.doc_id <> c.doc_id
+      WHERE CAST(LEN(LIST_INTERSECT(a.toks, c.toks)) AS DOUBLE)
+            / (LEN(a.toks) + LEN(c.toks)
+               - LEN(LIST_INTERSECT(a.toks, c.toks))) >= 0.8),
+rej AS (SELECT DISTINCT x FROM p
+        WHERE xs <> 'src0' AND (ys = 'src0' OR (ys <> 'src0' AND y < x)))
+SELECT doc_id FROM documents
+WHERE source <> 'src0' AND doc_id NOT IN (SELECT x FROM rej)
+"""
+
+
 def l15_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15: the fuzzy-dedup story MATERIALIZED — near-dup pairs
     (jaccard>=0.9) -> connected components -> keep each cluster's
@@ -1319,6 +1352,7 @@ QUERIES: dict[str, tuple] = {
     "l11_dedup_clusters": (l11_dedup_clusters, L11_SQL),
     "l13_paragraph_dedup": (l13_paragraph_dedup, L13_SQL),
     "l14_incremental_dedup": (l14_incremental_dedup, L14_SQL),
+    "x38_incremental_fuzzy_dedup": (x38_incremental_fuzzy_dedup, X38_SQL),
     "l15_fuzzy_dedup_keep": (l15_fuzzy_dedup_keep, L15_SQL),
     "l16_dedup_keep_best": (l16_dedup_keep_best, L16_SQL),
     "x33_zipf_fit": (x33_zipf_fit, X33_SQL),
