@@ -322,6 +322,75 @@ def v12_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(V12_SQL)
 
 
+V13_SQL = f"""
+SELECT supp_nation, cust_nation, yr, {sql_dsum('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         YEAR(o_orderdate) AS yr,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, yr
+ORDER BY supp_nation, cust_nation, yr
+"""
+
+
+def v13_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V13 (TPC-H Q7 shape): cross-nation volume shipping — the
+    two-role dimension pattern (nation joined TWICE under different
+    aliases, a symmetric OR predicate across both roles).
+
+    Scale: both nation aliases and supplier/customer broadcast; the
+    OR pair predicate cannot prune either scan alone, so it applies
+    at the joins — the single big shuffle remains lineitem-orders on
+    orderkey.  Revenue uses the exact-decimal dsum shape."""
+    register_views(spark, sf_dir)
+    return spark.sql(V13_SQL)
+
+
+V14_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = (SELECT MIN(p_brand) FROM part)
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > (
+    SELECT 1.2 * SUM(l_quantity)
+           / ((SELECT COUNT(*) FROM supplier)
+              * (SELECT COUNT(DISTINCT p_brand) FROM part))
+    FROM lineitem))
+ORDER BY s_suppkey
+"""
+
+
+def v14_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V14 (TPC-H Q20 shape): nested IN with an aggregate-threshold
+    subquery — suppliers whose shipped quantity of one brand's parts
+    exceeds a global-aggregate-derived threshold.  Three optimizer
+    patterns compose: uncorrelated scalar subqueries (MIN brand, the
+    quantity threshold) that must evaluate once and broadcast, an
+    aggregate-HAVING filter on the fact table, and a semi-join back
+    to the dimension.  The threshold is 1.2x the EXPECTED
+    per-(supplier, brand) quantity — scale-free selectivity (keeps
+    ~10-17% of suppliers at every fixture sf).
+
+    Scale: both scalar subqueries are one-row broadcasts; the brand
+    filter reaches the part scan and prunes the fact join before the
+    single shuffle on l_suppkey for the HAVING aggregate; supplier
+    joins the surviving handful of suppkeys semi-side."""
+    register_views(spark, sf_dir)
+    return spark.sql(V14_SQL)
+
+
 # -- MERGE / SCD2 / skew family ------------------------------------------
 
 def m1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,6 +500,8 @@ QUERIES: dict[str, tuple] = {
     "v10_tpch_q10": (v10_tpch_q10, V10_SQL),
     "v11_tpch_q18": (v11_tpch_q18, V11_SQL),
     "v12_tpch_q21": (v12_tpch_q21, V12_SQL),
+    "v13_tpch_q7": (v13_tpch_q7, V13_SQL),
+    "v14_tpch_q20": (v14_tpch_q20, V14_SQL),
     "m1_upsert": (m1_upsert, M1_SQL),
     "m2_scd2": (m2_scd2, M2_SQL),
     "m3_salted_join": (m3_salted_join, M3_SQL),
