@@ -66,10 +66,12 @@ def events_stream(spark: SparkSession, sf_dir: str,
     sdf = (spark.readStream.schema(raw_schema)
            .option("pathGlobFilter", "*.parquet")
            .parquet(stage))
-    # Same lossless ts normalization as the batch catalog (nanos-as-long
-    # legacy shape OR the naive-µs TIMESTAMP_NTZ regen shape -> TIMESTAMP).
-    from ..catalog import normalize_events_ts
-    return normalize_events_ts(sdf)
+    # Same lossless ts normalization + dtype-contract gate as the batch
+    # catalog (nanos-as-long legacy shape OR the naive-µs TIMESTAMP_NTZ
+    # regen shape -> TIMESTAMP; anything else fails loudly as ONE
+    # SchemaDriftError instead of scattered streaming-query errors).
+    from ..catalog import conform, normalize_events_ts
+    return conform("events", normalize_events_ts(sdf))
 
 
 SESSION_GAP_US = 1800 * 1_000_000  # 30 min

@@ -373,6 +373,29 @@ def test_tpch_q5_dims_broadcast_and_filters_pushed(spark, sf_smoke):
     assert "PushedFilters" in plan and "o_orderdate" in plan
 
 
+def test_tpch_q18_having_subquery_is_semi_join(spark, sf_smoke):
+    """V11 contract: the IN (SELECT ... GROUP BY ... HAVING) subquery
+    plans as a semi join of the fact against its own aggregate — no
+    cartesian, no nested-loop fallback."""
+    from samplebatchprocessing_spark.queries.sqlapi import v11_tpch_q18
+    plan = plan_str(v11_tpch_q18(spark, sf_smoke), mode="simple")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q20_scalar_thresholds_evaluate_once(spark, sf_smoke):
+    """V14 contract: the uncorrelated scalar-aggregate subqueries
+    (MIN brand, the quantity threshold) appear as Subquery/scalar
+    nodes evaluated once — not re-planned as joins per row — and the
+    outer IN is a semi join."""
+    from samplebatchprocessing_spark.queries.sqlapi import v14_tpch_q20
+    plan = plan_str(v14_tpch_q20(spark, sf_smoke), mode="simple")
+    assert "LeftSemi" in plan
+    assert "Subquery" in plan or "scalar-subquery" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tpch_q3_topk_no_global_sort(spark, sf_smoke):
     """V8: ORDER BY + LIMIT must plan TakeOrderedAndProject."""
     from samplebatchprocessing_spark.queries.sqlapi import v8_tpch_q3
