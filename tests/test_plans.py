@@ -100,9 +100,13 @@ def test_no_cartesian_in_blocked_similarity(spark, sf_smoke):
     from samplebatchprocessing_spark.operators import dedup, similarity
     doc = load_table(spark, sf_smoke, "documents")
     emb = load_table(spark, sf_smoke, "embeddings")
+    from pyspark.sql import functions as F
+    batch = doc.filter(F.col("source") != "src0")
+    corpus = doc.filter(F.col("source") == "src0")
     for df in (dedup.jaccard_pairs(doc, threshold=0.8),
                similarity.sim_join(emb, threshold=0.3),
-               dedup.embedding_neardup_pairs(emb, threshold=0.4)):
+               dedup.embedding_neardup_pairs(emb, threshold=0.4),
+               dedup.incremental_fuzzy_dedup(batch, corpus)):
         plan = plan_str(df, mode="simple")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
