@@ -118,6 +118,32 @@ def quota_sample_sql(quota: int = 100, by_col: str = "source",
             f"ORDER BY {hash_bucket_sql(id_col, 1_000_000)}, {id_col})")
 
 
+def weighted_bernoulli_sample(df: DataFrame, weight: Column,
+                              max_weight: int,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted (Poisson/Bernoulli) sampling: include a
+    row with probability ``weight / max_weight``, realized EXACTLY in
+    integer arithmetic — ``hash_bucket(id, 2^20) * max_weight <
+    weight * 2^20`` — so there is no float keep-fraction boundary to
+    diverge on across engines, runs, or appends (the per-id decision
+    never changes).  This is the sampling scheme mixture-weighted
+    pretraining pipelines actually use for per-document up/down-
+    weighting (quality-proportional keep rates, per-source mixture
+    realization in expectation).
+
+    Scale (100 TB): entirely row-local — no shuffle, no window, no
+    state; composes with any downstream quota/pack stage."""
+    lhs = hash_bucket(F.col(id_col), 1 << 20) * F.lit(max_weight)
+    return df.filter(lhs < weight.cast("long") * F.lit(1 << 20))
+
+
+def weighted_bernoulli_sql(weight_expr: str, max_weight: int,
+                           id_col: str = "doc_id") -> str:
+    """DuckDB twin WHERE-clause fragment (same exact integers)."""
+    return (f"{hash_bucket_sql(id_col, 1 << 20)} * {max_weight} "
+            f"< ({weight_expr}) * {1 << 20}")
+
+
 def deterministic_shuffle(df: DataFrame, seed: int = 7,
                           n_buckets: int = 1024,
                           id_col: str = "doc_id") -> DataFrame:

@@ -1141,6 +1141,28 @@ WHERE qr <= 10
 """
 
 
+def x39_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39 (r4): deterministic weighted Bernoulli sampling — keep each
+    document with probability proportional to min(n_chars, 800)/800
+    (a length-proportional keep rate standing in for any per-document
+    quality weight).  Exact integer decision per id, so the sample is
+    bit-stable across engines and appends; see
+    ``operators.sampling.weighted_bernoulli_sample``."""
+    from ..operators import sampling
+    doc = load_table(spark, sf_dir, "documents")
+    return (sampling.weighted_bernoulli_sample(
+                doc, F.least(F.col("n_chars"), F.lit(800)), 800)
+            .select("doc_id", "source", "n_chars"))
+
+
+def _x39_sql() -> str:
+    from ..operators.sampling import weighted_bernoulli_sql
+    cond = weighted_bernoulli_sql("LEAST(n_chars, 800)", 800)
+    return f"""
+SELECT doc_id, source, n_chars FROM documents WHERE {cond}
+"""
+
+
 def x19_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X19: frequent-items sketch (Karp et al. via DataFrame
     ``freqItems``) with an a10-style property oracle — the sketch's
@@ -1361,6 +1383,7 @@ QUERIES: dict[str, tuple] = {
     "x16_corpus_freq_score": (x16_corpus_freq_score, text.CORPUS_FREQ_SQL),
     "x17_vocab_coverage": (x17_vocab_coverage, text.VOCAB_COVERAGE_SQL),
     "x18_quota_sample": (x18_quota_sample, _x18_sql()),
+    "x39_weighted_sample": (x39_weighted_sample, _x39_sql()),
     "x19_heavy_hitters": (x19_heavy_hitters, X19_SQL),
     "x20_pretrain_pipeline": (x20_pretrain_pipeline, _x20_sql()),
     "x21_substring_dedup": (x21_substring_dedup, X21_SQL),

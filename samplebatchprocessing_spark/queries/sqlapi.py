@@ -391,6 +391,58 @@ def v14_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(V14_SQL)
 
 
+V15_SQL = """
+SELECT l_partkey, COUNT(*) AS n_small_lines
+FROM lineitem l1
+WHERE l_quantity < (
+  SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l1.l_partkey)
+GROUP BY l_partkey
+ORDER BY l_partkey
+"""
+
+
+def v15_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V15 (TPC-H Q17 shape): the correlated-AVERAGE threshold —
+    lines below half their part's average quantity.  Catalyst
+    de-correlates the subquery into an aggregate of lineitem grouped
+    by partkey joined back to lineitem on partkey: both sides shuffle
+    once on the SAME key (co-partitioned), no per-row re-execution.
+
+    The comparison averages integer-valued quantities over per-part
+    groups: AVG = exact-integer sum / count in double on both
+    engines — deterministic, and the 0.5x threshold never lands
+    exactly on a representable quantity boundary ambiguity (compare
+    is strict <)."""
+    register_views(spark, sf_dir)
+    return spark.sql(V15_SQL)
+
+
+V16_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_dsum("l_extendedprice * (1 - l_discount)")} AS total_rev
+  FROM lineitem GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def v16_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V16 (TPC-H Q15 shape): top supplier by revenue view — a CTE
+    referenced twice (once as the join input, once inside the scalar
+    MAX subquery).  The classic argmax-over-aggregate: the revenue
+    aggregate is ONE shuffle on suppkey; the MAX is a one-row
+    broadcast; supplier joins the surviving row(s).  Exact-decimal
+    dsum makes the revenue — and therefore the argmax — reproducible
+    cross-engine (a plain double SUM here can flip the winner on
+    summation order)."""
+    register_views(spark, sf_dir)
+    return spark.sql(V16_SQL)
+
+
 # -- MERGE / SCD2 / skew family ------------------------------------------
 
 def m1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,6 +554,8 @@ QUERIES: dict[str, tuple] = {
     "v12_tpch_q21": (v12_tpch_q21, V12_SQL),
     "v13_tpch_q7": (v13_tpch_q7, V13_SQL),
     "v14_tpch_q20": (v14_tpch_q20, V14_SQL),
+    "v15_tpch_q17": (v15_tpch_q17, V15_SQL),
+    "v16_tpch_q15": (v16_tpch_q15, V16_SQL),
     "m1_upsert": (m1_upsert, M1_SQL),
     "m2_scd2": (m2_scd2, M2_SQL),
     "m3_salted_join": (m3_salted_join, M3_SQL),
