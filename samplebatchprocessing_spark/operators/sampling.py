@@ -144,6 +144,74 @@ def weighted_bernoulli_sql(weight_expr: str, max_weight: int,
             f"< ({weight_expr}) * {1 << 20}")
 
 
+def mixture_realize(df: DataFrame, weight: Column, tokens: Column,
+                    budget_num: int, budget_den: int,
+                    by_col: str = "source",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Token-budget mixture realization — the pretraining data-mixing
+    primitive: given a per-group mixture WEIGHT and a global token
+    budget of ``budget_num/budget_den`` of the corpus, allocate each
+    group ``B_g = budget * w_g / W`` target tokens and keep each of
+    the group's documents with probability ``min(1, B_g / T_g)``
+    (T_g = the group's token mass).  Every quantity is an exact
+    integer and the per-document decision is the same portable hash
+    compare as :func:`weighted_bernoulli_sample` —
+    ``hash * T_g < B_g * 2^20`` — so the realized sample is
+    bit-stable across engines and reruns.  Over-budgeted groups
+    (B_g >= T_g) keep everything, which IS min(1, p).
+
+    Returns one row per group: token mass, target, realized doc and
+    token counts.
+
+    Scale (100 TB): one shuffle for the per-group token mass (a
+    groups-sized frame), a broadcast join of that frame back onto the
+    corpus, a row-local keep decision, one final per-group aggregate.
+    No global sort, no window over the corpus."""
+    w_int = weight.cast("long")
+    stats = (df.groupBy(by_col)
+             .agg(F.sum(tokens).alias("t_tokens"),
+                  F.max(w_int).alias("w")))
+    g = W.partitionBy()          # groups-sized frame: global window OK
+    stats = (stats
+             .withColumn("_total", F.sum("t_tokens").over(g))
+             .withColumn("_W", F.sum("w").over(g))
+             .withColumn("b_target", F.expr(
+                 f"(_total * {budget_num} DIV {budget_den}) * w DIV _W"))
+             .select(by_col, "t_tokens", "b_target"))
+    keep = (F.col("_hb") * F.col("t_tokens")
+            < F.col("b_target") * F.lit(1 << 20))
+    kept = (df.withColumn("_hb", hash_bucket(F.col(id_col), 1 << 20))
+            .join(F.broadcast(stats), by_col)
+            .filter(keep))
+    return (kept.groupBy(by_col, "t_tokens", "b_target")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum(tokens).alias("kept_tokens")))
+
+
+def mixture_realize_sql(weight_expr: str, tokens_expr: str,
+                        budget_num: int, budget_den: int,
+                        by_col: str = "source",
+                        id_col: str = "doc_id",
+                        table: str = "documents") -> str:
+    """DuckDB twin of :func:`mixture_realize` (same exact integers)."""
+    hb = hash_bucket_sql(id_col, 1 << 20)
+    return f"""
+WITH s AS (SELECT {by_col}, SUM({tokens_expr}) AS t_tokens,
+                  MAX(CAST({weight_expr} AS BIGINT)) AS w
+           FROM {table} GROUP BY {by_col}),
+g AS (SELECT SUM(t_tokens) AS total, SUM(w) AS W FROM s),
+b AS (SELECT {by_col}, t_tokens,
+             ((SELECT total FROM g) * {budget_num} // {budget_den})
+               * w // (SELECT W FROM g) AS b_target
+      FROM s)
+SELECT d.{by_col}, b.t_tokens, b.b_target,
+       COUNT(*) AS n_kept, SUM({tokens_expr}) AS kept_tokens
+FROM {table} d JOIN b ON d.{by_col} = b.{by_col}
+WHERE {hb} * b.t_tokens < b.b_target * {1 << 20}
+GROUP BY d.{by_col}, b.t_tokens, b.b_target
+"""
+
+
 def deterministic_shuffle(df: DataFrame, seed: int = 7,
                           n_buckets: int = 1024,
                           id_col: str = "doc_id") -> DataFrame:

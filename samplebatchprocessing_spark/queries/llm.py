@@ -1155,6 +1155,28 @@ def x39_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "n_chars"))
 
 
+def x40_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X40 (r4): token-budget mixture realization — allocate 2/5 of
+    the corpus' character mass across sources proportionally to a
+    per-source mixture weight (here: source index + 1, so later
+    sources are up-weighted), then realize each source's keep rate
+    with the exact-integer hash decision.  One row per source with
+    mass/target/realized counts.  See
+    ``operators.sampling.mixture_realize``."""
+    from ..operators import sampling
+    doc = load_table(spark, sf_dir, "documents")
+    w = F.regexp_extract("source", r"(\d+)$", 1).cast("long") + 1
+    return (sampling.mixture_realize(doc, w, F.col("n_chars"), 2, 5)
+            .orderBy("source"))
+
+
+def _x40_sql() -> str:
+    from ..operators.sampling import mixture_realize_sql
+    return mixture_realize_sql(
+        r"CAST(REGEXP_EXTRACT(source, '(\d+)$', 1) AS BIGINT) + 1",
+        "n_chars", 2, 5)
+
+
 def _x39_sql() -> str:
     from ..operators.sampling import weighted_bernoulli_sql
     cond = weighted_bernoulli_sql("LEAST(n_chars, 800)", 800)
@@ -1384,6 +1406,7 @@ QUERIES: dict[str, tuple] = {
     "x17_vocab_coverage": (x17_vocab_coverage, text.VOCAB_COVERAGE_SQL),
     "x18_quota_sample": (x18_quota_sample, _x18_sql()),
     "x39_weighted_sample": (x39_weighted_sample, _x39_sql()),
+    "x40_mixture_budget": (x40_mixture_budget, _x40_sql()),
     "x19_heavy_hitters": (x19_heavy_hitters, X19_SQL),
     "x20_pretrain_pipeline": (x20_pretrain_pipeline, _x20_sql()),
     "x21_substring_dedup": (x21_substring_dedup, X21_SQL),
