@@ -400,6 +400,17 @@ def test_tpch_q20_scalar_thresholds_evaluate_once(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
+def test_tpch_q17_correlated_avg_decorrelates(spark, sf_smoke):
+    """V15 contract: the correlated AVG subquery decorrelates into an
+    aggregate joined back on the correlation key — one equi-join, no
+    per-row re-execution (which would plan as a nested loop)."""
+    from samplebatchprocessing_spark.queries.sqlapi import v15_tpch_q17
+    plan = plan_str(v15_tpch_q17(spark, sf_smoke), mode="simple")
+    assert "avg(l_quantity" in plan          # the decorrelated aggregate
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_tpch_q3_topk_no_global_sort(spark, sf_smoke):
     """V8: ORDER BY + LIMIT must plan TakeOrderedAndProject."""
     from samplebatchprocessing_spark.queries.sqlapi import v8_tpch_q3
