@@ -1141,6 +1141,68 @@ WHERE qr <= 10
 """
 
 
+def x41_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41 (r4): corpus snapshot diff — the ingest-audit report run
+    between crawl snapshots: per source, how many documents were
+    ADDED, REMOVED, CHANGED (same id, different content hash), or
+    UNCHANGED.  Snapshots are simulated deterministically from the
+    fixture via the portable mixing hash (raw ``doc_id % k`` residues
+    correlate with the fixture's source assignment and would make the
+    per-source breakdown degenerate): OLD = hash%4 != 0 with every
+    hash%5 == 0 text tag-modified, NEW = hash%3 != 0 — all four
+    classes non-empty in every source.
+
+    Scale (100 TB): both sides reduce to (id, source, md5) BEFORE the
+    single full-outer join keyed on doc id; text never crosses the
+    exchange.  The per-source rollup is a second, groups-sized
+    shuffle."""
+    from ..operators.sampling import hash_bucket
+    doc = load_table(spark, sf_dir, "documents")
+    hb = hash_bucket(F.col("doc_id"), 60)   # one mix, residues mod 3/4/5
+    old = (doc.filter(hb % 4 != 0)
+           .select("doc_id", "source",
+                   F.md5(F.when(hb % 5 == 0,
+                                F.concat(F.col("text"), F.lit(" v1")))
+                         .otherwise(F.col("text"))).alias("h_old")))
+    new = (doc.filter(hb % 3 != 0)
+           .select(F.col("doc_id"), F.col("source").alias("src_new"),
+                   F.md5("text").alias("h_new")))
+    j = old.join(new, "doc_id", "full_outer")
+    status = (F.when(F.col("h_old").isNull(), "added")
+              .when(F.col("h_new").isNull(), "removed")
+              .when(F.col("h_old") != F.col("h_new"), "changed")
+              .otherwise("unchanged"))
+    return (j.select(F.coalesce("source", "src_new").alias("source"),
+                     status.alias("status"))
+            .groupBy("source", "status")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _x41_sql() -> str:
+    from ..operators.sampling import hash_bucket_sql
+    hb = hash_bucket_sql("doc_id", 60)
+    return f"""
+WITH old AS (
+  SELECT doc_id, source,
+         MD5(CASE WHEN {hb} % 5 = 0 THEN text || ' v1' ELSE text END) AS h_old
+  FROM documents WHERE {hb} % 4 <> 0),
+new AS (
+  SELECT doc_id, source AS src_new, MD5(text) AS h_new
+  FROM documents WHERE {hb} % 3 <> 0)
+SELECT COALESCE(old.source, new.src_new) AS source,
+       CASE WHEN old.h_old IS NULL THEN 'added'
+            WHEN new.h_new IS NULL THEN 'removed'
+            WHEN old.h_old <> new.h_new THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COUNT(*) AS n
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+GROUP BY 1, 2
+"""
+
+
+X41_SQL = _x41_sql()
+
+
 def x39_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X39 (r4): deterministic weighted Bernoulli sampling — keep each
     document with probability proportional to min(n_chars, 800)/800
@@ -1407,6 +1469,7 @@ QUERIES: dict[str, tuple] = {
     "x18_quota_sample": (x18_quota_sample, _x18_sql()),
     "x39_weighted_sample": (x39_weighted_sample, _x39_sql()),
     "x40_mixture_budget": (x40_mixture_budget, _x40_sql()),
+    "x41_snapshot_diff": (x41_snapshot_diff, X41_SQL),
     "x19_heavy_hitters": (x19_heavy_hitters, X19_SQL),
     "x20_pretrain_pipeline": (x20_pretrain_pipeline, _x20_sql()),
     "x21_substring_dedup": (x21_substring_dedup, X21_SQL),
