@@ -385,6 +385,31 @@ FROM embeddings WHERE vec_id % 50 = 0
 """
 
 
+def l7_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 ANN variant 3 (r4): product quantization + ADC + exact
+    re-rank (``operators.similarity.pq_topk``) with the same property
+    oracle as IVF — codebooks depend on the data sample, so the
+    declared output is the exact top-k row count plus the recall
+    floor (measured 0.94 at the driver's sf0.01, 0.72 at sf0.1 on
+    uniform vectors — any-quantizer worst case; declared >= 0.5)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    exact = similarity.cosine_topk(emb, pred, k=5).select(
+        "query_id", "vec_id")
+    pq = (similarity.pq_topk(emb, pred, k=5)
+          .select("query_id", "vec_id").withColumn("hit", F.lit(1)))
+    return (exact.join(pq, ["query_id", "vec_id"], "left")
+            .agg(F.count(F.lit(1)).alias("n_exact_rows"),
+                 ((F.sum(F.coalesce("hit", F.lit(0)))
+                   / F.count(F.lit(1))) >= 0.5).alias("recall_ge_50")))
+
+
+L7_PQ_SQL = """
+SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_rows, TRUE AS recall_ge_50
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
 def l12_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (north-star dedup family),
     blocked by label.  Threshold 0.4 is calibrated to the fixture
@@ -1479,6 +1504,7 @@ QUERIES: dict[str, tuple] = {
                                   _x23_sql()),
     "x24_source_overlap": (x24_source_overlap, X24_SQL),
     "l7_topk_ivf": (l7_topk_ivf, L7_IVF_SQL),
+    "l7_topk_pq": (l7_topk_pq, L7_PQ_SQL),
     "l12_embedding_neardup": (l12_embedding_neardup, L12_SQL),
     "x5_bpe_token_counts": (x5_bpe_token_counts, text.BPE_COUNTS_SQL),
     "x6_train_split": (x6_train_split, _x6_sql()),
