@@ -269,3 +269,47 @@ def test_dupgraph_triangles_match_python_census(spark, sf_smoke):
     got = x36_dupgraph_triangles(spark, sf_smoke).collect()[0]
     assert got.n_edges == len(edges)
     assert got.n_triangles == n_tri
+
+
+def test_weighted_sample_rate_tracks_weight(spark, sf_smoke):
+    """Weighted Bernoulli keep rate must track weight/max_weight:
+    weight 0 keeps nothing, weight == max keeps everything, and a
+    mid-range weight keeps a fraction within binomial noise of p.
+    The decision is per-id stable (re-running yields the same set)."""
+    from samplebatchprocessing_spark.operators.sampling import (
+        weighted_bernoulli_sample)
+    from samplebatchprocessing_spark.catalog import load_table
+    doc = load_table(spark, sf_smoke, "documents")
+    n = doc.count()
+    assert weighted_bernoulli_sample(doc, F.lit(0), 100).count() == 0
+    assert weighted_bernoulli_sample(doc, F.lit(100), 100).count() == n
+    half = weighted_bernoulli_sample(doc, F.lit(50), 100)
+    frac = half.count() / n
+    assert 0.35 <= frac <= 0.65, frac
+    ids1 = {r["doc_id"] for r in half.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in weighted_bernoulli_sample(
+        doc, F.lit(50), 100).select("doc_id").collect()}
+    assert ids1 == ids2
+
+
+def test_mixture_realize_budget_conservation(spark, sf_smoke):
+    """Mixture realization invariants: per-source kept tokens can't
+    exceed the source's mass; target allocations sum to <= the global
+    budget; realized totals land within sampling noise of the
+    targets."""
+    from samplebatchprocessing_spark.operators.sampling import (
+        mixture_realize)
+    from samplebatchprocessing_spark.catalog import load_table
+    doc = load_table(spark, sf_smoke, "documents")
+    w = F.regexp_extract("source", r"(\d+)$", 1).cast("long") + 1
+    rep = mixture_realize(doc, w, F.col("n_chars"), 2, 5).collect()
+    total = sum(r["t_tokens"] for r in rep)
+    budget = total * 2 // 5
+    assert sum(r["b_target"] for r in rep) <= budget
+    for r in rep:
+        assert r["kept_tokens"] <= r["t_tokens"]
+        assert r["n_kept"] >= 0
+    realized = sum(r["kept_tokens"] for r in rep)
+    targeted = sum(min(r["b_target"], r["t_tokens"]) for r in rep)
+    assert abs(realized - targeted) <= max(0.35 * targeted, 2000), (
+        realized, targeted)
