@@ -311,6 +311,36 @@ def s8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+def s12_stream_weighted_sample(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """S12 (r4): the X39 weighted Bernoulli sampler applied UNCHANGED
+    to a stream — the keep decision is row-local integer arithmetic
+    (no state, no watermark, no shuffle), so the exact same operator
+    serves batch curation and streaming ingest, and the streamed
+    result equals the batch oracle bit-for-bit.  Keep probability ∝
+    clamp(floor(value), 0, 100)/100 keyed on event_id."""
+    from ..operators.sampling import weighted_bernoulli_sample
+    sdf = events_stream(spark, sf_dir, tag="wsample")
+    w = F.least(F.greatest(F.floor("value").cast("long"), F.lit(0)),
+                F.lit(100))
+    kept = weighted_bernoulli_sample(sdf, w, 100, id_col="event_id")
+    agg = (kept.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("event_id").alias("id_sum")))
+    return run_available_now(agg, output_mode="complete")
+
+
+def _s12_sql() -> str:
+    from ..operators.sampling import weighted_bernoulli_sql
+    cond = weighted_bernoulli_sql(
+        "LEAST(GREATEST(CAST(FLOOR(value) AS BIGINT), 0), 100)", 100,
+        id_col="event_id")
+    return f"""
+SELECT event_type, COUNT(*) AS n, SUM(event_id) AS id_sum
+FROM events WHERE {cond} GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "s1_stream_scan": (s1_stream_scan, S1_SQL),
     "s2_tumbling_window": (s2_tumbling_window, S2_SQL),
@@ -325,4 +355,5 @@ QUERIES: dict[str, tuple] = {
     "s9_custom_stateful": (s9_custom_stateful, S9_SQL),
     "s10_stream_stream_join": (s10_stream_stream_join, S10_SQL),
     "s11_stream_static_join": (s11_stream_static_join, S11_SQL),
+    "s12_stream_weighted_sample": (s12_stream_weighted_sample, _s12_sql()),
 }
