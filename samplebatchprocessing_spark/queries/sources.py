@@ -91,8 +91,10 @@ def p3_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal column the oracle pins — if Spark's inference ever
     changes type for these columns, the hash flips."""
     out = _work_dir(sf_dir, "p2_csv")
-    if not os.path.exists(out):
-        p2_csv_roundtrip(spark, sf_dir).count()
+    # Always re-materialize (overwrite-mode write, so idempotent): an
+    # exists-only check would read a stale CSV after a fixture regen
+    # while the oracle aggregates the new parquet.
+    p2_csv_roundtrip(spark, sf_dir).count()
     back = spark.read.option("header", True).option(
         "inferSchema", True).csv(out)
     schema_str = ",".join(f"{f.name}:{f.dataType.simpleString()}"
