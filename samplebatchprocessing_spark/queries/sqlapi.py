@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
-from ..exprs import dsum, sql_dsum
+from ..exprs import dsum, sql_davg, sql_dsum
 from ..operators.scd import scd2_apply, upsert
 from ..operators.skew import salted_join
 
@@ -443,6 +443,115 @@ def v16_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(V16_SQL)
 
 
+V17_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey
+   AND o_orderpriority NOT LIKE '%URGENT%'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def v17_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V17 (TPC-H Q13 shape): customer order-count distribution — a
+    LEFT OUTER join whose ON clause carries a NON-key residual
+    predicate (priority NOT LIKE), then two stacked aggregations:
+    COUNT per customer (outer-join nulls counting as zero), then the
+    count-of-counts histogram.  (The fixture orders table has no
+    o_comment, so ``o_orderpriority NOT LIKE '%URGENT%'`` stands in
+    for Q13's comment pattern; the topology — residual-predicate
+    outer join + double aggregation — is the shape under test.)
+
+    Scale: the residual references only orders columns, so Catalyst
+    legally pushes it BELOW the outer join — the orders side is
+    filtered before the join while customers remain preserved-side
+    (plan-tested).  One partitioning on custkey serves both the join
+    and the first aggregate; the second aggregate's domain is tiny
+    (distinct order counts, ~tens of values) so its exchange moves
+    almost nothing."""
+    register_views(spark, sf_dir)
+    return spark.sql(V17_SQL)
+
+
+V18_SQL = f"""
+SELECT COUNT(*) AS n_lines,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def v18_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V18 (TPC-H Q19 shape): disjunctive discounted-revenue — an OR
+    of three conjunct groups, each mixing predicates from BOTH join
+    sides (part attrs + lineitem quantity).  The optimizer test: no
+    single disjunct can be pushed below the join whole, but the
+    per-side common factors CAN — Catalyst extracts the p_brand/
+    p_size union as a part-scan filter and the l_quantity range union
+    as a lineitem-scan filter (CNF conversion), so both scans prune
+    before the join and the full OR re-applies on the joined rows.
+
+    Scale: part (filtered to 3 brand/size slices) broadcasts; the
+    lineitem scan reads only rows in the quantity envelope [1,30] —
+    pushed-filter behavior a naive disjunction would lose."""
+    register_views(spark, sf_dir)
+    return spark.sql(V18_SQL)
+
+
+V19_SQL = f"""
+SELECT cntrycode, COUNT(*) AS numcust,
+       {sql_dsum('c_acctbal')} AS totacctbal
+FROM (
+  SELECT SUBSTRING(c_name, LENGTH(c_name) - 1, 2) AS cntrycode,
+         c_custkey, c_acctbal
+  FROM customer
+  WHERE SUBSTRING(c_name, LENGTH(c_name) - 1, 2)
+          IN ('13', '31', '23', '29', '30', '18', '17')
+    AND c_acctbal > (
+      SELECT {sql_davg('c_acctbal')} FROM customer
+      WHERE c_acctbal > 0.0
+        AND SUBSTRING(c_name, LENGTH(c_name) - 1, 2)
+              IN ('13', '31', '23', '29', '30', '18', '17'))
+) wealthy
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = wealthy.c_custkey
+    AND o_orderpriority = '1-URGENT')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+def v19_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V19 (TPC-H Q22 shape): global-market-opportunity — a
+    country-code bucketing (substring of an identifier), an
+    uncorrelated scalar AVG subquery as the balance threshold, and a
+    correlated NOT EXISTS anti-join against orders, then aggregation
+    by code.  (Fixture customers lack c_phone and every customer has
+    orders, so the code comes from the c_name suffix and the anti-join
+    excludes customers with URGENT orders; the composition — IN-list
+    on a computed column + scalar subquery + anti-join + group —
+    is the shape under test.)
+
+    Scale: the AVG subquery is a one-row broadcast; the anti-join
+    builds only from URGENT orders (pushed predicate shrinks the
+    build side ~5x); the cntrycode aggregate has a 7-value domain.
+    The balance sum is exact-decimal (the dsum shape) on both
+    engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(V19_SQL)
+
+
 # -- MERGE / SCD2 / skew family ------------------------------------------
 
 def m1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,6 +665,9 @@ QUERIES: dict[str, tuple] = {
     "v14_tpch_q20": (v14_tpch_q20, V14_SQL),
     "v15_tpch_q17": (v15_tpch_q17, V15_SQL),
     "v16_tpch_q15": (v16_tpch_q15, V16_SQL),
+    "v17_tpch_q13": (v17_tpch_q13, V17_SQL),
+    "v18_tpch_q19": (v18_tpch_q19, V18_SQL),
+    "v19_tpch_q22": (v19_tpch_q22, V19_SQL),
     "m1_upsert": (m1_upsert, M1_SQL),
     "m2_scd2": (m2_scd2, M2_SQL),
     "m3_salted_join": (m3_salted_join, M3_SQL),

@@ -418,6 +418,53 @@ def test_tpch_q3_topk_no_global_sort(spark, sf_smoke):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_tpch_q13_residual_filters_build_side_before_outer_join(spark, sf_smoke):
+    """V17 contract: the NOT LIKE residual references only orders
+    columns, so Catalyst may (and does) push it BELOW the left outer
+    join onto the build side — the broadcast ships only non-urgent
+    orders.  The join stays LeftOuter (customers with zero surviving
+    orders still count), and the count-of-counts stack plans as two
+    partial+final aggregates, custkey exchange shared with the
+    join."""
+    from samplebatchprocessing_spark.queries.sqlapi import v17_tpch_q13
+    plan = plan_str(v17_tpch_q13(spark, sf_smoke), mode="simple")
+    assert "LeftOuter" in plan
+    # the residual applied on the orders side, pre-join
+    assert "URGENT" in plan
+    assert plan.count("HashAggregate") >= 4   # partial+final x 2 levels
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q19_disjunction_prunes_both_scans(spark, sf_smoke):
+    """V18 contract: Catalyst must extract the per-side common
+    factors of the OR-of-conjunctions so BOTH parquet scans carry
+    pushed data filters (quantity envelope on lineitem, brand/size
+    union on part), with part broadcast.  Losing that extraction
+    means full scans at 100 TB."""
+    from samplebatchprocessing_spark.queries.sqlapi import v18_tpch_q19
+    plan = plan_str(v18_tpch_q19(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    # lineitem scan: the quantity-range union reached PushedFilters
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    # part scan: the brand/size disjunction reached PushedFilters
+    assert "EqualTo(p_brand,Brand#12)" in plan
+    assert "LessThanOrEqual(p_size,15)" in plan
+
+
+def test_tpch_q22_anti_join_and_single_scalar(spark, sf_smoke):
+    """V19 contract: NOT EXISTS plans as LeftAnti with the URGENT
+    filter pushed to the build side, and the AVG threshold is a
+    once-evaluated scalar subquery."""
+    from samplebatchprocessing_spark.queries.sqlapi import v19_tpch_q22
+    plan = plan_str(v19_tpch_q22(spark, sf_smoke), mode="simple")
+    assert "LeftAnti" in plan
+    assert "Subquery" in plan or "scalar-subquery" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_python_datasource_plans_requested_partitions(spark):
     """P14: the custom Python Data Source must fan out into exactly
     the requested number of independent input partitions — that
