@@ -363,6 +363,104 @@ GROUP BY e.doc_id
 """
 
 
+def bigram_perplexity(df: DataFrame, vocab_size: int = 100,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Bigram language-model perplexity scoring — the full CCNet-style
+    quality signal (:func:`corpus_freq_score` is its unigram
+    pre-stage): train an add-one-smoothed bigram LM on the corpus
+    itself over a fixed top-``vocab_size`` vocabulary (everything else
+    maps to ``<unk>``), then score each document's per-bigram
+    cross-entropy and perplexity.  Boilerplate and repetitive filler
+    score LOW (their transitions dominate the model); rare/garbled
+    text scores HIGH — both tails are the usual gate candidates.
+
+    Declared model (identical on both engines):
+    ``P(w2|w1) = (cb(w1,w2) + 1) / (c1(w1) + vocab_size + 1)`` with
+    ``cb`` = corpus bigram counts and ``c1`` = corpus token counts,
+    both over the vocab-mapped stream; per-doc
+    ``H = -mean(ln P)`` and ``ppl = exp(H)``, reported at 6 dp (the
+    ln/sum step is the one place exact integer arithmetic can't
+    carry through; everything up to the logs is exact counts).
+
+    Plan / scale: one tokenize+posexplode scan; the vocabulary and
+    the mapped unigram table are (vocab_size+1)-row broadcasts; the
+    bigram sequence comes from a lag window PARTITIONED BY doc (docs
+    are bounded — no global window); the bigram-model join keys on
+    (prev, tok), co-partitioned with the aggregation that built the
+    model, so Catalyst reuses the exchange.  At 100 TB the trained
+    (vocab+1)^2-bounded model is a reusable artifact — computed once,
+    persisted, broadcast into scoring passes (same discipline as IVF
+    centroids / the X17 vocabulary)."""
+    from pyspark.sql import Window as W
+    e = df.select(id_col,
+                  F.posexplode(tokenize(F.col(text_col)))
+                  .alias("pos", "token"))
+    counts = e.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    wv = W.orderBy(F.col("n").desc(), "token")
+    vocab = (counts.withColumn("_r", F.row_number().over(wv))
+             .filter(F.col("_r") <= vocab_size)
+             .select("token", F.lit(True).alias("in_vocab")))
+    mapped = (e.join(F.broadcast(vocab), "token", "left")
+              .select(id_col, "pos",
+                      F.when(F.col("in_vocab"), F.col("token"))
+                      .otherwise(F.lit("<unk>")).alias("tok")))
+    c1 = mapped.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    wd = W.partitionBy(id_col).orderBy("pos")
+    bg = (mapped.withColumn("prev", F.lag("tok").over(wd))
+          .filter(F.col("prev").isNotNull()))
+    cb = (bg.groupBy("prev", "tok")
+          .agg(F.count(F.lit(1)).alias("cb")))
+    denom_add = float(vocab_size + 1)
+    scored = (bg.join(cb, ["prev", "tok"])
+              .join(F.broadcast(c1.withColumnRenamed("tok", "ptok")),
+                    F.col("prev") == F.col("ptok"))
+              .withColumn("lp", F.log(
+                  (F.col("cb") + F.lit(1.0))
+                  / (F.col("c1") + F.lit(denom_add)))))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(-F.sum("lp") / F.count(F.lit(1)), 6)
+                 .alias("cross_entropy"),
+                 F.round(F.exp(-F.sum("lp") / F.count(F.lit(1))), 6)
+                 .alias("perplexity")))
+
+
+def bigram_perplexity_sql(vocab_size: int = 100) -> str:
+    """DuckDB twin of :func:`bigram_perplexity`."""
+    return f"""
+WITH e AS (
+  SELECT doc_id, UNNEST(toks) AS token,
+         GENERATE_SUBSCRIPTS(toks, 1) AS pos
+  FROM (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents)),
+v AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS r
+    FROM e GROUP BY token)
+  WHERE r <= {vocab_size}),
+m AS (
+  SELECT e.doc_id, e.pos,
+         CASE WHEN v.token IS NULL THEN '<unk>' ELSE e.token END AS tok
+  FROM e LEFT JOIN v ON e.token = v.token),
+c1 AS (SELECT tok, COUNT(*) AS c1 FROM m GROUP BY tok),
+bg AS (
+  SELECT doc_id, tok,
+         LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM m
+  QUALIFY prev IS NOT NULL),
+cb AS (SELECT prev, tok, COUNT(*) AS cb FROM bg GROUP BY prev, tok),
+t AS (
+  SELECT bg.doc_id,
+         LN((cb.cb + 1.0) / (c1.c1 + {float(vocab_size + 1)})) AS lp
+  FROM bg JOIN cb ON bg.prev = cb.prev AND bg.tok = cb.tok
+          JOIN c1 ON bg.prev = c1.tok)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(-SUM(lp) / COUNT(*), 6) AS cross_entropy,
+       ROUND(EXP(-SUM(lp) / COUNT(*)), 6) AS perplexity
+FROM t GROUP BY doc_id
+"""
+
+
 def bpe_pair_counts(df: DataFrame, top_k: int = 20,
                     text_col: str = "text") -> DataFrame:
     """The first iteration of BPE vocabulary training (Sennrich et

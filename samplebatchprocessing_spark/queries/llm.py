@@ -1146,6 +1146,15 @@ def x17_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_coverage(doc, vocab_size=100)
 
 
+def x42_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42: bigram-LM perplexity quality scoring (the full CCNet-style
+    signal; X16 is its unigram pre-stage) — add-one-smoothed bigram
+    model over the deterministic top-100 vocabulary + <unk>, per-doc
+    cross-entropy and perplexity."""
+    doc = load_table(spark, sf_dir, "documents")
+    return text.bigram_perplexity(doc, vocab_size=100)
+
+
 def x18_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X18: mixture realization — each source downsampled to 10 docs
     by deterministic hash rank (stable across runs/engines/appends of
@@ -1491,6 +1500,8 @@ QUERIES: dict[str, tuple] = {
     "x36_dupgraph_triangles": (x36_dupgraph_triangles, X36_SQL),
     "x16_corpus_freq_score": (x16_corpus_freq_score, text.CORPUS_FREQ_SQL),
     "x17_vocab_coverage": (x17_vocab_coverage, text.VOCAB_COVERAGE_SQL),
+    "x42_bigram_perplexity": (x42_bigram_perplexity,
+                              text.bigram_perplexity_sql()),
     "x18_quota_sample": (x18_quota_sample, _x18_sql()),
     "x39_weighted_sample": (x39_weighted_sample, _x39_sql()),
     "x40_mixture_budget": (x40_mixture_budget, _x40_sql()),

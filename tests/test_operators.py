@@ -546,3 +546,56 @@ def test_signature_prefilter_randomized_differential(spark):
                                     open_vocab="band").collect()}
         assert sig == band, f"divergence at threshold {thr}"
     assert band, "generator should plant at least one near-dup pair"
+
+
+def test_bigram_perplexity_matches_pure_python(spark):
+    """X42 differential: the Spark bigram-LM scorer must reproduce a
+    direct pure-Python implementation of the declared model (add-one
+    smoothing over top-V vocab + <unk>) on a random synthetic corpus
+    — counts exactly, entropies to the declared 6 dp."""
+    import math
+    import random
+    import re
+    from collections import Counter
+
+    from samplebatchprocessing_spark.operators import text as T
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(d, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(2, 80))))
+            for d in range(60)]
+    V = 15
+
+    # pure-Python reference of the declared model
+    def toks(s):
+        return [t for t in
+                re.sub(r"[^a-z0-9 ]", " ", s.lower()).split() if t]
+    streams = {d: toks(s) for d, s in rows}
+    uni = Counter(t for ts in streams.values() for t in ts)
+    top = set(t for t, _ in sorted(
+        uni.items(), key=lambda kv: (-kv[1], kv[0]))[:V])
+    mapped = {d: [t if t in top else "<unk>" for t in ts]
+              for d, ts in streams.items()}
+    c1 = Counter(t for ts in mapped.values() for t in ts)
+    cb = Counter((ts[i], ts[i + 1]) for ts in mapped.values()
+                 for i in range(len(ts) - 1))
+    expect = {}
+    for d, ts in mapped.items():
+        lps = [math.log((cb[(ts[i], ts[i + 1])] + 1.0)
+                        / (c1[ts[i]] + V + 1.0))
+               for i in range(len(ts) - 1)]
+        if lps:
+            h = -sum(lps) / len(lps)
+            expect[d] = (len(lps), round(h, 6), round(math.exp(h), 6))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["cross_entropy"],
+                         r["perplexity"])
+           for r in T.bigram_perplexity(df, vocab_size=V).collect()}
+    assert set(got) == set(expect)
+    for d in expect:
+        assert got[d][0] == expect[d][0], d
+        assert abs(got[d][1] - expect[d][1]) <= 1e-6, d
+        assert abs(got[d][2] - expect[d][2]) <= max(
+            1e-6, abs(expect[d][2]) * 1e-9), d
