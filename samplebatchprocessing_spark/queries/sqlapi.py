@@ -552,6 +552,75 @@ def v19_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(V19_SQL)
 
 
+V20_SQL = f"""
+SELECT yr,
+       {sql_dsum("CASE WHEN supp_nation = 'NATION_1' THEN volume"
+                 " ELSE 0.0 END")}
+         / {sql_dsum('volume')} AS mkt_share
+FROM (
+  SELECT YEAR(o_orderdate) AS yr,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+) all_nations
+GROUP BY yr
+ORDER BY yr
+"""
+
+
+def v20_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V20 (TPC-H Q8 shape): national market share — the share of one
+    supplier nation in a customer region's spend on one part type,
+    per year.  The distinguishing shape: a conditional-sum RATIO
+    (CASE inside the numerator aggregate, same rows in the
+    denominator) over an 8-table join with nation in two roles.
+
+    Scale: part (type-filtered), customer-side dims, supplier and
+    both nation aliases all broadcast; the only large shuffle is
+    lineitem-orders on orderkey.  The region filter prunes the
+    customer side BEFORE the fact join.  Both sums are exact-decimal;
+    the single double division per year-group is the last step, so
+    the ratio is reproducible cross-engine."""
+    register_views(spark, sf_dir)
+    return spark.sql(V20_SQL)
+
+
+V21_SQL = f"""
+SELECT 100.0 * {sql_dsum("CASE WHEN p_type = 'PROMO'"
+                         " THEN l_extendedprice * (1 - l_discount)"
+                         " ELSE 0.0 END")}
+       / {sql_dsum('l_extendedprice * (1 - l_discount)')}
+         AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+def v21_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V21 (TPC-H Q14 shape): promotion-revenue percentage — a global
+    conditional-sum ratio over a date-sliced fact-dim join.  The
+    optimizer properties under test: the ship-date range reaches the
+    lineitem scan as a pushed filter (partition-pruning stand-in at
+    100 TB, where l_shipdate is the natural partition column), part
+    broadcasts, and the two decimal sums fold into ONE aggregate pass
+    (a single HashAggregate computes both, not two scans).
+
+    The date literals are TIMESTAMP (not DATE) because the fixture
+    l_shipdate is a timestamp column on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(V21_SQL)
+
+
 # -- MERGE / SCD2 / skew family ------------------------------------------
 
 def m1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -668,6 +737,8 @@ QUERIES: dict[str, tuple] = {
     "v17_tpch_q13": (v17_tpch_q13, V17_SQL),
     "v18_tpch_q19": (v18_tpch_q19, V18_SQL),
     "v19_tpch_q22": (v19_tpch_q22, V19_SQL),
+    "v20_tpch_q8": (v20_tpch_q8, V20_SQL),
+    "v21_tpch_q14": (v21_tpch_q14, V21_SQL),
     "m1_upsert": (m1_upsert, M1_SQL),
     "m2_scd2": (m2_scd2, M2_SQL),
     "m3_salted_join": (m3_salted_join, M3_SQL),

@@ -465,6 +465,30 @@ def test_tpch_q22_anti_join_and_single_scalar(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tpch_q8_dims_broadcast_single_fact_shuffle(spark, sf_smoke):
+    """V20 contract: all seven dimension sides broadcast (part,
+    customer, supplier, both nation roles, region) so the only
+    exchange-feeding join is lineitem-orders; the type filter reaches
+    the part scan."""
+    from samplebatchprocessing_spark.queries.sqlapi import v20_tpch_q8
+    plan = plan_str(v20_tpch_q8(spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "EqualTo(p_type,PROMO)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q14_pushed_dates_one_aggregate_pass(spark, sf_smoke):
+    """V21 contract: the ship-date range reaches the lineitem scan as
+    pushed filters, and both conditional decimal sums compute in a
+    single aggregate pass — the lineitem file is scanned exactly
+    once."""
+    from samplebatchprocessing_spark.queries.sqlapi import v21_tpch_q14
+    plan = plan_str(v21_tpch_q14(spark, sf_smoke))
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+
+
 def test_python_datasource_plans_requested_partitions(spark):
     """P14: the custom Python Data Source must fan out into exactly
     the requested number of independent input partitions — that
