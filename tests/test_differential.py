@@ -1,10 +1,13 @@
 """Tier-3 randomized differential testing (SURVEY §5B): compose
-random filter/join/agg/sort pipelines from a small grammar, render
-each AST BOTH as a DataFrame plan and as DuckDB SQL, and require
-exact equality.  Catches semantics drift the hand-written corpus
-misses (null ordering, coercion, literal typing).
+random filter/join/agg/having/top-k pipelines from a small grammar,
+render each AST BOTH as a DataFrame plan and as DuckDB SQL, and
+require exact equality.  Catches semantics drift the hand-written
+corpus misses (null ordering, coercion, literal typing, post-agg
+filter/truncation).
 
-Deterministic: seeds are fixed; the same 40 pipelines run each time.
+Deterministic: seeds are fixed; the same 60 pipelines run each time.
+The top-k stage always orders by ALL group keys — a total order on
+the output rows — so LIMIT selects the same set on both engines.
 """
 
 from __future__ import annotations
@@ -106,8 +109,14 @@ def gen_ast(seed: int) -> dict:
             aggs.append(("sumint", rng.choice(m["int"])))
         else:
             aggs.append(("sumdbl", rng.choice(m["dbl"])))
+    # post-aggregate stages: HAVING on the count, and a deterministic
+    # top-k (ORDER BY all group keys — a total order, so LIMIT is
+    # well-defined on both engines)
+    having = rng.randint(1, 25) if rng.random() < 0.4 else None
+    limit = rng.randint(1, 8) if rng.random() < 0.4 else None
     return {"table": table, "join": join, "preds": preds,
-            "group": group, "aggs": aggs}
+            "group": group, "aggs": aggs,
+            "having": having, "limit": limit}
 
 
 def _agg_alias(i: int) -> str:
@@ -143,7 +152,12 @@ def to_spark(ast: dict, spark, sf_dir):
             aggs.append(F.sum(a[1]).alias(name))
         else:
             aggs.append(dsum(a[1], name))
-    return df.groupBy(*ast["group"]).agg(*aggs)
+    out = df.groupBy(*ast["group"]).agg(*aggs)
+    if ast.get("having"):
+        out = out.filter(F.col(_agg_alias(0)) >= ast["having"])
+    if ast.get("limit"):
+        out = out.orderBy(*ast["group"]).limit(ast["limit"])
+    return out
 
 
 def to_sql(ast: dict) -> str:
@@ -177,8 +191,12 @@ def to_sql(ast: dict) -> str:
             sels.append(f"SUM({a[1]}) AS {name}")
         else:
             sels.append(f"{sql_dsum(a[1])} AS {name}")
+    having = (f" HAVING COUNT(*) >= {ast['having']}"
+              if ast.get("having") else "")
+    tail = (f" ORDER BY {', '.join(ast['group'])} LIMIT {ast['limit']}"
+            if ast.get("limit") else "")
     return (f"SELECT {', '.join(sels)} FROM {frm}{where} "
-            f"GROUP BY {', '.join(ast['group'])}")
+            f"GROUP BY {', '.join(ast['group'])}{having}{tail}")
 
 
 @pytest.mark.parametrize("seed", range(60))
