@@ -392,6 +392,36 @@ def bigram_perplexity(df: DataFrame, vocab_size: int = 100,
     (vocab+1)^2-bounded model is a reusable artifact — computed once,
     persisted, broadcast into scoring passes (same discipline as IVF
     centroids / the X17 vocabulary)."""
+    vocab, c1, bg, cb = bigram_model_frames(df, vocab_size,
+                                            text_col, id_col)
+    denom_add = float(vocab_size + 1)
+    scored = (bg.join(cb, ["prev", "tok"])
+              .join(F.broadcast(c1.withColumnRenamed("tok", "ptok")),
+                    F.col("prev") == F.col("ptok"))
+              .withColumn("lp", F.log(
+                  (F.col("cb") + F.lit(1.0))
+                  / (F.col("c1") + F.lit(denom_add)))))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(-F.sum("lp") / F.count(F.lit(1)), 6)
+                 .alias("cross_entropy"),
+                 F.round(F.exp(-F.sum("lp") / F.count(F.lit(1))), 6)
+                 .alias("perplexity")))
+
+
+def bigram_model_frames(df: DataFrame, vocab_size: int = 100,
+                        text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Train the X42 bigram model; returns ``(vocab, c1, bg, cb)``
+    DataFrames.  ``vocab`` (top-``vocab_size`` tokens) and ``c1`` are
+    at most ``vocab_size + 1`` rows, ``cb`` at most
+    ``(vocab_size + 1)^2`` — all by-contract-small, broadcastable
+    artifacts.  ``bg`` is the vocab-mapped bigram stream used both
+    for training (cb aggregation) and inline batch scoring.
+
+    The vocabulary ranking window is global BY DESIGN: it runs over
+    the distinct-token counts (vocabulary-sized input), never the
+    corpus."""
     from pyspark.sql import Window as W
     e = df.select(id_col,
                   F.posexplode(tokenize(F.col(text_col)))
@@ -411,13 +441,50 @@ def bigram_perplexity(df: DataFrame, vocab_size: int = 100,
           .filter(F.col("prev").isNotNull()))
     cb = (bg.groupBy("prev", "tok")
           .agg(F.count(F.lit(1)).alias("cb")))
+    return vocab, c1, bg, cb
+
+
+def bigram_score_against_model(docs: DataFrame, vocab: DataFrame,
+                               c1: DataFrame, cb: DataFrame,
+                               vocab_size: int = 100,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Score documents against an already-trained bigram model —
+    STREAM-SAFE: bigram extraction is row-local array arithmetic
+    (slice + zip_with, no lag window, which streaming cannot run),
+    vocab/model attach via broadcast joins, and the only keyed
+    operation is the final per-doc aggregate.  On the same corpus the
+    output equals :func:`bigram_perplexity` row-for-row; at scale
+    this is the serving path — the model is the persisted artifact,
+    scoring touches each incoming document once."""
+    toks = tokenize(F.col(text_col))
+    pairs = (docs.withColumn("_toks", toks)
+             .filter(F.size("_toks") >= 2)
+             .select(id_col, F.explode(F.expr(
+                 "zip_with(slice(_toks, 1, size(_toks) - 1),"
+                 "         slice(_toks, 2, size(_toks) - 1),"
+                 "         (p, t) -> struct(p AS prev_raw, t AS tok_raw))"
+             )).alias("b"))
+             .select(id_col, "b.prev_raw", "b.tok_raw"))
+    vp = F.broadcast(vocab.select(F.col("token").alias("prev_raw"),
+                                  F.col("in_vocab").alias("pv")))
+    vt = F.broadcast(vocab.select(F.col("token").alias("tok_raw"),
+                                  F.col("in_vocab").alias("tv")))
+    mapped = (pairs.join(vp, "prev_raw", "left").join(vt, "tok_raw", "left")
+              .select(id_col,
+                      F.when(F.col("pv"), F.col("prev_raw"))
+                      .otherwise(F.lit("<unk>")).alias("prev"),
+                      F.when(F.col("tv"), F.col("tok_raw"))
+                      .otherwise(F.lit("<unk>")).alias("tok")))
     denom_add = float(vocab_size + 1)
-    scored = (bg.join(cb, ["prev", "tok"])
+    scored = (mapped
+              .join(F.broadcast(cb), ["prev", "tok"], "left")
               .join(F.broadcast(c1.withColumnRenamed("tok", "ptok")),
-                    F.col("prev") == F.col("ptok"))
+                    F.col("prev") == F.col("ptok"), "left")
               .withColumn("lp", F.log(
-                  (F.col("cb") + F.lit(1.0))
-                  / (F.col("c1") + F.lit(denom_add)))))
+                  (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+                  / (F.coalesce(F.col("c1"), F.lit(0))
+                     + F.lit(denom_add)))))
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.round(-F.sum("lp") / F.count(F.lit(1)), 6)

@@ -341,6 +341,32 @@ FROM events WHERE {cond} GROUP BY event_type
 """
 
 
+def s13_stream_doc_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 (r4): streaming document quality scoring against the
+    batch-trained X42 bigram model — the serving half of the
+    train-once / score-forever discipline.  The model (vocab, unigram,
+    bigram tables — all by-contract-small) trains on the static
+    documents table; the document STREAM is scored with row-local
+    array bigram extraction plus broadcast model joins (no lag window
+    — streaming can't run one — and no streaming state beyond the
+    final per-doc aggregate).  Output equals the batch X42 scorer
+    row-for-row, so it shares the same DuckDB oracle."""
+    from ..catalog import load_table
+    from ..operators import text as T
+    from ..streaming.jobs import documents_stream
+    doc = load_table(spark, sf_dir, "documents")
+    vocab, c1, _bg, cb = T.bigram_model_frames(doc, vocab_size=100)
+    sdf = documents_stream(spark, sf_dir, tag="score")
+    scored = T.bigram_score_against_model(sdf, vocab, c1, cb,
+                                          vocab_size=100)
+    return run_available_now(scored, output_mode="complete")
+
+
+def _s13_sql() -> str:
+    from ..operators.text import bigram_perplexity_sql
+    return bigram_perplexity_sql(vocab_size=100)
+
+
 QUERIES: dict[str, tuple] = {
     "s1_stream_scan": (s1_stream_scan, S1_SQL),
     "s2_tumbling_window": (s2_tumbling_window, S2_SQL),
@@ -356,4 +382,5 @@ QUERIES: dict[str, tuple] = {
     "s10_stream_stream_join": (s10_stream_stream_join, S10_SQL),
     "s11_stream_static_join": (s11_stream_static_join, S11_SQL),
     "s12_stream_weighted_sample": (s12_stream_weighted_sample, _s12_sql()),
+    "s13_stream_doc_scoring": (s13_stream_doc_scoring, _s13_sql()),
 }

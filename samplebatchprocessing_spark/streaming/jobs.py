@@ -24,11 +24,11 @@ from pyspark.sql import functions as F
 _STAGE = "/tmp/sbp_stream"
 
 
-def stage_events_dir(spark: SparkSession, sf_dir: str,
-                     copies: int = 1, tag: str = "") -> str:
-    """Stage events.parquet into a watchable directory (n copies —
-    >1 simulates at-least-once redelivery for S6)."""
-    src = f"{sf_dir.rstrip('/')}/events.parquet"
+def stage_table_dir(spark: SparkSession, sf_dir: str, table: str,
+                    copies: int = 1, tag: str = "") -> str:
+    """Stage ``<table>.parquet`` into a watchable directory (n copies
+    — >1 simulates at-least-once redelivery for S6)."""
+    src = f"{sf_dir.rstrip('/')}/{table}.parquet"
     # The source's (mtime, size) is part of the cache key: the driver
     # regenerates fixtures between rounds (observed 2026-08), and a
     # stale staged copy would silently feed every streaming query old
@@ -37,15 +37,21 @@ def stage_events_dir(spark: SparkSession, sf_dir: str,
     h = hashlib.md5(
         f"{sf_dir}|{copies}|{tag}|{st.st_mtime_ns}|{st.st_size}"
         .encode()).hexdigest()[:8]
-    d = os.path.join(_STAGE, f"events_{h}")
+    d = os.path.join(_STAGE, f"{table}_{h}")
     marker = os.path.join(d, "_STAGED")
     if not os.path.exists(marker):
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d)
         for i in range(copies):
-            shutil.copy(src, os.path.join(d, f"events_{i}.parquet"))
+            shutil.copy(src, os.path.join(d, f"{table}_{i}.parquet"))
         open(marker, "w").write("ok")
     return d
+
+
+def stage_events_dir(spark: SparkSession, sf_dir: str,
+                     copies: int = 1, tag: str = "") -> str:
+    """Stage events.parquet into a watchable directory."""
+    return stage_table_dir(spark, sf_dir, "events", copies, tag)
 
 
 def events_stream(spark: SparkSession, sf_dir: str,
@@ -72,6 +78,27 @@ def events_stream(spark: SparkSession, sf_dir: str,
     # SchemaDriftError instead of scattered streaming-query errors).
     from ..catalog import conform, normalize_events_ts
     return conform("events", normalize_events_ts(sdf))
+
+
+def documents_stream(spark: SparkSession, sf_dir: str,
+                     tag: str = "") -> DataFrame:
+    """Micro-batch file stream of the documents table (for streaming
+    curation/scoring shapes — S13).  Same conf hardening and
+    dtype-contract gate as :func:`events_stream`; documents need no
+    timestamp normalization."""
+    from ..catalog import conform
+    from ..session import ship_package
+    ship_package(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    stage = stage_table_dir(spark, sf_dir, "documents", tag=tag)
+    raw_schema = spark.read.parquet(
+        f"{stage}/documents_0.parquet").schema
+    sdf = (spark.readStream.schema(raw_schema)
+           .option("pathGlobFilter", "*.parquet")
+           .parquet(stage))
+    return conform("documents", sdf)
 
 
 SESSION_GAP_US = 1800 * 1_000_000  # 30 min
