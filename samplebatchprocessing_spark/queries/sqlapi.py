@@ -621,6 +621,62 @@ def v21_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(V21_SQL)
 
 
+V22_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def v22_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V22 (TPC-H Q4 shape): order-priority checking — a date-sliced
+    orders scan semi-joined to lineitem through a CORRELATED EXISTS
+    whose inner predicate compares columns ACROSS the correlation
+    (l_shipdate > o_orderdate), then a tiny-domain aggregate.  The
+    cross-table comparison is what distinguishes this from V3's
+    EXISTS: the predicate can't evaluate on either side alone, so it
+    must ride the semi join as a join condition, not a pushed filter.
+
+    Scale: the date range prunes the orders scan; the semi join
+    shuffles both sides on orderkey once (no duplication from the
+    multi-line inner side — semi join short-circuits); the aggregate
+    domain is the 5 priorities."""
+    register_views(spark, sf_dir)
+    return spark.sql(V22_SQL)
+
+
+V23_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24.0
+"""
+
+
+def v23_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V23 (TPC-H Q6 shape): forecasting-revenue-change — the purest
+    scan benchmark in the suite: no join, one conjunctive filter
+    (date range + discount band + quantity cap), one global
+    aggregate.  Its whole cost is scan efficiency, which is why it's
+    the classic measure of pushdown + vectorization: every predicate
+    must reach PushedFilters and the aggregate must be a two-phase
+    partial/final with no exchange before the partials.
+
+    Scale: at 100 TB with l_shipdate partitioning this is a
+    partition-pruned scan of ~1/7 of the data and nothing else."""
+    register_views(spark, sf_dir)
+    return spark.sql(V23_SQL)
+
+
 # -- MERGE / SCD2 / skew family ------------------------------------------
 
 def m1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,6 +795,8 @@ QUERIES: dict[str, tuple] = {
     "v19_tpch_q22": (v19_tpch_q22, V19_SQL),
     "v20_tpch_q8": (v20_tpch_q8, V20_SQL),
     "v21_tpch_q14": (v21_tpch_q14, V21_SQL),
+    "v22_tpch_q4": (v22_tpch_q4, V22_SQL),
+    "v23_tpch_q6": (v23_tpch_q6, V23_SQL),
     "m1_upsert": (m1_upsert, M1_SQL),
     "m2_scd2": (m2_scd2, M2_SQL),
     "m3_salted_join": (m3_salted_join, M3_SQL),

@@ -489,6 +489,36 @@ def test_tpch_q14_pushed_dates_one_aggregate_pass(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan
 
 
+def test_tpch_q4_cross_correlation_rides_semi_join(spark, sf_smoke):
+    """V22 contract: the EXISTS with a cross-table comparison
+    (l_shipdate > o_orderdate) plans as a LeftSemi join carrying that
+    comparison as a join condition — no nested loop, no cartesian —
+    and the order-date range still reaches the orders scan."""
+    from samplebatchprocessing_spark.queries.sqlapi import v22_tpch_q4
+    plan = plan_str(v22_tpch_q4(spark, sf_smoke))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "o_orderdate" in plan and "PushedFilters" in plan
+
+
+def test_tpch_q6_all_predicates_pushed_two_phase_agg(spark, sf_smoke):
+    """V23 contract: the pure-scan query must push ALL four
+    predicates into the parquet scan and aggregate in two phases
+    (partial before the single exchange) — the plan shape whose cost
+    at 100 TB is the scan and nothing else."""
+    from samplebatchprocessing_spark.queries.sqlapi import v23_tpch_q6
+    plan = plan_str(v23_tpch_q6(spark, sf_smoke))
+    for pushed in ("GreaterThanOrEqual(l_shipdate",
+                   "LessThan(l_shipdate",
+                   "GreaterThanOrEqual(l_discount,0.03)",
+                   "LessThanOrEqual(l_discount,0.05)",
+                   "LessThan(l_quantity,24.0)"):
+        assert pushed in plan, pushed
+    assert "partial_sum" in plan        # map-side partial before the exchange
+    assert "Join" not in plan
+
+
 def test_python_datasource_plans_requested_partitions(spark):
     """P14: the custom Python Data Source must fan out into exactly
     the requested number of independent input partitions — that
