@@ -391,6 +391,64 @@ FROM lineitem GROUP BY l_linestatus
 """
 
 
+def a12_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: the partial/final (2-phase) aggregation contract, made
+    driver-visible.  Spark plans every groupBy as partial map-side
+    HashAggregate -> Exchange on the group key -> final HashAggregate
+    (plan-gated in tests/test_plans.py); the algebraic fact that makes
+    the split legal is that partial states merge associatively.  This
+    row states that contract as data: re-aggregating the per-group
+    partials must reproduce the direct global aggregate exactly.
+    Exact decimal sums (dsum discipline) make both routes
+    order-independent, so the equality booleans are deterministic —
+    if the partial/final merge ever diverged, a boolean flips and the
+    driver goes red.  Both sides are single-exchange 2-phase plans;
+    at 100 TB the shuffle moves O(groups) partial states only.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    partial = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("s_qty"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    refinal = partial.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").alias("g_rows"),
+        F.sum("s_qty").cast("double").alias("g_sum_qty"),
+        F.min("mn").alias("g_min"),
+        F.max("mx").alias("g_max"),
+    )
+    direct = li.agg(
+        F.count(F.lit(1)).alias("d_rows"),
+        dsum("l_quantity", "d_sum_qty"),
+        F.min("l_extendedprice").alias("d_min"),
+        F.max("l_extendedprice").alias("d_max"),
+    )
+    return refinal.crossJoin(direct).select(
+        "n_groups",
+        F.col("d_rows").alias("n_rows"),
+        F.col("d_sum_qty").alias("sum_qty"),
+        (F.col("g_rows") == F.col("d_rows")).alias("count_merges"),
+        (F.col("g_sum_qty") == F.col("d_sum_qty")).alias("sum_merges"),
+        (F.col("g_min") == F.col("d_min")).alias("min_merges"),
+        (F.col("g_max") == F.col("d_max")).alias("max_merges"),
+    )
+
+
+A12_SQL = f"""
+SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus
+                              FROM lineitem)) AS n_groups,
+       COUNT(*) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       TRUE AS count_merges,
+       TRUE AS sum_merges,
+       TRUE AS min_merges,
+       TRUE AS max_merges
+FROM lineitem
+"""
+
+
 # --------------------------------------------------------------------------
 # Q* — projection / filter
 # --------------------------------------------------------------------------
@@ -1205,6 +1263,7 @@ QUERIES: dict[str, tuple] = {
     "a9_percentile": (a9_percentile, A9_SQL),
     "a10_approx_distinct": (a10_approx_distinct, A10_SQL),
     "a11_approx_percentile": (a11_approx_percentile, A11_SQL),
+    "a12_two_phase": (a12_two_phase, A12_SQL),
     "a13_corr_covar": (a13_corr_covar, A13_SQL),
     "q1_project_compute": (q1_project_compute, Q1_SQL),
     "q2_cast": (q2_cast, Q2_SQL),
