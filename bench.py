@@ -131,13 +131,19 @@ def main() -> None:
                       if isinstance(v, (int, float))), 3)
     out = {
         "metric": "bench_suite_wall_sec",
-        "value": total,
+        # A sum over a partial suite is not comparable round-to-round
+        # (a crashing heavy query would *improve* the headline), so the
+        # headline is null whenever any query errored; the partial sum
+        # stays available separately for debugging.
+        "value": None if errors else total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
     }
     if errors:
         out["errors"] = errors
+        out["partial_sum_sec"] = total
+        out["n_errored"] = len(errors)
     print(json.dumps(out))
 
 

@@ -18,10 +18,19 @@ surface (it is driven entirely from the shell):
   to ``bucket_dir/out_prefix/file_name + ext``.  Prints the commit
   log.
 
+- ``watch`` <-> GetJobs.py:21-23 (the daemon form of ``get``)
+  ``python -m samplebatchprocessing_spark watch <bucket_dir>
+  [--ext .out] [--command cp] [--poll 5]``
+  The reference consumer's infinite long-poll loop: watches
+  ``bucket_dir/in_prefix`` continuously (new-file discovery == SQS
+  message arrival), processes each new file through the same
+  transform/commit worker, and exits gracefully on SIGINT/SIGTERM
+  (GetJobs.py:63-65,80) after finishing the in-flight micro-batch.
+
 Differences from the reference, by design: the work queue is a
 manifest DataFrame (restart = re-run; Spark task retry replaces SQS
-redelivery), and there is no long-poll daemon loop — ``get`` is one
-batch execution over whatever the manifest lists.
+redelivery).  ``get`` is one batch execution over whatever the
+manifest lists; ``watch`` is the daemon loop.
 """
 
 from __future__ import annotations
@@ -29,7 +38,9 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
+import signal
 import sys
+import threading
 
 
 def _spark():
@@ -74,6 +85,50 @@ def cmd_get(args: argparse.Namespace) -> int:
     return 1 if failed else 0
 
 
+def cmd_watch(args: argparse.Namespace) -> int:
+    """GetJobs.py:21-23's ``while (True)`` long-poll consumer.
+
+    SIGINT/SIGTERM handling mirrors GetJobs.py:63-65,80 — first
+    signal requests a graceful stop (finish the in-flight micro-batch,
+    then exit 0).  The handler only sets an Event; ``query.stop()``
+    runs on the main thread outside the handler because py4j
+    connections are thread-affine and a signal handler interrupting a
+    blocked gateway call must not reuse its connection.
+    """
+    from .pipeline.manifest import commit_log, watch_daemon
+    spark = _spark()
+    q = watch_daemon(spark, args.bucket_dir,
+                     in_prefix=args.in_prefix, out_prefix=args.out_prefix,
+                     command=args.command, ext=args.ext,
+                     commit=args.commit, poll_seconds=args.poll)
+    stop = threading.Event()
+
+    def _on_signal(signum, _frame):
+        print(f"signal {signum}: stopping after current micro-batch",
+              file=sys.stderr, flush=True)
+        stop.set()
+
+    prev = {s: signal.signal(s, _on_signal)
+            for s in (signal.SIGINT, signal.SIGTERM)}
+    print(f"watching {os.path.join(args.bucket_dir, args.in_prefix)} "
+          f"every {args.poll}s (SIGINT to stop)", flush=True)
+    try:
+        while q.isActive and not stop.is_set():
+            # returns after the timeout; re-check the stop flag —
+            # this loop is the daemon's "long poll" heartbeat
+            q.awaitTermination(0.5)
+        if q.isActive:
+            q.stop()                       # graceful: GetJobs.py:64
+            q.awaitTermination()
+    finally:
+        for s, h in prev.items():
+            signal.signal(s, h)
+    rows = commit_log(spark, args.bucket_dir).collect()
+    n_ok = sum(1 for r in rows if r["ok"])
+    print(f"stopped; commit log: {n_ok}/{len(rows)} files ok", flush=True)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="samplebatchprocessing_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -96,6 +151,22 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--commit", default="replace",
                     choices=("replace", "tempkey"))
     pg.set_defaults(fn=cmd_get)
+
+    pw = sub.add_parser("watch", help="daemon: continuously process new "
+                        "files under in-prefix (GetJobs long-poll loop)")
+    pw.add_argument("bucket_dir")
+    pw.add_argument("--in-prefix", default="input/")
+    pw.add_argument("--out-prefix", default="output/")
+    pw.add_argument("--ext", default=".out")
+    pw.add_argument("--command", default="cp",
+                    help="external transform run as [command, in, out] "
+                    "(default cp, per the reference deployment)")
+    pw.add_argument("--commit", default="replace",
+                    choices=("replace", "tempkey"))
+    pw.add_argument("--poll", type=float, default=5.0,
+                    help="micro-batch poll interval in seconds "
+                    "(the reference's 20 s long-poll wait)")
+    pw.set_defaults(fn=cmd_watch)
 
     args = p.parse_args(argv)
     return args.fn(args)

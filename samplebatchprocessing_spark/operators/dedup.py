@@ -33,17 +33,27 @@ def _stage_sets(sets_df: DataFrame) -> DataFrame:
     branches (vocab probe / signature build / token rejoin) so the
     tokenize pass runs once.
 
-    ``localCheckpoint(eager=False)`` instead of ``persist()``: blocks
-    land in the same MEMORY_AND_DISK storage on first action, but the
-    checkpointed RDD is released by Spark's ContextCleaner when the
-    DataFrame is garbage-collected — no module-level cache registry,
-    no unbounded accumulation across repeated calls (persist() entries
-    live in the CacheManager until an explicit unpersist).  Trade-off,
-    documented: localCheckpoint truncates lineage, so a lost executor
-    cannot recompute its blocks — fine for local/static clusters; on a
-    dynamic-allocation cluster pass an externally persisted frame via
-    the operators' ``sets_df`` parameter instead."""
-    return sets_df.localCheckpoint(eager=False)
+    ``localCheckpoint`` instead of ``persist()``: blocks land in the
+    same MEMORY_AND_DISK storage, but the checkpointed RDD is released
+    by Spark's ContextCleaner when the DataFrame is garbage-collected —
+    no module-level cache registry, no unbounded accumulation across
+    repeated calls (persist() entries live in the CacheManager until
+    an explicit unpersist).  Trade-off, documented: localCheckpoint
+    truncates lineage, so a lost executor cannot recompute its blocks
+    — fine for local/static clusters; on a dynamic-allocation cluster
+    pass an externally persisted frame via the operators' ``sets_df``
+    parameter instead.
+
+    EAGER, deliberately (root-caused r5): with ``eager=False`` the
+    first action to touch the frame is the vocab probe's limited
+    collect, so checkpoint materialization rides a partial job and its
+    completion races the ContextCleaner cleaning the previous call's
+    blocks — surfacing as benign-but-noisy ``ERROR DAGScheduler:
+    ... non-existent accumulator`` spam during bench (BENCH_r04 tail;
+    reproduced 25x in 5 iterations, 0x with eager=True, identical
+    wall-clock — the materialization job does the same work the lazy
+    completion job did)."""
+    return sets_df.localCheckpoint(eager=True)
 
 
 def _hash_params(n: int = N_HASHES) -> list[tuple[int, int]]:

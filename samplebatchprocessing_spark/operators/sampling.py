@@ -158,10 +158,17 @@ def mixture_realize(df: DataFrame, weight: Column, tokens: Column,
     compare as :func:`weighted_bernoulli_sample` —
     ``hash * T_g < B_g * 2^20`` — so the realized sample is
     bit-stable across engines and reruns.  Over-budgeted groups
-    (B_g >= T_g) keep everything, which IS min(1, p).
+    (B_g >= T_g) keep everything, which IS min(1, p).  The compare
+    runs in decimal(38,0) (Spark) / HUGEINT (DuckDB): hash < 2^20 is
+    7 digits and either int64 factor is <= 19, so the 26-digit
+    products are exact for EVERY int64 input — no silent int64 wrap
+    at hash * T_g > 2^63 (~8.8e12 group tokens), which a 100 TB
+    corpus (~2.5e13 tokens) would otherwise hit (ADVICE r4).
 
-    Returns one row per group: token mass, target, realized doc and
-    token counts.
+    Returns one row per group — including groups whose budget
+    realizes ZERO kept documents (n_kept = kept_tokens = 0), so an
+    under-budgeted group cannot silently vanish from the audit report
+    (ADVICE r4): token mass, target, realized doc and token counts.
 
     Scale (100 TB): one shuffle for the per-group token mass (a
     groups-sized frame), a broadcast join of that frame back onto the
@@ -175,17 +182,29 @@ def mixture_realize(df: DataFrame, weight: Column, tokens: Column,
     stats = (stats
              .withColumn("_total", F.sum("t_tokens").over(g))
              .withColumn("_W", F.sum("w").over(g))
+             # decimal(38,0) intermediates on this GROUPS-sized frame:
+             # total*num (<=22 digits) and budget*w (<=38 digits) both
+             # stay exact; each DIV lands back in int64 range (budget
+             # <= total and w <= W), so no int64 wrap for any int64
+             # token mass / weight (ADVICE r4).
              .withColumn("b_target", F.expr(
-                 f"(_total * {budget_num} DIV {budget_den}) * w DIV _W"))
+                 f"CAST(CAST(CAST(_total AS DECIMAL(38,0)) "
+                 f"* {budget_num} DIV {budget_den} AS DECIMAL(38,0)) "
+                 f"* w DIV _W AS LONG)"))
              .select(by_col, "t_tokens", "b_target"))
-    keep = (F.col("_hb") * F.col("t_tokens")
-            < F.col("b_target") * F.lit(1 << 20))
+    keep = (F.col("_hb").cast("decimal(38,0)") * F.col("t_tokens")
+            < F.col("b_target").cast("decimal(38,0)") * F.lit(1 << 20))
     kept = (df.withColumn("_hb", hash_bucket(F.col(id_col), 1 << 20))
             .join(F.broadcast(stats), by_col)
             .filter(keep))
-    return (kept.groupBy(by_col, "t_tokens", "b_target")
-            .agg(F.count(F.lit(1)).alias("n_kept"),
-                 F.sum(tokens).alias("kept_tokens")))
+    kept_agg = (kept.groupBy(by_col)
+                .agg(F.count(F.lit(1)).alias("n_kept"),
+                     F.sum(tokens).alias("kept_tokens")))
+    return (stats.join(kept_agg, by_col, "left")
+            .select(by_col, "t_tokens", "b_target",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("kept_tokens", F.lit(0).cast("long"))
+                    .alias("kept_tokens")))
 
 
 def mixture_realize_sql(weight_expr: str, tokens_expr: str,
@@ -203,12 +222,17 @@ g AS (SELECT SUM(t_tokens) AS total, SUM(w) AS W FROM s),
 b AS (SELECT {by_col}, t_tokens,
              ((SELECT total FROM g) * {budget_num} // {budget_den})
                * w // (SELECT W FROM g) AS b_target
-      FROM s)
-SELECT d.{by_col}, b.t_tokens, b.b_target,
-       COUNT(*) AS n_kept, SUM({tokens_expr}) AS kept_tokens
-FROM {table} d JOIN b ON d.{by_col} = b.{by_col}
-WHERE {hb} * b.t_tokens < b.b_target * {1 << 20}
-GROUP BY d.{by_col}, b.t_tokens, b.b_target
+      FROM s),
+k AS (SELECT d.{by_col},
+             COUNT(*) AS n_kept, SUM({tokens_expr}) AS kept_tokens
+      FROM {table} d JOIN b ON d.{by_col} = b.{by_col}
+      WHERE CAST({hb} AS HUGEINT) * b.t_tokens
+            < CAST(b.b_target AS HUGEINT) * {1 << 20}
+      GROUP BY d.{by_col})
+SELECT b.{by_col}, b.t_tokens, b.b_target,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.kept_tokens, 0) AS kept_tokens
+FROM b LEFT JOIN k ON b.{by_col} = k.{by_col}
 """
 
 

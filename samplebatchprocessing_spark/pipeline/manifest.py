@@ -226,6 +226,52 @@ def watch_prefix(spark: SparkSession, bucket_dir: str,
     succeeded after a fresh one must not surface both its ok=false
     and ok=true rows).  The on-disk log keeps full history.
     """
+    q = _start_watch_stream(spark, bucket_dir, in_prefix, out_prefix,
+                            transform, command, ext, commit, checkpoint,
+                            trigger={"availableNow": True})
+    q.awaitTermination()
+    return commit_log(spark, bucket_dir)
+
+
+def watch_daemon(spark: SparkSession, bucket_dir: str,
+                 in_prefix: str = "input/",
+                 out_prefix: str = "output/",
+                 transform: Callable[[bytes], bytes] | None = None,
+                 command: str | None = None,
+                 ext: str = ".out",
+                 commit: str = "replace",
+                 checkpoint: str | None = None,
+                 poll_seconds: float = 5.0):
+    """The reference's INFINITE long-poll loop (GetJobs.py:21-23
+    ``while (True): get_messages(wait_time_seconds=20)``), as a
+    continuously-running micro-batch stream: new files under
+    ``bucket_dir/in_prefix`` are discovered every ``poll_seconds``
+    (the long-poll wait, shortened from the reference's 20 s for
+    tests) and processed by the same transform/commit worker as
+    :func:`run_pipeline`.
+
+    Unlike :func:`watch_prefix` (``Trigger.AvailableNow`` = one
+    drain-the-backlog run) this RETURNS the running StreamingQuery and
+    never drains to completion — the caller owns the loop's lifetime
+    and stops it with ``query.stop()``, which is exactly where the
+    CLI wires the reference's SIGINT graceful-shutdown handler
+    (GetJobs.py:63-65,80; see ``__main__.cmd_watch``).  Checkpoint +
+    idempotent per-file commit give the same delivery contract as
+    watch_prefix: no redelivery across restarts, failed files retried
+    by the next discovery of a fresh copy."""
+    return _start_watch_stream(
+        spark, bucket_dir, in_prefix, out_prefix, transform, command,
+        ext, commit, checkpoint,
+        trigger={"processingTime": f"{poll_seconds} seconds"})
+
+
+def _start_watch_stream(spark: SparkSession, bucket_dir: str,
+                        in_prefix: str, out_prefix: str,
+                        transform: Callable[[bytes], bytes] | None,
+                        command: str | None, ext: str, commit: str,
+                        checkpoint: str | None, trigger: dict):
+    """Shared stream starter for watch_prefix (AvailableNow drain) and
+    watch_daemon (ProcessingTime long-poll loop)."""
     from ..session import ship_package
     ship_package(spark)
     if transform is not None and command is not None:
@@ -262,18 +308,22 @@ def watch_prefix(spark: SparkSession, bucket_dir: str,
             .withColumn("batch_id", F.lit(bid)))
         log.write.mode("append").parquet(log_dir)
 
-    q = (sdf.writeStream.foreachBatch(_each_batch)
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    return (sdf.writeStream.foreachBatch(_each_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**trigger).start())
+
+
+def commit_log(spark: SparkSession, bucket_dir: str) -> DataFrame:
+    """Cumulative per-file commit log for a watched bucket, deduped to
+    the NEWEST row per file (a file that failed under an old
+    checkpoint and succeeded after a fresh one must not surface both
+    its ok=false and ok=true rows).  The on-disk log keeps history."""
+    log_dir = os.path.join(bucket_dir, "_commit_log")
     if not os.path.exists(log_dir):     # nothing ever processed
         return spark.createDataFrame([], LOG_SCHEMA)
     full = spark.read.parquet(log_dir)
     if "run_seq" not in full.columns:   # pre-tagging log on disk
         return full
-    # Latest row per file: a file that failed under an old checkpoint
-    # and succeeded after a fresh one surfaces ONLY its newest (ok)
-    # row; the on-disk log keeps the full history.
     w = (W.partitionBy("file_name")
          .orderBy(F.col("run_seq").desc(), F.col("batch_id").desc(),
                   F.col("ok").desc()))

@@ -313,3 +313,34 @@ def test_mixture_realize_budget_conservation(spark, sf_smoke):
     targeted = sum(min(r["b_target"], r["t_tokens"]) for r in rep)
     assert abs(realized - targeted) <= max(0.35 * targeted, 2000), (
         realized, targeted)
+
+
+def test_mixture_realize_no_int64_wrap_and_zero_kept_groups(spark):
+    """ADVICE r4: (a) the keep compare must not wrap int64 when
+    hash * t_tokens exceeds 2^63 (~8.8e12 group tokens — real at
+    100 TB); (b) a group whose budget realizes zero kept documents
+    must still appear in the report with n_kept = kept_tokens = 0."""
+    from samplebatchprocessing_spark.operators.sampling import (
+        mixture_realize)
+    # group "big": 64 docs x 2^48 tokens each -> t_tokens = 2^54;
+    # hash (up to 2^20) * 2^54 would wrap int64 catastrophically, and
+    # budget * w_big = 2^53 * 2^53 = 2^106 would overflow the old
+    # all-int64 b_target expression.  group "tiny": weight 1 vs big's
+    # 2^53 -> b_target = budget DIV W = 0 -> zero keeps.
+    big = [(i, 1 << 48, "big", 1 << 53) for i in range(64)]
+    tiny = [(1000 + i, 1 << 20, "tiny", 1) for i in range(4)]
+    df = spark.createDataFrame(
+        big + tiny, "doc_id long, toks long, source string, w long")
+    rep = {r["source"]: r for r in
+           mixture_realize(df, F.col("w"), F.col("toks"), 1, 2)
+           .collect()}
+    assert set(rep) == {"big", "tiny"}, "zero-kept group vanished"
+    b, t = rep["big"], rep["tiny"]
+    assert b["t_tokens"] == 64 << 48
+    # exact replication of the decimal compare in python ints (which
+    # never wrap): an int64-wrapped engine compare would diverge.
+    frac_kept = b["kept_tokens"] / b["t_tokens"]
+    target_frac = b["b_target"] / b["t_tokens"]
+    assert 0 < b["n_kept"] <= 64
+    assert abs(frac_kept - min(1.0, target_frac)) < 0.35
+    assert t["n_kept"] == 0 and t["kept_tokens"] == 0

@@ -185,3 +185,76 @@ def test_watch_prefix_retry_dedupes_log(spark, bucket):
     rows = good.collect()
     assert len(rows) == 4, "ok=false + ok=true rows must collapse"
     assert all(r["ok"] for r in rows)
+
+
+def test_watch_daemon_two_drops_and_stop(spark, bucket, sf_smoke):
+    """The daemon form of watch (GetJobs.py:21-23's infinite loop):
+    drains the startup backlog, picks up a file dropped WHILE RUNNING
+    on a later poll, and stops cleanly via query.stop() — the same
+    call the CLI's SIGINT handler makes (GetJobs.py:63-65,80)."""
+    import time
+
+    from samplebatchprocessing_spark.pipeline.manifest import (
+        commit_log, watch_daemon)
+
+    def n_out() -> int:
+        return len(glob.glob(os.path.join(bucket, "output", "*.out")))
+
+    q = watch_daemon(spark, bucket, poll_seconds=0.5)
+    try:
+        deadline = time.time() + 90
+        while n_out() < 4 and time.time() < deadline:
+            time.sleep(0.2)
+        assert n_out() == 4, "startup backlog not drained"
+
+        # second drop while the daemon is live
+        extra = sorted(glob.glob(f"{sf_smoke}/*.parquet"))[5]
+        shutil.copy(extra,
+                    os.path.join(bucket, "input", "late_arrival.bin"))
+        while n_out() < 5 and time.time() < deadline:
+            time.sleep(0.2)
+        assert n_out() == 5, "live drop not picked up by the poll loop"
+    finally:
+        q.stop()
+    q.awaitTermination()
+    assert not q.isActive
+
+    rows = commit_log(spark, bucket).collect()
+    assert len(rows) == 5 and all(r["ok"] for r in rows)
+    src = sorted(glob.glob(f"{sf_smoke}/*.parquet"))[5]
+    out = os.path.join(bucket, "output", "late_arrival.bin.out")
+    assert (hashlib.md5(open(src, "rb").read()).hexdigest()
+            == hashlib.md5(open(out, "rb").read()).hexdigest())
+
+
+def test_cli_watch_sigint_graceful(bucket):
+    """End-to-end CLI daemon: ``python -m samplebatchprocessing_spark
+    watch`` processes the backlog, then a SIGINT produces a graceful
+    exit 0 with the commit-log summary (GetJobs.py:63-65,80)."""
+    import signal as sig
+    import subprocess
+    import sys as _sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "samplebatchprocessing_spark", "watch",
+         bucket, "--poll", "0.5"],
+        cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True, env=env)
+    try:
+        deadline = time.time() + 150
+        def n_out() -> int:
+            return len(glob.glob(os.path.join(bucket, "output", "*.out")))
+        while n_out() < 4 and time.time() < deadline:
+            time.sleep(0.5)
+        assert n_out() == 4, "daemon did not drain the backlog"
+        proc.send_signal(sig.SIGINT)
+        out, _ = proc.communicate(timeout=90)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    assert proc.returncode == 0, f"non-graceful exit: {proc.returncode}"
+    assert "4/4 files ok" in out
