@@ -374,13 +374,14 @@ def _pq_codebooks(sample_mat, m: int = 8, ksub: int = 16,
 
 
 def pq_topk(emb: DataFrame, query_pred, k: int = 5,
-            m: int = 8, ksub: int = 32, refine: int = 16,
+            m: int = 16, ksub: int = 32, refine: int = 16,
             sample_cap: int = 4096) -> DataFrame:
     """L7 ANN variant 3: product quantization (PQ) with asymmetric
     distance computation (ADC) and exact re-ranking — the
     memory-bound ANN tier (Jégou et al. 2011 scheme, public): each
-    64-dim float vector compresses to ``m`` one-byte codes (32x), so
-    at 100 TB the code table fits where the raw vectors cannot.
+    64-dim float vector compresses to ``m`` one-byte codes (16x at
+    the m=16 default), so at 100 TB the code table fits where the
+    raw vectors cannot.
 
     Plan: (1) seeded sampled codebooks (one TakeOrdered job +
     driver-side per-subspace k-means, broadcast — same discipline as
@@ -392,11 +393,23 @@ def pq_topk(emb: DataFrame, query_pred, k: int = 5,
     refine*k rows; (4) the surviving ~refine*k candidate ids join
     back to raw embeddings for EXACT cosine re-ranking, so the only
     approximation is candidate membership.  Recall is property-tested
-    vs the exact operator (rows-only driver check pattern): the
-    tuned defaults (m=8, ksub=32, refine=16) measure 0.94/0.94/0.72
-    at sf0.001/0.01/0.1 on the UNIFORM fixture vectors — the worst
-    case for any quantizer; declared floor 0.5 at the driver's
-    sf0.01."""
+    vs the exact operator (rows-only driver check pattern).
+
+    Parameter curve at sf0.1 on the UNIFORM fixture vectors — the
+    worst case for any quantizer — measured r5, wall-clock on
+    local[16] in parens:
+      m=8  ksub=32 refine=16 -> 0.715 (2.4 s)   [r4 defaults, 32x]
+      m=8  ksub=32 refine=32 -> 0.885 (1.9 s)
+      m=8  ksub=64 refine=32 -> 0.955 (3.2 s)
+      m=16 ksub=32 refine=16 -> 0.980 (2.0 s)   [defaults since r5, 16x]
+      m=16 ksub=32 refine=32 -> 1.000 (2.0 s)
+    Halving the subspace width (dsub 8 -> 4 by doubling m) buys far
+    more recall than widening the codebook or the refine pool,
+    because uniform vectors have no cluster structure for centroids
+    to exploit — only finer subspaces shrink the quantization cell.
+    The defaults measure 1.0/1.0/0.98 at sf0.001/0.01/0.1; declared
+    floor 0.8 (`queries/llm.py l7_topk_pq`), at 16x compression
+    instead of r4's 32x — the documented memory trade-off."""
     import numpy as np
     sample_rows = (emb.select("vec_id", "embedding")
                    .orderBy(F.xxhash64(F.col("vec_id")))

@@ -424,10 +424,16 @@ def x37_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_keys"),
             F.sum("c").alias("n_rows"),
             F.max("c").alias("max_rows"),
-            # exact integer percentiles of the count distribution:
-            # FLOOR of the interpolated value on both engines
-            F.floor(F.percentile("c", 0.5)).alias("p50_rows"),
-            F.floor(F.percentile("c", 0.99)).alias("p99_rows"),
+            # exact DISCRETE percentiles of the count distribution:
+            # both engines select the ceil(q*n)-th smallest count
+            # (convention verified identical r5) — integer-exact end
+            # to end, unlike FLOOR(interpolated) where a 1-ulp
+            # double difference on an integer boundary could flip
+            # the floor (ADVICE r4).
+            F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)"
+                   " AS LONG)").alias("p50_rows"),
+            F.expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c)"
+                   " AS LONG)").alias("p99_rows"),
             F.max_by("k", F.struct(F.col("c"), (-F.col("k")).alias("nk")))
              .alias("heaviest_key"))
             .select(
@@ -447,23 +453,23 @@ g2 AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
 g3 AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1)
 SELECT 'lineitem.l_suppkey' AS join_key, COUNT(*) AS n_keys,
        SUM(c) AS n_rows, MAX(c) AS max_rows,
-       CAST(FLOOR(QUANTILE_CONT(c, 0.5)) AS BIGINT) AS p50_rows,
-       CAST(FLOOR(QUANTILE_CONT(c, 0.99)) AS BIGINT) AS p99_rows,
+       CAST(QUANTILE_DISC(c, 0.5) AS BIGINT) AS p50_rows,
+       CAST(QUANTILE_DISC(c, 0.99) AS BIGINT) AS p99_rows,
        MAX(c) * COUNT(*) * 1000 // SUM(c) AS skew_x1000,
        (SELECT MIN(k) FROM g1 WHERE c = (SELECT MAX(c) FROM g1))
          AS heaviest_key
 FROM g1
 UNION ALL
 SELECT 'lineitem.l_orderkey', COUNT(*), SUM(c), MAX(c),
-       CAST(FLOOR(QUANTILE_CONT(c, 0.5)) AS BIGINT),
-       CAST(FLOOR(QUANTILE_CONT(c, 0.99)) AS BIGINT),
+       CAST(QUANTILE_DISC(c, 0.5) AS BIGINT),
+       CAST(QUANTILE_DISC(c, 0.99) AS BIGINT),
        MAX(c) * COUNT(*) * 1000 // SUM(c),
        (SELECT MIN(k) FROM g2 WHERE c = (SELECT MAX(c) FROM g2))
 FROM g2
 UNION ALL
 SELECT 'events.user_id', COUNT(*), SUM(c), MAX(c),
-       CAST(FLOOR(QUANTILE_CONT(c, 0.5)) AS BIGINT),
-       CAST(FLOOR(QUANTILE_CONT(c, 0.99)) AS BIGINT),
+       CAST(QUANTILE_DISC(c, 0.5) AS BIGINT),
+       CAST(QUANTILE_DISC(c, 0.99) AS BIGINT),
        MAX(c) * COUNT(*) * 1000 // SUM(c),
        (SELECT MIN(k) FROM g3 WHERE c = (SELECT MAX(c) FROM g3))
 FROM g3

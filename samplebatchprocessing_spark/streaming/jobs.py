@@ -34,12 +34,31 @@ def stage_table_dir(spark: SparkSession, sf_dir: str, table: str,
     # stale staged copy would silently feed every streaming query old
     # data while the oracle reads the new file.
     st = os.stat(src)
-    h = hashlib.md5(
-        f"{sf_dir}|{copies}|{tag}|{st.st_mtime_ns}|{st.st_size}"
-        .encode()).hexdigest()[:8]
-    d = os.path.join(_STAGE, f"{table}_{h}")
+    # Two-part key: the VARIANT (sf_dir, copies, tag) identifies a
+    # logically distinct staged dataset — several variants of one
+    # table are concurrently live (S1 watches copies=1 while S6
+    # watches copies=2) and must never GC each other; the SOURCE hash
+    # (mtime, size) identifies the fixture generation, so a regen
+    # changes only the suffix and the stale twin is unambiguous.
+    vh = hashlib.md5(f"{sf_dir}|{copies}|{tag}".encode()).hexdigest()[:8]
+    sh = hashlib.md5(f"{st.st_mtime_ns}|{st.st_size}"
+                     .encode()).hexdigest()[:8]
+    d = os.path.join(_STAGE, f"{table}_{vh}_{sh}")
     marker = os.path.join(d, "_STAGED")
     if not os.path.exists(marker):
+        # GC superseded generations of THIS variant (ADVICE r4: a
+        # fixture regen used to leave the previous generation's full
+        # parquet copy behind, unbounded across rounds), plus any
+        # single-hash dirs from the pre-r5 naming scheme.
+        if os.path.isdir(_STAGE):
+            for sib in os.listdir(_STAGE):
+                stale_variant = (sib.startswith(f"{table}_{vh}_")
+                                 and sib != f"{table}_{vh}_{sh}")
+                legacy = (sib.startswith(f"{table}_")
+                          and sib.count("_") == table.count("_") + 1)
+                if stale_variant or legacy:
+                    shutil.rmtree(os.path.join(_STAGE, sib),
+                                  ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d)
         for i in range(copies):

@@ -117,3 +117,29 @@ def test_stateful_sessions_carry_state_across_batches(spark, sf_smoke):
         assert (f["n_events"], f["n_sessions"], f["max_gap_us"]) == \
             (r["n_events"], r["n_sessions"], r["max_gap_us"]), uid
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stage_table_dir_gc_stale_generations(spark, sf_smoke, tmp_path):
+    """ADVICE r4: a fixture regen must not leave the previous
+    generation's staged parquet behind, while concurrently live
+    VARIANTS (different copies/tag) of the same table survive."""
+    import os
+    import shutil as sh
+
+    from samplebatchprocessing_spark.streaming import jobs
+
+    src_dir = tmp_path / "sf"
+    src_dir.mkdir()
+    sh.copy(os.path.join(sf_smoke, "events.parquet"),
+            src_dir / "events.parquet")
+
+    d1 = jobs.stage_table_dir(spark, str(src_dir), "events", copies=1)
+    d2 = jobs.stage_table_dir(spark, str(src_dir), "events", copies=2)
+    assert d1 != d2 and os.path.isdir(d1) and os.path.isdir(d2)
+
+    # simulate a regen: touch the source -> new generation hash
+    os.utime(src_dir / "events.parquet")
+    d1b = jobs.stage_table_dir(spark, str(src_dir), "events", copies=1)
+    assert d1b != d1
+    assert not os.path.isdir(d1), "stale generation not GC'd"
+    assert os.path.isdir(d2), "concurrent variant wrongly GC'd"
