@@ -570,6 +570,52 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
             .filter(F.col("cosine") >= threshold))
 
 
+def semantic_dup_ids(emb: DataFrame, threshold: float = 0.3,
+                     id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup-style semantic duplicate detection (Abbas et al.
+    2023, public): a vector is a DUPLICATE when some LOWER-id vector
+    in the SAME deterministic LSH bucket has cosine >= threshold —
+    the embarrassingly-parallel pair-marking variant of the greedy
+    keep-first scan (a dup may itself mark later dups, which only
+    widens removal; declared semantics, mirrored exactly in SQL).
+
+    Buckets come from the fixed-seed hyperplane signature
+    (``similarity.lsh_bucket_expr``), so the whole operator is
+    deterministic and oracle-checkable — unlike sampled-k-means
+    clustering, which is why SemDeDup's k-means stage is swapped for
+    LSH here (same blocking role, exact replay in DuckDB).
+
+    Scale (100 TB): the bucket id is the blocking key — candidate
+    pairs come from an equi-join on ``bkt`` (plan-gated: no
+    cartesian), the same discipline as L5/L6.  Pick ``n_planes`` ~
+    log2(corpus / target_bucket_size) so per-bucket population stays
+    bounded; at real scale the bucket id is precomputed at ingest
+    and doubles as the partition key, making the self-join
+    co-partitioned."""
+    from .similarity import cosine_expr, lsh_bucket_expr
+    bkt = lsh_bucket_expr()(F.col("embedding"))
+    base = emb.select(id_col, "embedding").withColumn("bkt", bkt)
+    a = base.select(F.col(id_col).alias("_ida"),
+                    F.col("embedding").alias("_ea"), "bkt")
+    b = base.select(F.col(id_col).alias("_idb"),
+                    F.col("embedding").alias("_eb"), "bkt")
+    cos = F.round(cosine_expr(F.col("_ea"), F.col("_eb")), 6)
+    return (a.join(b, "bkt")
+            .filter(F.col("_ida") < F.col("_idb"))
+            .filter(cos >= threshold)
+            .select(F.col("_idb").alias(id_col))
+            .distinct())
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.3,
+                   id_col: str = "vec_id") -> DataFrame:
+    """Materialized semantic dedup: the input minus
+    :func:`semantic_dup_ids` (anti-join on the id — one hash join,
+    keep-lowest-id-representative semantics)."""
+    return emb.join(semantic_dup_ids(emb, threshold, id_col),
+                    id_col, "left_anti")
+
+
 def paragraph_dedup(df: DataFrame, chunk: int = 5,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:

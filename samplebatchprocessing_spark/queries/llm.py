@@ -432,6 +432,47 @@ WHERE ROUND({_COS_ND}, 6) >= 0.4
 """
 
 
+def x43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 (r5): SemDeDup-style semantic dedup report
+    (``operators.dedup.semantic_dup_ids`` — deterministic LSH-bucket
+    blocking + keep-lowest-id marking, exact cross-engine because the
+    fixed-seed hyperplane buckets and the rounded cosine replay
+    identically in SQL).  Per label: corpus size, semantic dups
+    removed, kept count, kept-id range."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dups = (dedup.semantic_dup_ids(emb, threshold=0.3)
+            .withColumn("is_dup", F.lit(1)))
+    flagged = emb.select("vec_id", "label").join(dups, "vec_id", "left")
+    kept_id = F.when(F.col("is_dup").isNull(), F.col("vec_id"))
+    return (flagged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.coalesce("is_dup", F.lit(0))).alias("n_dups"),
+        F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0))
+         .alias("n_kept"),
+        F.min(kept_id).alias("min_kept_id"),
+        F.max(kept_id).alias("max_kept_id")))
+
+
+_COS_SD = similarity.cosine_sql_expr("b1.embedding", "b2.embedding")
+
+X43_SQL = f"""
+WITH b AS (SELECT vec_id, label, embedding, {_LSH_BUCKET} AS bkt
+           FROM embeddings),
+d AS (SELECT b2.vec_id
+      FROM b b2 JOIN b b1
+        ON b1.bkt = b2.bkt AND b1.vec_id < b2.vec_id
+      WHERE ROUND({_COS_SD}, 6) >= 0.3
+      GROUP BY b2.vec_id)
+SELECT b.label, COUNT(*) AS n_vecs,
+       SUM(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END) AS n_dups,
+       SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS n_kept,
+       MIN(CASE WHEN d.vec_id IS NULL THEN b.vec_id END) AS min_kept_id,
+       MAX(CASE WHEN d.vec_id IS NULL THEN b.vec_id END) AS max_kept_id
+FROM b LEFT JOIN d ON b.vec_id = d.vec_id
+GROUP BY b.label
+"""
+
+
 def x5_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, BPE-ish regex path (north-star text analysis)."""
     doc = load_table(spark, sf_dir, "documents")
@@ -1519,6 +1560,7 @@ QUERIES: dict[str, tuple] = {
     "l7_topk_ivf": (l7_topk_ivf, L7_IVF_SQL),
     "l7_topk_pq": (l7_topk_pq, L7_PQ_SQL),
     "l12_embedding_neardup": (l12_embedding_neardup, L12_SQL),
+    "x43_semantic_dedup": (x43_semantic_dedup, X43_SQL),
     "x5_bpe_token_counts": (x5_bpe_token_counts, text.BPE_COUNTS_SQL),
     "x6_train_split": (x6_train_split, _x6_sql()),
     "x7_stratified_sample": (x7_stratified_sample, _x7_sql()),

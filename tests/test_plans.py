@@ -106,7 +106,8 @@ def test_no_cartesian_in_blocked_similarity(spark, sf_smoke):
     for df in (dedup.jaccard_pairs(doc, threshold=0.8),
                similarity.sim_join(emb, threshold=0.3),
                dedup.embedding_neardup_pairs(emb, threshold=0.4),
-               dedup.incremental_fuzzy_dedup(batch, corpus)):
+               dedup.incremental_fuzzy_dedup(batch, corpus),
+               dedup.semantic_dup_ids(emb, threshold=0.3)):
         plan = plan_str(df, mode="simple")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
