@@ -164,6 +164,50 @@ def audio_features(df: DataFrame, *, sample_rate: int = 16000) -> DataFrame:
                 "zero_crossings long")
 
 
+def phash_neardup_pairs(feats: DataFrame, max_hamming: int = 3,
+                        n_bands: int = 4,
+                        id_col: str = "media_id") -> DataFrame:
+    """Image near-dup pairs by perceptual-hash hamming distance —
+    the image-dedup stage of a multimodal training pipeline, over
+    the (media_id, phash) output of :func:`image_features`.
+
+    Banding (pigeonhole-complete): the 64-bit phash splits into
+    ``n_bands`` equal slices; two hashes with hamming <=
+    ``n_bands - 1`` MUST agree on at least one slice, so candidates
+    from the slice equi-join have full recall for
+    ``max_hamming <= n_bands - 1`` (asserted).  Verification is the
+    exact ``bit_count(a XOR b)``.
+
+    Scale (100 TB): identical discipline to MinHash-LSH banding
+    (L6) — the band (idx, value) is the join key, hash-partitioned;
+    no all-pairs scan exists in the plan (gated with the other
+    blocked similarity ops).  The phash itself is 8 bytes/image, so
+    the dedup join never touches pixel data."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding with {n_bands} bands only guarantees recall for "
+            f"hamming <= {n_bands - 1}, got max_hamming={max_hamming}")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    slices = F.array(*[
+        F.shiftrightunsigned(F.col("phash"), i * width)
+         .bitwiseAND(F.lit(mask)).cast("long")
+        for i in range(n_bands)])
+    e = (feats.select(F.col(id_col), F.col("phash"))
+         .select(id_col, "phash",
+                 F.posexplode(slices).alias("band_idx", "band_val")))
+    a = e.select(F.col(id_col).alias("id_a"),
+                 F.col("phash").alias("ph_a"), "band_idx", "band_val")
+    b = e.select(F.col(id_col).alias("id_b"),
+                 F.col("phash").alias("ph_b"), "band_idx", "band_val")
+    ham = F.bit_count(F.expr("ph_a ^ ph_b"))
+    return (a.join(b, ["band_idx", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 def media_table_from_fixture(spark, sf_dir: str,
                              kind: str = "image") -> DataFrame:
     """Build a multimodal table from the fixture parquet files as

@@ -673,6 +673,33 @@ FROM ({_MM_IDS})
 """
 
 
+def mm4_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM4 (r5): image dedup by perceptual hash, exact structural
+    oracle: every even-media_id image is re-ingested as a
+    byte-identical copy under media_id + 1 (same bytes, same decode
+    metadata), the REAL pipeline runs end to end (fake decode ->
+    64-bit average-hash -> 4x16-bit band equi-join -> exact hamming
+    verify; ``operators.multimodal.phash_neardup_pairs``), and the
+    declared pair set is exactly the constructed duplicates at
+    hamming 0 — byte-identical inputs must collide, while distinct
+    fixture blobs hash ~32 bits apart, so nothing else survives the
+    <= 3 threshold.  A band join that misses pairs or a hash that
+    drifts reds the gate."""
+    from ..operators import multimodal as mm
+    media = mm.media_table_from_fixture(spark, sf_dir, "image")
+    copies = (media.filter(F.col("media_id") % 2 == 0)
+              .withColumn("media_id", F.col("media_id") + 1))
+    feats = mm.image_features(media.unionByName(copies))
+    return mm.phash_neardup_pairs(feats, max_hamming=3)
+
+
+MM4_SQL = f"""
+SELECT media_id AS id_a, media_id + 1 AS id_b, CAST(0 AS INT) AS hamming
+FROM ({_MM_IDS})
+WHERE media_id % 2 = 0
+"""
+
+
 def x4_text_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance text similarity (dedup adjunct): levenshtein
     between each doc's head and its source tag; self-joins on tiny
@@ -1569,6 +1596,7 @@ QUERIES: dict[str, tuple] = {
     "mm1_image_features": (mm1_image_features, MM1_SQL),
     "mm2_frame_sample": (mm2_frame_sample, MM2_SQL),
     "mm3_audio_features": (mm3_audio_features, MM3_SQL),
+    "mm4_phash_dedup": (mm4_phash_dedup, MM4_SQL),
     "x4_text_distance": (x4_text_distance, X4_SQL),
     "x10_pii_redaction": (x10_pii_redaction, X10_SQL),
     "x11_markup_strip": (x11_markup_strip, X11_SQL),

@@ -94,6 +94,12 @@ def test_global_topk_avoids_full_sort(spark, sf_smoke):
     assert "TakeOrderedAndProject" in plan
 
 
+def _mm4_phash_pairs(spark, sf_smoke):
+    from samplebatchprocessing_spark.operators import multimodal as mm
+    media = mm.media_table_from_fixture(spark, sf_smoke, "image")
+    return mm.phash_neardup_pairs(mm.image_features(media))
+
+
 def test_no_cartesian_in_blocked_similarity(spark, sf_smoke):
     """L5/L8 contract: blocking keys make these equi-joins — a
     cartesian product in the plan would mean the blocking broke."""
@@ -107,7 +113,8 @@ def test_no_cartesian_in_blocked_similarity(spark, sf_smoke):
                similarity.sim_join(emb, threshold=0.3),
                dedup.embedding_neardup_pairs(emb, threshold=0.4),
                dedup.incremental_fuzzy_dedup(batch, corpus),
-               dedup.semantic_dup_ids(emb, threshold=0.3)):
+               dedup.semantic_dup_ids(emb, threshold=0.3),
+               _mm4_phash_pairs(spark, sf_smoke)):
         plan = plan_str(df, mode="simple")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
