@@ -570,3 +570,79 @@ SELECT pair, CAST(SUM(wf) AS BIGINT) AS pair_count
 FROM pairs GROUP BY pair
 ORDER BY pair_count DESC, pair LIMIT {top_k}
 """
+
+
+def bpe_train_merges(df: DataFrame, n_merges: int = 8,
+                     text_col: str = "text") -> list[tuple]:
+    """Full iterative BPE vocabulary training (Sennrich et al. 2016,
+    public): ``n_merges`` rounds of (count adjacent symbol pairs
+    weighted by word frequency) -> (argmax with the deterministic
+    count-desc / pair-asc tiebreak) -> (apply the merge greedily
+    left-to-right over every word's symbol sequence).
+
+    Returns the merge table as a list of
+    ``(round, left, right, merged, pair_count)`` python tuples —
+    n_merges rows, the only driver-side data (one argmax row per
+    round; genuinely iterative, so there is no single-query SQL twin
+    — correctness comes from the exact differential test against a
+    pure-python reference, tests/test_operators.py).
+
+    Scale (100 TB):
+    - the corpus collapses ONCE to the word-frequency table (one
+      shuffle, vocabulary-sized: millions of rows, not trillions);
+      every round then runs over that table only — the same
+      collapse that makes reference BPE trainers tractable;
+    - pair counting is row-local explode + a shuffle over the pair
+      alphabet; the argmax is one TakeOrderedAndProject row;
+    - the merge APPLY is a row-local ``aggregate`` fold (pure JVM
+      expression, no UDF): rebuild each word's symbol array,
+      replacing the last element when (last, current) equals the
+      round's rule — exactly greedy left-to-right non-overlapping
+      application;
+    - each round ends in an EAGER localCheckpoint, so round K's plan
+      reads round K-1's materialized blocks instead of replaying a
+      K-deep expression tree (lineage growth is the classic
+      iterative-algorithm scale trap).
+    """
+    words = (df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("wf"))
+             .select(F.expr(
+                 "transform(sequence(1, length(word)),"
+                 " i -> substring(word, i, 1))").alias("syms"), "wf")
+             .localCheckpoint(eager=True))
+
+    merges: list[tuple] = []
+    for rnd in range(1, n_merges + 1):
+        pair = F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> struct(element_at(syms, i) AS l,"
+            "             element_at(syms, i + 1) AS r))")
+        top = (words.filter(F.size("syms") >= 2)
+               .select(F.explode(pair).alias("p"), "wf")
+               .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+               .agg(F.sum("wf").cast("long").alias("c"))
+               .orderBy(F.desc("c"), "l", "r")
+               .limit(1).collect())
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
+        merged = l + r
+        merges.append((rnd, l, r, merged, c))
+
+        def make_fold(_l: str, _r: str, _m: str):
+            def fold_step(acc, t):
+                last = F.get(acc, F.size(acc) - 1)   # NULL when empty
+                hit = last.isNotNull() & (last == _l) & (t == _r)
+                return F.when(
+                    hit,
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                             F.array(F.lit(_m)))
+                ).otherwise(F.concat(acc, F.array(t)))
+            return fold_step
+
+        words = (words.select(
+            F.aggregate("syms",
+                        F.array().cast("array<string>"),
+                        make_fold(l, r, merged)).alias("syms"), "wf")
+            .localCheckpoint(eager=True))
+    return merges

@@ -1496,6 +1496,23 @@ def x22_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_pair_counts(doc, top_k=20)
 
 
+def x44_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44 (r5): FULL iterative BPE vocabulary training — 8 merge
+    rounds over the corpus word-frequency table
+    (``operators.text.bpe_train_merges``; x22 is round 1's
+    statistic).  Genuinely iterative, so it has no single-query SQL
+    twin (rows-only driver check, like S8); correctness is an exact
+    differential test against a pure-python BPE reference at
+    tests/test_operators.py, and the output is bit-deterministic:
+    count-desc/pair-asc argmax per round, greedy left-to-right
+    merge application."""
+    doc = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train_merges(doc, n_merges=8)
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, "
+                "merged string, pair_count long")
+
+
 def x23_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X23: reproducible global training-order shuffle — per-doc
     (bucket, pos) derived only from (doc_id, seed); lexicographic
@@ -1581,6 +1598,7 @@ QUERIES: dict[str, tuple] = {
     "x21_substring_dedup": (x21_substring_dedup, X21_SQL),
     "x22_bpe_pair_counts": (x22_bpe_pair_counts,
                             text.bpe_pair_counts_sql(top_k=20)),
+    "x44_bpe_train": (x44_bpe_train, None),   # iterative: rows-only
     "x23_deterministic_shuffle": (x23_deterministic_shuffle,
                                   _x23_sql()),
     "x24_source_overlap": (x24_source_overlap, X24_SQL),

@@ -599,3 +599,51 @@ def test_bigram_perplexity_matches_pure_python(spark):
         assert abs(got[d][1] - expect[d][1]) <= 1e-6, d
         assert abs(got[d][2] - expect[d][2]) <= max(
             1e-6, abs(expect[d][2]) * 1e-9), d
+
+
+def test_bpe_train_merges_matches_pure_python(spark, sf_smoke):
+    """x44 differential gate: the distributed iterative BPE trainer
+    must reproduce, round for round, a pure-python reference
+    implementing the same Sennrich-style spec (word-frequency
+    weighting, count-desc/pair-asc argmax, greedy left-to-right
+    merge application)."""
+    from collections import Counter
+
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.operators.text import (
+        bpe_train_merges)
+
+    doc = load_table(spark, sf_smoke, "documents")
+    got = bpe_train_merges(doc, n_merges=8)
+
+    # pure-python reference
+    import re
+    texts = [r["text"] for r in doc.select("text").collect()]
+    words = Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            words[w] += 1
+    vocab = {tuple(w): f for w, f in words.items()}
+    expect = []
+    for rnd in range(1, 9):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merged = l + r
+        expect.append((rnd, l, r, merged, c))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            for t in syms:
+                if out and out[-1] == l and t == r:
+                    out[-1] = merged
+                else:
+                    out.append(t)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    assert got == expect, f"\nspark: {got}\npython: {expect}"

@@ -73,12 +73,15 @@ def test_every_anchor_block_leads_the_window():
 
 def test_readme_counts_match_registry(reg):
     text = (REPO / "README.md").read_text()
-    m = re.search(r"(\d+) queries, all but one paired", text)
+    m = re.search(r"(\d+) queries, all but (\w+) paired", text)
     assert m, "README query-count sentence not found"
     assert int(m.group(1)) == len(reg), (
         f"README claims {m.group(1)} queries, registry has {len(reg)} — "
         "regenerate the README line"
     )
-    n_oracle = sum(1 for _fn, sql in reg.values() if sql is not None)
-    # "all but one" is itself a count claim: exactly one rows-only entry.
-    assert len(reg) - n_oracle == 1
+    # "all but N" is itself a count claim; the rows-only set is the
+    # closed list of genuinely non-SQL-expressible ops.
+    rows_only = {n for n, (_fn, sql) in reg.items() if sql is None}
+    assert rows_only == {"s8_foreach_batch_sink", "x44_bpe_train"}
+    words = {1: "one", 2: "two", 3: "three"}
+    assert m.group(2) == words[len(rows_only)]
