@@ -341,6 +341,64 @@ FROM events WHERE {cond} GROUP BY event_type
 """
 
 
+def s14_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 (r5): streaming SEMANTIC dedup — the incremental-ingest
+    half of X43.  The static corpus index is the even-vec_id half of
+    the embeddings table, reduced to (bucket, embedding) once; the
+    odd-id half ARRIVES AS A STREAM, and each micro-batch drops new
+    vectors whose deterministic LSH bucket contains a corpus vector
+    with cosine >= 0.3 (a stream-static LEFT ANTI join on the bucket
+    key with the rounded-cosine predicate — per-batch broadcast of
+    the by-contract-small index, NO streaming state).  At 100 TB the
+    index side is the persisted bucket table and the anti join stays
+    keyed on the bucket — the same discipline as the batch operator
+    (`operators/dedup.py::semantic_dup_ids`).
+
+    Deterministic on finite input -> REAL DuckDB oracle (correlated
+    EXISTS over the same bucket + cosine), not just parity."""
+    from ..catalog import load_table
+    from ..operators.similarity import cosine_expr, lsh_bucket_expr
+    from ..streaming.jobs import embeddings_stream
+
+    bucket = lsh_bucket_expr()
+    corpus = (load_table(spark, sf_dir, "embeddings")
+              .filter(F.col("vec_id") % 2 == 0)
+              .select(F.col("vec_id").alias("c_id"),
+                      F.col("embedding").alias("c_emb"))
+              .withColumn("bkt", bucket(F.col("c_emb"))))
+    sdf = (embeddings_stream(spark, sf_dir, tag="semdedup")
+           .filter(F.col("vec_id") % 2 == 1)
+           .withColumn("bkt", bucket(F.col("embedding"))))
+    cos = F.round(cosine_expr(F.col("embedding"), F.col("c_emb")), 6)
+    kept = sdf.join(
+        F.broadcast(corpus),
+        (sdf["bkt"] == corpus["bkt"]) & (cos >= 0.3),
+        "left_anti")
+    agg = (kept.groupBy("label")
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.min("vec_id").alias("min_kept_id"),
+                F.max("vec_id").alias("max_kept_id")))
+    return run_available_now(agg, output_mode="complete")
+
+
+def _s14_sql() -> str:
+    from ..operators.similarity import cosine_sql_expr, lsh_bucket_sql
+    cos = cosine_sql_expr("c.embedding", "n.embedding")
+    return f"""
+WITH c AS (SELECT vec_id, embedding, {lsh_bucket_sql('embedding')} AS bkt
+           FROM embeddings WHERE vec_id % 2 = 0),
+n AS (SELECT vec_id, label, embedding,
+             {lsh_bucket_sql('embedding')} AS bkt
+      FROM embeddings WHERE vec_id % 2 = 1)
+SELECT n.label, COUNT(*) AS n_kept,
+       MIN(n.vec_id) AS min_kept_id, MAX(n.vec_id) AS max_kept_id
+FROM n
+WHERE NOT EXISTS (SELECT 1 FROM c
+                  WHERE c.bkt = n.bkt AND ROUND({cos}, 6) >= 0.3)
+GROUP BY n.label
+"""
+
+
 def s13_stream_doc_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 (r4): streaming document quality scoring against the
     batch-trained X42 bigram model — the serving half of the
@@ -383,4 +441,5 @@ QUERIES: dict[str, tuple] = {
     "s11_stream_static_join": (s11_stream_static_join, S11_SQL),
     "s12_stream_weighted_sample": (s12_stream_weighted_sample, _s12_sql()),
     "s13_stream_doc_scoring": (s13_stream_doc_scoring, _s13_sql()),
+    "s14_stream_semantic_dedup": (s14_stream_semantic_dedup, _s14_sql()),
 }

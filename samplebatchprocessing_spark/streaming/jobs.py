@@ -120,6 +120,26 @@ def documents_stream(spark: SparkSession, sf_dir: str,
     return conform("documents", sdf)
 
 
+def embeddings_stream(spark: SparkSession, sf_dir: str,
+                      tag: str = "") -> DataFrame:
+    """Micro-batch file stream of the embeddings table (streaming
+    ANN/dedup shapes — S14).  Same conf hardening and dtype-contract
+    gate as :func:`documents_stream`."""
+    from ..catalog import conform
+    from ..session import ship_package
+    ship_package(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    stage = stage_table_dir(spark, sf_dir, "embeddings", tag=tag)
+    raw_schema = spark.read.parquet(
+        f"{stage}/embeddings_0.parquet").schema
+    sdf = (spark.readStream.schema(raw_schema)
+           .option("pathGlobFilter", "*.parquet")
+           .parquet(stage))
+    return conform("embeddings", sdf)
+
+
 SESSION_GAP_US = 1800 * 1_000_000  # 30 min
 
 
