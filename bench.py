@@ -40,6 +40,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "x21_substring_dedup",   # duplicated token-window stats (round 3)
     "v9_tpch_q5",            # 6-table TPC-H Q5 join tree (round 3)
     "p8_manifest_pipeline",  # reference-semantics identity pipeline
+    "x44_bpe_train",         # iterative BPE vocab training (round 5)
 )
 
 

@@ -646,3 +646,82 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 8,
                         make_fold(l, r, merged)).alias("syms"), "wf")
             .localCheckpoint(eager=True))
     return merges
+
+
+def feature_hash_vectors(df: DataFrame, dim: int = 64,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Feature-hashing text embedder (Weinberger et al. 2009 hashing
+    trick, public — the HashingVectorizer scheme): each token hashes
+    to a dimension ``h % dim`` with sign ``+-1`` from the next hash
+    bit, and the document vector is the signed count per dimension.
+    No trained model, no vocabulary broadcast — the standard way to
+    get text into vector space at corpus scale before a real encoder
+    exists.
+
+    Exact everywhere: the token hash is the md5-prefix bigint (the
+    engine-portable hash used by X23/MM ingest — Spark xxhash64 and
+    DuckDB's hash() disagree, md5 doesn't), and the vector entries
+    are integer sums, so downstream stats replay bit-for-bit in SQL.
+
+    Returns (id_col, vec array<long> of length ``dim``).
+
+    Scale (100 TB): explode is row-local; ONE shuffle keyed by
+    (doc, dim) for the signed counts, one by doc for assembly — both
+    uniform keys.  The map->dense-array assembly is a row-local
+    expression over at most ``dim`` entries."""
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)\
+         .cast("long")
+    # sign bit = (h // dim) % 2, written as (h % 2dim) < dim — h is a
+    # non-negative md5 prefix, so the two are identical and the form
+    # stays in exact integer Column ops.
+    toks = (df.select(id_col,
+                      F.explode(tokenize(F.col(text_col))).alias("tok"))
+            .select(id_col, (h % dim).cast("int").alias("b"),
+                    F.when((h % (2 * dim)) < dim, F.lit(1))
+                     .otherwise(F.lit(-1)).alias("s")))
+    cells = (toks.groupBy(id_col, "b")
+             .agg(F.sum("s").cast("long").alias("v")))
+    entries = F.map_from_entries(
+        F.collect_list(F.struct(F.col("b"), F.col("v"))))
+    return (cells.groupBy(id_col).agg(entries.alias("m"))
+            .select(id_col, F.expr(
+                f"transform(sequence(0, {dim - 1}),"
+                f" i -> coalesce(element_at(m, i), 0L))").alias("vec")))
+
+
+def feature_hash_stats_sql(dim: int = 64) -> str:
+    """DuckDB twin of the per-doc stats over
+    :func:`feature_hash_vectors` output (same md5 hash, same signed
+    integer sums — computed on the (doc, dim, value) relation, which
+    is the same algebra the vector assembly folds up)."""
+    tok = tokenize_sql("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({tok}) AS tok FROM documents),
+hs AS (
+  SELECT doc_id,
+         ('0x' || SUBSTRING(MD5(tok), 1, 15))::BIGINT AS h
+  FROM toks),
+cells AS (
+  SELECT doc_id, CAST(h % {dim} AS INT) AS b,
+         SUM(CASE WHEN (h // {dim}) % 2 = 0 THEN 1 ELSE -1 END) AS v
+  FROM hs GROUP BY doc_id, b),
+stats AS (
+  -- max_v/min_v are over the DENSE {dim}-entry vector: when any
+  -- dimension is zero (nnz < {dim}), the implicit 0 competes.
+  SELECT doc_id,
+         COUNT(CASE WHEN v <> 0 THEN 1 END) AS nnz_dims,
+         CAST(SUM(v * v) AS BIGINT) AS l2_sq,
+         CAST(CASE WHEN COUNT(CASE WHEN v <> 0 THEN 1 END) < {dim}
+              THEN GREATEST(MAX(v), 0) ELSE MAX(v) END AS BIGINT)
+           AS max_v,
+         CAST(CASE WHEN COUNT(CASE WHEN v <> 0 THEN 1 END) < {dim}
+              THEN LEAST(MIN(v), 0) ELSE MIN(v) END AS BIGINT)
+           AS min_v
+  FROM cells GROUP BY doc_id),
+nt AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id)
+SELECT s.doc_id, nt.n_tokens, s.nnz_dims, s.l2_sq, s.max_v, s.min_v
+FROM stats s JOIN nt ON s.doc_id = nt.doc_id
+"""

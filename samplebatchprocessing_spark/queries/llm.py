@@ -1513,6 +1513,28 @@ def x44_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "merged string, pair_count long")
 
 
+def x45_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45 (r5): feature-hashing text embedder
+    (``operators.text.feature_hash_vectors`` — the hashing-trick
+    vectorizer: model-free 64-dim signed token-count vectors from the
+    engine-portable md5 hash).  The declared output folds each DENSE
+    vector into exact integer stats row-locally (nnz, l2^2, max,
+    min) joined to the per-doc token count, so the oracle replays the
+    identical algebra on the (doc, dim, value) relation — any drift
+    in hashing, sign, or assembly reds the gate."""
+    doc = load_table(spark, sf_dir, "documents")
+    vecs = text.feature_hash_vectors(doc)
+    ntok = doc.select(
+        "doc_id", F.size(text.tokenize(F.col("text"))).alias("n_tokens"))
+    stats = vecs.select(
+        "doc_id",
+        F.expr("size(filter(vec, v -> v <> 0L))").alias("nnz_dims"),
+        F.expr("aggregate(vec, 0L, (a, v) -> a + v * v)").alias("l2_sq"),
+        F.array_max("vec").alias("max_v"),
+        F.array_min("vec").alias("min_v"))
+    return ntok.join(stats, "doc_id")
+
+
 def x23_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X23: reproducible global training-order shuffle — per-doc
     (bucket, pos) derived only from (doc_id, seed); lexicographic
@@ -1599,6 +1621,8 @@ QUERIES: dict[str, tuple] = {
     "x22_bpe_pair_counts": (x22_bpe_pair_counts,
                             text.bpe_pair_counts_sql(top_k=20)),
     "x44_bpe_train": (x44_bpe_train, None),   # iterative: rows-only
+    "x45_feature_hash_embed": (x45_feature_hash_embed,
+                               text.feature_hash_stats_sql(dim=64)),
     "x23_deterministic_shuffle": (x23_deterministic_shuffle,
                                   _x23_sql()),
     "x24_source_overlap": (x24_source_overlap, X24_SQL),

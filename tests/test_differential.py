@@ -1,13 +1,18 @@
 """Tier-3 randomized differential testing (SURVEY §5B): compose
-random filter/join/agg/having/top-k pipelines from a small grammar,
-render each AST BOTH as a DataFrame plan and as DuckDB SQL, and
-require exact equality.  Catches semantics drift the hand-written
-corpus misses (null ordering, coercion, literal typing, post-agg
-filter/truncation).
+random filter/join/agg/having/set-op/top-k pipelines from a small
+grammar, render each AST BOTH as a DataFrame plan and as DuckDB SQL,
+and require exact equality.  Catches semantics drift the
+hand-written corpus misses (null ordering, coercion, literal typing,
+post-agg filter/truncation, set-op duplicate semantics).
 
-Deterministic: seeds are fixed; the same 60 pipelines run each time.
-The top-k stage always orders by ALL group keys — a total order on
-the output rows — so LIMIT selects the same set on both engines.
+Grammar (r5 extensions marked): scan | inner/left/SEMI/ANTI join ->
+filters -> group agg -> having -> optional UNION ALL / UNION /
+INTERSECT / EXCEPT against a differently-filtered copy of the same
+pipeline -> optional deterministic LIMIT.
+
+Deterministic: seeds are fixed; the same 90 pipelines run each time.
+The top-k stage orders by ALL output columns — a total order even
+after a union — so LIMIT selects the same set on both engines.
 """
 
 from __future__ import annotations
@@ -69,18 +74,7 @@ def _merged_meta(t1: str, t2: str) -> dict:
     }
 
 
-def gen_ast(seed: int) -> dict:
-    rng = random.Random(seed)
-    join = None
-    if rng.random() < 0.45:
-        t1, t2, k1, k2 = rng.choice(JOINS)
-        jtype = rng.choice(["inner", "left"])
-        join = (t1, t2, k1, k2, jtype)
-        table = t1
-        m = _merged_meta(t1, t2)
-    else:
-        table = rng.choice(list(META))
-        m = META[table]
+def _gen_preds(rng: random.Random, m: dict) -> list:
     preds = []
     for _ in range(rng.randint(0, 3)):
         kind = rng.choice(["num_cmp", "cat_eq", "cat_in"])
@@ -99,6 +93,24 @@ def gen_ast(seed: int) -> dict:
             vals = rng.sample(m["cat"][col],
                               rng.randint(1, len(m["cat"][col])))
             preds.append(("in", col, sorted(vals)))
+    return preds
+
+
+def gen_ast(seed: int) -> dict:
+    rng = random.Random(seed)
+    join = None
+    if rng.random() < 0.5:
+        t1, t2, k1, k2 = rng.choice(JOINS)
+        # r5: semi/anti join shapes join the grammar — they expose
+        # only the LEFT table's columns downstream.
+        jtype = rng.choice(["inner", "left", "semi", "anti"])
+        join = (t1, t2, k1, k2, jtype)
+        table = t1
+        m = META[t1] if jtype in ("semi", "anti") else _merged_meta(t1, t2)
+    else:
+        table = rng.choice(list(META))
+        m = META[table]
+    preds = _gen_preds(rng, m)
     group = rng.sample(list(m["cat"]), rng.randint(1, len(m["cat"])))
     aggs = [("count",)]
     for _ in range(rng.randint(1, 3)):
@@ -110,26 +122,36 @@ def gen_ast(seed: int) -> dict:
         else:
             aggs.append(("sumdbl", rng.choice(m["dbl"])))
     # post-aggregate stages: HAVING on the count, and a deterministic
-    # top-k (ORDER BY all group keys — a total order, so LIMIT is
-    # well-defined on both engines)
+    # top-k.  r5: an optional SET OPERATION combines the pipeline
+    # with a second differently-filtered copy of itself (same group/
+    # aggs -> identical schema); ordering then uses ALL output
+    # columns, since group keys alone are no longer a total order
+    # after a union.
     having = rng.randint(1, 25) if rng.random() < 0.4 else None
+    setop = None
+    preds2 = None
+    if rng.random() < 0.3:
+        setop = rng.choice(["union all", "union", "intersect", "except"])
+        preds2 = _gen_preds(rng, m)
     limit = rng.randint(1, 8) if rng.random() < 0.4 else None
     return {"table": table, "join": join, "preds": preds,
             "group": group, "aggs": aggs,
-            "having": having, "limit": limit}
+            "having": having, "limit": limit,
+            "setop": setop, "preds2": preds2}
 
 
 def _agg_alias(i: int) -> str:
     return f"agg_{i}"
 
 
-def to_spark(ast: dict, spark, sf_dir):
+def _pipeline_spark(ast: dict, preds: list, spark, sf_dir):
     df = load_table(spark, sf_dir, ast["table"])
     if ast.get("join"):
         t1, t2, k1, k2, jtype = ast["join"]
         right = load_table(spark, sf_dir, t2)
-        df = df.join(right, df[k1] == right[k2], jtype)
-    for p in ast["preds"]:
+        how = {"semi": "left_semi", "anti": "left_anti"}.get(jtype, jtype)
+        df = df.join(right, df[k1] == right[k2], how)
+    for p in preds:
         if p[0] == "cmp":
             _, col, op, v = p
             c = F.col(col)
@@ -155,14 +177,27 @@ def to_spark(ast: dict, spark, sf_dir):
     out = df.groupBy(*ast["group"]).agg(*aggs)
     if ast.get("having"):
         out = out.filter(F.col(_agg_alias(0)) >= ast["having"])
-    if ast.get("limit"):
-        out = out.orderBy(*ast["group"]).limit(ast["limit"])
     return out
 
 
-def to_sql(ast: dict) -> str:
+def to_spark(ast: dict, spark, sf_dir):
+    out = _pipeline_spark(ast, ast["preds"], spark, sf_dir)
+    if ast.get("setop"):
+        other = _pipeline_spark(ast, ast["preds2"], spark, sf_dir)
+        out = {"union all": lambda: out.union(other),
+               "union": lambda: out.union(other).distinct(),
+               "intersect": lambda: out.intersect(other),
+               "except": lambda: out.subtract(other)}[ast["setop"]]()
+    if ast.get("limit"):
+        all_cols = (list(ast["group"])
+                    + [_agg_alias(i) for i in range(len(ast["aggs"]))])
+        out = out.orderBy(*all_cols).limit(ast["limit"])
+    return out
+
+
+def _pipeline_sql(ast: dict, preds: list) -> str:
     conds = []
-    for p in ast["preds"]:
+    for p in preds:
         if p[0] == "cmp":
             _, col, op, v = p
             conds.append(f"{col} {op} {v!r}" if isinstance(v, float)
@@ -176,7 +211,8 @@ def to_sql(ast: dict) -> str:
     frm = ast["table"]
     if ast.get("join"):
         t1, t2, k1, k2, jtype = ast["join"]
-        kw = "JOIN" if jtype == "inner" else "LEFT JOIN"
+        kw = {"inner": "JOIN", "left": "LEFT JOIN",
+              "semi": "SEMI JOIN", "anti": "ANTI JOIN"}[jtype]
         frm = f"{t1} {kw} {t2} ON {k1} = {k2}"
     sels = list(ast["group"])
     for i, a in enumerate(ast["aggs"]):
@@ -193,13 +229,25 @@ def to_sql(ast: dict) -> str:
             sels.append(f"{sql_dsum(a[1])} AS {name}")
     having = (f" HAVING COUNT(*) >= {ast['having']}"
               if ast.get("having") else "")
-    tail = (f" ORDER BY {', '.join(ast['group'])} LIMIT {ast['limit']}"
-            if ast.get("limit") else "")
     return (f"SELECT {', '.join(sels)} FROM {frm}{where} "
-            f"GROUP BY {', '.join(ast['group'])}{having}{tail}")
+            f"GROUP BY {', '.join(ast['group'])}{having}")
 
 
-@pytest.mark.parametrize("seed", range(60))
+def to_sql(ast: dict) -> str:
+    q = _pipeline_sql(ast, ast["preds"])
+    if ast.get("setop"):
+        q2 = _pipeline_sql(ast, ast["preds2"])
+        op = ast["setop"].upper()
+        q = f"({q}) {op} ({q2})"
+    if ast.get("limit"):
+        all_cols = (list(ast["group"])
+                    + [_agg_alias(i) for i in range(len(ast["aggs"]))])
+        q = (f"SELECT * FROM ({q}) "
+             f"ORDER BY {', '.join(all_cols)} LIMIT {ast['limit']}")
+    return q
+
+
+@pytest.mark.parametrize("seed", range(90))
 def test_differential(spark, sf_oracle, seed):
     ast = gen_ast(seed)
     report = compare(to_spark(ast, spark, sf_oracle), to_sql(ast), sf_oracle)
