@@ -629,23 +629,117 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 8,
         merged = l + r
         merges.append((rnd, l, r, merged, c))
 
-        def make_fold(_l: str, _r: str, _m: str):
-            def fold_step(acc, t):
-                last = F.get(acc, F.size(acc) - 1)   # NULL when empty
-                hit = last.isNotNull() & (last == _l) & (t == _r)
-                return F.when(
-                    hit,
-                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                             F.array(F.lit(_m)))
-                ).otherwise(F.concat(acc, F.array(t)))
-            return fold_step
-
         words = (words.select(
             F.aggregate("syms",
                         F.array().cast("array<string>"),
-                        make_fold(l, r, merged)).alias("syms"), "wf")
+                        merge_fold(l, r, merged)).alias("syms"), "wf")
             .localCheckpoint(eager=True))
     return merges
+
+
+def merge_fold(_l: str, _r: str, _m: str):
+    """The greedy left-to-right BPE merge step as an ``F.aggregate``
+    fold lambda: rebuild the symbol array, replacing the last element
+    with the merged symbol whenever (last, current) equals the rule.
+    Shared by the trainer (:func:`bpe_train_merges`) and the encoder
+    (:func:`bpe_encode_stats`) so both apply rules identically."""
+    def fold_step(acc, t):
+        last = F.get(acc, F.size(acc) - 1)   # NULL when empty
+        hit = last.isNotNull() & (last == _l) & (t == _r)
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(_m)))
+        ).otherwise(F.concat(acc, F.array(t)))
+    return fold_step
+
+
+# The deployment tokenizer artifact: the merge table
+# :func:`bpe_train_merges` produces on the reference fixture
+# (16 rounds at sf0.001), pinned the way a production encoder ships a
+# frozen vocabulary — ENCODE is data-independent given the table, so
+# the same rules apply at every scale.  Includes composite-left rules
+# (('co','lu'), ('colu','m')) that exercise multi-character symbol
+# matching in both engines.
+PINNED_BPE_MERGES: tuple[tuple[str, str, str], ...] = (
+    ("e", "r", "er"), ("o", "r", "or"), ("i", "n", "in"),
+    ("o", "w", "ow"), ("s", "t", "st"), ("l", "u", "lu"),
+    ("a", "r", "ar"), ("p", "ar", "par"), ("m", "er", "mer"),
+    ("a", "t", "at"), ("a", "n", "an"), ("c", "an", "can"),
+    ("s", "can", "scan"), ("c", "o", "co"), ("co", "lu", "colu"),
+    ("colu", "m", "colum"),
+)
+
+
+def bpe_encode_stats(df: DataFrame,
+                     merges: tuple[tuple[str, str, str], ...]
+                     = PINNED_BPE_MERGES,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """BPE ENCODE with a trained merge table — the inference half of
+    the x44 trainer: split every word to characters, then apply each
+    merge rule in training order, greedily left-to-right (Sennrich et
+    al. 2016).  Returns per-document token accounting: word count,
+    symbol-character count, encoded-piece count, and the exact-integer
+    compression ratio ``1000 * chars DIV pieces``.
+
+    Scale (100 TB): the corpus collapses to the DISTINCT-word
+    vocabulary before any merge work (one shuffle, vocabulary-sized —
+    millions of rows, not trillions), the rule cascade is a row-local
+    expression chain over that table, and the per-doc rollup is one
+    join back on the word key plus one aggregate.  The merge table is
+    a deployment constant folded into the plan — no model join."""
+    occ = df.select(id_col,
+                    F.explode(tokenize(F.col(text_col))).alias("word"))
+    words = (occ.select("word").distinct()
+             .select("word", F.expr(
+                 "transform(sequence(1, length(word)),"
+                 " i -> substring(word, i, 1))").alias("syms")))
+    for l, r, m in merges:
+        words = words.select("word", F.aggregate(
+            "syms", F.array().cast("array<string>"),
+            merge_fold(l, r, m)).alias("syms"))
+    enc = words.select("word",
+                       F.length("word").cast("long").alias("wchars"),
+                       F.size("syms").cast("long").alias("wpieces"))
+    return (occ.join(enc, "word")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("wchars").alias("n_sym_chars"),
+                 F.sum("wpieces").alias("n_pieces"))
+            .select(id_col, "n_words", "n_sym_chars", "n_pieces",
+                    F.expr("1000 * n_sym_chars div n_pieces")
+                    .alias("chars_per_piece_x1000")))
+
+
+def bpe_encode_stats_sql(merges: tuple[tuple[str, str, str], ...]
+                         = PINNED_BPE_MERGES) -> str:
+    """DuckDB twin of :func:`bpe_encode_stats` via a structurally
+    DIFFERENT encoding of the same algorithm: each word becomes a
+    bracket-delimited symbol string (``'[c][a][t]'``) and every merge
+    rule is one ``REPLACE('[l][r]' -> '[m]')``.  SQL REPLACE scans
+    left-to-right over non-overlapping occurrences — exactly the
+    greedy BPE application order — and the explicit brackets make
+    symbol boundaries unambiguous for multi-character symbols, so the
+    piece count (= count of '[') matches the fold bit-for-bit."""
+    s = "REGEXP_REPLACE(word, '(.)', '[\\1]', 'g')"
+    for l, r, m in merges:
+        s = f"REPLACE({s}, '[{l}][{r}]', '[{m}]')"
+    return f"""
+WITH occ AS (SELECT doc_id, UNNEST({tokenize_sql('text')}) AS word
+             FROM documents),
+w AS (SELECT DISTINCT word FROM occ),
+es AS (SELECT word, {s} AS s FROM w),
+enc AS (SELECT word, CAST(LENGTH(word) AS BIGINT) AS wchars,
+               CAST(LENGTH(s) - LENGTH(REPLACE(s, '[', ''))
+                    AS BIGINT) AS wpieces
+        FROM es)
+SELECT doc_id, COUNT(*) AS n_words,
+       SUM(wchars) AS n_sym_chars, SUM(wpieces) AS n_pieces,
+       1000 * SUM(wchars) // SUM(wpieces) AS chars_per_piece_x1000
+FROM occ JOIN enc USING (word)
+GROUP BY doc_id
+"""
 
 
 def feature_hash_vectors(df: DataFrame, dim: int = 64,

@@ -1513,6 +1513,20 @@ def x44_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "merged string, pair_count long")
 
 
+def x46_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46 (r5): BPE tokenizer ENCODE with the pinned trained merge
+    table (``operators.text.bpe_encode_stats`` — the inference half
+    of x44's trainer; ``PINNED_BPE_MERGES`` is the frozen deployment
+    artifact x44 produces on the reference fixture).  Per-document
+    exact token accounting: words, symbol chars, encoded pieces, and
+    the integer compression ratio.  The oracle replays the rule
+    cascade through a structurally different algorithm (bracketed
+    symbol strings + one REPLACE per rule), so any drift in merge
+    order or greedy-application semantics reds the gate."""
+    doc = load_table(spark, sf_dir, "documents")
+    return text.bpe_encode_stats(doc)
+
+
 def x45_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X45 (r5): feature-hashing text embedder
     (``operators.text.feature_hash_vectors`` — the hashing-trick
@@ -1621,6 +1635,7 @@ QUERIES: dict[str, tuple] = {
     "x22_bpe_pair_counts": (x22_bpe_pair_counts,
                             text.bpe_pair_counts_sql(top_k=20)),
     "x44_bpe_train": (x44_bpe_train, None),   # iterative: rows-only
+    "x46_bpe_encode": (x46_bpe_encode, text.bpe_encode_stats_sql()),
     "x45_feature_hash_embed": (x45_feature_hash_embed,
                                text.feature_hash_stats_sql(dim=64)),
     "x23_deterministic_shuffle": (x23_deterministic_shuffle,

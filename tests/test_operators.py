@@ -647,3 +647,49 @@ def test_bpe_train_merges_matches_pure_python(spark, sf_smoke):
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
         vocab = new_vocab
     assert got == expect, f"\nspark: {got}\npython: {expect}"
+
+
+def test_bpe_encode_matches_pure_python(spark, sf_smoke):
+    """x46 differential gate: the distributed encoder (vocab-collapse
+    + fold cascade) must reproduce a pure-python greedy left-to-right
+    application of the pinned merge table, per document."""
+    import re
+    from collections import Counter
+
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.operators.text import (
+        PINNED_BPE_MERGES, bpe_encode_stats)
+
+    doc = load_table(spark, sf_smoke, "documents")
+    got = {r["doc_id"]: (r["n_words"], r["n_sym_chars"], r["n_pieces"],
+                         r["chars_per_piece_x1000"])
+           for r in bpe_encode_stats(doc).collect()}
+
+    def encode_len(word: str) -> int:
+        syms = list(word)
+        for l, r, m in PINNED_BPE_MERGES:
+            out = []
+            for t in syms:
+                if out and out[-1] == l and t == r:
+                    out[-1] = m
+                else:
+                    out.append(t)
+            syms = out
+        return len(syms)
+
+    cache: dict[str, int] = {}
+    expect = {}
+    for row in doc.select("doc_id", "text").collect():
+        words = re.findall(r"[a-z0-9]+",
+                           re.sub(r"[^a-z0-9 ]", " ", row["text"].lower()))
+        stats = Counter()
+        for w in words:
+            if w not in cache:
+                cache[w] = encode_len(w)
+            stats["chars"] += len(w)
+            stats["pieces"] += cache[w]
+        if words:
+            expect[row["doc_id"]] = (
+                len(words), stats["chars"], stats["pieces"],
+                1000 * stats["chars"] // stats["pieces"])
+    assert got == expect
