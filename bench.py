@@ -41,6 +41,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "v9_tpch_q5",            # 6-table TPC-H Q5 join tree (round 3)
     "p8_manifest_pipeline",  # reference-semantics identity pipeline
     "x44_bpe_train",         # iterative BPE vocab training (round 5)
+    "x47_kmeans_clusters",   # integer fixed-point k-means (round 5)
 )
 
 

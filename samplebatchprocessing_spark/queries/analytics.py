@@ -476,8 +476,28 @@ FROM g3
 """
 
 
+def x47_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 (r5): integer fixed-point k-means document clustering over
+    the embeddings table (``operators.clustering.kmeans_fixedpoint``)
+    — k=8 centroids, 3 full Lloyd rounds, every quantity an exact
+    int64 so the whole trajectory replays bit-for-bit in the unrolled
+    DuckDB CTE twin.  Assignment is a row-local expression against
+    broadcast literal centroids (no join); each update round is one
+    (cluster, dim)-keyed shuffle with k*dim = 512 reduce keys at any
+    corpus scale."""
+    from ..operators.clustering import kmeans_fixedpoint
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fixedpoint(emb, k=8, iters=3)
+
+
+def _x47_sql() -> str:
+    from ..operators.clustering import kmeans_fixedpoint_sql
+    return kmeans_fixedpoint_sql(k=8, iters=3)
+
+
 QUERIES: dict[str, tuple] = {
     "x25_funnel": (x25_funnel, X25_SQL),
+    "x47_kmeans_clusters": (x47_kmeans_clusters, _x47_sql()),
     "x26_retention": (x26_retention, X26_SQL),
     "x27_peak_concurrency": (x27_peak_concurrency, X27_SQL),
     "a14_regression": (a14_regression, A14_SQL),

@@ -649,6 +649,47 @@ def test_bpe_train_merges_matches_pure_python(spark, sf_smoke):
     assert got == expect, f"\nspark: {got}\npython: {expect}"
 
 
+def test_kmeans_fixedpoint_matches_pure_python(spark, sf_smoke):
+    """x47 differential gate (third implementation, after Spark and
+    the DuckDB twin): a numpy replica of the exact integer trajectory
+    — floor-quantize, integer distances, (d, cid) argmin, portable
+    floor-division centroid means — must reproduce the per-cluster
+    report bit-for-bit."""
+    import math
+
+    import numpy as np
+
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.operators.clustering import (
+        QUANT_SCALE, kmeans_fixedpoint)
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    got = {r["cid"]: (r["n_points"], r["sum_vec_id"], r["inertia"])
+           for r in kmeans_fixedpoint(emb, k=8, iters=3).collect()}
+
+    rows = sorted((r["vec_id"], r["embedding"])
+                  for r in emb.select("vec_id", "embedding").collect())
+    ids = np.array([v for v, _ in rows], dtype=np.int64)
+    q = np.array([[math.floor(float(x) * QUANT_SCALE) for x in e]
+                  for _, e in rows], dtype=np.int64)
+    cents = q[:8].copy()
+    for it in range(3):
+        d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)          # ties -> lowest cid
+        best_d = d[np.arange(len(q)), assign]
+        if it < 2:
+            for c in range(8):
+                m = assign == c
+                if m.any():
+                    s, n = q[m].sum(axis=0), int(m.sum())
+                    cents[c] = (s - ((s % n + n) % n)) // n
+    expect = {c: (int((assign == c).sum()),
+                  int(ids[assign == c].sum()),
+                  int(best_d[assign == c].sum()))
+              for c in range(8) if (assign == c).any()}
+    assert got == expect
+
+
 def test_bpe_encode_matches_pure_python(spark, sf_smoke):
     """x46 differential gate: the distributed encoder (vocab-collapse
     + fold cascade) must reproduce a pure-python greedy left-to-right

@@ -538,3 +538,15 @@ def test_python_datasource_plans_requested_partitions(spark):
           .option("n_rows", 1000).option("n_parts", 5).load())
     assert df.rdd.getNumPartitions() == 5
     assert df.count() == 1000
+
+
+def test_kmeans_assignment_is_join_free(spark, sf_smoke):
+    """x47: the k-means model is folded into the plan as literal
+    centroids, so the final-round assignment + report must contain NO
+    join of any kind — one row-local expression over the checkpointed
+    points, then the single per-cluster aggregate exchange."""
+    from samplebatchprocessing_spark.queries.analytics import (
+        x47_kmeans_clusters)
+    plan = plan_str(x47_kmeans_clusters(spark, sf_smoke))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
