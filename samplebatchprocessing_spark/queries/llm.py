@@ -1513,6 +1513,94 @@ def x44_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "merged string, pair_count long")
 
 
+def x48_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48 (r5): leakage-safe train/val/test split — the eval-hygiene
+    primitive: near-duplicate documents must land in the SAME split,
+    or held-out metrics are contaminated by training twins.  Each doc
+    is keyed by its near-dup cluster ROOT (L11's connected components
+    over the Jaccard>=0.9 graph; singletons are their own root) and
+    the split decision hashes the ROOT, not the doc, through the x6
+    portable 80/10/10 bucketing.
+
+    Per split: docs, roots, multi-doc roots — plus two computed global
+    columns the oracle must agree on: ``no_leakage`` (does ANY root
+    span two splits? — measured, not assumed) and ``n_naive_leaky``
+    (how many multi-doc clusters the doc-id-hash split WOULD have torn
+    apart — the quantified reason this operator exists).
+
+    Scale (100 TB): the near-dup graph + components dominate and are
+    the scale-gated L11 machinery unchanged; everything after is one
+    doc_id-keyed left join, a root-keyed aggregate, and two
+    scalar-sized broadcast joins."""
+    from ..operators.sampling import hash_bucket
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(doc, threshold=0.9,
+                                open_vocab="signature")
+    clusters = dedup.dedup_clusters(pairs)
+    d = (doc.select("doc_id").join(clusters, "doc_id", "left")
+         .select("doc_id",
+                 F.coalesce("cluster_id", "doc_id").alias("root")))
+
+    def split_of(col):
+        b = hash_bucket(col, 100)
+        return (F.when(b < 80, "train").when(b < 90, "val")
+                .otherwise("test"))
+
+    d = d.withColumn("split", split_of(F.col("root"))) \
+         .withColumn("naive_split", split_of(F.col("doc_id")))
+    g = d.groupBy("split", "root").agg(F.count(F.lit(1)).alias("c"))
+    per = (g.groupBy("split")
+           .agg(F.sum("c").cast("long").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_roots"),
+                F.sum((F.col("c") >= 2).cast("long"))
+                .alias("n_multi_doc_roots")))
+    leak = (g.groupBy("root").agg(F.count(F.lit(1)).alias("ns"))
+            .agg((F.max("ns") == 1).alias("no_leakage")))
+    naive = (d.groupBy("root")
+             .agg(F.countDistinct("naive_split").alias("ns"))
+             .agg(F.sum((F.col("ns") >= 2).cast("long"))
+                  .alias("n_naive_leaky")))
+    return per.crossJoin(F.broadcast(leak)).crossJoin(F.broadcast(naive))
+
+
+def _x48_sql() -> str:
+    from ..operators.sampling import hash_bucket_sql
+    root_split = hash_bucket_sql("root", 100)
+    doc_split = hash_bucket_sql("doc_id", 100)
+    case = ("CASE WHEN {b} < 80 THEN 'train' WHEN {b} < 90 THEN 'val' "
+            "ELSE 'test' END")
+    return f"""
+WITH RECURSIVE
+p AS ({_L5_BAND_JACCARD.format(thr='0.9')}),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(node, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
+cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach
+       GROUP BY node),
+d AS (SELECT doc_id, COALESCE(cl.cluster_id, doc_id) AS root
+      FROM documents LEFT JOIN cl USING (doc_id)),
+s AS (SELECT doc_id, root, {case.format(b=root_split)} AS split,
+             {case.format(b=doc_split)} AS naive_split
+      FROM d),
+g AS (SELECT split, root, COUNT(*) AS c FROM s GROUP BY split, root),
+per AS (SELECT split, SUM(c) AS n_docs, COUNT(*) AS n_roots,
+               SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END)
+                 AS n_multi_doc_roots
+        FROM g GROUP BY split),
+leak AS (SELECT MAX(ns) = 1 AS no_leakage
+         FROM (SELECT root, COUNT(*) AS ns FROM g GROUP BY root)),
+naive AS (SELECT SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END)
+                   AS n_naive_leaky
+          FROM (SELECT root, COUNT(DISTINCT naive_split) AS ns
+                FROM s GROUP BY root))
+SELECT per.*, leak.no_leakage, naive.n_naive_leaky
+FROM per, leak, naive
+"""
+
+
 def x46_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X46 (r5): BPE tokenizer ENCODE with the pinned trained merge
     table (``operators.text.bpe_encode_stats`` — the inference half
@@ -1636,6 +1724,7 @@ QUERIES: dict[str, tuple] = {
                             text.bpe_pair_counts_sql(top_k=20)),
     "x44_bpe_train": (x44_bpe_train, None),   # iterative: rows-only
     "x46_bpe_encode": (x46_bpe_encode, text.bpe_encode_stats_sql()),
+    "x48_cluster_safe_split": (x48_cluster_safe_split, _x48_sql()),
     "x45_feature_hash_embed": (x45_feature_hash_embed,
                                text.feature_hash_stats_sql(dim=64)),
     "x23_deterministic_shuffle": (x23_deterministic_shuffle,
