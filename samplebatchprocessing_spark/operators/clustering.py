@@ -53,41 +53,39 @@ def _pdiv(s: str, n: str) -> str:
     return f"(({s}) - ((({s}) % ({n}) + ({n})) % ({n}))) div ({n})"
 
 
-def kmeans_fixedpoint(df: DataFrame, k: int = 8, iters: int = 3,
-                      vec_col: str = "embedding",
-                      id_col: str = "vec_id") -> DataFrame:
-    """Run ``iters`` Lloyd rounds and return the final per-cluster
-    report: (cid, n_points, sum_vec_id, inertia) — all exact int64.
+def assign_best(cents: list[tuple[int, list[int]]],
+                qv_col: str = "qv") -> F.Column:
+    """Row-local assignment against broadcast literal centroids:
+    struct (d, cid) for the argmin of the integer squared distance,
+    ties to the lowest cluster id.  Stateless and join-free, so the
+    same expression serves batch scoring AND streaming assignment."""
+    lit = "array(" + ", ".join(
+        f"struct({cid} AS cid, array({', '.join(map(str, cv))}) AS cv)"
+        for cid, cv in cents) + ")"
+    return F.expr(
+        f"array_min(transform({lit}, c -> struct("
+        f"aggregate(zip_with({qv_col}, c.cv, (a, b) -> (a-b)*(a-b)),"
+        f" 0L, (s, x) -> s + x) AS d, c.cid AS cid)))")
+
+
+def kmeans_train(df: DataFrame, k: int = 8, iters: int = 3,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> list[tuple[int, list[int]]]:
+    """Train ``iters`` Lloyd rounds and return the centroids the
+    FINAL round's assignment uses (init + iters-1 updates) — the
+    deployable model, k x dim bounded integers.
 
     Init: the quantized vectors of the ``k`` smallest ids (a
-    deterministic, SQL-expressible seeding).  Assignment: argmin of
-    the integer squared distance, ties to the lowest cluster id
-    (struct (d, cid) min — one row-local expression against the
-    broadcast literal centroids).  Update: per-(cluster, dim) integer
-    mean via portable floor division; a cluster that captures no
-    points keeps its previous centroid.
-
-    Magnitudes: |q| <= ~2^13 per dim after quantization, so a squared
-    diff is < 2^28, a 64-dim distance < 2^34, and corpus inertia
-    stays exact in int64 up to ~2^29 vectors PER PARTITIONED SUM —
-    far past any real corpus."""
+    deterministic, SQL-expressible seeding).  Update: per-(cluster,
+    dim) integer mean via portable floor division; a cluster that
+    captures no points keeps its previous centroid."""
     pts = (df.select(id_col, quantize_vec(vec_col).alias("qv"))
            .localCheckpoint(eager=True))
-
     cents: list[tuple[int, list[int]]] = [
         (i, list(r["qv"]))
         for i, r in enumerate(pts.orderBy(id_col).limit(k).collect())]
-
-    assigned = None
-    for _ in range(iters):
-        lit = "array(" + ", ".join(
-            f"struct({cid} AS cid, array({', '.join(map(str, cv))}) AS cv)"
-            for cid, cv in cents) + ")"
-        best = F.expr(
-            f"array_min(transform({lit}, c -> struct("
-            f"aggregate(zip_with(qv, c.cv, (a, b) -> (a-b)*(a-b)),"
-            f" 0L, (s, x) -> s + x) AS d, c.cid AS cid)))")
-        assigned = pts.withColumn("best", best)
+    for _ in range(iters - 1):
+        assigned = pts.withColumn("best", assign_best(cents))
         upd = {(r["cid"], r["dim"]): r["m"]
                for r in (assigned
                          .select(F.col("best.cid").alias("cid"),
@@ -100,7 +98,23 @@ def kmeans_fixedpoint(df: DataFrame, k: int = 8, iters: int = 3,
                          .collect())}
         cents = [(cid, [upd.get((cid, d), cv[d]) for d in range(len(cv))])
                  for cid, cv in cents]
+    return cents
 
+
+def kmeans_fixedpoint(df: DataFrame, k: int = 8, iters: int = 3,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Train, run the final assignment, and return the per-cluster
+    report: (cid, n_points, sum_vec_id, inertia) — all exact int64.
+
+    Magnitudes: |q| <= ~2^13 per dim after quantization, so a squared
+    diff is < 2^28, a 64-dim distance < 2^34, and corpus inertia
+    stays exact in int64 up to ~2^29 vectors PER PARTITIONED SUM —
+    far past any real corpus."""
+    cents = kmeans_train(df, k=k, iters=iters,
+                         vec_col=vec_col, id_col=id_col)
+    assigned = (df.select(id_col, quantize_vec(vec_col).alias("qv"))
+                .withColumn("best", assign_best(cents)))
     return (assigned
             .groupBy(F.col("best.cid").cast("int").alias("cid"))
             .agg(F.count(F.lit(1)).alias("n_points"),
@@ -112,11 +126,39 @@ def kmeans_fixedpoint_sql(k: int = 8, iters: int = 3,
                           table: str = "embeddings",
                           vec_col: str = "embedding",
                           id_col: str = "vec_id") -> str:
-    """DuckDB twin: the identical integer trajectory, unrolled as a
-    CTE chain over the fully relational (id, dim, v) form — no list
-    kernels shared with the Spark side, so the two implementations
-    agree only if quantization, distance, tie-break, floor-division
-    mean, and the empty-cluster rule all match exactly."""
+    """DuckDB twin of :func:`kmeans_fixedpoint`: the identical integer
+    trajectory, unrolled as a CTE chain over the fully relational
+    (id, dim, v) form — no list kernels shared with the Spark side,
+    so the two implementations agree only if quantization, distance,
+    tie-break, floor-division mean, and the empty-cluster rule all
+    match exactly."""
+    chain = _kmeans_cte_chain(k, iters, table, vec_col, id_col)
+    return chain + f"""
+SELECT CAST(cid AS INTEGER) AS cid, COUNT(*) AS n_points,
+       SUM(vid) AS sum_vec_id, SUM(d) AS inertia
+FROM a{iters} GROUP BY cid"""
+
+
+def kmeans_label_matrix_sql(k: int = 8, iters: int = 3,
+                            table: str = "embeddings",
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            label_col: str = "label") -> str:
+    """Same trajectory, different report: the cluster-vs-label
+    contingency matrix of the final assignment (the S15 streaming
+    scorer's oracle)."""
+    chain = _kmeans_cte_chain(k, iters, table, vec_col, id_col)
+    return chain + f"""
+SELECT CAST(a.cid AS INTEGER) AS cid, e.{label_col} AS label,
+       COUNT(*) AS n, MIN(a.vid) AS min_vec_id
+FROM a{iters} a JOIN {table} e ON a.vid = e.{id_col}
+GROUP BY a.cid, e.{label_col}"""
+
+
+def _kmeans_cte_chain(k: int, iters: int, table: str,
+                      vec_col: str, id_col: str) -> str:
+    """The shared WITH-chain: quantize -> init -> (assign, update) x
+    rounds, ending at the final assignment ``a{iters}``."""
     pdiv = "((u{i}.s - ((u{i}.s % u{i}.n + u{i}.n) % u{i}.n)) // u{i}.n)"
     parts = [f"""
 WITH q AS (
@@ -146,8 +188,4 @@ u{it} AS (SELECT a.cid, q.dim, SUM(q.v) AS s, COUNT(*) AS n
 c{it} AS (SELECT c{p}.cid, c{p}.dim, COALESCE({u}, c{p}.cv) AS cv
           FROM c{p} LEFT JOIN u{it}
             ON c{p}.cid = u{it}.cid AND c{p}.dim = u{it}.dim)""")
-    parts.append(f"""
-SELECT CAST(cid AS INTEGER) AS cid, COUNT(*) AS n_points,
-       SUM(vid) AS sum_vec_id, SUM(d) AS inertia
-FROM a{iters} GROUP BY cid""")
     return "".join(parts)

@@ -425,6 +425,39 @@ def _s13_sql() -> str:
     return bigram_perplexity_sql(vocab_size=100)
 
 
+def s15_stream_cluster_assign(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """S15 (r5): streaming cluster assignment against the
+    batch-trained X47 k-means model — the serving half of
+    train-once / assign-forever.  The model (k x dim integers) trains
+    on the static embeddings table and folds into the streaming plan
+    as literal centroids, so per-vector assignment is a row-local
+    integer expression: no join, no state, no watermark — the only
+    streaming state is the final (cluster, label) count matrix.
+    Output equals the batch assignment bit-for-bit, so the oracle is
+    X47's unrolled CTE chain with a contingency-matrix report."""
+    from ..catalog import load_table
+    from ..operators.clustering import (assign_best, kmeans_train,
+                                        quantize_vec)
+    from ..streaming.jobs import embeddings_stream
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_train(emb, k=8, iters=3)
+    sdf = (embeddings_stream(spark, sf_dir, tag="kmeans")
+           .select("vec_id", "label",
+                   quantize_vec("embedding").alias("qv"))
+           .withColumn("best", assign_best(cents)))
+    agg = (sdf.groupBy(F.col("best.cid").cast("int").alias("cid"),
+                       "label")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.min("vec_id").alias("min_vec_id")))
+    return run_available_now(agg, output_mode="complete")
+
+
+def _s15_sql() -> str:
+    from ..operators.clustering import kmeans_label_matrix_sql
+    return kmeans_label_matrix_sql(k=8, iters=3)
+
+
 QUERIES: dict[str, tuple] = {
     "s1_stream_scan": (s1_stream_scan, S1_SQL),
     "s2_tumbling_window": (s2_tumbling_window, S2_SQL),
@@ -442,4 +475,5 @@ QUERIES: dict[str, tuple] = {
     "s12_stream_weighted_sample": (s12_stream_weighted_sample, _s12_sql()),
     "s13_stream_doc_scoring": (s13_stream_doc_scoring, _s13_sql()),
     "s14_stream_semantic_dedup": (s14_stream_semantic_dedup, _s14_sql()),
+    "s15_stream_cluster_assign": (s15_stream_cluster_assign, _s15_sql()),
 }
