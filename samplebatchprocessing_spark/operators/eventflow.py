@@ -160,3 +160,74 @@ def peak_concurrency(events: DataFrame,
     return (running.groupBy("day")
             .agg(F.max("conc").alias("peak"))
             .select(F.col("day"), F.col("peak").cast("bigint")))
+
+
+def ewma_fixedpoint(events: DataFrame, *, key_col: str = "user_id",
+                    order_cols: tuple[str, str] = ("ts", "event_id"),
+                    value_col: str = "value") -> DataFrame:
+    """Per-key exponentially weighted moving average (alpha = 1/2) as
+    an EXACT integer recurrence — the ordered per-key linear
+    recurrence Spark's built-in windows cannot express (each state
+    depends on the previous OUTPUT, not a fixed frame), so this is
+    the canonical ``applyInPandas`` use: shuffle once on the key,
+    sort each group locally, run the scan in one Arrow batch.
+
+    Fixed-point encoding keeps every engine bit-identical: inputs
+    quantize to ``X = floor(value * 100) * 2^10`` and the state is
+    ``s_i = floor((s_{i-1} + X_i) / 2)`` starting from 0 — integer
+    halving IS alpha = 1/2 with a deterministic rounding rule, no
+    float accumulation anywhere.  Returns one row per event:
+    (key, event_id, n (1-based rank), ewma_fp).
+
+    Scale (100 TB): one hash shuffle on the key; per-group work is a
+    local sort + O(n) scan inside an Arrow batch; no global window,
+    no driver data.  Skewed keys are the caveat — a single giant key
+    serializes its own scan (inherent to the recurrence), so keys
+    should be sessions/users, not constants."""
+    import pandas as pd
+
+    o1, o2 = order_cols
+    src = events.select(key_col, o1, o2,
+                        (F.floor(F.col(value_col) * 100)
+                         .cast("long") * (1 << 10)).alias("x"))
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([o1, o2], kind="mergesort")
+        s, out = 0, []
+        for x in pdf["x"]:
+            s = (s + int(x)) // 2
+            out.append(s)
+        return pd.DataFrame({
+            key_col: pdf[key_col],
+            "event_id": pdf[o2],
+            "n": range(1, len(out) + 1),
+            "ewma_fp": out,
+        })
+
+    return (src.repartition(key_col).groupBy(key_col).applyInPandas(
+        scan,
+        schema=f"{key_col} long, event_id long, n long, ewma_fp long"))
+
+
+def ewma_fixedpoint_sql(*, key_col: str = "user_id",
+                        order_cols: tuple[str, str] = ("ts", "event_id"),
+                        value_col: str = "value",
+                        table: str = "events") -> str:
+    """DuckDB twin of :func:`ewma_fixedpoint`: the identical integer
+    recurrence driven by a recursive CTE over the per-key rank
+    order."""
+    o1, o2 = order_cols
+    return f"""
+WITH RECURSIVE
+e AS (SELECT {key_col} AS k, {o2} AS event_id,
+             CAST(FLOOR({value_col} * 100) AS BIGINT) * {1 << 10} AS x,
+             ROW_NUMBER() OVER (PARTITION BY {key_col}
+                                ORDER BY {o1}, {o2}) AS rn
+      FROM {table}),
+rec(k, event_id, rn, s) AS (
+  SELECT k, event_id, rn, x // 2 FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.k, e.event_id, e.rn, (rec.s + e.x) // 2
+  FROM e JOIN rec ON e.k = rec.k AND e.rn = rec.rn + 1)
+SELECT k AS {key_col}, event_id, rn AS n, s AS ewma_fp FROM rec
+"""

@@ -495,9 +495,28 @@ def _x47_sql() -> str:
     return kmeans_fixedpoint_sql(k=8, iters=3)
 
 
+def x49_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 (r5): per-user exponentially weighted moving average over
+    the event stream (``operators.eventflow.ewma_fixedpoint``) — the
+    ordered per-key linear recurrence built-in windows can't express,
+    run as one applyInPandas scan per key after a single hash
+    shuffle.  Fixed-point integer halving makes every step exact, so
+    the DuckDB recursive-CTE twin replays the trajectory
+    bit-for-bit."""
+    from ..operators.eventflow import ewma_fixedpoint
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_fixedpoint(ev)
+
+
+def _x49_sql() -> str:
+    from ..operators.eventflow import ewma_fixedpoint_sql
+    return ewma_fixedpoint_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "x25_funnel": (x25_funnel, X25_SQL),
     "x47_kmeans_clusters": (x47_kmeans_clusters, _x47_sql()),
+    "x49_ewma": (x49_ewma, _x49_sql()),
     "x26_retention": (x26_retention, X26_SQL),
     "x27_peak_concurrency": (x27_peak_concurrency, X27_SQL),
     "a14_regression": (a14_regression, A14_SQL),

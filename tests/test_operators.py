@@ -734,3 +734,39 @@ def test_bpe_encode_matches_pure_python(spark, sf_smoke):
                 len(words), stats["chars"], stats["pieces"],
                 1000 * stats["chars"] // stats["pieces"])
     assert got == expect
+
+
+def test_ewma_fixedpoint_constructed(spark):
+    """x49 unit gate: out-of-order arrival within a key must be
+    re-ordered by (ts, event_id) before the scan, and the integer
+    recurrence must match the hand recurrence exactly."""
+    import datetime as dt
+
+    from samplebatchprocessing_spark.operators.eventflow import (
+        ewma_fixedpoint)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [  # (user, ts, event_id, value) — deliberately shuffled
+        (1, t0 + dt.timedelta(minutes=3), 13, 4.00),
+        (1, t0 + dt.timedelta(minutes=1), 11, 1.00),
+        (1, t0 + dt.timedelta(minutes=2), 12, 2.00),
+        (2, t0, 20, 10.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double")
+    got = {(r["user_id"], r["event_id"]): (r["n"], r["ewma_fp"])
+           for r in ewma_fixedpoint(df).collect()}
+
+    def rec(vals):
+        s, out = 0, []
+        for v in vals:
+            s = (s + int(v * 100) * 1024) // 2
+            out.append(s)
+        return out
+
+    u1 = rec([1.00, 2.00, 4.00])
+    u2 = rec([10.00])
+    assert got == {
+        (1, 11): (1, u1[0]), (1, 12): (2, u1[1]), (1, 13): (3, u1[2]),
+        (2, 20): (1, u2[0]),
+    }
