@@ -51,10 +51,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "l6_minhash_lsh",
     "l9_binary_ingest", "s7_stateful_agg", "l8_sim_join",
     "l10_lang_stats", "s8_foreach_batch_sink",
-    # extended-inventory breadth
+    # extended-inventory breadth (r5: x47/x48 replace x19/x6 — the
+    # heavy-hitter and plain-split rows are strictly subsumed by the
+    # k-means report and the cluster-aware split, which carry the
+    # round's new first-class evidence)
     "l11_dedup_clusters", "mm1_image_features", "x1_lang_id",
-    "x6_train_split", "x13_contamination", "v8_tpch_q3", "m1_upsert",
-    "x19_heavy_hitters", "x20_pretrain_pipeline", "x25_funnel",
+    "x48_cluster_safe_split", "x13_contamination", "v8_tpch_q3",
+    "m1_upsert", "x47_kmeans_clusters", "x20_pretrain_pipeline",
+    "x25_funnel",
 )
 
 
