@@ -291,3 +291,114 @@ SELECT source, MAX(n_s) AS n_docs,
              / (2.0 * MAX(n_s) * MAX(n)), 6) AS tvd
 FROM grid GROUP BY source
 """
+
+
+# Gopher's repetition-free quality rules (Rae et al. 2021 §A1.1,
+# public), with every threshold re-stated as an INTEGER
+# cross-multiplication so no engine ever compares floats:
+#   R1  50 <= word_count <= 100000
+#   R2  3 <= mean word length <= 10      (3W <= L <= 10W)
+#   R3  symbol-to-word ratio <= 0.1      (10(#hash + #ellipsis) <= W)
+#   R4  <= 90% bullet-start lines, <= 30% ellipsis-end lines
+#       (10B <= 9N_lines, 10E <= 3N_lines)
+#   R5  >= 80% words contain alphabetic  (5A >= 4W)
+#   R6  >= 2 distinct Gopher stop words present
+GOPHER_STOPS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_stops: int = 2) -> DataFrame:
+    """Per-source Gopher quality audit: document counts passing each
+    published rule, plus the all-rules count — the corpus-curation
+    dashboard before a pretraining run.  Every predicate is row-local
+    exact-integer arithmetic (scale-free), and the rollup is one
+    source-keyed aggregate."""
+    from .text import tokenize
+    text = F.col(text_col)
+    toks = tokenize(text)
+    wlen = F.expr(
+        "aggregate(transform(__toks, t -> length(t)), 0L, (a, x) -> a + x)")
+    alpha_w = F.expr("size(filter(__toks, t -> t rlike '[a-z]'))")
+    tc = F.col(text_col)
+    n_hash = F.length(tc) - F.length(F.regexp_replace(tc, r"#", ""))
+    n_ell = (F.length(tc)
+             - F.length(F.regexp_replace(tc, r"\.\.\.", ""))) / 3
+    lines = F.split(tc, r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda ln: ln.startswith("- ")
+                               | ln.startswith("* ")))
+    n_ell_end = F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+
+    w2 = F.size(F.col("__toks"))
+    stops2 = F.size(F.array_intersect(
+        F.array_distinct(F.col("__toks")),
+        F.array(*[F.lit(s) for s in GOPHER_STOPS])))
+    d = (df.select("source", toks.alias("__toks"), text.alias(text_col))
+         .select(
+             "source",
+             ((w2 >= 50) & (w2 <= 100000)).alias("r1"),
+             ((3 * w2 <= wlen) & (wlen <= 10 * w2)).alias("r2"),
+             ((10 * (n_hash + F.floor(n_ell).cast("long"))) <= w2)
+             .alias("r3"),
+             ((10 * n_bullet <= 9 * n_lines)
+              & (10 * n_ell_end <= 3 * n_lines)).alias("r4"),
+             (5 * alpha_w >= 4 * w2).alias("r5"),
+             (stops2 >= min_stops).alias("r6"),
+         ))
+    agg = [F.count(F.lit(1)).alias("n_docs")]
+    for r in ("r1", "r2", "r3", "r4", "r5", "r6"):
+        agg.append(F.sum(F.col(r).cast("long")).alias(f"n_pass_{r}"))
+    agg.append(F.sum((F.col("r1") & F.col("r2") & F.col("r3")
+                      & F.col("r4") & F.col("r5") & F.col("r6"))
+                     .cast("long")).alias("n_pass_all"))
+    return d.groupBy("source").agg(*agg)
+
+
+def gopher_rules_sql(table: str = "documents",
+                     min_stops: int = 2) -> str:
+    """DuckDB twin of :func:`gopher_rules` — the same integer
+    cross-multiplied predicates over the same tokenization."""
+    from .text import tokenize_sql
+    toks = tokenize_sql("text")
+    return f"""
+WITH d AS (
+  SELECT source,
+         LEN(t.toks) AS w,
+         CAST(LIST_SUM(LIST_TRANSFORM(t.toks, x -> LENGTH(x)))
+              AS BIGINT) AS wlen,
+         LEN(LIST_FILTER(t.toks, x -> REGEXP_MATCHES(x, '[a-z]')))
+           AS alpha_w,
+         LENGTH(text) - LENGTH(REPLACE(text, '#', '')) AS n_hash,
+         (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3
+           AS n_ell,
+         LEN(STRING_SPLIT(text, CHR(10))) AS n_lines,
+         LEN(LIST_FILTER(STRING_SPLIT(text, CHR(10)),
+             ln -> LEFT(ln, 2) = '- ' OR LEFT(ln, 2) = '* '))
+           AS n_bullet,
+         LEN(LIST_FILTER(STRING_SPLIT(text, CHR(10)),
+             ln -> RIGHT(ln, 3) = '...')) AS n_ell_end,
+         LEN(LIST_INTERSECT(LIST_DISTINCT(t.toks),
+             {list(GOPHER_STOPS)!r})) AS n_stops
+  FROM (SELECT source, text, {toks} AS toks FROM {table}) t),
+r AS (
+  SELECT source,
+         w >= 50 AND w <= 100000 AS r1,
+         3 * w <= wlen AND wlen <= 10 * w AS r2,
+         10 * (n_hash + n_ell) <= w AS r3,
+         10 * n_bullet <= 9 * n_lines
+           AND 10 * n_ell_end <= 3 * n_lines AS r4,
+         5 * alpha_w >= 4 * w AS r5,
+         n_stops >= {min_stops} AS r6
+  FROM d)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS n_pass_r1,
+       SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS n_pass_r2,
+       SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS n_pass_r3,
+       SUM(CASE WHEN r4 THEN 1 ELSE 0 END) AS n_pass_r4,
+       SUM(CASE WHEN r5 THEN 1 ELSE 0 END) AS n_pass_r5,
+       SUM(CASE WHEN r6 THEN 1 ELSE 0 END) AS n_pass_r6,
+       SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 AND r6
+                THEN 1 ELSE 0 END) AS n_pass_all
+FROM r GROUP BY source
+"""

@@ -1513,6 +1513,24 @@ def x44_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "merged string, pair_count long")
 
 
+def x50_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50 (r5): the published Gopher quality-rule bundle (Rae et al.
+    2021 §A1.1) as a per-source corpus audit
+    (``operators.curation.gopher_rules``): word-count bounds, mean
+    word length, symbol-to-word ratio, bullet/ellipsis line ratios,
+    alphabetic-word share, stop-word presence — every threshold
+    re-stated as an integer cross-multiplication, so no engine ever
+    compares floats and the oracle is exact.
+
+    ``min_stops=1`` (published rule: 2): the synthetic fixture
+    vocabulary realizes only one of the eight Gopher stop words
+    ('the', in 374/500 docs), so the published threshold would make
+    R6 degenerate-false; at 1 the rule discriminates on fixture
+    data while the operator default keeps the paper's value."""
+    doc = load_table(spark, sf_dir, "documents")
+    return curation.gopher_rules(doc, min_stops=1)
+
+
 def x48_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X48 (r5): leakage-safe train/val/test split — the eval-hygiene
     primitive: near-duplicate documents must land in the SAME split,
@@ -1725,6 +1743,8 @@ QUERIES: dict[str, tuple] = {
     "x44_bpe_train": (x44_bpe_train, None),   # iterative: rows-only
     "x46_bpe_encode": (x46_bpe_encode, text.bpe_encode_stats_sql()),
     "x48_cluster_safe_split": (x48_cluster_safe_split, _x48_sql()),
+    "x50_gopher_quality": (x50_gopher_quality,
+                           curation.gopher_rules_sql(min_stops=1)),
     "x45_feature_hash_embed": (x45_feature_hash_embed,
                                text.feature_hash_stats_sql(dim=64)),
     "x23_deterministic_shuffle": (x23_deterministic_shuffle,
