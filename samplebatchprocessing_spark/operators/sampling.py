@@ -283,3 +283,80 @@ SELECT {id_col}, shuffle_bucket,
          AS shuffle_pos
 FROM b
 """
+
+
+def shard_pack(df: DataFrame, budget: int, tokens: Column, *,
+               seed: int = 7, n_buckets: int = 32,
+               source_col: str = "source",
+               id_col: str = "doc_id") -> DataFrame:
+    """Token-budget training-shard assignment: within each source,
+    documents fill shard 0 until ``budget`` tokens, then shard 1, …
+    — the corpus -> fixed-size-training-files packing step.  The fill
+    order is the x23 deterministic-shuffle order (md5(id:seed)), so
+    shards are reproducible across runs and engines, and adding a
+    source never perturbs another source's shards.
+
+    A document's shard is decided by its START offset in the
+    source's token stream (greedy sequential fill; a doc may straddle
+    the boundary — standard, and exact-integer deterministic).
+
+    Scale (100 TB): a naive per-source running sum is ONE window task
+    per source — a giant source serializes.  Instead the x27/x23
+    two-pass cumulative sum: the within-window sort runs per
+    (source, bucket) — corpus/(sources*buckets) rows of state — and
+    bucket offsets come from a window over the (source, bucket)
+    totals frame (sources x ``n_buckets`` rows, broadcast back).
+    Returns one row per (source, shard_id): doc and token counts."""
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                          F.lit(str(seed))))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+              % F.lit(n_buckets))
+    base = df.select(source_col, F.col(id_col).alias("_id"),
+                     tokens.cast("long").alias("_tok"),
+                     h.alias("_h"), bucket.alias("_bkt"))
+    win = (W.partitionBy(source_col, "_bkt").orderBy("_h", "_id")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    base = base.withColumn("_cum_in", F.sum("_tok").over(win))
+    btot = (base.groupBy(source_col, "_bkt")
+            .agg(F.sum("_tok").alias("_btot")))
+    woff = (W.partitionBy(source_col).orderBy("_bkt")
+            .rowsBetween(W.unboundedPreceding, -1))
+    off = (btot.withColumn(
+        "_off", F.coalesce(F.sum("_btot").over(woff), F.lit(0)))
+        .select(source_col, "_bkt", "_off"))
+    packed = (base.join(F.broadcast(off), [source_col, "_bkt"])
+              .withColumn("_start", F.col("_off") + F.col("_cum_in")
+                          - F.col("_tok"))
+              .withColumn("shard_id",
+                          F.expr(f"_start div {budget}").cast("long")))
+    return (packed.groupBy(source_col, "shard_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_tok").alias("shard_tokens")))
+
+
+def shard_pack_sql(budget: int, tokens_expr: str, *, seed: int = 7,
+                   n_buckets: int = 32, source_col: str = "source",
+                   id_col: str = "doc_id",
+                   table: str = "documents") -> str:
+    """DuckDB twin of :func:`shard_pack` — structurally different
+    (one straight per-source window over the same total order), same
+    exact integers."""
+    return f"""
+WITH keyed AS (
+  SELECT {source_col} AS src, {id_col} AS id,
+         CAST({tokens_expr} AS BIGINT) AS tok,
+         MD5(CAST({id_col} AS VARCHAR) || ':' || '{seed}') AS h
+  FROM {table}),
+b AS (
+  SELECT src, id, tok, h,
+         ('0x' || SUBSTRING(h, 1, 4))::INTEGER % {n_buckets} AS bkt
+  FROM keyed),
+c AS (
+  SELECT src, tok,
+         SUM(tok) OVER (PARTITION BY src ORDER BY bkt, h, id
+                        ROWS UNBOUNDED PRECEDING) - tok AS start
+  FROM b)
+SELECT src AS {source_col}, start // {budget} AS shard_id,
+       COUNT(*) AS n_docs, SUM(tok) AS shard_tokens
+FROM c GROUP BY src, start // {budget}
+"""

@@ -1513,6 +1513,24 @@ def x44_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "merged string, pair_count long")
 
 
+def x51_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51 (r5): token-budget training-shard packing
+    (``operators.sampling.shard_pack``) — per source, documents fill
+    500-token shards in the deterministic md5 order, assignment by
+    exact-integer start offset.  The Spark side uses the skew-free
+    two-pass cumulative sum (per-(source,bucket) windows + a
+    broadcast offsets frame); the oracle is the straight per-source
+    window over the same total order."""
+    from ..operators.sampling import shard_pack
+    doc = load_table(spark, sf_dir, "documents")
+    return shard_pack(doc, 500, F.size(text.tokenize(F.col("text"))))
+
+
+def _x51_sql() -> str:
+    from ..operators.sampling import shard_pack_sql
+    return shard_pack_sql(500, f"LEN({tokenize_sql('text')})")
+
+
 def x50_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X50 (r5): the published Gopher quality-rule bundle (Rae et al.
     2021 §A1.1) as a per-source corpus audit
@@ -1745,6 +1763,7 @@ QUERIES: dict[str, tuple] = {
     "x48_cluster_safe_split": (x48_cluster_safe_split, _x48_sql()),
     "x50_gopher_quality": (x50_gopher_quality,
                            curation.gopher_rules_sql(min_stops=1)),
+    "x51_shard_pack": (x51_shard_pack, _x51_sql()),
     "x45_feature_hash_embed": (x45_feature_hash_embed,
                                text.feature_hash_stats_sql(dim=64)),
     "x23_deterministic_shuffle": (x23_deterministic_shuffle,

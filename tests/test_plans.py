@@ -550,3 +550,14 @@ def test_kmeans_assignment_is_join_free(spark, sf_smoke):
     plan = plan_str(x47_kmeans_clusters(spark, sf_smoke))
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_shard_pack_two_pass_cumsum(spark, sf_smoke):
+    """x51: the big window must run per (source, bucket) — hash
+    partitioning on both keys, never a single-partition window; the
+    per-source offsets frame joins back via broadcast."""
+    from samplebatchprocessing_spark.queries.llm import x51_shard_pack
+    plan = plan_str(x51_shard_pack(spark, sf_smoke))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+    assert "BroadcastHashJoin" in plan
