@@ -1513,6 +1513,70 @@ def x44_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "merged string, pair_count long")
 
 
+def x52_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52 (r5): web-corpus domain audit — URL parsing + per-domain
+    rollup, the CommonCrawl-style provenance report (and the
+    canonicalization step URL-level dedup keys on).  The fixture has
+    no URL column, so (x10 idiom) each doc gets a DETERMINISTIC
+    synthetic URL derived from (doc_id, source) — host with/without
+    'www.', colliding paths, optional query string — and both engines
+    build the same input.
+
+    Spark parses with the native ``parse_url`` expression (HOST /
+    PATH / QUERY — JVM, codegen); DuckDB has no parse_url, so the
+    oracle replays with anchored regexps — any parser/canonicalizer
+    drift reds the gate.  Row-local parse + one domain-keyed
+    aggregate: embarrassingly parallel at any corpus scale."""
+    doc = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.org/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("?ref=r"),
+                        (F.col("doc_id") % 7).cast("string")))
+        .otherwise(F.lit("")))
+    d = doc.select(
+        "doc_id", "n_chars", url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"))
+    dom = F.regexp_replace(F.col("host"), r"^www\.", "")
+    return (d.select(dom.alias("domain"), "host", "path", "query",
+                     "n_chars")
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("host").alias("n_hosts"),
+                 F.countDistinct("path").alias("n_paths"),
+                 F.sum(F.col("query").isNotNull().cast("long"))
+                 .alias("n_with_query"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+_X52_URL = ("'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END"
+            " || source || '.example.org/p/' || CAST(doc_id % 50 AS VARCHAR)"
+            " || CASE WHEN doc_id % 2 = 0"
+            " THEN '?ref=r' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END")
+
+X52_SQL = f"""
+WITH u AS (SELECT doc_id, n_chars, {_X52_URL} AS url FROM documents),
+p AS (SELECT doc_id, n_chars,
+             REGEXP_EXTRACT(url, '^https://([^/?]+)', 1) AS host,
+             REGEXP_EXTRACT(url, '^https://[^/?]+([^?]*)', 1) AS path,
+             CASE WHEN CONTAINS(url, '?')
+                  THEN REGEXP_EXTRACT(url, '\\?(.*)$', 1) END AS query
+      FROM u)
+SELECT REGEXP_REPLACE(host, '^www\\.', '') AS domain,
+       COUNT(*) AS n_docs, COUNT(DISTINCT host) AS n_hosts,
+       COUNT(DISTINCT path) AS n_paths,
+       SUM(CASE WHEN query IS NOT NULL THEN 1 ELSE 0 END)
+         AS n_with_query,
+       SUM(n_chars) AS total_chars
+FROM p GROUP BY 1
+"""
+
+
 def x51_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X51 (r5): token-budget training-shard packing
     (``operators.sampling.shard_pack``) — per source, documents fill
@@ -1764,6 +1828,7 @@ QUERIES: dict[str, tuple] = {
     "x50_gopher_quality": (x50_gopher_quality,
                            curation.gopher_rules_sql(min_stops=1)),
     "x51_shard_pack": (x51_shard_pack, _x51_sql()),
+    "x52_domain_stats": (x52_domain_stats, X52_SQL),
     "x45_feature_hash_embed": (x45_feature_hash_embed,
                                text.feature_hash_stats_sql(dim=64)),
     "x23_deterministic_shuffle": (x23_deterministic_shuffle,
