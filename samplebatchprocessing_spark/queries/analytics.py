@@ -495,6 +495,56 @@ def _x47_sql() -> str:
     return kmeans_fixedpoint_sql(k=8, iters=3)
 
 
+def x53_cluster_balanced_sample(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """X53 (r5): cluster-balanced subsampling — the SemDeDup/DoReMi
+    curation move: cap every semantic cluster at K documents so no
+    over-represented mode dominates the training mix.  Vectors are
+    assigned with the X47 trained model (join-free literal
+    centroids), then each cluster keeps its first K=40 members in
+    deterministic hash order (the x18 quota idiom — rank within
+    cluster by portable hash, rebalance-stable).
+
+    Per cluster: total members, kept count, exact kept-id sum — the
+    oracle replays assignment (unrolled CTE chain) and the identical
+    hash-ranked quota.  Scale: the quota window partitions on the
+    cluster id (k tasks); for huge k the same two-pass bucket trick
+    as X51 applies — noted, not needed at k=8."""
+    from ..operators.clustering import (assign_best, kmeans_train,
+                                        quantize_vec)
+    from ..operators.sampling import hash_bucket
+    from pyspark.sql import Window as W
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_train(emb, k=8, iters=3)
+    assigned = (emb.select("vec_id", quantize_vec("embedding").alias("qv"))
+                .withColumn("best", assign_best(cents))
+                .select("vec_id", F.col("best.cid").cast("int").alias("cid"),
+                        hash_bucket(F.col("vec_id"), 1 << 20).alias("hb")))
+    w = W.partitionBy("cid").orderBy("hb", "vec_id")
+    ranked = assigned.withColumn("rk", F.row_number().over(w))
+    return (ranked.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum((F.col("rk") <= 40).cast("long")).alias("n_kept"),
+                 F.sum(F.when(F.col("rk") <= 40, F.col("vec_id")))
+                 .alias("kept_id_sum")))
+
+
+def _x53_sql() -> str:
+    from ..operators.clustering import _kmeans_cte_chain
+    from ..operators.sampling import hash_bucket_sql
+    chain = _kmeans_cte_chain(8, 3, "embeddings", "embedding", "vec_id")
+    hb = hash_bucket_sql("vid", 1 << 20)
+    return chain + f""",
+rk AS (SELECT cid, vid,
+              ROW_NUMBER() OVER (PARTITION BY cid
+                                 ORDER BY {hb}, vid) AS rk
+       FROM a3)
+SELECT CAST(cid AS INTEGER) AS cid, COUNT(*) AS n_total,
+       SUM(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN rk <= 40 THEN vid END) AS kept_id_sum
+FROM rk GROUP BY cid"""
+
+
 def x49_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X49 (r5): per-user exponentially weighted moving average over
     the event stream (``operators.eventflow.ewma_fixedpoint``) — the
@@ -517,6 +567,8 @@ QUERIES: dict[str, tuple] = {
     "x25_funnel": (x25_funnel, X25_SQL),
     "x47_kmeans_clusters": (x47_kmeans_clusters, _x47_sql()),
     "x49_ewma": (x49_ewma, _x49_sql()),
+    "x53_cluster_balanced_sample": (x53_cluster_balanced_sample,
+                                    _x53_sql()),
     "x26_retention": (x26_retention, X26_SQL),
     "x27_peak_concurrency": (x27_peak_concurrency, X27_SQL),
     "a14_regression": (a14_regression, A14_SQL),
