@@ -183,6 +183,43 @@ FROM orders WHERE o_totalprice >= 50000 GROUP BY o_orderstatus
 """
 
 
+def p15_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 (r5): line-oriented TEXT sink + scan — the remaining
+    first-class Spark file format (parquet P6, ORC P9, CSV P2/P3,
+    JSON P4, binaryFile P5).  One record per line: the documents
+    table serialized as ``doc_id<TAB>n_chars<TAB>md5(text)``, written
+    with the text sink, read back with ``spark.read.text`` and
+    re-parsed.  The oracle derives the same aggregate directly from
+    the documents view, so a match proves the sink+scan+parse chain
+    preserved every field.  Roundtrip is row-local both ways — at
+    scale this is the cheapest interchange format there is."""
+    out = _work_dir(sf_dir, "p15_text")
+    doc = load_table(spark, sf_dir, "documents")
+    line = F.concat_ws("\t", F.col("doc_id").cast("string"),
+                       F.col("n_chars").cast("string"),
+                       F.md5(F.col("text")))
+    doc.select(line.alias("value")).write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    parts = F.split(F.col("value"), "\t")
+    parsed = back.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).cast("long").alias("n_chars"),
+        parts.getItem(2).alias("text_md5"))
+    return (parsed.groupBy((F.col("doc_id") % 10).alias("id_mod"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_chars").alias("chars"),
+                 F.count_distinct("text_md5").alias("n_distinct_md5"),
+                 F.max("doc_id").alias("max_id")))
+
+
+P15_SQL = """
+SELECT doc_id % 10 AS id_mod, COUNT(*) AS n, SUM(n_chars) AS chars,
+       COUNT(DISTINCT MD5(text)) AS n_distinct_md5,
+       MAX(doc_id) AS max_id
+FROM documents GROUP BY doc_id % 10
+"""
+
+
 def p7_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: hive-style partitioned sink + partition-pruned re-read.
     The pruning (only 2 of 6 partition dirs scanned) is asserted in
@@ -431,6 +468,7 @@ QUERIES: dict[str, tuple] = {
     "p7_partitioned_sink": (p7_partitioned_sink, P7_SQL),
     "p8_manifest_pipeline": (p8_manifest_pipeline, P8_SQL),
     "p9_orc_roundtrip": (p9_orc_roundtrip, P9_SQL),
+    "p15_text_roundtrip": (p15_text_roundtrip, P15_SQL),
     "p10_watch_prefix": (p10_watch_prefix, P10_SQL),
     "p11_compaction": (p11_compaction, P11_SQL),
     "p12_schema_merge": (p12_schema_merge, P12_SQL),
