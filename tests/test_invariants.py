@@ -344,3 +344,92 @@ def test_mixture_realize_no_int64_wrap_and_zero_kept_groups(spark):
     assert 0 < b["n_kept"] <= 64
     assert abs(frac_kept - min(1.0, target_frac)) < 0.35
     assert t["n_kept"] == 0 and t["kept_tokens"] == 0
+
+
+def test_shard_pack_conserves_tokens_and_fills_shards(spark, sf_smoke):
+    """x51 invariants: (a) total docs and tokens are conserved across
+    shards; (b) within a source, shard ids are dense 0..max; (c)
+    every non-final shard STARTS full — its docs' start offsets span
+    the whole budget window, so cumulative tokens before the final
+    shard are >= shard_id * budget."""
+    from samplebatchprocessing_spark.operators.sampling import shard_pack
+    from samplebatchprocessing_spark.operators.text import tokenize
+
+    doc = load_table(spark, sf_smoke, "documents")
+    budget = 500
+    out = shard_pack(doc, budget,
+                     F.size(tokenize(F.col("text")))).collect()
+    tot = doc.select(F.sum(F.size(tokenize(F.col("text"))))).first()[0]
+    assert sum(r["shard_tokens"] for r in out) == tot
+    assert sum(r["n_docs"] for r in out) == doc.count()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        ids = sorted(r["shard_id"] for r in rows)
+        assert ids == list(range(len(ids))), src
+        # start-offset assignment: the first doc of shard k+1 starts
+        # at offset >= (k+1)*budget, and that offset equals the
+        # cumulative tokens through shard k — so every non-final
+        # shard is full through its boundary
+        rows.sort(key=lambda r: r["shard_id"])
+        cum = 0
+        for r in rows[:-1]:
+            cum += r["shard_tokens"]
+            assert cum >= (r["shard_id"] + 1) * budget, src
+
+
+def test_kmeans_partition_and_inertia_improves_on_init(spark, sf_smoke):
+    """x47 invariants: the final report partitions the corpus (sizes
+    sum to N, id sums to the global id sum), and 3 Lloyd rounds
+    strictly improve on the degenerate 1-round (init-centroid)
+    inertia on the fixture."""
+    from samplebatchprocessing_spark.operators.clustering import (
+        kmeans_fixedpoint)
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    final = kmeans_fixedpoint(emb, k=8, iters=3).collect()
+    n = emb.count()
+    assert sum(r["n_points"] for r in final) == n
+    assert (sum(r["sum_vec_id"] for r in final)
+            == emb.select(F.sum("vec_id")).first()[0])
+    init = kmeans_fixedpoint(emb, k=8, iters=1).collect()
+    assert (sum(r["inertia"] for r in final)
+            < sum(r["inertia"] for r in init))
+
+
+def test_cluster_safe_split_no_root_spans_splits(spark, sf_smoke):
+    """x48 invariant, asserted from the OUTPUT: no_leakage must be
+    TRUE and the naive split must demonstrably leak on the fixture
+    (n_naive_leaky > 0) — i.e. the operator is doing real work."""
+    from samplebatchprocessing_spark.queries.llm import (
+        x48_cluster_safe_split)
+    rows = x48_cluster_safe_split(spark, sf_smoke).collect()
+    assert rows and all(r["no_leakage"] for r in rows)
+    assert rows[0]["n_naive_leaky"] > 0
+
+
+def test_gopher_rules_counts_bounded(spark, sf_smoke):
+    """x50 invariant: every pass count is within [0, n_docs] and
+    n_pass_all <= min(per-rule passes)."""
+    from samplebatchprocessing_spark.operators.curation import (
+        gopher_rules)
+    doc = load_table(spark, sf_smoke, "documents")
+    for r in gopher_rules(doc, min_stops=1).collect():
+        per = [r[f"n_pass_r{i}"] for i in range(1, 7)]
+        assert all(0 <= p <= r["n_docs"] for p in per)
+        assert 0 <= r["n_pass_all"] <= min(per)
+
+
+def test_bpe_encode_compression_bounds(spark, sf_smoke):
+    """x46 invariants: pieces never exceed symbol chars (merges only
+    shrink) and never undercut chars/5 on this rule table (the
+    longest pinned symbol is 5 chars), so the ratio column is in
+    [1000, 5000]."""
+    from samplebatchprocessing_spark.operators.text import (
+        bpe_encode_stats)
+    doc = load_table(spark, sf_smoke, "documents")
+    for r in bpe_encode_stats(doc).collect():
+        assert r["n_pieces"] <= r["n_sym_chars"]
+        assert 5 * r["n_pieces"] >= r["n_sym_chars"]
+        assert 1000 <= r["chars_per_piece_x1000"] <= 5000
