@@ -156,6 +156,64 @@ FROM events GROUP BY event_type
 """
 
 
+def d7_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 (r5): Spark 4 POLYMORPHIC UDTF with a TABLE argument — the
+    ``analyze()`` method declares the input-table contract itself
+    (partition by source, order by n_chars DESC / doc_id), so the
+    planner routes each source's rows, pre-sorted, through one UDTF
+    instance and the Python body is a trivial streaming top-k
+    counter.  This is the Spark-4-native form of "run custom logic
+    per group in a declared order" — no manual repartition, no
+    window function, requirements live WITH the function.
+
+    Scale: partitioning is declared, so the exchange is one hash
+    shuffle on source; per-instance state is k rows.  Oracle: the
+    equivalent ranked window."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import (AnalyzeArgument, AnalyzeResult,
+                                  OrderingColumn, PartitioningColumn)
+
+    @udtf
+    class TopDocsPerSource:
+        def __init__(self):
+            self._seen = 0
+
+        @staticmethod
+        def analyze(arg: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                schema=T.StructType()
+                .add("source", T.StringType())
+                .add("doc_id", T.LongType())
+                .add("n_chars", T.LongType())
+                .add("rk", T.IntegerType()),
+                partitionBy=[PartitioningColumn("source")],
+                orderBy=[OrderingColumn("n_chars", ascending=False),
+                         OrderingColumn("doc_id")])
+
+        def eval(self, row):
+            if self._seen < 2:
+                self._seen += 1
+                yield (row["source"], row["doc_id"], row["n_chars"],
+                       self._seen)
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "d7_documents")
+    spark.udtf.register("d7_top_docs", TopDocsPerSource)
+    return spark.sql(
+        "SELECT * FROM d7_top_docs(TABLE(SELECT source, doc_id, n_chars"
+        " FROM d7_documents))")
+
+
+D7_SQL = """
+SELECT source, doc_id, n_chars, CAST(rk AS INTEGER) AS rk
+FROM (SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+WHERE rk <= 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "d1_scalar_udf": (d1_scalar_udf, D1_SQL),
     "d2_pandas_udf": (d2_pandas_udf, D2_SQL),
@@ -163,4 +221,5 @@ QUERIES: dict[str, tuple] = {
     "d4_map_in_pandas": (d4_map_in_pandas, D4_SQL),
     "d5_udtf_explode": (d5_udtf_explode, D5_SQL),
     "d6_udaf_grouped": (d6_udaf_grouped, D6_SQL),
+    "d7_udtf_table_arg": (d7_udtf_table_arg, D7_SQL),
 }
