@@ -1250,7 +1250,58 @@ FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
 """
 
 
+def a15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 (r5): EXPLICIT grouping sets through the Spark 4
+    ``DataFrame.groupingSets`` API — the arbitrary-sets form that
+    rollup (a6) and cube (a6) are special cases of: here
+    ((returnflag, linestatus), (linestatus), ()) — a mix no
+    rollup/cube can express.  Same 2-phase aggregate shape as A6;
+    the expansion factor is the number of sets, applied map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        "l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("l_quantity").cast("long").alias("qty"),
+             F.grouping_id().cast("long").alias("gid")))
+
+
+A15_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(l_quantity) AS BIGINT) AS qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+def w7_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 (r5): the distribution-rank window family — ntile(4),
+    percent_rank, cume_dist per event_type over (value, event_id)
+    total order (the tie-break makes every rank deterministic).
+    Completes the W inventory beyond ranking/offsets/frames."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
+W7_SQL = """
+SELECT event_id, event_type,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "a15_grouping_sets": (a15_grouping_sets, A15_SQL),
+    "w7_distribution_ranks": (w7_distribution_ranks, W7_SQL),
     "a1_pricing_summary": (a1_pricing_summary, A1_SQL),
     "a2_global_agg": (a2_global_agg, A2_SQL),
     "a3_count_distinct": (a3_count_distinct, A3_SQL),
