@@ -1595,6 +1595,63 @@ def _x51_sql() -> str:
     return shard_pack_sql(500, f"LEN({tokenize_sql('text')})")
 
 
+def x54_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54 (r5): lexical-diversity audit — per-source unigram and
+    bigram type-token ratios (distinct/total, exact integer x 10^6),
+    the standard template-detection signal: machine-generated or
+    boilerplate-heavy sources collapse to low TTR long before a dedup
+    pass finds the copies.  Row-local gram explode + one source-keyed
+    aggregate; distinct counts shuffle on (source, gram) — uniform
+    keys at any corpus scale."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = text.tokenize(F.col("text"))
+    bigrams = F.when(
+        F.size(F.col("__t")) >= 2,
+        F.expr("transform(sequence(1, size(__t) - 1),"
+               " i -> concat_ws(' ', element_at(__t, i),"
+               " element_at(__t, i + 1)))")
+    ).otherwise(F.array().cast("array<string>"))
+    base = doc.select("source", toks.alias("__t")) \
+              .select("source", "__t", bigrams.alias("__b"))
+    uni = (base.select("source", F.explode("__t").alias("g"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.countDistinct("g").alias("n_types")))
+    bi = (base.select("source", F.explode("__b").alias("g"))
+          .groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n_bigrams"),
+               F.countDistinct("g").alias("n_bigram_types")))
+    return (uni.join(bi, "source")
+            .select("source", "n_tokens", "n_types",
+                    F.expr("n_types * 1000000 div n_tokens")
+                    .alias("ttr_x1e6"),
+                    "n_bigrams", "n_bigram_types",
+                    F.expr("n_bigram_types * 1000000 div n_bigrams")
+                    .alias("bttr_x1e6")))
+
+
+X54_SQL = f"""
+WITH t AS (SELECT source, {tokenize_sql('text')} AS toks
+           FROM documents),
+uni AS (
+  SELECT source, COUNT(*) AS n_tokens,
+         COUNT(DISTINCT g) AS n_types
+  FROM (SELECT source, UNNEST(toks) AS g FROM t) GROUP BY source),
+bi AS (
+  SELECT source, COUNT(*) AS n_bigrams,
+         COUNT(DISTINCT g) AS n_bigram_types
+  FROM (SELECT source, toks[i] || ' ' || toks[i + 1] AS g
+        FROM t, UNNEST(range(1, LEN(toks))) AS u(i)
+        WHERE LEN(toks) >= 2)
+  GROUP BY source)
+SELECT source, n_tokens, n_types,
+       n_types * 1000000 // n_tokens AS ttr_x1e6,
+       n_bigrams, n_bigram_types,
+       n_bigram_types * 1000000 // n_bigrams AS bttr_x1e6
+FROM uni JOIN bi USING (source)
+"""
+
+
 def x50_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X50 (r5): the published Gopher quality-rule bundle (Rae et al.
     2021 §A1.1) as a per-source corpus audit
@@ -1829,6 +1886,7 @@ QUERIES: dict[str, tuple] = {
                            curation.gopher_rules_sql(min_stops=1)),
     "x51_shard_pack": (x51_shard_pack, _x51_sql()),
     "x52_domain_stats": (x52_domain_stats, X52_SQL),
+    "x54_ngram_diversity": (x54_ngram_diversity, X54_SQL),
     "x45_feature_hash_embed": (x45_feature_hash_embed,
                                text.feature_hash_stats_sql(dim=64)),
     "x23_deterministic_shuffle": (x23_deterministic_shuffle,

@@ -458,6 +458,26 @@ def _s15_sql() -> str:
     return kmeans_label_matrix_sql(k=8, iters=3)
 
 
+def s16_stream_quality_gate(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """S16 (r5): the X50 Gopher quality audit applied UNCHANGED to a
+    document stream — every rule is a row-local integer predicate
+    (no state, no watermark), so the identical operator serves batch
+    curation and streaming ingest and the streamed per-source pass
+    counts equal the batch oracle bit-for-bit (shares X50's SQL
+    twin)."""
+    from ..operators.curation import gopher_rules
+    from ..streaming.jobs import documents_stream
+    sdf = documents_stream(spark, sf_dir, tag="gopher")
+    return run_available_now(gopher_rules(sdf, min_stops=1),
+                             output_mode="complete")
+
+
+def _s16_sql() -> str:
+    from ..operators.curation import gopher_rules_sql
+    return gopher_rules_sql(min_stops=1)
+
+
 QUERIES: dict[str, tuple] = {
     "s1_stream_scan": (s1_stream_scan, S1_SQL),
     "s2_tumbling_window": (s2_tumbling_window, S2_SQL),
@@ -476,4 +496,5 @@ QUERIES: dict[str, tuple] = {
     "s13_stream_doc_scoring": (s13_stream_doc_scoring, _s13_sql()),
     "s14_stream_semantic_dedup": (s14_stream_semantic_dedup, _s14_sql()),
     "s15_stream_cluster_assign": (s15_stream_cluster_assign, _s15_sql()),
+    "s16_stream_quality_gate": (s16_stream_quality_gate, _s16_sql()),
 }
