@@ -29,12 +29,19 @@ def asof_join(left: DataFrame, right: DataFrame, *,
               left_ts: str, right_ts: str,
               left_by: str, right_by: str,
               right_cols: list[str],
-              strict: bool = False) -> DataFrame:
-    """For each left row, attach ``right_cols`` from the right row
-    with the greatest ``right_ts`` <= ``left_ts`` (strictly < when
-    ``strict``) within the same key group; nulls when no such row
+              strict: bool = False,
+              direction: str = "backward") -> DataFrame:
+    """For each left row, attach ``right_cols`` from the matched
+    right row within the same key group; nulls when no such row
     (left-outer semantics, like DuckDB ``ASOF LEFT JOIN``).
-    """
+
+    direction="backward" (default): greatest ``right_ts`` <=
+    ``left_ts`` (strictly < when ``strict``).  direction="forward":
+    smallest ``right_ts`` >= ``left_ts`` (strictly > when
+    ``strict``) — the same single-shuffle carry, just run over the
+    DESCENDING time order, so cost is identical."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction: {direction}")
     # At equal ts a non-strict match admits the right row -> sort it
     # before the left row; strict excludes it -> sort it after.
     left_rank, right_rank = (1, 0) if not strict else (0, 1)
@@ -60,8 +67,10 @@ def asof_join(left: DataFrame, right: DataFrame, *,
 
     unioned = lt.select(lt.columns).unionByName(rt.select(lt.columns))
 
+    ts_order = (F.col(_TS).asc() if direction == "backward"
+                else F.col(_TS).desc())
     w = (W.partitionBy(_KEY)
-         .orderBy(_TS, _SIDE)
+         .orderBy(ts_order, F.col(_SIDE).asc())
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     carried = unioned
     for c in right_cols:

@@ -759,6 +759,37 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def j8b_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8b (r5): FORWARD as-of join — for each click, the nearest
+    FOLLOWING purchase of the same user (the time-to-next-conversion
+    building block).  Same single-shuffle union+carry operator as J8,
+    run over the descending time order (``direction='forward'``);
+    DuckDB twin is a native ASOF with the inequality flipped."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"))
+    joined = asof_join(
+        clicks, purchases,
+        left_ts="ts", right_ts="p_ts",
+        left_by="user_id", right_by="p_user_id",
+        right_cols=["purchase_id"], strict=False,
+        direction="forward")
+    return joined.select(
+        "event_id", "user_id",
+        F.col("purchase_id").alias("next_purchase_id"))
+
+
+J8B_SQL = """
+SELECT c.event_id, c.user_id, p.event_id AS next_purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts >= c.ts
+"""
+
+
 def j9_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: TPC-H Q5-style 6-way star join, with the region predicate
     pushed to the FRONT of the join tree: region is filtered first,
@@ -1329,6 +1360,7 @@ QUERIES: dict[str, tuple] = {
     "j6_theta_join": (j6_theta_join, J6_SQL),
     "j7_range_join": (j7_range_join, J7_SQL),
     "j8_asof_join": (j8_asof_join, J8_SQL),
+    "j8b_asof_forward": (j8b_asof_forward, J8B_SQL),
     "j9_star_join": (j9_star_join, J9_SQL),
     "j10_fuzzy_join": (j10_fuzzy_join, J10_SQL),
     "x35_quality_audit": (x35_quality_audit, X35_SQL),
