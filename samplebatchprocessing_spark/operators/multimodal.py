@@ -164,9 +164,46 @@ def audio_features(df: DataFrame, *, sample_rate: int = 16000) -> DataFrame:
                 "zero_crossings long")
 
 
+AUDIO_FP_BANDS = 64
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """Chromaprint-style acoustic fingerprint: the PCM stream splits
+    into 64 equal segments, and bit i of the 64-bit fingerprint is
+    whether segment i's energy exceeds its cyclic successor's —
+    relative-energy signs, the standard loudness-invariant audio
+    near-dup signature (Chromaprint/AcoustID scheme, public).
+    Byte-identical audio produces identical fingerprints; unrelated
+    streams land ~32 bits apart.  Arrow-batched; emits 8 bytes per
+    media row, so downstream dedup never touches the waveform."""
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                raw = bytes(r.content)
+                pcm = np.frombuffer(
+                    raw[:len(raw) // 2 * 2], dtype="<i2").astype(np.int64)
+                if len(pcm) < AUDIO_FP_BANDS:
+                    pcm = np.zeros(AUDIO_FP_BANDS, dtype=np.int64)
+                seg = len(pcm) // AUDIO_FP_BANDS
+                e = [int(np.sum(pcm[i * seg:(i + 1) * seg] ** 2))
+                     for i in range(AUDIO_FP_BANDS)]
+                fp = 0
+                for i in range(AUDIO_FP_BANDS):
+                    if e[i] > e[(i + 1) % AUDIO_FP_BANDS]:
+                        fp |= 1 << i
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                rows.append((r.media_id, fp))
+            yield pd.DataFrame(rows, columns=["media_id", "afp"])
+
+    return df.mapInPandas(_batch, "media_id long, afp long")
+
+
 def phash_neardup_pairs(feats: DataFrame, max_hamming: int = 3,
                         n_bands: int = 4,
-                        id_col: str = "media_id") -> DataFrame:
+                        id_col: str = "media_id",
+                        hash_col: str = "phash") -> DataFrame:
     """Image near-dup pairs by perceptual-hash hamming distance —
     the image-dedup stage of a multimodal training pipeline, over
     the (media_id, phash) output of :func:`image_features`.
@@ -190,16 +227,16 @@ def phash_neardup_pairs(feats: DataFrame, max_hamming: int = 3,
     width = 64 // n_bands
     mask = (1 << width) - 1
     slices = F.array(*[
-        F.shiftrightunsigned(F.col("phash"), i * width)
+        F.shiftrightunsigned(F.col(hash_col), i * width)
          .bitwiseAND(F.lit(mask)).cast("long")
         for i in range(n_bands)])
-    e = (feats.select(F.col(id_col), F.col("phash"))
-         .select(id_col, "phash",
+    e = (feats.select(F.col(id_col), F.col(hash_col))
+         .select(id_col, hash_col,
                  F.posexplode(slices).alias("band_idx", "band_val")))
     a = e.select(F.col(id_col).alias("id_a"),
-                 F.col("phash").alias("ph_a"), "band_idx", "band_val")
+                 F.col(hash_col).alias("ph_a"), "band_idx", "band_val")
     b = e.select(F.col(id_col).alias("id_b"),
-                 F.col("phash").alias("ph_b"), "band_idx", "band_val")
+                 F.col(hash_col).alias("ph_b"), "band_idx", "band_val")
     ham = F.bit_count(F.expr("ph_a ^ ph_b"))
     return (a.join(b, ["band_idx", "band_val"])
             .filter(F.col("id_a") < F.col("id_b"))

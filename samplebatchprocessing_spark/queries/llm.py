@@ -700,6 +700,32 @@ WHERE media_id % 2 = 0
 """
 
 
+def mm5_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM5 (r5): audio dedup by acoustic fingerprint — MM4's
+    structural-oracle scheme on the audio modality: every
+    even-media_id stream is re-ingested byte-identical under
+    media_id + 1, the real pipeline runs end to end (int16-PCM
+    interpret -> 64-bit relative-energy Chromaprint-style fingerprint
+    -> 16-bit band equi-join -> exact hamming verify; the banding is
+    ``operators.multimodal.phash_neardup_pairs`` unchanged, keyed on
+    the audio hash), and the declared pair set is exactly the
+    constructed duplicates at hamming 0 — unrelated PCM lands ~32
+    bits apart, so nothing else survives <= 3."""
+    from ..operators import multimodal as mm
+    media = mm.media_table_from_fixture(spark, sf_dir, "audio")
+    copies = (media.filter(F.col("media_id") % 2 == 0)
+              .withColumn("media_id", F.col("media_id") + 1))
+    fps = mm.audio_fingerprint(media.unionByName(copies))
+    return mm.phash_neardup_pairs(fps, max_hamming=3, hash_col="afp")
+
+
+MM5_SQL = f"""
+SELECT media_id AS id_a, media_id + 1 AS id_b, CAST(0 AS INT) AS hamming
+FROM ({_MM_IDS})
+WHERE media_id % 2 = 0
+"""
+
+
 def x4_text_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance text similarity (dedup adjunct): levenshtein
     between each doc's head and its source tag; self-joins on tiny
@@ -1903,6 +1929,7 @@ QUERIES: dict[str, tuple] = {
     "x9_corpus_curation": (x9_corpus_curation, _x9_sql()),
     "mm1_image_features": (mm1_image_features, MM1_SQL),
     "mm2_frame_sample": (mm2_frame_sample, MM2_SQL),
+    "mm5_audio_dedup": (mm5_audio_dedup, MM5_SQL),
     "mm3_audio_features": (mm3_audio_features, MM3_SQL),
     "mm4_phash_dedup": (mm4_phash_dedup, MM4_SQL),
     "x4_text_distance": (x4_text_distance, X4_SQL),
