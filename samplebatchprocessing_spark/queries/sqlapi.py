@@ -773,6 +773,178 @@ GROUP BY o_orderstatus, l_returnflag
 """
 
 
+
+
+# Q9/Q12 need columns the fixtures lack (partsupp.ps_supplycost,
+# l_shipmode, commit/receipt dates).  V24/V25 recover the OPTIMIZER
+# SHAPES with deterministically DERIVED stand-ins — pure integer
+# arithmetic on existing keys, identical in both engines, documented
+# here rather than silently synthesized — so the last two classic
+# TPC-H plan patterns (multi-way profit join with a computed cost;
+# IN-filter + conditional priority counts) are exercised end to end.
+_V24_SUPPLYCOST = ("CAST(1 + (l_partkey * 7 + l_suppkey * 13) % 1000"
+                   " AS DOUBLE) / 100")
+
+V24_SQL = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+       {sql_dsum(f"l_extendedprice * (1 - l_discount)"
+                 f" - {_V24_SUPPLYCOST} * l_quantity")} AS sum_profit
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
+"""
+
+
+def v24_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V24 (TPC-H Q9 shape): product-type profit by nation and year —
+    the 5-way join with a computed per-line cost.  ps_supplycost is a
+    DERIVED deterministic stand-in (the fixtures ship no partsupp):
+    integer arithmetic on (l_partkey, l_suppkey), identical on both
+    engines.  The p_name LIKE filter prunes the part build side
+    before the fact join; profit sums in exact decimal."""
+    register_views(spark, sf_dir)
+    return spark.sql(V24_SQL)
+
+
+V25_SQL = """
+SELECT shipmode,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM (
+  SELECT o_orderpriority,
+         CASE (l_orderkey * 31 + l_linenumber) % 7
+              WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'
+              WHEN 3 THEN 'RAIL' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'FOB'
+              ELSE 'REG AIR' END AS shipmode,
+         l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+WHERE shipmode IN ('MAIL', 'SHIP')
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY shipmode
+"""
+
+
+def v25_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V25 (TPC-H Q12 shape): shipping-mode priority counts — the
+    orderkey join with an IN filter and conditional aggregation.
+    l_shipmode is a DERIVED deterministic stand-in (the fixtures lack
+    it): a keyed CASE over (l_orderkey, l_linenumber), identical on
+    both engines; the date window rides l_shipdate."""
+    register_views(spark, sf_dir)
+    return spark.sql(V25_SQL)
+
+
+
+
+# Derived partsupp for V26-V28: TPC-H's missing relation rebuilt
+# deterministically — exactly 4 suppliers per part (the real
+# partsupp's density), supplier keys by modular arithmetic over the
+# contiguous key space, cost/availqty by keyed integer formulas.
+# Portable: VALUES inline table + integer % behave identically on
+# both engines, and the 4-row CROSS JOIN is a bounded broadcast.
+_PS_CTE = """
+ps AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey * 37 + k * 101)
+           % (SELECT COUNT(*) FROM supplier) AS ps_suppkey,
+         CAST(1 + (p_partkey * 7 + k * 13) % 1000 AS DOUBLE) / 100
+           AS ps_supplycost,
+         1 + (p_partkey * 11 + k * 17) % 9999 AS ps_availqty
+  FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) AS ks(k))
+"""
+
+V26_SQL = f"""
+WITH {_PS_CTE}
+SELECT s_name, n_name, p_partkey, p_brand,
+       CAST(ROUND(ps_supplycost, 2) AS DOUBLE) AS min_cost
+FROM part
+JOIN ps       ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size = 5 AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY p_partkey, s_name
+LIMIT 100
+"""
+
+
+def v26_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V26 (TPC-H Q2 shape): minimum-cost supplier — the correlated
+    scalar MIN over a second copy of the partsupp join tree, the
+    classic decorrelation pattern.  partsupp is the derived relation
+    above (documented stand-in); everything else is the fixture."""
+    register_views(spark, sf_dir)
+    return spark.sql(V26_SQL)
+
+
+V27_SQL = f"""
+WITH {_PS_CTE}
+SELECT ps_partkey,
+       {sql_dsum("ps_supplycost * ps_availqty")} AS value
+FROM ps
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+GROUP BY ps_partkey
+HAVING SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(30,6))) > (
+  SELECT SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(30,6))) * 0.01
+  FROM ps
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3')
+"""
+
+
+def v27_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V27 (TPC-H Q11 shape): important-stock identification — a
+    grouped HAVING against a scalar fraction of the SAME aggregate
+    over the whole relation (evaluate-once subquery, v14's pattern at
+    relation scale).  Exact decimal sums on both sides of the
+    comparison."""
+    register_views(spark, sf_dir)
+    return spark.sql(V27_SQL)
+
+
+V28_SQL = f"""
+WITH {_PS_CTE}
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 14, 23, 45, 50)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_suppkey % 17 = 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 50
+"""
+
+
+def v28_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V28 (TPC-H Q16 shape): supplier-count per (brand, type, size)
+    with a NOT IN anti-join on an excluded-supplier subquery (the
+    complaint filter, stand-in: every 17th key) and a distinct-count
+    rollup under a disjunctive size IN list."""
+    register_views(spark, sf_dir)
+    return spark.sql(V28_SQL)
+
+
 QUERIES: dict[str, tuple] = {
     "v1_pivot": (v1_pivot, V1_SQL),
     "v2_unpivot": (v2_unpivot, V2_SQL),
@@ -797,6 +969,11 @@ QUERIES: dict[str, tuple] = {
     "v21_tpch_q14": (v21_tpch_q14, V21_SQL),
     "v22_tpch_q4": (v22_tpch_q4, V22_SQL),
     "v23_tpch_q6": (v23_tpch_q6, V23_SQL),
+    "v24_tpch_q9_shape": (v24_tpch_q9_shape, V24_SQL),
+    "v25_tpch_q12_shape": (v25_tpch_q12_shape, V25_SQL),
+    "v26_tpch_q2_shape": (v26_tpch_q2_shape, V26_SQL),
+    "v27_tpch_q11_shape": (v27_tpch_q11_shape, V27_SQL),
+    "v28_tpch_q16_shape": (v28_tpch_q16_shape, V28_SQL),
     "m1_upsert": (m1_upsert, M1_SQL),
     "m2_scd2": (m2_scd2, M2_SQL),
     "m3_salted_join": (m3_salted_join, M3_SQL),
