@@ -886,6 +886,61 @@ GROUP BY t.doc_id
 """
 
 
+def x55_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55 (r5): decontamination MATERIALIZATION — the action on
+    x13's report: training documents sharing any 8-gram with the
+    eval set (source 'src0') are dropped via an anti join on the
+    contaminated-id set, and the per-source funnel (candidates,
+    contaminated, kept, kept token mass) is the audit record a
+    pretraining run ships with.  The contaminated set is x13's
+    equi-join machinery unchanged; the removal is one doc-keyed anti
+    join — no new scale surface."""
+    doc = load_table(spark, sf_dir, "documents")
+    hits = curation.ngram_contamination(
+        doc, F.col("source") == "src0", n=8)
+    train = doc.filter(F.col("source") != "src0")
+    kept = train.join(hits.select("doc_id"), "doc_id", "left_anti")
+    per = train.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train"))
+    bad = (train.join(hits.select("doc_id"), "doc_id")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_contaminated")))
+    kp = (kept.groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n_kept"),
+               F.sum("n_chars").alias("kept_chars")))
+    return (per.join(bad, "source", "left").join(kp, "source", "left")
+            .select("source", "n_train",
+                    F.coalesce("n_contaminated", F.lit(0))
+                    .alias("n_contaminated"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("kept_chars", F.lit(0).cast("long"))
+                    .alias("kept_chars")))
+
+
+X55_SQL = f"""
+WITH s AS (SELECT doc_id, {tokenize_sql('text')} AS toks,
+                  source = 'src0' AS is_eval
+           FROM documents),
+sh AS (SELECT doc_id, is_eval,
+              UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                RANGE(1, GREATEST(LEN(toks) - 7, 0) + 1),
+                i -> {_X13_SHINGLE}))) AS shingle
+       FROM s),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE is_eval),
+bad AS (SELECT DISTINCT t.doc_id
+        FROM sh t JOIN ev USING (shingle) WHERE NOT t.is_eval),
+train AS (SELECT * FROM documents WHERE source <> 'src0')
+SELECT source, COUNT(*) AS n_train,
+       SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS n_contaminated,
+       SUM(CASE WHEN bad.doc_id IS NULL THEN 1 ELSE 0 END) AS n_kept,
+       COALESCE(SUM(CASE WHEN bad.doc_id IS NULL THEN n_chars END), 0)
+         AS kept_chars
+FROM train LEFT JOIN bad USING (doc_id)
+GROUP BY source
+"""
+
+
 def x14_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality gate: duplicate 2-/3-gram
     fractions per doc + keep flag."""
@@ -1913,6 +1968,7 @@ QUERIES: dict[str, tuple] = {
     "x51_shard_pack": (x51_shard_pack, _x51_sql()),
     "x52_domain_stats": (x52_domain_stats, X52_SQL),
     "x54_ngram_diversity": (x54_ngram_diversity, X54_SQL),
+    "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x45_feature_hash_embed": (x45_feature_hash_embed,
                                text.feature_hash_stats_sql(dim=64)),
     "x23_deterministic_shuffle": (x23_deterministic_shuffle,

@@ -561,3 +561,34 @@ def test_shard_pack_two_pass_cumsum(spark, sf_smoke):
     assert "SinglePartition" not in plan
     assert "hashpartitioning(source" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q2_correlated_min_decorrelates(spark, sf_smoke):
+    """V26 contract: the correlated MIN over the second partsupp join
+    tree decorrelates into an aggregate joined back on ps_partkey —
+    no per-row nested-loop re-execution, no cartesian."""
+    from samplebatchprocessing_spark.queries.sqlapi import (
+        v26_tpch_q2_shape)
+    plan = plan_str(v26_tpch_q2_shape(spark, sf_smoke), mode="simple")
+    assert "min(ps_supplycost" in plan       # the decorrelated aggregate
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q11_global_scalar_evaluates_once(spark, sf_smoke):
+    """V27 contract: the fraction-of-global threshold is a scalar
+    subquery evaluated once, not a re-planned join per group."""
+    from samplebatchprocessing_spark.queries.sqlapi import (
+        v27_tpch_q11_shape)
+    plan = plan_str(v27_tpch_q11_shape(spark, sf_smoke), mode="simple")
+    assert "Subquery" in plan or "scalar-subquery" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q16_not_in_is_anti_join(spark, sf_smoke):
+    """V28 contract: the NOT IN excluded-supplier subquery plans as a
+    null-aware anti join, never a nested loop over the rollup."""
+    from samplebatchprocessing_spark.queries.sqlapi import (
+        v28_tpch_q16_shape)
+    plan = plan_str(v28_tpch_q16_shape(spark, sf_smoke), mode="simple")
+    assert "LeftAnti" in plan or "NAAJ" in plan
+    assert "CartesianProduct" not in plan
