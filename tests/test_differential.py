@@ -6,11 +6,12 @@ hand-written corpus misses (null ordering, coercion, literal typing,
 post-agg filter/truncation, set-op duplicate semantics).
 
 Grammar (r5 extensions marked): scan | inner/left/SEMI/ANTI join ->
-filters -> group agg -> having -> optional UNION ALL / UNION /
+filters -> group agg -> having -> optional WINDOW over the
+aggregated frame (r5b) -> optional UNION ALL / UNION /
 INTERSECT / EXCEPT against a differently-filtered copy of the same
 pipeline -> optional deterministic LIMIT.
 
-Deterministic: seeds are fixed; the same 90 pipelines run each time.
+Deterministic: seeds are fixed; the same 110 pipelines run each time.
 The top-k stage orders by ALL output columns — a total order even
 after a union — so LIMIT selects the same set on both engines.
 """
@@ -128,6 +129,13 @@ def gen_ast(seed: int) -> dict:
     # columns, since group keys alone are no longer a total order
     # after a union.
     having = rng.randint(1, 25) if rng.random() < 0.4 else None
+    # r5b: optional WINDOW stage over the aggregated frame —
+    # partition by the first group key, order by the remaining
+    # output columns (a total order: rows are unique on the full
+    # group-key set).  Non-null window functions only, so downstream
+    # LIMIT ordering never hits engine null-ordering defaults.
+    window = (rng.choice(["row_number", "rank", "sum_over", "max_over"])
+              if rng.random() < 0.35 else None)
     setop = None
     preds2 = None
     if rng.random() < 0.3:
@@ -136,7 +144,7 @@ def gen_ast(seed: int) -> dict:
     limit = rng.randint(1, 8) if rng.random() < 0.4 else None
     return {"table": table, "join": join, "preds": preds,
             "group": group, "aggs": aggs,
-            "having": having, "limit": limit,
+            "having": having, "limit": limit, "window": window,
             "setop": setop, "preds2": preds2}
 
 
@@ -177,6 +185,22 @@ def _pipeline_spark(ast: dict, preds: list, spark, sf_dir):
     out = df.groupBy(*ast["group"]).agg(*aggs)
     if ast.get("having"):
         out = out.filter(F.col(_agg_alias(0)) >= ast["having"])
+    if ast.get("window"):
+        from pyspark.sql import Window as W
+        part = ast["group"][0]
+        ordcols = (list(ast["group"][1:])
+                   + [_agg_alias(i) for i in range(len(ast["aggs"]))])
+        if ast["window"] in ("sum_over", "max_over"):
+            w = W.partitionBy(part)
+            fn = {"sum_over": F.sum(_agg_alias(0)),
+                  "max_over": F.max(_agg_alias(0))}[ast["window"]]
+            col = fn.over(w)
+        else:
+            w = W.partitionBy(part).orderBy(*ordcols)
+            fn = {"row_number": F.row_number(),
+                  "rank": F.rank()}[ast["window"]]
+            col = fn.over(w).cast("long")
+        out = out.withColumn("win_0", col)
     return out
 
 
@@ -191,6 +215,8 @@ def to_spark(ast: dict, spark, sf_dir):
     if ast.get("limit"):
         all_cols = (list(ast["group"])
                     + [_agg_alias(i) for i in range(len(ast["aggs"]))])
+        if ast.get("window"):
+            all_cols.append("win_0")
         out = out.orderBy(*all_cols).limit(ast["limit"])
     return out
 
@@ -229,8 +255,23 @@ def _pipeline_sql(ast: dict, preds: list) -> str:
             sels.append(f"{sql_dsum(a[1])} AS {name}")
     having = (f" HAVING COUNT(*) >= {ast['having']}"
               if ast.get("having") else "")
-    return (f"SELECT {', '.join(sels)} FROM {frm}{where} "
-            f"GROUP BY {', '.join(ast['group'])}{having}")
+    q = (f"SELECT {', '.join(sels)} FROM {frm}{where} "
+         f"GROUP BY {', '.join(ast['group'])}{having}")
+    if ast.get("window"):
+        part = ast["group"][0]
+        ordcols = (list(ast["group"][1:])
+                   + [_agg_alias(i) for i in range(len(ast["aggs"]))])
+        oc = ", ".join(f"{c} NULLS FIRST" for c in ordcols)
+        over_o = f"PARTITION BY {part} ORDER BY {oc}"
+        over_p = f"PARTITION BY {part}"
+        expr = {
+            "row_number": f"CAST(ROW_NUMBER() OVER ({over_o}) AS BIGINT)",
+            "rank": f"CAST(RANK() OVER ({over_o}) AS BIGINT)",
+            "sum_over": f"SUM({_agg_alias(0)}) OVER ({over_p})",
+            "max_over": f"MAX({_agg_alias(0)}) OVER ({over_p})",
+        }[ast["window"]]
+        q = f"SELECT *, {expr} AS win_0 FROM ({q})"
+    return q
 
 
 def to_sql(ast: dict) -> str:
@@ -242,12 +283,15 @@ def to_sql(ast: dict) -> str:
     if ast.get("limit"):
         all_cols = (list(ast["group"])
                     + [_agg_alias(i) for i in range(len(ast["aggs"]))])
+        if ast.get("window"):
+            all_cols.append("win_0")
+        oc = ", ".join(f"{c} NULLS FIRST" for c in all_cols)
         q = (f"SELECT * FROM ({q}) "
-             f"ORDER BY {', '.join(all_cols)} LIMIT {ast['limit']}")
+             f"ORDER BY {oc} LIMIT {ast['limit']}")
     return q
 
 
-@pytest.mark.parametrize("seed", range(90))
+@pytest.mark.parametrize("seed", range(110))
 def test_differential(spark, sf_oracle, seed):
     ast = gen_ast(seed)
     report = compare(to_spark(ast, spark, sf_oracle), to_sql(ast), sf_oracle)
