@@ -886,6 +886,55 @@ GROUP BY t.doc_id
 """
 
 
+def x56_dedup_threshold_curve(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """X56 (r5): near-dup THRESHOLD CURVE — cumulative pair counts at
+    Jaccard >= 0.5 … 0.9 over the length-band candidate set, in one
+    pass.  This is the audit that picks a dedup threshold: how many
+    pairs each cut would merge.  Every bucket decision is the integer
+    cross-multiplication ``10*|A∩B| >= k*|A∪B|`` — no float compare
+    anywhere.  Band semantics match the L5/L6 twins; at 100 TB the
+    candidate set swaps to the LSH path (operators/dedup.py) with the
+    same counting tail."""
+    from ..operators.text import token_set
+    doc = load_table(spark, sf_dir, "documents")
+    s = doc.select("doc_id", token_set(F.col("text")).alias("toks"))
+    b = s.withColumn("band",
+                     F.floor(F.size("toks") / 10).cast("int"))
+    a = b.select(F.col("doc_id").alias("id_a"),
+                 F.col("toks").alias("ta"), "band")
+    c = b.select(F.col("doc_id").alias("id_b"),
+                 F.col("toks").alias("tb"), "band")
+    i = F.size(F.array_intersect("ta", "tb")).cast("long")
+    p = (a.join(c, "band").filter(F.col("id_a") < F.col("id_b"))
+         .select(i.alias("i"),
+                 (F.size("ta") + F.size("tb")).cast("long").alias("su")))
+    u = F.col("su") - F.col("i")
+    aggs = [F.count(F.lit(1)).alias("n_candidates")]
+    for k in range(5, 10):
+        aggs.append(F.sum((10 * F.col("i") >= k * u).cast("long"))
+                    .alias(f"n_ge_0{k}"))
+    return p.agg(*aggs)
+
+
+X56_SQL = f"""
+WITH s AS (SELECT doc_id, {token_set_sql('text')} AS toks FROM documents),
+b AS (SELECT doc_id, toks, CAST(FLOOR(LEN(toks) / 10) AS INT) AS band
+      FROM s),
+p AS (SELECT CAST(LEN(LIST_INTERSECT(a.toks, c.toks)) AS BIGINT) AS i,
+             CAST(LEN(a.toks) + LEN(c.toks)
+                  - LEN(LIST_INTERSECT(a.toks, c.toks)) AS BIGINT) AS u
+      FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id)
+SELECT COUNT(*) AS n_candidates,
+       SUM(CASE WHEN 10 * i >= 5 * u THEN 1 ELSE 0 END) AS n_ge_05,
+       SUM(CASE WHEN 10 * i >= 6 * u THEN 1 ELSE 0 END) AS n_ge_06,
+       SUM(CASE WHEN 10 * i >= 7 * u THEN 1 ELSE 0 END) AS n_ge_07,
+       SUM(CASE WHEN 10 * i >= 8 * u THEN 1 ELSE 0 END) AS n_ge_08,
+       SUM(CASE WHEN 10 * i >= 9 * u THEN 1 ELSE 0 END) AS n_ge_09
+FROM p
+"""
+
+
 def x55_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X55 (r5): decontamination MATERIALIZATION — the action on
     x13's report: training documents sharing any 8-gram with the
@@ -1969,6 +2018,7 @@ QUERIES: dict[str, tuple] = {
     "x52_domain_stats": (x52_domain_stats, X52_SQL),
     "x54_ngram_diversity": (x54_ngram_diversity, X54_SQL),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
+    "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),
     "x45_feature_hash_embed": (x45_feature_hash_embed,
                                text.feature_hash_stats_sql(dim=64)),
     "x23_deterministic_shuffle": (x23_deterministic_shuffle,
