@@ -459,6 +459,63 @@ FROM g GROUP BY bucket
 """
 
 
+
+def p16_corrupt_tolerant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16 (r5): corrupt-record-tolerant JSON-lines ingestion — the
+    p13 posture on the other wire format scraped corpora actually
+    arrive in.  Every 10th key's line is staged as invalid JSON and a
+    further every-10th-offset-5 line as type-mismatched JSON (valid
+    syntax, wrong type — PERMISSIVE nulls the field and quarantines
+    the raw line), so both failure classes are exercised; the oracle
+    derives the three-way split arithmetically from the orders view."""
+    out = _work_dir(sf_dir, "p16_corrupt_json")
+    os.makedirs(out, exist_ok=True)
+    rows = (load_table(spark, sf_dir, "orders")
+            .select("o_orderkey")
+            .filter(F.col("o_orderkey") <= 1000)
+            .orderBy("o_orderkey").collect())
+    path = os.path.join(out, "data.jsonl")
+    with open(path, "w") as fh:
+        for r in rows:
+            k = r["o_orderkey"]
+            if k % 10 == 0:
+                fh.write('{"o_orderkey": ' + str(k) + ", broken\n")
+            elif k % 10 == 5:
+                fh.write('{"o_orderkey": "' + "k" + str(k)
+                         + '", "doubled": ' + str(k * 2) + "}\n")
+            else:
+                fh.write('{"o_orderkey": ' + str(k)
+                         + ', "doubled": ' + str(k * 2) + "}\n")
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("doubled", T.LongType()),
+        T.StructField("_corrupt", T.StringType()),
+    ])
+    back = (spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(path))
+    clean = F.col("_corrupt").isNull() & F.col("o_orderkey").isNotNull()
+    return back.agg(
+        F.count(F.when(clean, 1)).alias("n_clean"),
+        F.count(F.when(F.col("_corrupt").isNotNull()
+                       & F.col("doubled").isNotNull(), 1))
+         .alias("n_type_mismatch"),
+        F.count(F.when(F.col("_corrupt").isNotNull()
+                       & F.col("doubled").isNull(), 1))
+         .alias("n_malformed"),
+        F.sum(F.when(clean, F.col("o_orderkey"))).alias("clean_key_sum"))
+
+
+P16_SQL = """
+SELECT COUNT(*) FILTER (o_orderkey % 10 NOT IN (0, 5)) AS n_clean,
+       COUNT(*) FILTER (o_orderkey % 10 = 5) AS n_type_mismatch,
+       COUNT(*) FILTER (o_orderkey % 10 = 0) AS n_malformed,
+       CAST(SUM(o_orderkey) FILTER (o_orderkey % 10 NOT IN (0, 5))
+            AS BIGINT) AS clean_key_sum
+FROM orders WHERE o_orderkey <= 1000
+"""
+
 QUERIES: dict[str, tuple] = {
     "p1_parquet_scan": (p1_parquet_scan, P1_SQL),
     "p2_csv_roundtrip": (p2_csv_roundtrip, P2_SQL),
@@ -473,5 +530,6 @@ QUERIES: dict[str, tuple] = {
     "p11_compaction": (p11_compaction, P11_SQL),
     "p12_schema_merge": (p12_schema_merge, P12_SQL),
     "p13_corrupt_csv": (p13_corrupt_tolerant_csv, P13_SQL),
+    "p16_corrupt_json": (p16_corrupt_tolerant_json, P16_SQL),
     "p14_python_datasource": (p14_python_datasource, P14_SQL),
 }
