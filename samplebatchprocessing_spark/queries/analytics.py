@@ -545,6 +545,67 @@ SELECT CAST(cid AS INTEGER) AS cid, COUNT(*) AS n_total,
 FROM rk GROUP BY cid"""
 
 
+def x57_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57 (r5): embedding-space outlier detection — the
+    out-of-distribution flag for curation: a vector is an outlier
+    when its squared distance to its X47 centroid exceeds the
+    cluster mean by 1.5 population sigmas (2 sigma flags nothing on
+    the uniform fixture vectors — distances concentrate; 1.5 flags
+    16 at sf0.01 and stays the documented calibration, x50-style).
+    The whole test is EXACT integer/decimal algebra: with n,
+    S = sum(d), Q = sum(d^2) per cluster, ``d > mean + 1.5*sigma``
+    is equivalent to
+    ``n*d - S > 0 AND 4*(n*d - S)^2 > 9*(n*Q - S^2)`` — no float
+    anywhere, so the oracle replays it bit-for-bit on the unrolled
+    assignment chain.
+
+    Scale: assignment is the join-free literal-centroid expression;
+    the moments frame is k rows broadcast back; the flag is
+    row-local."""
+    from ..operators.clustering import (assign_best, kmeans_train,
+                                        quantize_vec)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_train(emb, k=8, iters=3)
+    d = (emb.select("vec_id", quantize_vec("embedding").alias("qv"))
+         .withColumn("best", assign_best(cents))
+         .select("vec_id", F.col("best.cid").cast("int").alias("cid"),
+                 F.col("best.d").alias("d")))
+    dec = "decimal(38,0)"
+    stats = (d.groupBy("cid")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("d").cast(dec).alias("s"),
+                  F.sum(F.col("d").cast(dec) * F.col("d")).alias("q")))
+    j = d.join(F.broadcast(stats), "cid")
+    lhs = F.col("n").cast(dec) * F.col("d") - F.col("s")
+    base = (F.col("n").cast(dec) * F.col("q")
+            - F.col("s") * F.col("s"))
+    out = (lhs > 0) & (4 * lhs * lhs > 9 * base)
+    return (j.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum(out.cast("long")).alias("n_outliers_15sigma"),
+                 F.max("d").alias("max_d")))
+
+
+def _x57_sql() -> str:
+    from ..operators.clustering import _kmeans_cte_chain
+    chain = _kmeans_cte_chain(8, 3, "embeddings", "embedding", "vec_id")
+    return chain + """,
+st AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(d) AS DECIMAL(38,0)) AS s,
+              SUM(CAST(d AS DECIMAL(38,0)) * d) AS q
+       FROM a3 GROUP BY cid)
+SELECT CAST(a.cid AS INTEGER) AS cid, COUNT(*) AS n_points,
+       SUM(CASE WHEN CAST(st.n AS DECIMAL(38,0)) * a.d - st.s > 0
+                 AND 4 * (CAST(st.n AS DECIMAL(38,0)) * a.d - st.s)
+                       * (CAST(st.n AS DECIMAL(38,0)) * a.d - st.s)
+                     > 9 * (CAST(st.n AS DECIMAL(38,0)) * st.q
+                            - st.s * st.s)
+                THEN 1 ELSE 0 END) AS n_outliers_15sigma,
+       MAX(a.d) AS max_d
+FROM a3 a JOIN st USING (cid)
+GROUP BY a.cid"""
+
+
 def x49_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X49 (r5): per-user exponentially weighted moving average over
     the event stream (``operators.eventflow.ewma_fixedpoint``) — the
@@ -569,6 +630,7 @@ QUERIES: dict[str, tuple] = {
     "x49_ewma": (x49_ewma, _x49_sql()),
     "x53_cluster_balanced_sample": (x53_cluster_balanced_sample,
                                     _x53_sql()),
+    "x57_embedding_outliers": (x57_embedding_outliers, _x57_sql()),
     "x26_retention": (x26_retention, X26_SQL),
     "x27_peak_concurrency": (x27_peak_concurrency, X27_SQL),
     "a14_regression": (a14_regression, A14_SQL),
