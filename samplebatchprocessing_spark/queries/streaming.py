@@ -458,6 +458,50 @@ def _s15_sql() -> str:
     return kmeans_label_matrix_sql(k=8, iters=3)
 
 
+def s17_stream_decontaminate(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """S17 (r5): streaming decontamination — X55's gate at ingest
+    time.  The eval set's distinct 8-grams (by-contract small)
+    collapse batch-side into ONE broadcast row, so each streamed
+    training document is flagged with a row-local
+    ``arrays_overlap(doc_shingles, eval_shingles)`` — no join
+    explosion, no per-shingle state — and the only streaming state
+    is the single per-source funnel aggregation.  Output equals the
+    batch X55 funnel bit-for-bit (shares its oracle)."""
+    from ..catalog import load_table
+    from ..operators import text as T
+    from ..streaming.jobs import documents_stream
+    doc = load_table(spark, sf_dir, "documents")
+
+    _SH = ("case when size(__toks) >= 8 then array_distinct("
+           "transform(sequence(1, size(__toks) - 7), i -> "
+           "concat_ws(' ', slice(__toks, i, 8)))) "
+           "else array() end")
+    ev = (doc.filter(F.col("source") == "src0")
+          .withColumn("__toks", T.tokenize(F.col("text")))
+          .select(F.explode(F.expr(_SH)).alias("sh"))
+          .agg(F.collect_set("sh").alias("ev_shingles")))
+    sdf = (documents_stream(spark, sf_dir, tag="decon")
+           .filter(F.col("source") != "src0"))
+    sdf = (sdf.withColumn("__toks", T.tokenize(F.col("text")))
+           .withColumn("sh", F.expr(_SH))
+           .crossJoin(F.broadcast(ev))
+           .withColumn("hit", F.arrays_overlap("sh", "ev_shingles")))
+    agg = (sdf.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_train"),
+                F.sum(F.col("hit").cast("long")).alias("n_contaminated"),
+                F.sum((~F.col("hit")).cast("long")).alias("n_kept"),
+                F.coalesce(F.sum(F.when(~F.col("hit"),
+                                        F.col("n_chars"))),
+                           F.lit(0).cast("long")).alias("kept_chars")))
+    return run_available_now(agg, output_mode="complete")
+
+
+def _s17_sql() -> str:
+    from .llm import X55_SQL
+    return X55_SQL
+
+
 def s16_stream_quality_gate(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """S16 (r5): the X50 Gopher quality audit applied UNCHANGED to a
@@ -497,4 +541,5 @@ QUERIES: dict[str, tuple] = {
     "s14_stream_semantic_dedup": (s14_stream_semantic_dedup, _s14_sql()),
     "s15_stream_cluster_assign": (s15_stream_cluster_assign, _s15_sql()),
     "s16_stream_quality_gate": (s16_stream_quality_gate, _s16_sql()),
+    "s17_stream_decontaminate": (s17_stream_decontaminate, _s17_sql()),
 }
