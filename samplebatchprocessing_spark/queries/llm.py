@@ -886,6 +886,53 @@ GROUP BY t.doc_id
 """
 
 
+def x58_cluster_size_histogram(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """X58 (r5): dedup telemetry — the near-dup CLUSTER SIZE
+    distribution (how many clusters of 2, of 3, …, plus the
+    singleton count), the first thing to inspect when a dedup pass
+    removes more or less than expected.  Built on L11's connected
+    components; the histogram is two tiny aggregations over the
+    cluster assignment, and singletons come from an anti join of the
+    corpus against clustered ids."""
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(doc, threshold=0.9,
+                                open_vocab="signature")
+    clusters = dedup.dedup_clusters(pairs)
+    sizes = (clusters.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    hist = (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters")))
+    n_single = (doc.select("doc_id")
+                .join(clusters, "doc_id", "left_anti").count())
+    single = doc.sparkSession.createDataFrame(
+        [(1, n_single)], "cluster_size long, n_clusters long")
+    return hist.unionByName(single)
+
+
+X58_SQL = f"""
+WITH RECURSIVE
+p AS ({{band}}),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(node, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
+cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach
+       GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl
+          GROUP BY cluster_id)
+SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes
+GROUP BY cluster_size
+UNION ALL
+SELECT 1 AS cluster_size,
+       (SELECT COUNT(*) FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM cl WHERE cl.doc_id = d.doc_id))
+         AS n_clusters
+"""
+
+
 def x56_dedup_threshold_curve(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """X56 (r5): near-dup THRESHOLD CURVE — cumulative pair counts at
@@ -2019,6 +2066,9 @@ QUERIES: dict[str, tuple] = {
     "x54_ngram_diversity": (x54_ngram_diversity, X54_SQL),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),
+    "x58_cluster_size_histogram": (
+        x58_cluster_size_histogram,
+        X58_SQL.format(band=_L5_BAND_JACCARD.format(thr='0.9'))),
     "x45_feature_hash_embed": (x45_feature_hash_embed,
                                text.feature_hash_stats_sql(dim=64)),
     "x23_deterministic_shuffle": (x23_deterministic_shuffle,
