@@ -516,6 +516,50 @@ SELECT COUNT(*) FILTER (o_orderkey % 10 NOT IN (0, 5)) AS n_clean,
 FROM orders WHERE o_orderkey <= 1000
 """
 
+
+def t5_range_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 (r5): range-partitioned globally-sorted LAYOUT — the
+    scale-correct form of "write the table sorted": repartitionByRange
+    samples split points so each of the 8 output files owns a disjoint
+    (o_totalprice, o_orderkey) range, and sortWithinPartitions orders
+    rows inside each file — a distributed external sort with no
+    single-partition stage.  Verification reads the files back with
+    input_file_name and PROVES the layout: per-file [min, max] ranges,
+    ordered by min, must be non-overlapping (touching allowed at
+    boundary ties) — plus value preservation.  The oracle states the
+    structural booleans TRUE (a10-style) and derives the aggregates
+    from the orders view."""
+    out = _work_dir(sf_dir, "t5_sorted")
+    ord_ = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    (ord_.repartitionByRange(8, "o_totalprice", "o_orderkey")
+     .sortWithinPartitions("o_totalprice", "o_orderkey")
+     .write.mode("overwrite").parquet(out))
+    back = (spark.read.parquet(out)
+            .withColumn("f", F.input_file_name()))
+    from pyspark.sql import Window as W
+    stats = (back.groupBy("f")
+             .agg(F.min("o_totalprice").alias("mn"),
+                  F.max("o_totalprice").alias("mx"),
+                  F.count(F.lit(1)).alias("c")))
+    w = W.orderBy("mn", "f")      # files-sized frame: global window OK
+    chk = (stats.withColumn("prev_mx", F.lag("mx").over(w))
+           .agg(F.count(F.lit(1)).alias("n_files"),
+                F.min(F.coalesce(F.col("prev_mx") <= F.col("mn"),
+                                 F.lit(True))).alias("ranges_ordered"),
+                F.sum("c").alias("n_rows")))
+    total = back.agg(dsum("o_totalprice", "price_sum"))
+    return (chk.crossJoin(total)
+            .select((F.col("n_files") <= 8).alias("files_le_8"),
+                    "ranges_ordered", "n_rows", "price_sum"))
+
+
+T5_SQL = f"""
+SELECT TRUE AS files_le_8, TRUE AS ranges_ordered,
+       COUNT(*) AS n_rows, {sql_dsum('o_totalprice')} AS price_sum
+FROM orders
+"""
+
 QUERIES: dict[str, tuple] = {
     "p1_parquet_scan": (p1_parquet_scan, P1_SQL),
     "p2_csv_roundtrip": (p2_csv_roundtrip, P2_SQL),
@@ -531,5 +575,6 @@ QUERIES: dict[str, tuple] = {
     "p12_schema_merge": (p12_schema_merge, P12_SQL),
     "p13_corrupt_csv": (p13_corrupt_tolerant_csv, P13_SQL),
     "p16_corrupt_json": (p16_corrupt_tolerant_json, P16_SQL),
+    "t5_range_sorted_layout": (t5_range_sorted_layout, T5_SQL),
     "p14_python_datasource": (p14_python_datasource, P14_SQL),
 }
