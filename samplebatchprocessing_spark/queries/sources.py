@@ -560,6 +560,35 @@ SELECT TRUE AS files_le_8, TRUE AS ranges_ordered,
 FROM orders
 """
 
+
+def q5_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 (r5): NESTED-field projection pruning — events re-written
+    with a struct payload (type, value, k), then an aggregate that
+    touches only ``payload.t`` and ``payload.k``.  The point is the
+    scan: Spark's nested schema pruning must read just those two
+    subfields (ReadSchema shows struct<t,k>, no v — plan-gated), the
+    columnar analog of column pruning one level down.  The oracle
+    derives the same aggregate from the flat events view."""
+    out = _work_dir(sf_dir, "q5_nested")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.struct(F.col("event_type").alias("t"),
+                 F.col("value").alias("v"),
+                 F.get_json_object("props", "$.k").cast("long")
+                 .alias("k")).alias("payload"))
+    ev.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (back.groupBy(F.col("payload.t").alias("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("payload.k").alias("k_sum")))
+
+
+Q5_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS k_sum
+FROM events GROUP BY event_type
+"""
+
 QUERIES: dict[str, tuple] = {
     "p1_parquet_scan": (p1_parquet_scan, P1_SQL),
     "p2_csv_roundtrip": (p2_csv_roundtrip, P2_SQL),
@@ -576,5 +605,6 @@ QUERIES: dict[str, tuple] = {
     "p13_corrupt_csv": (p13_corrupt_tolerant_csv, P13_SQL),
     "p16_corrupt_json": (p16_corrupt_tolerant_json, P16_SQL),
     "t5_range_sorted_layout": (t5_range_sorted_layout, T5_SQL),
+    "q5_nested_pruning": (q5_nested_pruning, Q5_SQL),
     "p14_python_datasource": (p14_python_datasource, P14_SQL),
 }

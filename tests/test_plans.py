@@ -592,3 +592,16 @@ def test_tpch_q16_not_in_is_anti_join(spark, sf_smoke):
     plan = plan_str(v28_tpch_q16_shape(spark, sf_smoke), mode="simple")
     assert "LeftAnti" in plan or "NAAJ" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_nested_field_pruning(spark, sf_smoke):
+    """q5: the parquet scan must prune INSIDE the struct — ReadSchema
+    carries payload.t and payload.k but not the untouched payload.v."""
+    from samplebatchprocessing_spark.queries.sources import (
+        q5_nested_pruning)
+    plan = plan_str(q5_nested_pruning(spark, sf_smoke))
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m, plan
+    rs = m[0]
+    assert "t:" in rs and "k:" in rs
+    assert "v:" not in rs, rs
