@@ -606,6 +606,65 @@ FROM a3 a JOIN st USING (cid)
 GROUP BY a.cid"""
 
 
+def x59_label_centroid_matrix(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """X59 (r5): label-centroid similarity matrix — how close the 10
+    label populations sit in embedding space (the class-confusability
+    audit before sampling balances them).  Centroids are per-(label,
+    dim) floor-division integer means of the quantized vectors (X47's
+    grid + pdiv); the matrix reports the exact integer dot product
+    and both squared norms (all < 2^62 — int64-safe), from which any
+    consumer derives cosine; raw integers keep every declared cell
+    bit-replayable with no cross-engine decimal division in play.
+
+    Scale: one (label, dim) shuffle for the means (10 x 64 keys), a
+    dim-keyed join of the two tiny centroid relations, one pair
+    aggregate."""
+    from ..operators.clustering import quantize_vec
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.select("label", quantize_vec("embedding").alias("qv"))
+         .select("label", F.posexplode("qv").alias("dim", "v")))
+    cent = (q.groupBy("label", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("label", "dim",
+                    F.expr("(s - ((s % n + n) % n)) div n").alias("m")))
+    a = cent.select(F.col("label").alias("la"), "dim",
+                    F.col("m").alias("ma"))
+    b = cent.select(F.col("label").alias("lb"), "dim",
+                    F.col("m").alias("mb"))
+    pairs = (a.join(b, "dim").filter(F.col("la") < F.col("lb"))
+             .groupBy("la", "lb")
+             .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+                  F.sum(F.col("ma") * F.col("ma")).alias("na"),
+                  F.sum(F.col("mb") * F.col("mb")).alias("nb")))
+    return pairs.select("la", "lb", "dot", "na", "nb",
+                        (F.col("dot") >= 0).alias("dot_nonneg"))
+
+
+def _x59_sql() -> str:
+    return """
+WITH q AS (
+  SELECT label, GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1024)
+              AS BIGINT) AS v
+  FROM embeddings),
+cent AS (
+  SELECT label, dim,
+         (SUM(v) - ((SUM(v) % COUNT(*) + COUNT(*)) % COUNT(*)))
+           // COUNT(*) AS m
+  FROM q GROUP BY label, dim),
+p AS (
+  SELECT a.label AS la, b.label AS lb,
+         CAST(SUM(a.m * b.m) AS BIGINT) AS dot,
+         CAST(SUM(a.m * a.m) AS BIGINT) AS na,
+         CAST(SUM(b.m * b.m) AS BIGINT) AS nb
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label)
+SELECT la, lb, dot, na, nb, dot >= 0 AS dot_nonneg
+FROM p
+"""
+
+
 def x49_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X49 (r5): per-user exponentially weighted moving average over
     the event stream (``operators.eventflow.ewma_fixedpoint``) — the
@@ -631,6 +690,8 @@ QUERIES: dict[str, tuple] = {
     "x53_cluster_balanced_sample": (x53_cluster_balanced_sample,
                                     _x53_sql()),
     "x57_embedding_outliers": (x57_embedding_outliers, _x57_sql()),
+    "x59_label_centroid_matrix": (x59_label_centroid_matrix,
+                                  _x59_sql()),
     "x26_retention": (x26_retention, X26_SQL),
     "x27_peak_concurrency": (x27_peak_concurrency, X27_SQL),
     "a14_regression": (a14_regression, A14_SQL),
