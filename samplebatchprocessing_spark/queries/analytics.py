@@ -683,8 +683,29 @@ def _x49_sql() -> str:
     return ewma_fixedpoint_sql()
 
 
+
+def j11_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 (r5): interval-overlap join — per day, how many event
+    pairs [ts, ts+value sec) genuinely overlap
+    (``operators.eventflow.interval_overlap_pairs``).  Spark plans
+    the naive form as a quadratic theta join, so the operator blocks
+    on (day, hour) with per-bucket replication and a DISTINCT pair
+    key — an equi-join plan, no cartesian (gated).  The oracle runs
+    the direct per-day range self-join with identical
+    integer-millisecond clip arithmetic."""
+    from ..operators.eventflow import interval_overlap_pairs
+    ev = load_table(spark, sf_dir, "events")
+    return interval_overlap_pairs(
+        ev, F.greatest(F.col("value"), F.lit(0.0)))
+
+
+def _j11_sql() -> str:
+    from ..operators.eventflow import interval_overlap_pairs_sql
+    return interval_overlap_pairs_sql()
+
 QUERIES: dict[str, tuple] = {
     "x25_funnel": (x25_funnel, X25_SQL),
+    "j11_interval_overlap": (j11_interval_overlap, _j11_sql()),
     "x47_kmeans_clusters": (x47_kmeans_clusters, _x47_sql()),
     "x49_ewma": (x49_ewma, _x49_sql()),
     "x53_cluster_balanced_sample": (x53_cluster_balanced_sample,

@@ -605,3 +605,14 @@ def test_nested_field_pruning(spark, sf_smoke):
     rs = m[0]
     assert "t:" in rs and "k:" in rs
     assert "v:" not in rs, rs
+
+
+def test_interval_overlap_is_blocked_equi_join(spark, sf_smoke):
+    """j11: the overlap self-join must ride the (day, hour) blocking
+    key as a hash equi-join — never a cartesian/nested-loop pair
+    blow-up."""
+    from samplebatchprocessing_spark.queries.analytics import (
+        j11_interval_overlap)
+    plan = plan_str(j11_interval_overlap(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
