@@ -703,6 +703,58 @@ def _j11_sql() -> str:
     from ..operators.eventflow import interval_overlap_pairs_sql
     return interval_overlap_pairs_sql()
 
+
+def x60_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60 (r5): MERGEABLE distinct-count sub-sketches — per
+    (event_type, day) HLL sketches built once, then re-aggregated
+    with ``hll_union_agg`` into the per-type total, the estimate
+    checked against both the exact distinct and a direct
+    whole-column sketch.  This is the architecture a10's one-shot
+    ``approx_count_distinct`` can't show: at 100 TB each daily
+    ingest materializes its own 4 KiB sketch artifact, and any
+    rollup window (type x week, type x all-time) is a metadata-sized
+    union over stored sketches — the raw data is never re-scanned.
+    Declared output is exact on both engines: the exact distinct,
+    the number of sub-sketches merged, and two accuracy booleans the
+    oracle states TRUE (union estimate within 5% of exact at
+    lgConfigK=12 (~1.6% standard error); union-of-partials within 5%
+    of the direct sketch — the mergeability contract; estimates
+    differ only by HIP-vs-composite estimator choice, never by
+    register content).  Both sketch paths really run; a broken union
+    flips the booleans."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type", F.to_date("ts").alias("day"),
+                  "user_id"))
+    sub = (ev.groupBy("event_type", "day")
+           .agg(F.hll_sketch_agg("user_id", 12).alias("sk")))
+    merged = (sub.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_subsketches"),
+                   F.hll_sketch_estimate(
+                       F.hll_union_agg("sk", False)).alias("est_u")))
+    direct = (ev.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("n_exact"),
+                   F.hll_sketch_estimate(
+                       F.hll_sketch_agg("user_id", 12))
+                   .alias("est_d")))
+    return (direct.join(merged, "event_type")
+            .select("event_type", "n_exact", "n_subsketches",
+                    (F.abs(F.col("est_u") - F.col("n_exact"))
+                     <= 0.05 * F.col("n_exact"))
+                    .alias("union_within_5pct"),
+                    (F.abs(F.col("est_u") - F.col("est_d"))
+                     <= 0.05 * F.greatest(F.col("est_d"), F.lit(1)))
+                    .alias("union_close_to_direct")))
+
+
+X60_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_exact,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_subsketches,
+       TRUE AS union_within_5pct,
+       TRUE AS union_close_to_direct
+FROM events GROUP BY event_type
+"""
+
 QUERIES: dict[str, tuple] = {
     "x25_funnel": (x25_funnel, X25_SQL),
     "j11_interval_overlap": (j11_interval_overlap, _j11_sql()),
@@ -722,4 +774,5 @@ QUERIES: dict[str, tuple] = {
     "x31_decile_stats": (x31_decile_stats, X31_SQL),
     "x32_conversion_lag": (x32_conversion_lag, X32_SQL),
     "x37_join_skew_report": (x37_join_skew_report, X37_SQL),
+    "x60_hll_union": (x60_hll_union, X60_SQL),
 }
