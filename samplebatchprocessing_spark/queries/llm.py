@@ -1561,6 +1561,90 @@ FROM c, tot WHERE c.cnt > 0.02 * tot.n_total
 """
 
 
+def x61_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61 (r5): count-min sketch (Cormode & Muthukrishnan 2005) as a
+    RELATION — depth-4 x width-16 counters (width deliberately
+    NARROW so the fixture's 31-token vocabulary genuinely collides
+    and the min-over-depths estimator is exercised; production widths
+    are thousands) built by one grouped
+    aggregate over row-local (depth, bucket) hash explosion, point
+    estimates = MIN over depths of the probed counters.  Unlike the
+    opaque-binary ``count_min_sketch`` builtin, the relational form
+    is mergeable by plain SQL (union + re-sum), probeable by
+    equi-join, and — because every hash is the engine-portable
+    md5-prefix bigint — the ENTIRE estimate algebra replays
+    bit-for-bit in the oracle: the declared output is the exact
+    integer audit (total mass, distinct tokens, underestimate count
+    which CMS guarantees is ZERO, exact-estimate count, max and total
+    overestimate).  Nothing is asserted loosely; a single flipped
+    counter changes the integers.
+
+    Scale (100 TB): the token explode is row-local; the sketch is ONE
+    shuffle to 4x16 = 64 cells regardless of corpus size (partial
+    aggregation does the heavy lifting map-side); probing joins the
+    64-row sketch BROADCAST against the distinct-token relation.
+    Per-day sketch relations union+re-sum into any rollup window
+    without re-scanning text — same artifact discipline as X60's HLL
+    sketches."""
+    depth, width = 4, 16
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select(F.explode(text.tokenize(F.col("text")))
+                      .alias("tok"))
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+
+    def bucket(j: int) -> F.Column:
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("tok"))), 1, 15),
+            16, 10).cast("long")
+        return (h % width).cast("int")
+
+    probes = tc.select("tok", "c", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+        for j in range(depth)])).alias("p")) \
+        .select("tok", "c", "p.j", "p.b")
+    cms = (probes.groupBy("j", "b")
+           .agg(F.sum(F.col("c")).alias("cnt")))
+    est = (probes.join(F.broadcast(cms), ["j", "b"])
+           .groupBy("tok")
+           .agg(F.min("c").alias("c"), F.min("cnt").alias("est")))
+    return est.agg(
+        F.sum("c").cast("long").alias("n_tokens_total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum((F.col("est") < F.col("c")).cast("long"))
+         .alias("n_underestimates"),
+        F.sum((F.col("est") == F.col("c")).cast("long"))
+         .alias("n_exact_estimates"),
+        F.max(F.col("est") - F.col("c")).alias("max_overestimate"),
+        F.sum(F.col("est") - F.col("c")).cast("long")
+         .alias("sum_overestimate"))
+
+
+X61_SQL = f"""
+WITH toks AS (SELECT UNNEST({tokenize_sql('text')}) AS tok
+              FROM documents),
+tc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+probes AS (
+  SELECT tok, c, j,
+         CAST(('0x' || SUBSTRING(MD5(j || ':' || tok), 1, 15))::BIGINT
+              % 16 AS INTEGER) AS b
+  FROM tc, UNNEST([0, 1, 2, 3]) AS u(j)),
+cms AS (SELECT j, b, SUM(c) AS cnt FROM probes GROUP BY j, b),
+est AS (
+  SELECT p.tok, MIN(p.c) AS c, MIN(m.cnt) AS est
+  FROM probes p JOIN cms m ON p.j = m.j AND p.b = m.b
+  GROUP BY p.tok)
+SELECT CAST(SUM(c) AS BIGINT) AS n_tokens_total,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(CASE WHEN est < c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_underestimates,
+       CAST(SUM(CASE WHEN est = c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_estimates,
+       CAST(MAX(est - c) AS BIGINT) AS max_overestimate,
+       CAST(SUM(est - c) AS BIGINT) AS sum_overestimate
+FROM est
+"""
+
+
 def x20_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X20: the COMPLETE pretraining-data funnel as one entry —
     language filter -> quality gate -> exact dedup (keep-first by
@@ -2052,6 +2136,7 @@ QUERIES: dict[str, tuple] = {
     "x40_mixture_budget": (x40_mixture_budget, _x40_sql()),
     "x41_snapshot_diff": (x41_snapshot_diff, X41_SQL),
     "x19_heavy_hitters": (x19_heavy_hitters, X19_SQL),
+    "x61_countmin_sketch": (x61_countmin_sketch, X61_SQL),
     "x20_pretrain_pipeline": (x20_pretrain_pipeline, _x20_sql()),
     "x21_substring_dedup": (x21_substring_dedup, X21_SQL),
     "x22_bpe_pair_counts": (x22_bpe_pair_counts,
