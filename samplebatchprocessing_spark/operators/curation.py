@@ -402,3 +402,110 @@ SELECT source, COUNT(*) AS n_docs,
                 THEN 1 ELSE 0 END) AS n_pass_all
 FROM r GROUP BY source
 """
+
+
+def c4_rules(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """C4 cleaning-rule audit (Raffel et al. 2020 §2.2) — the LINE-
+    level complement to the document-level :func:`gopher_rules`: keep
+    only lines that end in terminal punctuation, have >= 5 words, and
+    don't mention javascript; drop whole pages containing "lorem
+    ipsum" or a curly brace; a page survives with >= 3 kept lines
+    (sentences).
+
+    The fixture text is flat, so — the x10/x11 injection discipline —
+    the page structure C4 operates on is CONSTRUCTED deterministically
+    and identically on both engines: 12-token lines, terminal '.' on
+    lines where (doc_id + i) % 3 != 0, "lorem ipsum " prefixed on
+    doc_id % 41 = 0, " {{" on line 1 of doc_id % 53 = 0, and
+    " javascript" on line 0 of doc_id % 59 = 0.  The DETECTORS are
+    the real C4 predicates run against that text; every count is an
+    exact integer.
+
+    Scale (100 TB): page assembly and all line predicates are
+    row-local array expressions (no explode, no shuffle until the one
+    source-keyed rollup)."""
+    from .text import tokenize
+    lines_expr = """
+transform(sequence(0, (__w + 11) div 12 - 1), i ->
+  concat(
+    CASE WHEN __d % 41 = 0 AND i = 0 THEN 'lorem ipsum ' ELSE '' END,
+    concat_ws(' ', slice(__toks, 1 + 12 * i, 12)),
+    CASE WHEN __d % 59 = 0 AND i = 0 THEN ' javascript' ELSE '' END,
+    CASE WHEN __d % 53 = 0 AND i = 1 THEN ' {' ELSE '' END,
+    CASE WHEN (__d + i) % 3 != 0 THEN '.' ELSE '' END))
+"""
+    kept_pred = ("ln -> right(ln, 1) = '.' AND size(split(ln, ' ')) >= 5"
+                 " AND NOT contains(ln, 'javascript')")
+    d = (df.select("source", F.col(id_col).alias("__d"),
+                   tokenize(F.col(text_col)).alias("__toks"))
+         .withColumn("__w", F.size("__toks"))
+         .withColumn("__lines", F.expr(lines_expr))
+         .select(
+             "source",
+             F.expr("size(__lines)").alias("n_lines"),
+             F.expr(f"size(filter(__lines, {kept_pred}))")
+             .alias("n_kept"),
+             F.expr("size(filter(__lines,"
+                    " ln -> contains(ln, 'javascript')))").alias("n_js"),
+             F.expr("exists(__lines, ln -> contains(ln, 'lorem ipsum'))")
+             .alias("has_lorem"),
+             F.expr("exists(__lines, ln -> contains(ln, '{'))")
+             .alias("has_brace")))
+    keep = (~F.col("has_lorem") & ~F.col("has_brace")
+            & (F.col("n_kept") >= 3))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("has_lorem").cast("long")).alias("n_docs_lorem"),
+        F.sum(F.col("has_brace").cast("long")).alias("n_docs_brace"),
+        F.sum("n_js").cast("long").alias("n_js_lines"),
+        F.sum("n_lines").cast("long").alias("n_lines_total"),
+        F.sum("n_kept").cast("long").alias("n_lines_kept"),
+        F.sum(keep.cast("long")).alias("n_docs_kept"))
+
+
+def c4_rules_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`c4_rules` — identical page construction
+    and identical line predicates."""
+    from .text import tokenize_sql
+    toks = tokenize_sql("text")
+    return f"""
+WITH t AS (
+  SELECT source, doc_id AS d, {toks} AS toks,
+         LEN({toks}) AS w
+  FROM {table}),
+pg AS (
+  SELECT source,
+         LIST_TRANSFORM(RANGE(0, (w + 11) // 12), i ->
+           (CASE WHEN d % 41 = 0 AND i = 0
+                 THEN 'lorem ipsum ' ELSE '' END) ||
+           ARRAY_TO_STRING(toks[12 * i + 1 : 12 * i + 12], ' ') ||
+           (CASE WHEN d % 59 = 0 AND i = 0
+                 THEN ' javascript' ELSE '' END) ||
+           (CASE WHEN d % 53 = 0 AND i = 1 THEN ' {{' ELSE '' END) ||
+           (CASE WHEN (d + i) % 3 != 0 THEN '.' ELSE '' END))
+           AS lines
+  FROM t),
+r AS (
+  SELECT source,
+         LEN(lines) AS n_lines,
+         LEN(LIST_FILTER(lines, ln -> RIGHT(ln, 1) = '.'
+             AND LEN(STRING_SPLIT(ln, ' ')) >= 5
+             AND NOT CONTAINS(ln, 'javascript'))) AS n_kept,
+         LEN(LIST_FILTER(lines, ln -> CONTAINS(ln, 'javascript')))
+           AS n_js,
+         LEN(LIST_FILTER(lines, ln -> CONTAINS(ln, 'lorem ipsum'))) > 0
+           AS has_lorem,
+         LEN(LIST_FILTER(lines, ln -> CONTAINS(ln, '{{'))) > 0
+           AS has_brace
+  FROM pg)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS n_docs_lorem,
+       SUM(CASE WHEN has_brace THEN 1 ELSE 0 END) AS n_docs_brace,
+       CAST(SUM(n_js) AS BIGINT) AS n_js_lines,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines_total,
+       CAST(SUM(n_kept) AS BIGINT) AS n_lines_kept,
+       SUM(CASE WHEN NOT has_lorem AND NOT has_brace AND n_kept >= 3
+                THEN 1 ELSE 0 END) AS n_docs_kept
+FROM r GROUP BY source
+"""

@@ -1931,6 +1931,19 @@ def x50_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.gopher_rules(doc, min_stops=1)
 
 
+def x62_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62 (r5): the C4 cleaning-rule bundle (Raffel et al. 2020
+    §2.2) as a per-source audit — the line-level complement to X50's
+    document-level Gopher rules (``operators.curation.c4_rules``):
+    terminal-punctuation + >=5-word + no-javascript line retention,
+    lorem-ipsum / curly-brace page drops, >=3 surviving sentences.
+    Page structure is constructed deterministically on both engines
+    (x10/x11 injection discipline); the detectors are the real C4
+    predicates; every count is an exact integer."""
+    doc = load_table(spark, sf_dir, "documents")
+    return curation.c4_rules(doc)
+
+
 def x48_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X48 (r5): leakage-safe train/val/test split — the eval-hygiene
     primitive: near-duplicate documents must land in the SAME split,
@@ -2146,6 +2159,7 @@ QUERIES: dict[str, tuple] = {
     "x48_cluster_safe_split": (x48_cluster_safe_split, _x48_sql()),
     "x50_gopher_quality": (x50_gopher_quality,
                            curation.gopher_rules_sql(min_stops=1)),
+    "x62_c4_filters": (x62_c4_filters, curation.c4_rules_sql()),
     "x51_shard_pack": (x51_shard_pack, _x51_sql()),
     "x52_domain_stats": (x52_domain_stats, X52_SQL),
     "x54_ngram_diversity": (x54_ngram_diversity, X54_SQL),
