@@ -1944,6 +1944,106 @@ def x62_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.c4_rules(doc)
 
 
+def x64_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64 (r5): duplicated-span REMOVAL — the materialization of
+    x21's duplicated-substring report (Lee et al. 2021): each
+    duplicated 10-token window keeps its first corpus occurrence,
+    later occurrences delete their covered positions, and documents
+    reassemble from surviving tokens
+    (``operators.dedup.dup_span_removal``).  Output is the exact
+    per-source funnel: docs, tokens before/after, docs modified."""
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.dup_span_removal(doc)
+
+
+def x63_chat_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63 (r5): SFT/chat-dataset schema validation — the audit every
+    instruction-tuning pipeline runs before packing conversations:
+    roles must strictly alternate, the first turn must be the user's,
+    no turn may be empty.  The conversation relation is constructed
+    deterministically on both engines (x62's injection discipline):
+    conv_id = doc_id % 120, turns ordered by doc_id, role = turn
+    parity, with planted violations — role flipped on doc_id % 97 =
+    0, content blanked on doc_id % 89 = 0.  The VALIDATORS are the
+    real checks (lag-window alternation, first-turn role, emptiness);
+    the output is the exact global audit plus the surviving-clean
+    conversation count.
+
+    Scale (100 TB): one hash shuffle on conv_id for the per-
+    conversation window (conversations are bounded — no global
+    window), then a single global rollup of booleans."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = (doc.select((F.col("doc_id") % 120).alias("conv_id"), "doc_id",
+                    F.when(F.col("doc_id") % 89 == 0, F.lit(""))
+                    .otherwise(F.col("text")).alias("content")))
+    w = W.partitionBy("conv_id").orderBy("doc_id")
+    flip = (F.col("doc_id") % 97 == 0).cast("long")
+    t = (t.withColumn("rn", F.row_number().over(w))
+         .withColumn("role", F.when((F.col("rn") + flip) % 2 == 1,
+                                    F.lit("user"))
+                     .otherwise(F.lit("assistant"))))
+    t = (t.withColumn("prev_role", F.lag("role").over(w))
+         .withColumn("viol", (F.col("prev_role") == F.col("role"))
+                     .cast("long"))
+         .withColumn("bad_first", ((F.col("rn") == 1)
+                                   & (F.col("role") != "user"))
+                     .cast("long"))
+         .withColumn("empty", (F.col("content") == "").cast("long")))
+    conv = (t.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.sum("viol").alias("v"),
+                 F.sum("bad_first").alias("bf"),
+                 F.sum("empty").alias("em")))
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum("n_turns").cast("long").alias("n_turns"),
+        F.sum("v").cast("long").alias("n_role_violations"),
+        F.sum("bf").cast("long").alias("n_first_not_user"),
+        F.sum("em").cast("long").alias("n_empty_turns"),
+        F.sum(((F.col("v") == 0) & (F.col("bf") == 0)
+               & (F.col("em") == 0)).cast("long"))
+         .alias("n_convs_clean"))
+
+
+X63_SQL = """
+WITH t AS (
+  SELECT doc_id % 120 AS conv_id, doc_id,
+         CASE WHEN doc_id % 89 = 0 THEN '' ELSE text END AS content
+  FROM documents),
+r AS (
+  SELECT conv_id, doc_id, content,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY doc_id)
+           AS rn
+  FROM t),
+r2 AS (
+  SELECT conv_id, rn, content,
+         CASE WHEN (rn + CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)
+                   % 2 = 1
+              THEN 'user' ELSE 'assistant' END AS role
+  FROM r),
+r3 AS (
+  SELECT conv_id, rn, content, role,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY rn)
+           AS prev_role
+  FROM r2),
+conv AS (
+  SELECT conv_id, COUNT(*) AS n_turns,
+         SUM(CASE WHEN prev_role = role THEN 1 ELSE 0 END) AS v,
+         SUM(CASE WHEN rn = 1 AND role != 'user' THEN 1 ELSE 0 END)
+           AS bf,
+         SUM(CASE WHEN content = '' THEN 1 ELSE 0 END) AS em
+  FROM r3 GROUP BY conv_id)
+SELECT COUNT(*) AS n_convs,
+       CAST(SUM(n_turns) AS BIGINT) AS n_turns,
+       CAST(SUM(v) AS BIGINT) AS n_role_violations,
+       CAST(SUM(bf) AS BIGINT) AS n_first_not_user,
+       CAST(SUM(em) AS BIGINT) AS n_empty_turns,
+       CAST(SUM(CASE WHEN v = 0 AND bf = 0 AND em = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_convs_clean
+FROM conv
+"""
+
+
 def x48_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X48 (r5): leakage-safe train/val/test split — the eval-hygiene
     primitive: near-duplicate documents must land in the SAME split,
@@ -2160,6 +2260,8 @@ QUERIES: dict[str, tuple] = {
     "x50_gopher_quality": (x50_gopher_quality,
                            curation.gopher_rules_sql(min_stops=1)),
     "x62_c4_filters": (x62_c4_filters, curation.c4_rules_sql()),
+    "x63_chat_validation": (x63_chat_validation, X63_SQL),
+    "x64_span_dedup": (x64_span_dedup, dedup.dup_span_removal_sql()),
     "x51_shard_pack": (x51_shard_pack, _x51_sql()),
     "x52_domain_stats": (x52_domain_stats, X52_SQL),
     "x54_ngram_diversity": (x54_ngram_diversity, X54_SQL),
