@@ -796,3 +796,118 @@ def dup_window_stats(df: DataFrame, window: int = 10,
                  F.sum("is_dup").alias("n_dup_windows"),
                  F.round(F.sum("is_dup") / F.count(F.lit(1)), 6)
                   .alias("dup_frac")))
+
+
+def dup_span_removal(df: DataFrame, window: int = 10,
+                     text_col: str = "text",
+                     id_col: str = "doc_id",
+                     group_col: str = "source") -> DataFrame:
+    """The ACTION on :func:`dup_window_stats`'s report — Lee et al.
+    2021 substring-level dedup materialized: every duplicated token
+    window keeps its FIRST corpus occurrence (global (doc, pos)
+    order) and every later occurrence marks its covered token
+    positions for deletion; documents are reassembled from surviving
+    tokens.  Returns the per-``group_col`` audit: documents, tokens
+    before/after, documents modified — all exact integers.
+
+    The window key is the engine-portable md5 of the window text
+    (32-char shuffle key instead of ~window-token strings; exact, no
+    collision caveat at fixture scale — at >10^9 windows you'd pair
+    it with a length prefix).
+
+    Scale (100 TB): window explode and deletion-interval explode are
+    row-local; keep-first ranking is ONE shuffle keyed by window
+    hash; the distinct deletion set and the anti-join back onto the
+    token relation are both keyed by (doc, pos) — co-partitioned, and
+    the deletion side is only as large as the duplicated volume.  No
+    driver-side state, no global window."""
+    toks = df.select(F.col(id_col), F.col(group_col),
+                     F.posexplode(tokenize(F.col(text_col)))
+                     .alias("pos0", "tok")) \
+             .select(id_col, group_col,
+                     (F.col("pos0") + 1).alias("pos"), "tok")
+    t = (df.select(id_col, tokenize(F.col(text_col)).alias("t"))
+         .filter(F.size("t") >= window))
+    wins = t.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("t") - window + 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice("t", i, window), " "))
+                .alias("h")))).alias("w")) \
+        .select(id_col, "w.pos", "w.h")
+    rk = Window.partitionBy("h").orderBy(id_col, "pos")
+    later = (wins.withColumn("_rn", F.row_number().over(rk))
+             .filter(F.col("_rn") >= 2))
+    dels = (later.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + window - 1)).alias("pos"))
+        .distinct())
+    kept = toks.join(dels, [id_col, "pos"], "left_anti")
+    before = toks.groupBy(group_col).agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count(F.lit(1)).alias("tokens_before"))
+    after = kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("tokens_after"))
+    changed = (toks.select(id_col, group_col).distinct()
+               .join(dels.select(id_col).distinct(), id_col)
+               .groupBy(group_col)
+               .agg(F.count(F.lit(1)).alias("n_docs_changed")))
+    return (before.join(after, group_col, "left")
+            .join(changed, group_col, "left")
+            .select(group_col, "n_docs", "tokens_before",
+                    F.coalesce("tokens_after", F.lit(0).cast("long"))
+                    .alias("tokens_after"),
+                    F.coalesce("n_docs_changed", F.lit(0).cast("long"))
+                    .alias("n_docs_changed")))
+
+
+def dup_span_removal_sql(window: int = 10,
+                         table: str = "documents") -> str:
+    """DuckDB twin of :func:`dup_span_removal` — identical window
+    hashing, keep-first ranking, and interval deletion algebra."""
+    from .text import tokenize_sql
+    tok = tokenize_sql("text")
+    w = window
+    return f"""
+WITH t AS (SELECT doc_id, source, {tok} AS t FROM {table}),
+toks AS (
+  SELECT doc_id, source, i AS pos, t[i] AS tok
+  FROM t, UNNEST(range(1, LEN(t) + 1)) AS u(i)),
+wins AS (
+  SELECT doc_id, i AS pos,
+         MD5(ARRAY_TO_STRING(t[i:i + {w - 1}], ' ')) AS h
+  FROM t, UNNEST(range(1, LEN(t) - {w} + 2)) AS u(i)
+  WHERE LEN(t) >= {w}),
+later AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos)
+             AS rn
+    FROM wins) WHERE rn >= 2),
+dels AS (
+  SELECT DISTINCT doc_id, p AS pos
+  FROM later, UNNEST(range(pos, pos + {w})) AS u(p)),
+kept AS (
+  SELECT toks.* FROM toks
+  WHERE NOT EXISTS (SELECT 1 FROM dels
+                    WHERE dels.doc_id = toks.doc_id
+                      AND dels.pos = toks.pos)),
+b AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+             COUNT(*) AS tokens_before
+      FROM toks GROUP BY source),
+a AS (SELECT source, COUNT(*) AS tokens_after
+      FROM kept GROUP BY source),
+c AS (SELECT source, COUNT(*) AS n_docs_changed
+      FROM (SELECT DISTINCT toks.doc_id, toks.source FROM toks
+            JOIN (SELECT DISTINCT doc_id FROM dels) dd
+              ON dd.doc_id = toks.doc_id)
+      GROUP BY source)
+SELECT b.source, b.n_docs, b.tokens_before,
+       COALESCE(a.tokens_after, 0) AS tokens_after,
+       COALESCE(c.n_docs_changed, 0) AS n_docs_changed
+FROM b LEFT JOIN a ON a.source = b.source
+LEFT JOIN c ON c.source = b.source
+"""
