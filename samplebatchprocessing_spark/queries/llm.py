@@ -1944,6 +1944,116 @@ def x62_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.c4_rules(doc)
 
 
+def x65_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65 (r5): DSIR importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling") —
+    hashed-ngram likelihood ratios between a target distribution
+    (here the deterministic eval-like slice lang='en' AND doc_id % 7
+    = 0) and the raw corpus, the standard way to pick pretraining
+    data that "looks like" a trusted target set.  Features are
+    unigrams+bigrams hashed to 64 buckets with the engine-portable
+    md5-prefix hash; per-bucket add-one log-ratios
+    ``ln((t_f+1)/(T+64)) - ln((r_f+1)/(R+64))`` are FIXED-POINT
+    (floor x 10^6, 64 buckets — ln of a rational never lands on an
+    integer, so the floor is stable), which makes every per-document
+    importance weight an exact INTEGER dot product — order-
+    independent, bit-equal across engines.  Reported per source:
+    docs, upweighted docs (weight > 0), and the exact weight sum.
+
+    Scale (100 TB): gram explode is row-local; the 64-row lambda
+    table is a broadcast artifact (train once, score any corpus —
+    the X42 model discipline); the only data-scale shuffles are the
+    (doc, bucket) count and the per-source rollup."""
+    dim = 64
+    doc = load_table(spark, sf_dir, "documents")
+    toks = text.tokenize(F.col("text"))
+    bigrams = F.when(
+        F.size(F.col("__t")) >= 2,
+        F.expr("transform(sequence(1, size(__t) - 1),"
+               " i -> concat_ws(' ', element_at(__t, i),"
+               " element_at(__t, i + 1)))")
+    ).otherwise(F.array().cast("array<string>"))
+    base = (doc.select("doc_id", "source", "lang", toks.alias("__t"))
+            .select("doc_id", "source", "lang",
+                    F.concat(F.col("__t"), bigrams).alias("__g")))
+    h = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10) \
+         .cast("long")
+    feats = (base.select("doc_id", "source",
+                         ((F.col("lang") == "en")
+                          & (F.col("doc_id") % 7 == 0)).alias("is_t"),
+                         F.explode("__g").alias("g"))
+             .select("doc_id", "source", "is_t",
+                     (h % dim).cast("int").alias("b")))
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("r_f"))
+    tgt = (feats.filter(F.col("is_t"))
+           .groupBy("b").agg(F.count(F.lit(1)).alias("t_f")))
+    tot = (raw.join(tgt, "b", "left")
+           .agg(F.sum("r_f").alias("R"),
+                F.sum(F.coalesce("t_f", F.lit(0))).alias("T")))
+    lam = (raw.join(tgt, "b", "left")
+           .crossJoin(F.broadcast(tot))
+           .select("b", F.floor(1e6 * (
+               F.log((F.coalesce(F.col("t_f"), F.lit(0)) + 1)
+                     / (F.col("T") + dim))
+               - F.log((F.col("r_f") + 1) / (F.col("R") + dim))))
+               .cast("long").alias("lam")))
+    dw = (feats.groupBy("doc_id", "source", "b")
+          .agg(F.count(F.lit(1)).alias("c"))
+          .join(F.broadcast(lam), "b")
+          .groupBy("doc_id", "source")
+          .agg(F.sum(F.col("c") * F.col("lam")).alias("w")))
+    return dw.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("w") > 0).cast("long")).alias("n_upweighted"),
+        F.sum("w").cast("long").alias("sum_logw_x1e6"))
+
+
+X65_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         lang = 'en' AND doc_id % 7 = 0 AS is_t,
+         {tokenize_sql('text')} AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, source, is_t, gr FROM (
+    SELECT doc_id, source, is_t, UNNEST(t) AS gr FROM d
+    UNION ALL
+    SELECT doc_id, source, is_t,
+           t[i] || ' ' || t[i + 1] AS gr
+    FROM d, UNNEST(range(1, LEN(t))) AS u(i)
+    WHERE LEN(t) >= 2)),
+feats AS (
+  SELECT doc_id, source, is_t,
+         CAST(('0x' || SUBSTRING(MD5(gr), 1, 15))::BIGINT % 64
+              AS INTEGER) AS b
+  FROM g),
+raw AS (SELECT b, COUNT(*) AS r_f FROM feats GROUP BY b),
+tgt AS (SELECT b, COUNT(*) AS t_f FROM feats WHERE is_t GROUP BY b),
+tot AS (SELECT CAST(SUM(r_f) AS BIGINT) AS R,
+               CAST((SELECT COALESCE(SUM(t_f), 0) FROM tgt)
+                    AS BIGINT) AS T
+        FROM raw),
+lam AS (
+  SELECT raw.b,
+         CAST(FLOOR(1e6 * (
+             LN((COALESCE(tgt.t_f, 0) + 1.0) / (tot.T + 64))
+             - LN((raw.r_f + 1.0) / (tot.R + 64)))) AS BIGINT)
+           AS lam
+  FROM raw LEFT JOIN tgt ON tgt.b = raw.b, tot),
+dw AS (
+  SELECT doc_id, source, SUM(c * lam) AS w
+  FROM (SELECT doc_id, source, b, COUNT(*) AS c
+        FROM feats GROUP BY doc_id, source, b) f
+  JOIN lam ON lam.b = f.b
+  GROUP BY doc_id, source)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_upweighted,
+       CAST(SUM(w) AS BIGINT) AS sum_logw_x1e6
+FROM dw GROUP BY source
+"""
+
+
 def x64_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X64 (r5): duplicated-span REMOVAL — the materialization of
     x21's duplicated-substring report (Lee et al. 2021): each
@@ -2262,6 +2372,7 @@ QUERIES: dict[str, tuple] = {
     "x62_c4_filters": (x62_c4_filters, curation.c4_rules_sql()),
     "x63_chat_validation": (x63_chat_validation, X63_SQL),
     "x64_span_dedup": (x64_span_dedup, dedup.dup_span_removal_sql()),
+    "x65_dsir_weights": (x65_dsir_weights, X65_SQL),
     "x51_shard_pack": (x51_shard_pack, _x51_sql()),
     "x52_domain_stats": (x52_domain_stats, X52_SQL),
     "x54_ngram_diversity": (x54_ngram_diversity, X54_SQL),
