@@ -911,3 +911,93 @@ SELECT b.source, b.n_docs, b.tokens_before,
 FROM b LEFT JOIN a ON a.source = b.source
 LEFT JOIN c ON c.source = b.source
 """
+
+
+def containment_pairs(df: DataFrame, n: int = 2, df_cap: int = 20,
+                      min_grams: int = 5,
+                      text_col: str = "text") -> DataFrame:
+    """ASYMMETRIC near-dup detection — containment
+    ``C(A->B) = |A n B| / |A|`` over word-``n``-gram shingle sets,
+    the measure that catches quotes and subset duplication Jaccard
+    misses (a short doc fully embedded in a long one has high
+    containment but low Jaccard, so length-band blocking is
+    structurally wrong here).  Blocking is a RARE-GRAM inverted
+    index: candidate ordered pairs share at least one shingle whose
+    corpus document-frequency is <= ``df_cap``; each rare gram
+    contributes at most df_cap^2 pairs, so candidate volume is
+    df-capped at any corpus size — the standard entity-resolution
+    prefix/rare-token discipline.  Candidates are then verified with
+    the EXACT integer cross-multiplication ``5*|A n B| >= 4*|A|``
+    (C >= 0.8).  The declared contract (like l5_ngram_lsh) is
+    blocking + exact verify; the oracle replays the identical chain.
+
+    Returns the one-row exact audit: candidate ordered pairs,
+    contained pairs, distinct contained documents.
+
+    Scale (100 TB): gram explode row-local; document frequency is one
+    gram-keyed aggregate; the inverted-index self-join is keyed by
+    rare gram (bounded fan-out); exact verify joins sets back by doc
+    id.  No cartesian anywhere."""
+    sets_df = (ngram_shingle_sets(df, n, text_col)
+               .filter(F.size("toks") >= min_grams))
+    ex = sets_df.select("doc_id", F.explode("toks").alias("g"))
+    rare = (ex.groupBy("g").agg(F.count(F.lit(1)).alias("dfreq"))
+            .filter(F.col("dfreq") <= df_cap).select("g"))
+    inv = ex.join(rare, "g")
+    cand = (inv.select(F.col("doc_id").alias("doc_a"), "g")
+            .join(inv.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    a = sets_df.select(F.col("doc_id").alias("doc_a"),
+                       F.col("toks").alias("ta"))
+    b = sets_df.select(F.col("doc_id").alias("doc_b"),
+                       F.col("toks").alias("tb"))
+    res = (cand.join(a, "doc_a").join(b, "doc_b")
+           .select("doc_a", "doc_b",
+                   F.size(F.array_intersect("ta", "tb")).alias("i"),
+                   F.size("ta").alias("na")))
+    contained = (5 * F.col("i") >= 4 * F.col("na")).cast("long")
+    return res.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum(contained).alias("n_contained_pairs"),
+        F.countDistinct(F.when(5 * F.col("i") >= 4 * F.col("na"),
+                               F.col("doc_a")))
+         .alias("n_docs_contained"))
+
+
+def containment_pairs_sql(n: int = 2, df_cap: int = 20,
+                          min_grams: int = 5,
+                          table: str = "documents") -> str:
+    """DuckDB twin of :func:`containment_pairs` — identical rare-gram
+    blocking and integer verify."""
+    from .text import tokenize_sql
+    tok = tokenize_sql("text")
+    grams = (f"LIST_SORT(LIST_DISTINCT(LIST_TRANSFORM("
+             f"RANGE(1, LEN({tok}) - {n - 2}), "
+             f"i -> ARRAY_TO_STRING(({tok})[i:i + {n - 1}], ' '))))")
+    return f"""
+WITH s AS (
+  SELECT doc_id, {grams} AS toks FROM {table}),
+s2 AS (SELECT * FROM s WHERE LEN(toks) >= {min_grams}),
+ex AS (SELECT doc_id, UNNEST(toks) AS g FROM s2),
+rare AS (SELECT g FROM (SELECT g, COUNT(*) AS dfreq FROM ex GROUP BY g)
+         WHERE dfreq <= {df_cap}),
+inv AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id != b.doc_id),
+res AS (
+  SELECT cand.doc_a, cand.doc_b,
+         LEN(LIST_INTERSECT(sa.toks, sb.toks)) AS i,
+         LEN(sa.toks) AS na
+  FROM cand
+  JOIN s2 sa ON sa.doc_id = cand.doc_a
+  JOIN s2 sb ON sb.doc_id = cand.doc_b)
+SELECT COUNT(*) AS n_candidate_pairs,
+       CAST(SUM(CASE WHEN 5 * i >= 4 * na THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contained_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN 5 * i >= 4 * na
+                                THEN doc_a END) AS BIGINT)
+         AS n_docs_contained
+FROM res
+"""

@@ -1944,6 +1944,19 @@ def x62_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.c4_rules(doc)
 
 
+def x66_containment_neardup(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """X66 (r5): asymmetric containment near-dup audit
+    (``operators.dedup.containment_pairs``) — C(A->B) = |AnB|/|A|
+    over bigram shingles catches quotes and subset duplication that
+    Jaccard misses; blocking is a df-capped rare-gram inverted index
+    (length bands are structurally wrong for asymmetric pairs), and
+    the verify is the exact integer cross-multiplication
+    5*|AnB| >= 4*|A|."""
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(doc)
+
+
 def x65_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X65 (r5): DSIR importance weighting (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling") —
@@ -2373,6 +2386,8 @@ QUERIES: dict[str, tuple] = {
     "x63_chat_validation": (x63_chat_validation, X63_SQL),
     "x64_span_dedup": (x64_span_dedup, dedup.dup_span_removal_sql()),
     "x65_dsir_weights": (x65_dsir_weights, X65_SQL),
+    "x66_containment_neardup": (x66_containment_neardup,
+                                dedup.containment_pairs_sql()),
     "x51_shard_pack": (x51_shard_pack, _x51_sql()),
     "x52_domain_stats": (x52_domain_stats, X52_SQL),
     "x54_ngram_diversity": (x54_ngram_diversity, X54_SQL),
