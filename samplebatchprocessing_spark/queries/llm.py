@@ -1977,39 +1977,8 @@ def x65_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is a broadcast artifact (train once, score any corpus —
     the X42 model discipline); the only data-scale shuffles are the
     (doc, bucket) count and the per-source rollup."""
-    dim = 64
-    doc = load_table(spark, sf_dir, "documents")
-    toks = text.tokenize(F.col("text"))
-    bigrams = F.when(
-        F.size(F.col("__t")) >= 2,
-        F.expr("transform(sequence(1, size(__t) - 1),"
-               " i -> concat_ws(' ', element_at(__t, i),"
-               " element_at(__t, i + 1)))")
-    ).otherwise(F.array().cast("array<string>"))
-    base = (doc.select("doc_id", "source", "lang", toks.alias("__t"))
-            .select("doc_id", "source", "lang",
-                    F.concat(F.col("__t"), bigrams).alias("__g")))
-    h = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10) \
-         .cast("long")
-    feats = (base.select("doc_id", "source",
-                         ((F.col("lang") == "en")
-                          & (F.col("doc_id") % 7 == 0)).alias("is_t"),
-                         F.explode("__g").alias("g"))
-             .select("doc_id", "source", "is_t",
-                     (h % dim).cast("int").alias("b")))
-    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("r_f"))
-    tgt = (feats.filter(F.col("is_t"))
-           .groupBy("b").agg(F.count(F.lit(1)).alias("t_f")))
-    tot = (raw.join(tgt, "b", "left")
-           .agg(F.sum("r_f").alias("R"),
-                F.sum(F.coalesce("t_f", F.lit(0))).alias("T")))
-    lam = (raw.join(tgt, "b", "left")
-           .crossJoin(F.broadcast(tot))
-           .select("b", F.floor(1e6 * (
-               F.log((F.coalesce(F.col("t_f"), F.lit(0)) + 1)
-                     / (F.col("T") + dim))
-               - F.log((F.col("r_f") + 1) / (F.col("R") + dim))))
-               .cast("long").alias("lam")))
+    feats = _dsir_feats(load_table(spark, sf_dir, "documents"))
+    lam = dsir_lambda(spark, sf_dir)
     dw = (feats.groupBy("doc_id", "source", "b")
           .agg(F.count(F.lit(1)).alias("c"))
           .join(F.broadcast(lam), "b")
@@ -2019,6 +1988,59 @@ def x65_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum((F.col("w") > 0).cast("long")).alias("n_upweighted"),
         F.sum("w").cast("long").alias("sum_logw_x1e6"))
+
+
+_DSIR_DIM = 64
+
+
+def _dsir_grams(col_name: str = "__t"):
+    bigrams = F.when(
+        F.size(F.col(col_name)) >= 2,
+        F.expr(f"transform(sequence(1, size({col_name}) - 1),"
+               f" i -> concat_ws(' ', element_at({col_name}, i),"
+               f" element_at({col_name}, i + 1)))")
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(F.col(col_name), bigrams)
+
+
+def _dsir_feats(doc: DataFrame) -> DataFrame:
+    """(doc_id, source, is_t, b): one row per unigram/bigram
+    occurrence with its 64-bucket md5 feature hash and the
+    target-slice membership flag."""
+    toks = text.tokenize(F.col("text"))
+    base = (doc.select("doc_id", "source", "lang", toks.alias("__t"))
+            .select("doc_id", "source", "lang",
+                    _dsir_grams().alias("__g")))
+    h = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10) \
+         .cast("long")
+    return (base.select("doc_id", "source",
+                        ((F.col("lang") == "en")
+                         & (F.col("doc_id") % 7 == 0)).alias("is_t"),
+                        F.explode("__g").alias("g"))
+            .select("doc_id", "source", "is_t",
+                    (h % _DSIR_DIM).cast("int").alias("b")))
+
+
+def dsir_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained DSIR model: 64 rows of (bucket, fixed-point
+    add-one log-ratio) — a by-contract-bounded artifact that
+    broadcasts into batch scoring (X65) or folds into a streaming
+    plan as literals (S18)."""
+    dim = _DSIR_DIM
+    feats = _dsir_feats(load_table(spark, sf_dir, "documents"))
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("r_f"))
+    tgt = (feats.filter(F.col("is_t"))
+           .groupBy("b").agg(F.count(F.lit(1)).alias("t_f")))
+    tot = (raw.join(tgt, "b", "left")
+           .agg(F.sum("r_f").alias("R"),
+                F.sum(F.coalesce("t_f", F.lit(0))).alias("T")))
+    return (raw.join(tgt, "b", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("b", F.floor(1e6 * (
+                F.log((F.coalesce(F.col("t_f"), F.lit(0)) + 1)
+                      / (F.col("T") + dim))
+                - F.log((F.col("r_f") + 1) / (F.col("R") + dim))))
+                .cast("long").alias("lam")))
 
 
 X65_SQL = f"""

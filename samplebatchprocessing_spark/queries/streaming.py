@@ -522,6 +522,60 @@ def _s16_sql() -> str:
     return gopher_rules_sql(min_stops=1)
 
 
+def s18_stream_dsir_gate(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """S18 (r5): DSIR importance scoring at INGEST — the serving half
+    of X65, following the S15 model-folding discipline: the 64-row
+    fixed-point lambda table trains batch-side
+    (``llm.dsir_lambda``, by-contract bounded) and folds into the
+    streaming plan as a literal map, so each streamed document's
+    importance weight is a ROW-LOCAL higher-order fold over its
+    hashed grams — no join, no state, no watermark; the one streaming
+    aggregation is the per-source rollup.  Because the weight is an
+    exact integer dot product, the stream equals the batch scorer
+    bit-for-bit and S18 shares X65's SQL twin.
+
+    Streaming constraint this design removes: X65's per-doc
+    weight-then-rollup is TWO aggregations, which Structured
+    Streaming forbids; the literal-map fold collapses the per-doc
+    stage to an expression."""
+    from .llm import _DSIR_DIM, _dsir_grams, dsir_lambda
+    from ..operators.text import tokenize
+    from ..streaming.jobs import documents_stream
+    lam_rows = dsir_lambda(spark, sf_dir).collect()   # 64 rows
+    kv = []
+    for r in lam_rows:
+        kv += [F.lit(r["b"]), F.lit(r["lam"])]
+    lam_map = F.create_map(*kv)
+    sdf = documents_stream(spark, sf_dir, tag="dsir")
+    scored = (sdf.select("doc_id", "source",
+                         tokenize(F.col("text")).alias("__t"))
+              .select("doc_id", "source",
+                      _dsir_grams().alias("__g"))
+              .select("doc_id", "source", F.aggregate(
+                  F.transform(
+                      F.col("__g"),
+                      lambda g: F.coalesce(
+                          F.element_at(
+                              lam_map,
+                              F.conv(F.substring(F.md5(g), 1, 15),
+                                     16, 10).cast("long")
+                              .__mod__(_DSIR_DIM).cast("int")),
+                          F.lit(0).cast("long"))),
+                  F.lit(0).cast("long"),
+                  lambda acc, x: acc + x).alias("w")))
+    out = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("w") > 0).cast("long")).alias("n_upweighted"),
+        F.sum("w").cast("long").alias("sum_logw_x1e6"))
+    return run_available_now(out, output_mode="complete")
+
+
+def _s18_sql() -> str:
+    from .llm import X65_SQL
+    return X65_SQL
+
+
 QUERIES: dict[str, tuple] = {
     "s1_stream_scan": (s1_stream_scan, S1_SQL),
     "s2_tumbling_window": (s2_tumbling_window, S2_SQL),
@@ -542,4 +596,5 @@ QUERIES: dict[str, tuple] = {
     "s15_stream_cluster_assign": (s15_stream_cluster_assign, _s15_sql()),
     "s16_stream_quality_gate": (s16_stream_quality_gate, _s16_sql()),
     "s17_stream_decontaminate": (s17_stream_decontaminate, _s17_sql()),
+    "s18_stream_dsir_gate": (s18_stream_dsir_gate, _s18_sql()),
 }
