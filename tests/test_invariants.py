@@ -433,3 +433,73 @@ def test_bpe_encode_compression_bounds(spark, sf_smoke):
         assert r["n_pieces"] <= r["n_sym_chars"]
         assert 5 * r["n_pieces"] >= r["n_sym_chars"]
         assert 1000 <= r["chars_per_piece_x1000"] <= 5000
+
+
+def test_countmin_is_mergeable_and_never_underestimates(spark, sf_smoke):
+    """X61: (a) the query's own audit must show zero underestimates
+    (the CMS one-sided guarantee); (b) the relational sketch form is
+    MERGEABLE — cells built per half-corpus and re-summed equal the
+    whole-corpus cells exactly (the 100 TB artifact contract)."""
+    from pyspark.sql import functions as F
+
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.operators import text as text_ops
+    from samplebatchprocessing_spark.queries.llm import (
+        x61_countmin_sketch)
+    row = x61_countmin_sketch(spark, sf_smoke).collect()[0]
+    assert row["n_underestimates"] == 0
+    assert row["max_overestimate"] >= 0
+    assert row["sum_overestimate"] >= row["max_overestimate"]
+
+    doc = load_table(spark, sf_smoke, "documents")
+
+    def cells(df):
+        toks = df.select("doc_id", F.explode(
+            text_ops.tokenize(F.col("text"))).alias("tok"))
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.lit("0:"), F.col("tok"))), 1, 15),
+            16, 10).cast("long")
+        return (toks.select((h % 16).cast("int").alias("b"))
+                .groupBy("b").agg(F.count(F.lit(1)).alias("cnt")))
+
+    whole = {r["b"]: r["cnt"] for r in cells(doc).collect()}
+    lo = cells(doc.filter(F.col("doc_id") % 2 == 0))
+    hi = cells(doc.filter(F.col("doc_id") % 2 == 1))
+    merged = {r["b"]: r["s"] for r in
+              lo.unionByName(hi).groupBy("b")
+              .agg(F.sum("cnt").alias("s")).collect()}
+    assert merged == whole
+
+
+def test_span_removal_conserves_tokens(spark, sf_smoke):
+    """X64: removal never grows a corpus, and a source shrinks iff it
+    had a modified document."""
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.operators.dedup import (
+        dup_span_removal)
+    doc = load_table(spark, sf_smoke, "documents")
+    for r in dup_span_removal(doc).collect():
+        assert r["tokens_after"] <= r["tokens_before"]
+        assert (r["n_docs_changed"] == 0) == (
+            r["tokens_after"] == r["tokens_before"])
+        assert 0 <= r["n_docs_changed"] <= r["n_docs"]
+
+
+def test_dsir_target_slice_scores_positive(spark, sf_smoke):
+    """X65: summed importance weight over the TARGET slice must be
+    positive — the fixed-point analog of KL(target || raw) > 0; a
+    sign error in the log-ratio flips it."""
+    from pyspark.sql import functions as F
+
+    from samplebatchprocessing_spark.queries.llm import (
+        _dsir_feats, dsir_lambda)
+    from samplebatchprocessing_spark.catalog import load_table
+    doc = load_table(spark, sf_smoke, "documents")
+    feats = _dsir_feats(doc)
+    lam = dsir_lambda(spark, sf_smoke)
+    tot = (feats.filter(F.col("is_t"))
+           .groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+           .join(lam, "b")
+           .agg(F.sum(F.col("c") * F.col("lam")).alias("w"))
+           .collect()[0]["w"])
+    assert tot > 0

@@ -616,3 +616,26 @@ def test_interval_overlap_is_blocked_equi_join(spark, sf_smoke):
     plan = plan_str(j11_interval_overlap(spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_pairs_no_cartesian(spark, sf_smoke):
+    """x66: the rare-gram inverted index must make candidate
+    generation an equi-join on the gram key — a cartesian/nested-loop
+    pair blow-up means the blocking broke."""
+    from samplebatchprocessing_spark.operators.dedup import (
+        containment_pairs)
+    doc = load_table(spark, sf_smoke, "documents")
+    plan = plan_str(containment_pairs(doc), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_removal_no_cartesian(spark, sf_smoke):
+    """x64: keep-first ranking rides a window-hash shuffle and the
+    deletion set anti-joins back on (doc, pos) — all equi plans."""
+    from samplebatchprocessing_spark.operators.dedup import (
+        dup_span_removal)
+    doc = load_table(spark, sf_smoke, "documents")
+    plan = plan_str(dup_span_removal(doc), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
