@@ -1774,6 +1774,182 @@ def x44_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "merged string, pair_count long")
 
 
+def x67_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67 (r5): URL-canonical dedup MATERIALIZATION — the action on
+    x52's canonicalization: the dedup key is the www-stripped domain
+    plus path with the query string DROPPED (tracking params are not
+    identity), keep the minimum doc_id per canonical URL — the
+    CommonCrawl-style re-crawl collapse that runs before any content
+    hashing.  Same deterministic synthetic URLs as x52 (the path
+    cycle guarantees genuine collisions), Spark parses with native
+    ``parse_url``, the oracle replays with anchored regexps.
+    Per-domain exact report: docs, canonical URLs, removed docs, and
+    surviving doc-id sum (any wrong keep flips it).
+
+    Scale (100 TB): parse + canonicalize row-local; ONE shuffle keyed
+    by canonical URL (uniform — the key embeds the domain), then the
+    domain rollup."""
+    doc = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.org/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("?ref=r"),
+                        (F.col("doc_id") % 7).cast("string")))
+        .otherwise(F.lit("")))
+    host = F.parse_url(url, F.lit("HOST"))
+    path = F.parse_url(url, F.lit("PATH"))
+    canon = F.concat(F.regexp_replace(host, r"^www\.", ""), path)
+    d = doc.select("doc_id", canon.alias("canon"),
+                   F.regexp_replace(host, r"^www\.", "")
+                   .alias("domain"))
+    per_url = (d.groupBy("domain", "canon")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.min("doc_id").alias("keep_id")))
+    return per_url.groupBy("domain").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_canonical_urls"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long")
+         .alias("n_removed"),
+        F.sum("keep_id").cast("long").alias("kept_id_sum"))
+
+
+X67_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' ||
+         CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+         source || '.example.org/p/' || CAST(doc_id % 50 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '?ref=r' || CAST(doc_id % 7 AS VARCHAR)
+                 ELSE '' END AS url
+  FROM documents),
+p AS (
+  SELECT doc_id,
+         REGEXP_REPLACE(REGEXP_EXTRACT(url, '^https://([^/?]+)', 1),
+                        '^www\\.', '') AS domain,
+         REGEXP_EXTRACT(url, '^https://[^/?]+(/[^?]*)', 1) AS path
+  FROM u),
+per_url AS (
+  SELECT domain, domain || path AS canon,
+         COUNT(*) AS n, MIN(doc_id) AS keep_id
+  FROM p GROUP BY domain, domain || path)
+SELECT domain,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_canonical_urls,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_removed,
+       CAST(SUM(keep_id) AS BIGINT) AS kept_id_sum
+FROM per_url GROUP BY domain
+"""
+
+
+def x68_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68 (r5): Bloom-filter membership prefilter as a RELATION —
+    the distributed pre-screen for incremental-ingest dedup (l14's
+    anti-join at 100 TB ships the corpus hash set; a 4096-bit Bloom
+    relation ships ~0.5 KiB and eliminates the non-dup majority
+    before the exact join).  x61's discipline: the filter is a
+    relation of set bit positions (k=4 md5-prefix hashes mod 4096
+    over corpus content hashes), mergeable by plain UNION DISTINCT,
+    and probing is an equi-join — a batch doc is bloom-positive iff
+    all 4 of its probe bits are set.  The batch is constructed
+    deterministically on both engines: doc_id % 5 = 0 rows re-ingest
+    corpus text (true dups), doc_id % 5 = 1 rows are novel.  Declared
+    exact audit: batch size, true dups, bloom positives, FALSE
+    NEGATIVES (the Bloom guarantee — must be 0), false positives
+    (exact; the m=4096/k=4 design point).  Every number replays
+    bit-for-bit in SQL.
+
+    Scale (100 TB): building the bit relation is one aggregate to
+    <= 4096 rows; the probe joins the broadcast bit relation; the
+    exact ground-truth join here is the AUDIT, not the product —
+    production keeps only the prefilter + exact verify on
+    positives."""
+    m, k = 4096, 4
+    doc = load_table(spark, sf_dir, "documents")
+    corpus = doc.select(F.md5("text").alias("h"))
+    batch = (doc.filter(F.col("doc_id") % 5 <= 1)
+             .select("doc_id",
+                     F.when(F.col("doc_id") % 5 == 0, F.md5("text"))
+                     .otherwise(F.md5(F.concat(
+                         F.lit("novel-"),
+                         F.col("doc_id").cast("string"),
+                         F.lit(":"), F.col("text")))).alias("h")))
+
+    def bits(frame):
+        return frame.select("*", F.explode(F.array(*[
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"), F.col("h"))), 1, 15),
+                16, 10).cast("long") % m).cast("int")
+            for j in range(k)])).alias("bit"))
+
+    bloom = bits(corpus).select("bit").distinct()
+    probed = (bits(batch)
+              .join(F.broadcast(bloom), "bit")
+              .groupBy("doc_id", "h")
+              .agg(F.count(F.lit(1)).alias("n_set")))
+    truth = (batch.join(corpus.distinct().withColumn("is_dup",
+                                                     F.lit(1)),
+                        "h", "left")
+             .select("doc_id",
+                     F.coalesce("is_dup", F.lit(0)).alias("is_dup")))
+    audit = (truth.join(probed.select(
+        "doc_id", (F.col("n_set") == k).cast("long").alias("pos")),
+        "doc_id", "left")
+        .select("doc_id", "is_dup",
+                F.coalesce("pos", F.lit(0)).alias("pos")))
+    return audit.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum("is_dup").cast("long").alias("n_true_dups"),
+        F.sum("pos").cast("long").alias("n_bloom_positive"),
+        F.sum(((F.col("is_dup") == 1) & (F.col("pos") == 0))
+              .cast("long")).alias("n_false_negatives"),
+        F.sum(((F.col("is_dup") == 0) & (F.col("pos") == 1))
+              .cast("long")).alias("n_false_positives"))
+
+
+X68_SQL = """
+WITH corpus AS (SELECT MD5(text) AS h FROM documents),
+batch AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN MD5(text)
+              ELSE MD5('novel-' || CAST(doc_id AS VARCHAR) || ':'
+                       || text) END AS h
+  FROM documents WHERE doc_id % 5 <= 1),
+bloom AS (
+  SELECT DISTINCT
+         CAST(('0x' || SUBSTRING(MD5(j || ':' || h), 1, 15))::BIGINT
+              % 4096 AS INTEGER) AS bit
+  FROM corpus, UNNEST([0, 1, 2, 3]) AS u(j)),
+probe AS (
+  SELECT doc_id, h,
+         CAST(('0x' || SUBSTRING(MD5(j || ':' || h), 1, 15))::BIGINT
+              % 4096 AS INTEGER) AS bit, j
+  FROM batch, UNNEST([0, 1, 2, 3]) AS u(j)),
+pos AS (
+  SELECT doc_id, COUNT(*) AS n_set
+  FROM probe JOIN bloom USING (bit)
+  GROUP BY doc_id, h),
+audit AS (
+  SELECT b.doc_id,
+         CASE WHEN EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+              THEN 1 ELSE 0 END AS is_dup,
+         CASE WHEN COALESCE(pos.n_set, 0) = 4 THEN 1 ELSE 0 END
+           AS pos
+  FROM batch b LEFT JOIN pos ON pos.doc_id = b.doc_id)
+SELECT COUNT(*) AS n_batch,
+       CAST(SUM(is_dup) AS BIGINT) AS n_true_dups,
+       CAST(SUM(pos) AS BIGINT) AS n_bloom_positive,
+       CAST(SUM(CASE WHEN is_dup = 1 AND pos = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_negatives,
+       CAST(SUM(CASE WHEN is_dup = 0 AND pos = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positives
+FROM audit
+"""
+
+
 def x52_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X52 (r5): web-corpus domain audit — URL parsing + per-domain
     rollup, the CommonCrawl-style provenance report (and the
@@ -2412,6 +2588,8 @@ QUERIES: dict[str, tuple] = {
                                 dedup.containment_pairs_sql()),
     "x51_shard_pack": (x51_shard_pack, _x51_sql()),
     "x52_domain_stats": (x52_domain_stats, X52_SQL),
+    "x67_url_dedup": (x67_url_dedup, X67_SQL),
+    "x68_bloom_prefilter": (x68_bloom_prefilter, X68_SQL),
     "x54_ngram_diversity": (x54_ngram_diversity, X54_SQL),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),
