@@ -42,6 +42,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "p8_manifest_pipeline",  # reference-semantics identity pipeline
     "x44_bpe_train",         # iterative BPE vocab training (round 5)
     "x47_kmeans_clusters",   # integer fixed-point k-means (round 5)
+    "x64_span_dedup",        # duplicated-span removal (round 5, wave 2)
+    "x65_dsir_weights",      # DSIR importance weighting (round 5, wave 2)
 )
 
 

@@ -2153,8 +2153,12 @@ def x65_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is a broadcast artifact (train once, score any corpus —
     the X42 model discipline); the only data-scale shuffles are the
     (doc, bucket) count and the per-source rollup."""
-    feats = _dsir_feats(load_table(spark, sf_dir, "documents"))
-    lam = dsir_lambda(spark, sf_dir)
+    # Stage the gram explode ONCE (the _stage_sets discipline) — the
+    # lambda training and the per-doc scoring both consume it, and an
+    # unstaged shared subtree re-runs the explode per consumer.
+    feats = _dsir_feats(load_table(spark, sf_dir, "documents")) \
+        .localCheckpoint(eager=True)
+    lam = dsir_lambda(spark, sf_dir, feats=feats)
     dw = (feats.groupBy("doc_id", "source", "b")
           .agg(F.count(F.lit(1)).alias("c"))
           .join(F.broadcast(lam), "b")
@@ -2170,13 +2174,17 @@ _DSIR_DIM = 64
 
 
 def _dsir_grams(col_name: str = "__t"):
-    bigrams = F.when(
-        F.size(F.col(col_name)) >= 2,
-        F.expr(f"transform(sequence(1, size({col_name}) - 1),"
-               f" i -> concat_ws(' ', element_at({col_name}, i),"
-               f" element_at({col_name}, i + 1)))")
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(F.col(col_name), bigrams)
+    # zip_with over two slices, NOT element_at inside a transform
+    # lambda: Catalyst collapses projections, so a staged tokenize
+    # column gets substituted into the lambda body and element_at
+    # re-runs the tokenizer regex PER ELEMENT — O(n^2) per doc
+    # (measured 25 s -> 1 s on the sf0.1 gram explode).  The slice
+    # form evaluates the array expression once per row.
+    return F.expr(
+        f"concat({col_name}, zip_with("
+        f"  slice({col_name}, 1, greatest(size({col_name}) - 1, 0)),"
+        f"  slice({col_name}, 2, greatest(size({col_name}) - 1, 0)),"
+        f"  (a, b) -> concat(a, ' ', b)))")
 
 
 def _dsir_feats(doc: DataFrame) -> DataFrame:
@@ -2184,7 +2192,14 @@ def _dsir_feats(doc: DataFrame) -> DataFrame:
     occurrence with its 64-bucket md5 feature hash and the
     target-slice membership flag."""
     toks = text.tokenize(F.col("text"))
-    base = (doc.select("doc_id", "source", "lang", toks.alias("__t"))
+    # The fixture is one small parquet split; spread the doc rows
+    # before the gram explode so the md5 feature hashing uses every
+    # core (the exchange moves ~raw text bytes — cheap next to the
+    # per-gram hashing it parallelizes).  At 100 TB file splits
+    # already provide this and the exchange is a no-op cost-wise.
+    n_part = doc.sparkSession.sparkContext.defaultParallelism
+    base = (doc.repartition(n_part, "doc_id")
+            .select("doc_id", "source", "lang", toks.alias("__t"))
             .select("doc_id", "source", "lang",
                     _dsir_grams().alias("__g")))
     h = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10) \
@@ -2197,24 +2212,27 @@ def _dsir_feats(doc: DataFrame) -> DataFrame:
                     (h % _DSIR_DIM).cast("int").alias("b")))
 
 
-def dsir_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_lambda(spark: SparkSession, sf_dir: str,
+                feats: DataFrame | None = None) -> DataFrame:
     """The trained DSIR model: 64 rows of (bucket, fixed-point
     add-one log-ratio) — a by-contract-bounded artifact that
     broadcasts into batch scoring (X65) or folds into a streaming
-    plan as literals (S18)."""
+    plan as literals (S18).  Pass a staged ``feats`` frame to share
+    the gram explode with a scoring pass."""
     dim = _DSIR_DIM
-    feats = _dsir_feats(load_table(spark, sf_dir, "documents"))
-    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("r_f"))
-    tgt = (feats.filter(F.col("is_t"))
-           .groupBy("b").agg(F.count(F.lit(1)).alias("t_f")))
-    tot = (raw.join(tgt, "b", "left")
-           .agg(F.sum("r_f").alias("R"),
-                F.sum(F.coalesce("t_f", F.lit(0))).alias("T")))
-    return (raw.join(tgt, "b", "left")
-            .crossJoin(F.broadcast(tot))
+    if feats is None:
+        feats = _dsir_feats(load_table(spark, sf_dir, "documents"))
+    # Raw and target counts in ONE pass (conditional sum), so the
+    # whole lambda table derives from a single scan of the gram
+    # explode — the naive raw/tgt/totals formulation re-ran the
+    # explode 4x through Spark's uncached shared subtrees.
+    cnt = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r_f"),
+        F.sum(F.col("is_t").cast("long")).alias("t_f"))
+    tot = cnt.agg(F.sum("r_f").alias("R"), F.sum("t_f").alias("T"))
+    return (cnt.crossJoin(F.broadcast(tot))
             .select("b", F.floor(1e6 * (
-                F.log((F.coalesce(F.col("t_f"), F.lit(0)) + 1)
-                      / (F.col("T") + dim))
+                F.log((F.col("t_f") + 1) / (F.col("T") + dim))
                 - F.log((F.col("r_f") + 1) / (F.col("R") + dim))))
                 .cast("long").alias("lam")))
 
