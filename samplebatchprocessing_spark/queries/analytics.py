@@ -746,6 +746,73 @@ def x60_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("union_close_to_direct")))
 
 
+def x69_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69 (r5): exact GROUP-WISE WEIGHTED MEDIAN — per source, the
+    document length below which half the corpus' TOKEN MASS lies
+    (the curation statistic that answers "where do the tokens live",
+    which the unweighted median misrepresents whenever long docs
+    dominate).  No weighted-percentile builtin exists in either
+    engine; the operator is the X31 discipline made exact: weights
+    pre-aggregate onto the (source, value) HISTOGRAM frame (uniform
+    keys, one data-scale shuffle), and the running-sum window walks
+    the aggregated frame — rows per source = distinct lengths, a
+    bounded domain — never the document-level relation.  The median
+    pick ``min value with 2*cum >= total`` is exact integer
+    arithmetic end to end.
+
+    Scale (100 TB): the only data-scale shuffle is the (source,
+    n_chars) aggregate; the window input is vocabulary-sized per
+    group.  Cross-multiplication keeps everything int64 (token mass
+    < 2^62)."""
+    from ..operators.text import tokenize
+    doc = load_table(spark, sf_dir, "documents")
+    d = doc.select("source", "n_chars",
+                   F.size(tokenize(F.col("text"))).alias("w"))
+    h = (d.groupBy("source", "n_chars")
+         .agg(F.sum("w").alias("w"), F.count(F.lit(1)).alias("n")))
+    from pyspark.sql import Window as W
+    cum = F.sum("w").over(
+        W.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot = h.groupBy("source").agg(
+        F.sum("w").alias("tot_w"), F.sum("n").alias("n_docs"))
+    marked = (h.withColumn("cum", cum)
+              .join(F.broadcast(tot), "source")
+              .filter(2 * F.col("cum") >= F.col("tot_w")))
+    return (marked.groupBy("source")
+            .agg(F.min("n_chars").alias("wmedian_chars"),
+                 F.min("n_docs").cast("long").alias("n_docs"),
+                 F.min("tot_w").cast("long").alias("total_tokens")))
+
+
+def _x69_sql() -> str:
+    from ..operators.text import tokenize_sql
+    return X69_SQL_TMPL.format(tok=tokenize_sql("text"))
+
+
+X69_SQL_TMPL = """
+WITH h0 AS (
+  SELECT source, n_chars, LEN({tok}) AS w
+  FROM documents),
+h AS (SELECT source, n_chars, SUM(w) AS w, COUNT(*) AS n
+      FROM h0 GROUP BY source, n_chars),
+c AS (
+  SELECT source, n_chars, n, w,
+         SUM(w) OVER (PARTITION BY source ORDER BY n_chars
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h),
+t AS (SELECT source, SUM(w) AS tot_w, SUM(n) AS n_docs
+      FROM h GROUP BY source)
+SELECT c.source,
+       MIN(c.n_chars) AS wmedian_chars,
+       CAST(MIN(t.n_docs) AS BIGINT) AS n_docs,
+       CAST(MIN(t.tot_w) AS BIGINT) AS total_tokens
+FROM c JOIN t ON t.source = c.source
+WHERE 2 * c.cum >= t.tot_w
+GROUP BY c.source
+"""
+
+
 X60_SQL = """
 SELECT event_type,
        COUNT(DISTINCT user_id) AS n_exact,
@@ -775,4 +842,5 @@ QUERIES: dict[str, tuple] = {
     "x32_conversion_lag": (x32_conversion_lag, X32_SQL),
     "x37_join_skew_report": (x37_join_skew_report, X37_SQL),
     "x60_hll_union": (x60_hll_union, X60_SQL),
+    "x69_weighted_median": (x69_weighted_median, _x69_sql()),
 }

@@ -1306,6 +1306,43 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
 """
 
 
+def a17_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 (r5): MODE per group with a DETERMINISTIC tie-break —
+    the most frequent quantity per returnflag.  Spark's ``mode()``
+    and DuckDB's ``MODE()`` both break frequency ties
+    engine-arbitrarily, so neither builtin can hash-match; the
+    declared operator is the count + ranked-window rewrite (highest
+    count, then smallest value), which is exact on both engines and
+    is also the plan you want at scale: the (group, value) count is
+    ONE data-scale shuffle with map-side combine, and the ranking
+    window runs over the aggregated frame (rows per group = distinct
+    values, a bounded domain), never the raw relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = (li.groupBy("l_returnflag",
+                      F.col("l_quantity").cast("long").alias("q"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = W.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "q")
+    return (cnt.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("l_returnflag", F.col("q").alias("mode_qty"),
+                    F.col("n").alias("mode_count")))
+
+
+A17_SQL = """
+WITH c AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)),
+r AS (
+  SELECT l_returnflag, q, n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, q) AS rk
+  FROM c)
+SELECT l_returnflag, q AS mode_qty, n AS mode_count
+FROM r WHERE rk = 1
+"""
+
+
 def w7_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 (r5): the distribution-rank window family — ntile(4),
     percent_rank, cume_dist per event_type over (value, event_id)
@@ -1332,6 +1369,7 @@ WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 
 QUERIES: dict[str, tuple] = {
     "a15_grouping_sets": (a15_grouping_sets, A15_SQL),
+    "a17_mode": (a17_mode, A17_SQL),
     "w7_distribution_ranks": (w7_distribution_ranks, W7_SQL),
     "a1_pricing_summary": (a1_pricing_summary, A1_SQL),
     "a2_global_agg": (a2_global_agg, A2_SQL),

@@ -214,6 +214,58 @@ WHERE rk <= 2
 """
 
 
+def d8_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 (r5): Arrow-OPTIMIZED Python scalar UDF (Spark 4
+    ``useArrow=True``) — same row-at-a-time authoring surface as D1,
+    but the exchange with the Python worker rides Arrow batches
+    instead of pickled rows (the migration path for legacy row UDFs
+    that can't be rewritten as pandas UDFs wholesale).  The function
+    body is deliberately non-vectorizable control flow (per-row
+    branching checksum) so the row surface is honest; the oracle
+    replays the same integer arithmetic in SQL."""
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def branchy_checksum(key: int, qty) -> int:
+        q = int(qty)
+        acc = (key * 31 + q) % 1000003
+        if q % 3 == 0:
+            acc = (acc * 7 + 1) % 1000003
+        elif q % 3 == 1:
+            acc = (acc * 11 + 2) % 1000003
+        else:
+            acc = (acc * 13 + 3) % 1000003
+        return acc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.select((F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+                      .alias("k"),
+                      F.col("l_quantity").cast("int").alias("q"))
+            .select(branchy_checksum("k", "q").alias("cs"))
+            .groupBy((F.col("cs") % 10).cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cs").cast("long").alias("cs_sum")))
+
+
+D8_SQL = """
+WITH b AS (
+  SELECT l_orderkey * 8 + l_linenumber AS k,
+         CAST(l_quantity AS INTEGER) AS q
+  FROM lineitem),
+c AS (
+  SELECT CASE WHEN q % 3 = 0
+              THEN (((k * 31 + q) % 1000003) * 7 + 1) % 1000003
+              WHEN q % 3 = 1
+              THEN (((k * 31 + q) % 1000003) * 11 + 2) % 1000003
+              ELSE (((k * 31 + q) % 1000003) * 13 + 3) % 1000003
+         END AS cs
+  FROM b)
+SELECT CAST(cs % 10 AS INTEGER) AS bucket, COUNT(*) AS n,
+       CAST(SUM(cs) AS BIGINT) AS cs_sum
+FROM c GROUP BY cs % 10
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "d1_scalar_udf": (d1_scalar_udf, D1_SQL),
     "d2_pandas_udf": (d2_pandas_udf, D2_SQL),
@@ -222,4 +274,5 @@ QUERIES: dict[str, tuple] = {
     "d5_udtf_explode": (d5_udtf_explode, D5_SQL),
     "d6_udaf_grouped": (d6_udaf_grouped, D6_SQL),
     "d7_udtf_table_arg": (d7_udtf_table_arg, D7_SQL),
+    "d8_arrow_udf": (d8_arrow_udf, D8_SQL),
 }
