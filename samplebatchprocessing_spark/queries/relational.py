@@ -790,6 +790,43 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def j8c_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8c (r5): as-of join with a TOLERANCE — the pandas
+    ``merge_asof(tolerance=...)`` semantics: the nearest prior click
+    counts only if it happened within 1 hour of the purchase; older
+    matches become NULL (stale attribution is no attribution).  The
+    carry-forward operator additionally carries the matched right
+    timestamp, and the tolerance is a row-local millisecond check
+    applied AFTER the single-shuffle match — cost identical to J8.
+    DuckDB twin: native ASOF with the same post-filter."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts"),
+        F.col("ts").alias("m_ts"), F.col("event_id").alias("click_id"))
+    joined = asof_join(
+        purchases, clicks,
+        left_ts="ts", right_ts="c_ts",
+        left_by="user_id", right_by="c_user_id",
+        right_cols=["click_id", "m_ts"], strict=False)
+    within = (F.unix_millis(F.col("ts")) - F.unix_millis(F.col("m_ts"))
+              <= 3_600_000)
+    return joined.select(
+        "event_id", "user_id",
+        F.when(within, F.col("click_id")).alias("click_id_1h"))
+
+
+J8C_SQL = """
+SELECT p.event_id, p.user_id,
+       CASE WHEN epoch_ms(p.ts) - epoch_ms(c.ts) <= 3600000
+            THEN c.event_id END AS click_id_1h
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
 def j9_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: TPC-H Q5-style 6-way star join, with the region predicate
     pushed to the FRONT of the join tree: region is filtered first,
@@ -1399,6 +1436,7 @@ QUERIES: dict[str, tuple] = {
     "j7_range_join": (j7_range_join, J7_SQL),
     "j8_asof_join": (j8_asof_join, J8_SQL),
     "j8b_asof_forward": (j8b_asof_forward, J8B_SQL),
+    "j8c_asof_tolerance": (j8c_asof_tolerance, J8C_SQL),
     "j9_star_join": (j9_star_join, J9_SQL),
     "j10_fuzzy_join": (j10_fuzzy_join, J10_SQL),
     "x35_quality_audit": (x35_quality_audit, X35_SQL),

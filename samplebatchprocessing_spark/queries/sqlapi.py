@@ -699,6 +699,63 @@ FROM orders WHERE o_orderkey % 100 = 0
 """
 
 
+def m5_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 (r5): deletion-list PURGE — the right-to-be-forgotten
+    maintenance job every stored corpus eventually runs: a deletion
+    list (here doc_id % 83 = 0) anti-joins out of the corpus, the
+    purged corpus is REWRITTEN to parquet, and the audit re-reads the
+    sink to PROVE the deletion (ids still present after re-read —
+    must be zero) and the integrity of everything else (exact
+    char-mass of survivors, from the re-read bytes, not the plan).
+    Per-source exact report; the oracle derives the same numbers
+    arithmetically, so a match proves delete + rewrite + re-read.
+
+    Scale (100 TB): the deletion list is by-contract small
+    (broadcast anti-join); the rewrite is partition-parallel
+    overwrite — same idempotent-output discipline as P6; nothing
+    driver-side."""
+    import os
+    from .sources import _work_dir
+    doc = load_table(spark, sf_dir, "documents")
+    dels = doc.filter(F.col("doc_id") % 83 == 0).select("doc_id")
+    purged = doc.join(F.broadcast(dels), "doc_id", "left_anti")
+    out = _work_dir(sf_dir, "m5_purge")
+    purged.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    leaked = (back.join(F.broadcast(dels), "doc_id", "left_semi")
+              .groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_leaked")))
+    before = doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum((F.col("doc_id") % 83 == 0).cast("long"))
+         .alias("n_deleted"))
+    after = back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum("n_chars").cast("long").alias("chars_after"))
+    return (before.join(after, "source", "left")
+            .join(leaked, "source", "left")
+            .select("source", "n_before", "n_deleted",
+                    F.coalesce("n_after", F.lit(0).cast("long"))
+                    .alias("n_after"),
+                    F.coalesce("chars_after", F.lit(0).cast("long"))
+                    .alias("chars_after"),
+                    F.coalesce("n_leaked", F.lit(0).cast("long"))
+                    .alias("n_leaked")))
+
+
+M5_SQL = """
+SELECT source, COUNT(*) AS n_before,
+       CAST(SUM(CASE WHEN doc_id % 83 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_deleted,
+       CAST(SUM(CASE WHEN doc_id % 83 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after,
+       CAST(SUM(CASE WHEN doc_id % 83 <> 0 THEN n_chars ELSE 0 END)
+            AS BIGINT) AS chars_after,
+       CAST(0 AS BIGINT) AS n_leaked
+FROM documents GROUP BY source
+"""
+
+
 def m2_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 over the customer dimension: every 10th customer gets a
     new balance effective 2020-01-01."""
@@ -976,6 +1033,7 @@ QUERIES: dict[str, tuple] = {
     "v28_tpch_q16_shape": (v28_tpch_q16_shape, V28_SQL),
     "m1_upsert": (m1_upsert, M1_SQL),
     "m2_scd2": (m2_scd2, M2_SQL),
+    "m5_purge": (m5_purge, M5_SQL),
     "m3_salted_join": (m3_salted_join, M3_SQL),
     "m4_bucketed_join": (m4_bucketed_join, M4_SQL),
 }
