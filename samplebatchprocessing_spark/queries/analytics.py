@@ -813,6 +813,95 @@ GROUP BY c.source
 """
 
 
+def x70_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70 (r5): exact group-wise MAD (median absolute deviation)
+    robust outliers — the X30 z-score audit's robust twin: 3-sigma
+    flags break when the contamination itself inflates sigma; median
+    +- 3*MAD doesn't.  Neither engine has an exact MAD builtin with
+    deterministic semantics; both phases reuse X69's histogram
+    discipline — per-(group, value) counts (one data-scale shuffle,
+    uniform keys), running-sum window over the bounded aggregated
+    frame, pick ``min value with 2*cum >= total``; phase two runs the
+    same kernel on |value - median| after a broadcast join of the
+    20-row median frame.  The outlier test |x - med| > 3*MAD is an
+    exact integer compare.  Output: per-source median, MAD, doc and
+    outlier counts — all exact."""
+    doc = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    def _median_of(frame, val_col, out_name):
+        h = (frame.groupBy("source", val_col)
+             .agg(F.count(F.lit(1)).alias("n")))
+        cum = F.sum("n").over(
+            W.partitionBy("source").orderBy(val_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+        tot = h.groupBy("source").agg(F.sum("n").alias("tot"))
+        return (h.withColumn("cum", cum)
+                .join(F.broadcast(tot), "source")
+                .filter(2 * F.col("cum") >= F.col("tot"))
+                .groupBy("source")
+                .agg(F.min(val_col).alias(out_name)))
+    med = _median_of(doc, "n_chars", "median_chars")
+    dev = (doc.join(F.broadcast(med), "source")
+           .select("source",
+                   F.abs(F.col("n_chars") - F.col("median_chars"))
+                   .alias("dev")))
+    mad = _median_of(dev, "dev", "mad_chars")
+    flags = (doc.join(F.broadcast(med), "source")
+             .join(F.broadcast(mad), "source")
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum((F.abs(F.col("n_chars")
+                               - F.col("median_chars"))
+                         > 3 * F.col("mad_chars")).cast("long"))
+                  .alias("n_outliers")))
+    return (med.join(mad, "source").join(flags, "source")
+            .select("source", "median_chars", "mad_chars",
+                    "n_docs", "n_outliers"))
+
+
+X70_SQL = """
+WITH h AS (SELECT source, n_chars, COUNT(*) AS n
+           FROM documents GROUP BY source, n_chars),
+c AS (SELECT source, n_chars,
+             SUM(n) OVER (PARTITION BY source ORDER BY n_chars
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h),
+t AS (SELECT source, SUM(n) AS tot FROM h GROUP BY source),
+med AS (
+  SELECT c.source, MIN(c.n_chars) AS median_chars
+  FROM c JOIN t ON t.source = c.source
+  WHERE 2 * c.cum >= t.tot GROUP BY c.source),
+dev AS (
+  SELECT d.source, ABS(d.n_chars - m.median_chars) AS dev
+  FROM documents d JOIN med m ON m.source = d.source),
+h2 AS (SELECT source, dev, COUNT(*) AS n FROM dev
+       GROUP BY source, dev),
+c2 AS (SELECT source, dev,
+              SUM(n) OVER (PARTITION BY source ORDER BY dev
+                           ROWS UNBOUNDED PRECEDING) AS cum
+       FROM h2),
+t2 AS (SELECT source, SUM(n) AS tot FROM h2 GROUP BY source),
+mad AS (
+  SELECT c2.source, MIN(c2.dev) AS mad_chars
+  FROM c2 JOIN t2 ON t2.source = c2.source
+  WHERE 2 * c2.cum >= t2.tot GROUP BY c2.source),
+fl AS (
+  SELECT d.source, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN ABS(d.n_chars - m.median_chars)
+                            > 3 * a.mad_chars THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_outliers
+  FROM documents d
+  JOIN med m ON m.source = d.source
+  JOIN mad a ON a.source = d.source
+  GROUP BY d.source)
+SELECT med.source, med.median_chars, mad.mad_chars,
+       fl.n_docs, fl.n_outliers
+FROM med JOIN mad ON mad.source = med.source
+JOIN fl ON fl.source = med.source
+"""
+
+
 X60_SQL = """
 SELECT event_type,
        COUNT(DISTINCT user_id) AS n_exact,
@@ -843,4 +932,5 @@ QUERIES: dict[str, tuple] = {
     "x37_join_skew_report": (x37_join_skew_report, X37_SQL),
     "x60_hll_union": (x60_hll_union, X60_SQL),
     "x69_weighted_median": (x69_weighted_median, _x69_sql()),
+    "x70_mad_outliers": (x70_mad_outliers, X70_SQL),
 }
