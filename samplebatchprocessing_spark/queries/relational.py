@@ -1404,9 +1404,73 @@ WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 """
 
 
+def w8_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 (r5): burst-collapse DEBOUNCE — per (user, event_type),
+    chain consecutive events each within 60 s of the PREVIOUS event
+    into a burst and keep only the burst leader (the leading-edge
+    debounce every event-ingest pipeline runs against double-fires
+    and retry storms).  Pure window algebra: the gap flag starts a
+    burst, a running sum names it, a per-burst rank keeps the leader
+    and a count reports the collapsed size — two passes over one
+    (user, type)-keyed shuffle, no state, no recurrence (the
+    TRAILING-edge variant, gap-from-last-KEPT, is the X49-style
+    per-key recurrence; this form is the one plain windows can
+    express exactly).  Total order (ts, event_id) makes every burst
+    id deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id", "event_type") \
+          .orderBy("ts", "event_id")
+    gap_ms = (F.unix_millis(F.col("ts"))
+              - F.unix_millis(F.lag("ts").over(wo)))
+    new_burst = (F.lag("ts").over(wo).isNull()
+                 | (gap_ms > 60_000)).cast("long")
+    d = (ev.select("event_id", "user_id", "event_type", "ts")
+         .withColumn("_nb", new_burst)
+         .withColumn("burst_id", F.sum("_nb").over(
+             wo.rowsBetween(W.unboundedPreceding, W.currentRow))))
+    wb = W.partitionBy("user_id", "event_type", "burst_id")
+    d = (d.withColumn("_rk", F.row_number().over(
+            wb.orderBy("ts", "event_id")))
+         .withColumn("burst_len", F.count(F.lit(1)).over(wb)))
+    return (d.filter(F.col("_rk") == 1)
+            .select("event_id", "user_id", "event_type",
+                    F.col("burst_id").cast("long").alias("burst_id"),
+                    F.col("burst_len").cast("long").alias("burst_len")))
+
+
+W8_SQL = """
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 60000
+              THEN 1 ELSE 0 END AS nb
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type
+               ORDER BY ts, event_id)),
+b AS (
+  SELECT event_id, user_id, event_type, ts,
+         SUM(nb) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS burst_id
+  FROM g),
+r AS (
+  SELECT event_id, user_id, event_type, burst_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type, burst_id
+                            ORDER BY ts, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id, event_type, burst_id)
+           AS burst_len
+  FROM b)
+SELECT event_id, user_id, event_type,
+       CAST(burst_id AS BIGINT) AS burst_id,
+       CAST(burst_len AS BIGINT) AS burst_len
+FROM r WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "a15_grouping_sets": (a15_grouping_sets, A15_SQL),
     "a17_mode": (a17_mode, A17_SQL),
+    "w8_debounce": (w8_debounce, W8_SQL),
     "w7_distribution_ranks": (w7_distribution_ranks, W7_SQL),
     "a1_pricing_summary": (a1_pricing_summary, A1_SQL),
     "a2_global_agg": (a2_global_agg, A2_SQL),
