@@ -295,3 +295,75 @@ FROM iv a JOIN iv b
  AND a.s < b.e AND b.s < a.e
 GROUP BY a.day
 """
+
+
+def debounce_trailing(events: DataFrame, *, gap_ms: int = 60_000,
+                      key_cols: tuple[str, str] = ("user_id",
+                                                   "event_type"),
+                      order_cols: tuple[str, str] = ("ts", "event_id")
+                      ) -> DataFrame:
+    """TRAILING-edge debounce — keep an event iff it is >= ``gap_ms``
+    after the last KEPT event of its key (first always kept).  Unlike
+    W8's burst collapse (gap from the previous EVENT — pure window
+    algebra), the trailing form's state depends on the previous
+    OUTPUT, the same recurrence class as :func:`ewma_fixedpoint`:
+    one hash shuffle on the key, a local sort, an O(n) scan per
+    group in one Arrow batch.  Integer-millisecond arithmetic, so
+    the DuckDB recursive-CTE twin replays the kept set bit-for-bit.
+
+    Returns kept rows only: (user_id, event_type, event_id,
+    kept_rank)."""
+    import pandas as pd
+
+    k1, k2 = key_cols
+    o1, o2 = order_cols
+    src = events.select(k1, k2, o1, o2,
+                        F.unix_millis(F.col(o1)).alias("t"))
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([o1, o2], kind="mergesort")
+        last, cnt = None, 0
+        keep_flags, ranks = [], []
+        for t in pdf["t"]:
+            keep = last is None or int(t) - last >= gap_ms
+            if keep:
+                last = int(t)
+                cnt += 1
+            keep_flags.append(keep)
+            ranks.append(cnt)
+        out = pdf.assign(_keep=keep_flags, kept_rank=ranks)
+        out = out[out["_keep"]]
+        return out[[k1, k2, o2, "kept_rank"]]
+
+    return (src.repartition(k1, k2).groupBy(k1, k2).applyInPandas(
+        scan, schema=f"{k1} long, {k2} string, {o2} long,"
+                     f" kept_rank long"))
+
+
+def debounce_trailing_sql(*, gap_ms: int = 60_000,
+                          table: str = "events") -> str:
+    """DuckDB twin of :func:`debounce_trailing` — the identical
+    last-kept recurrence via a recursive CTE over per-key rank
+    order."""
+    return f"""
+WITH RECURSIVE
+e AS (SELECT user_id AS k, event_type AS ty, event_id,
+             epoch_ms(ts) AS t,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM {table}),
+rec(k, ty, event_id, rn, t, last_t, kept, cnt) AS (
+  SELECT k, ty, event_id, rn, t, t, TRUE, 1 FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.k, e.ty, e.event_id, e.rn, e.t,
+         CASE WHEN e.t - rec.last_t >= {gap_ms}
+              THEN e.t ELSE rec.last_t END,
+         e.t - rec.last_t >= {gap_ms},
+         rec.cnt + CASE WHEN e.t - rec.last_t >= {gap_ms}
+                        THEN 1 ELSE 0 END
+  FROM e JOIN rec ON e.k = rec.k AND e.ty = rec.ty
+                 AND e.rn = rec.rn + 1)
+SELECT k AS user_id, ty AS event_type, event_id,
+       CAST(cnt AS BIGINT) AS kept_rank
+FROM rec WHERE kept
+"""

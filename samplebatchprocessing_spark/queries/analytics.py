@@ -684,6 +684,26 @@ def _x49_sql() -> str:
 
 
 
+def x71_debounce_trailing(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """X71 (r5): trailing-edge debounce — keep an event iff it is
+    >= 60 s after the last KEPT event of its (user, type) key
+    (``operators.eventflow.debounce_trailing``).  W8's window-algebra
+    burst collapse drops whole bursts; the trailing form re-admits an
+    event once the gap from the last SURVIVOR passes the threshold —
+    a recurrence on the operator's own output, the x49 class, run as
+    one applyInPandas scan per key.  The DuckDB recursive-CTE twin
+    replays the kept set bit-for-bit."""
+    from ..operators.eventflow import debounce_trailing
+    ev = load_table(spark, sf_dir, "events")
+    return debounce_trailing(ev)
+
+
+def _x71_sql() -> str:
+    from ..operators.eventflow import debounce_trailing_sql
+    return debounce_trailing_sql()
+
+
 def j11_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J11 (r5): interval-overlap join — per day, how many event
     pairs [ts, ts+value sec) genuinely overlap
@@ -916,6 +936,7 @@ QUERIES: dict[str, tuple] = {
     "j11_interval_overlap": (j11_interval_overlap, _j11_sql()),
     "x47_kmeans_clusters": (x47_kmeans_clusters, _x47_sql()),
     "x49_ewma": (x49_ewma, _x49_sql()),
+    "x71_debounce_trailing": (x71_debounce_trailing, _x71_sql()),
     "x53_cluster_balanced_sample": (x53_cluster_balanced_sample,
                                     _x53_sql()),
     "x57_embedding_outliers": (x57_embedding_outliers, _x57_sql()),

@@ -503,3 +503,19 @@ def test_dsir_target_slice_scores_positive(spark, sf_smoke):
            .agg(F.sum(F.col("c") * F.col("lam")).alias("w"))
            .collect()[0]["w"])
     assert tot > 0
+
+
+def test_trailing_debounce_keeps_every_burst_leader(spark, sf_smoke):
+    """W8/X71 cross-invariant: a burst leader's gap from the last
+    KEPT event is >= its gap from the previous event (> 60 s), so the
+    trailing-edge kept set must be a superset of the leading-edge
+    leader set."""
+    from samplebatchprocessing_spark.queries.analytics import (
+        x71_debounce_trailing)
+    from samplebatchprocessing_spark.queries.relational import (
+        w8_debounce)
+    leaders = {r["event_id"]
+               for r in w8_debounce(spark, sf_smoke).collect()}
+    kept = {r["event_id"]
+            for r in x71_debounce_trailing(spark, sf_smoke).collect()}
+    assert leaders <= kept
