@@ -922,6 +922,89 @@ JOIN fl ON fl.source = med.source
 """
 
 
+def x72_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72 (r5): k-anonymity audit over the event log — group by the
+    quasi-identifier (event_type, day) and flag groups whose distinct
+    user count is below k=5: the re-identification risk report that
+    gates a dataset release (Sweeney 2002, public).  Exact integers:
+    group counts, risky groups, events exposed in risky groups, and
+    the minimum group size (the dataset's actual k).  One
+    data-scale shuffle on the quasi-identifier, then a scalar
+    rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+         .agg(F.countDistinct("user_id").alias("n_users"),
+              F.count(F.lit(1)).alias("n_events")))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("n_users") < 5).cast("long"))
+         .alias("n_risky_groups"),
+        F.sum(F.when(F.col("n_users") < 5, F.col("n_events"))
+              .otherwise(F.lit(0))).cast("long")
+         .alias("n_events_exposed"),
+        F.min("n_users").cast("long").alias("dataset_k"))
+
+
+X72_SQL = """
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         COUNT(DISTINCT user_id) AS n_users,
+         COUNT(*) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE))
+SELECT COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_groups,
+       CAST(SUM(CASE WHEN n_users < 5 THEN n_events ELSE 0 END)
+            AS BIGINT) AS n_events_exposed,
+       CAST(MIN(n_users) AS BIGINT) AS dataset_k
+FROM g
+"""
+
+
+_X73_COLS = ("l_orderkey", "l_partkey", "l_quantity",
+             "l_extendedprice", "l_discount")
+
+
+def x73_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73 (r5): generic TABLE PROFILER — one row per column with
+    null count, distinct count, and exact fixed-point min/max
+    (floor x 100, identical IEEE doubles on both engines) — the
+    first-look data-quality report X35's rule engine presumes.
+    ONE scan computes all per-column aggregates; the row-per-column
+    shape comes from a stack (unpivot) of the single aggregate row,
+    so profiling N columns costs one pass regardless of N."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in _X73_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.floor(F.min(c) * 100).cast("long").alias(f"{c}__min"),
+            F.floor(F.max(c) * 100).cast("long").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _X73_COLS)
+    return one.select(
+        F.expr(f"stack({len(_X73_COLS)}, {stack}) AS "
+               "(column_name, n_nulls, n_distinct, min_x100, max_x100)"),
+        F.col("_n").alias("n_rows")).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_x100", "max_x100")
+
+
+X73_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(FLOOR(MIN({c}) * 100) AS BIGINT) AS min_x100,
+       CAST(FLOOR(MAX({c}) * 100) AS BIGINT) AS max_x100
+FROM lineitem"""
+    for c in _X73_COLS)
+
+
 X60_SQL = """
 SELECT event_type,
        COUNT(DISTINCT user_id) AS n_exact,
@@ -954,4 +1037,6 @@ QUERIES: dict[str, tuple] = {
     "x60_hll_union": (x60_hll_union, X60_SQL),
     "x69_weighted_median": (x69_weighted_median, _x69_sql()),
     "x70_mad_outliers": (x70_mad_outliers, X70_SQL),
+    "x72_k_anonymity": (x72_k_anonymity, X72_SQL),
+    "x73_table_profile": (x73_table_profile, X73_SQL),
 }

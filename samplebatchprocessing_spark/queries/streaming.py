@@ -576,6 +576,103 @@ def _s18_sql() -> str:
     return X65_SQL
 
 
+def s19_stream_bloom_gate(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """S19 (r5): Bloom-gated dedup screen at INGEST — the serving
+    half of X68 under the S15/S18 model-folding discipline: the
+    corpus' 4096-bit membership filter builds batch-side (one
+    aggregate to <= 4096 set bits), folds into the streaming plan as
+    a 64-word literal BITMAP, and each streamed document tests its 4
+    probe bits ROW-LOCALLY (bit shifts on array literals — no join,
+    no state); the single streaming aggregation is the per-source
+    funnel of maybe-dup vs definitely-novel.  Zero false negatives
+    by construction, so 'novel' documents can skip the exact
+    verification entirely — at 100 TB that is the difference between
+    anti-joining every ingest batch against the corpus hash set and
+    anti-joining only the bloom-positive sliver.  The oracle derives
+    the same funnel arithmetically (X68's bloom replayed per
+    source)."""
+    from ..catalog import load_table
+    from ..streaming.jobs import documents_stream
+    m, k = 4096, 4
+    corpus = (load_table(spark, sf_dir, "documents")
+              .select(F.md5("text").alias("h")))
+    bit_rows = (corpus.select(F.explode(F.array(*[
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("h"))), 1, 15),
+            16, 10).cast("long") % m).cast("int")
+        for j in range(k)])).alias("bit"))
+        .distinct().collect())                     # <= 4096 rows
+    words = [0] * (m // 64)
+    for r in bit_rows:
+        words[r["bit"] // 64] |= 1 << (r["bit"] % 64)
+    # Signed-long literal array: Python ints >= 2^63 wrap to the JVM
+    # long range explicitly so F.lit accepts them.
+    bitmap = F.array(*[
+        F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
+        for w in words])
+    sdf = documents_stream(spark, sf_dir, tag="bloom")
+    # Streamed "batch": same deterministic construction as X68 —
+    # doc_id % 5 = 0 re-ingests corpus text, % 5 = 1 is novel.
+    batch = (sdf.filter(F.col("doc_id") % 5 <= 1)
+             .select("doc_id", "source",
+                     F.when(F.col("doc_id") % 5 == 0, F.md5("text"))
+                     .otherwise(F.md5(F.concat(
+                         F.lit("novel-"),
+                         F.col("doc_id").cast("string"),
+                         F.lit(":"), F.col("text")))).alias("h")))
+
+    masks = F.array(*[
+        F.lit((1 << i) - (1 << 64) if i == 63 else (1 << i))
+        .cast("long") for i in range(64)])
+
+    def bit_set(j: int) -> F.Column:
+        b = (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("h"))), 1, 15),
+            16, 10).cast("long") % m).cast("int")
+        word = F.element_at(bitmap, F.floor(b / 64).cast("int") + 1)
+        mask = F.element_at(masks, (b % 64) + 1)
+        return word.bitwiseAND(mask) != 0
+    pos = bit_set(0) & bit_set(1) & bit_set(2) & bit_set(3)
+    out = (batch.withColumn("pos", pos)
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_streamed"),
+                F.sum(F.col("pos").cast("long")).alias("n_maybe_dup"),
+                F.sum((~F.col("pos")).cast("long")).alias("n_novel")))
+    return run_available_now(out, output_mode="complete")
+
+
+S19_SQL = """
+WITH corpus AS (SELECT MD5(text) AS h FROM documents),
+bloom AS (
+  SELECT DISTINCT
+         CAST(('0x' || SUBSTRING(MD5(j || ':' || h), 1, 15))::BIGINT
+              % 4096 AS INTEGER) AS bit
+  FROM corpus, UNNEST([0, 1, 2, 3]) AS u(j)),
+batch AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0 THEN MD5(text)
+              ELSE MD5('novel-' || CAST(doc_id AS VARCHAR) || ':'
+                       || text) END AS h
+  FROM documents WHERE doc_id % 5 <= 1),
+pos AS (
+  SELECT b.doc_id, b.source,
+         SUM(CASE WHEN
+               CAST(('0x' || SUBSTRING(MD5(u.j || ':' || b.h), 1, 15))
+                    ::BIGINT % 4096 AS INTEGER)
+               IN (SELECT bit FROM bloom)
+             THEN 1 ELSE 0 END) = 4 AS p
+  FROM batch b, UNNEST([0, 1, 2, 3]) AS u(j)
+  GROUP BY b.doc_id, b.source)
+SELECT source, COUNT(*) AS n_streamed,
+       CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_maybe_dup,
+       CAST(SUM(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_novel
+FROM pos GROUP BY source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "s1_stream_scan": (s1_stream_scan, S1_SQL),
     "s2_tumbling_window": (s2_tumbling_window, S2_SQL),
@@ -597,4 +694,5 @@ QUERIES: dict[str, tuple] = {
     "s16_stream_quality_gate": (s16_stream_quality_gate, _s16_sql()),
     "s17_stream_decontaminate": (s17_stream_decontaminate, _s17_sql()),
     "s18_stream_dsir_gate": (s18_stream_dsir_gate, _s18_sql()),
+    "s19_stream_bloom_gate": (s19_stream_bloom_gate, S19_SQL),
 }
