@@ -2283,6 +2283,107 @@ FROM dw GROUP BY source
 """
 
 
+def x74_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74 (r5): RECIPROCAL-RANK FUSION (Cormack et al. 2009) of two
+    retrieval rankings — the standard way to combine heterogeneous
+    retrievers (dense + lexical, exact + quantized) without score
+    calibration: fused(d) = sum over lists of 1/(60 + rank_d).  List
+    A is the exact-cosine ranking (L7's operator at k=20); list B
+    ranks by the INTEGER-GRID dot product on floor(x*8) quantized
+    vectors (the X47 grid discipline — an intentionally different,
+    cheaper retriever).  Determinism: ranks are integers, each fused
+    score is a sum of exactly TWO doubles (binary + is
+    order-symmetric, so cross-engine bit-equality holds — the reason
+    k stays at 2 lists), ties break on vec_id.  Output: top-5 fused
+    per query with both source ranks.
+
+    Scale (100 TB): both rankings broadcast the small query side and
+    rank per query; the fusion join keys on (query, candidate) —
+    top-20 lists, so the fused relation is 40 rows per query max."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = (similarity.cosine_topk(emb, F.col("vec_id") % 50 == 0, k=20)
+         .select("query_id", "vec_id", F.col("rank").alias("ra")))
+    grid = "transform({c}, x -> cast(floor(cast(x as double) * 8) as bigint))"
+    qe = (emb.filter(F.col("vec_id") % 50 == 0)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.expr(grid.format(c="embedding")).alias("qg")))
+    cand = emb.select("vec_id",
+                      F.expr(grid.format(c="embedding")).alias("cg"))
+    idot = F.aggregate(
+        F.zip_with("qg", "cg", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    wb = W.partitionBy("query_id").orderBy(F.col("idot").desc(),
+                                           "vec_id")
+    b = (cand.crossJoin(F.broadcast(qe))
+         .filter(F.col("vec_id") != F.col("query_id"))
+         .select("query_id", "vec_id", idot.alias("idot"))
+         .withColumn("rb", F.row_number().over(wb))
+         .filter(F.col("rb") <= 20)
+         .select("query_id", "vec_id", "rb"))
+    fused = (a.join(b, ["query_id", "vec_id"], "full_outer")
+             .withColumn("score",
+                         F.coalesce(1.0 / (60 + F.col("ra")),
+                                    F.lit(0.0))
+                         + F.coalesce(1.0 / (60 + F.col("rb")),
+                                      F.lit(0.0))))
+    wf = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                           "vec_id")
+    return (fused.withColumn("fused_rank", F.row_number().over(wf))
+            .filter(F.col("fused_rank") <= 5)
+            .select("query_id", "vec_id", "fused_rank",
+                    F.round("score", 6).alias("rrf_x"),
+                    F.coalesce("ra", F.lit(0)).cast("long")
+                    .alias("rank_cos"),
+                    F.coalesce("rb", F.lit(0)).cast("long")
+                    .alias("rank_grid")))
+
+
+_IDOT_QC = ("LIST_REDUCE(LIST_CONCAT([CAST(0 AS BIGINT)], "
+            "LIST_TRANSFORM(LIST_ZIP(q.embedding, c.embedding), "
+            "p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * 8) AS BIGINT)"
+            " * CAST(FLOOR(CAST(p[2] AS DOUBLE) * 8) AS BIGINT))), "
+            "(acc, v) -> acc + v)")
+
+X74_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id % 50 = 0),
+ca AS (
+  SELECT q.query_id, c.vec_id,
+         {_COS_QC} AS cosine
+  FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+a AS (
+  SELECT query_id, vec_id, ra FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS ra
+    FROM ca WHERE NOT ISNAN(cosine)) WHERE ra <= 20),
+cb AS (
+  SELECT q.query_id, c.vec_id, {_IDOT_QC} AS idot
+  FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+b AS (
+  SELECT query_id, vec_id, rb FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY idot DESC, vec_id) AS rb
+    FROM cb) WHERE rb <= 20),
+f AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.vec_id, b.vec_id) AS vec_id,
+         COALESCE(1.0 / (60 + a.ra), 0)
+           + COALESCE(1.0 / (60 + b.rb), 0) AS score,
+         COALESCE(a.ra, 0) AS ra, COALESCE(b.rb, 0) AS rb
+  FROM a FULL JOIN b
+    ON a.query_id = b.query_id AND a.vec_id = b.vec_id)
+SELECT query_id, vec_id, fused_rank, ROUND(score, 6) AS rrf_x,
+       CAST(ra AS BIGINT) AS rank_cos, CAST(rb AS BIGINT) AS rank_grid
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id)
+               AS fused_rank
+      FROM f)
+WHERE fused_rank <= 5
+"""
+
+
 def x64_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X64 (r5): duplicated-span REMOVAL — the materialization of
     x21's duplicated-substring report (Lee et al. 2021): each
@@ -2601,6 +2702,7 @@ QUERIES: dict[str, tuple] = {
     "x62_c4_filters": (x62_c4_filters, curation.c4_rules_sql()),
     "x63_chat_validation": (x63_chat_validation, X63_SQL),
     "x64_span_dedup": (x64_span_dedup, dedup.dup_span_removal_sql()),
+    "x74_rrf_fusion": (x74_rrf_fusion, X74_SQL),
     "x65_dsir_weights": (x65_dsir_weights, X65_SQL),
     "x66_containment_neardup": (x66_containment_neardup,
                                 dedup.containment_pairs_sql()),

@@ -1343,6 +1343,45 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
 """
 
 
+def w9_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 (r5): RUNNING DISTINCT COUNT — per user ordered by time,
+    how many distinct event types the user has touched so far (the
+    journey-breadth signal).  ``count(distinct) OVER`` an expanding
+    frame is unsupported in both engines; the declared rewrite is
+    the first-occurrence trick: a row_number over (user, type) marks
+    each type's first appearance, and a running SUM of those flags
+    over the user's (ts, event_id) order IS the distinct count —
+    two windows over ONE user-keyed shuffle (the second partitions
+    on a subset-prefixed key), exact integers throughout."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = (F.row_number().over(
+        W.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")) == 1).cast("long")
+    d = ev.select("event_id", "user_id", "ts",
+                  first_seen.alias("_f"))
+    running = F.sum("_f").over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return d.select("event_id", "user_id",
+                    running.cast("long").alias("n_types_so_far"))
+
+
+W9_SQL = """
+WITH f AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS fs
+  FROM events)
+SELECT event_id, user_id,
+       CAST(SUM(fs) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_types_so_far
+FROM f
+"""
+
+
 def a17_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A17 (r5): MODE per group with a DETERMINISTIC tie-break —
     the most frequent quantity per returnflag.  Spark's ``mode()``
@@ -1471,6 +1510,7 @@ QUERIES: dict[str, tuple] = {
     "a15_grouping_sets": (a15_grouping_sets, A15_SQL),
     "a17_mode": (a17_mode, A17_SQL),
     "w8_debounce": (w8_debounce, W8_SQL),
+    "w9_running_distinct": (w9_running_distinct, W9_SQL),
     "w7_distribution_ranks": (w7_distribution_ranks, W7_SQL),
     "a1_pricing_summary": (a1_pricing_summary, A1_SQL),
     "a2_global_agg": (a2_global_agg, A2_SQL),
