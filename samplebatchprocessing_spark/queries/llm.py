@@ -2042,12 +2042,13 @@ def x54_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys at any corpus scale."""
     doc = load_table(spark, sf_dir, "documents")
     toks = text.tokenize(F.col("text"))
-    bigrams = F.when(
-        F.size(F.col("__t")) >= 2,
-        F.expr("transform(sequence(1, size(__t) - 1),"
-               " i -> concat_ws(' ', element_at(__t, i),"
-               " element_at(__t, i + 1)))")
-    ).otherwise(F.array().cast("array<string>"))
+    # zip_with over slices, not element_at in a transform lambda —
+    # projection collapse would re-run the tokenizer per element
+    # (the X65 O(n^2) trap, see BASELINE.md r5 wave-2 addendum).
+    bigrams = F.expr(
+        "zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),"
+        "         slice(__t, 2, greatest(size(__t) - 1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))")
     base = doc.select("source", toks.alias("__t")) \
               .select("source", "__t", bigrams.alias("__b"))
     uni = (base.select("source", F.explode("__t").alias("g"))
