@@ -204,3 +204,51 @@ def run_available_now(sdf_writer_input: DataFrame, *,
          .start())
     q.awaitTermination()
     return sdf_writer_input.sparkSession.table(name)
+
+
+def tws_user_totals(sdf: DataFrame) -> DataFrame:
+    """Per-user exact running totals via the Spark 4
+    ``transformWithStateInPandas`` API — the successor surface to
+    ``applyInPandasWithState`` (S9): typed state handles
+    (``getValueState``) owned by a ``StatefulProcessor`` object
+    instead of a bare (key, pdfs, state) closure, with declared
+    state schemas the engine can evolve/inspect.  State per user is
+    two longs; values are fixed-point floor(value * 100) so the
+    emitted totals are exact integers with a straight SQL oracle.
+
+    ENVIRONMENT GATE (documented contract, like the multimodal
+    decode stub): executing the query requires ``google.protobuf`` —
+    the transformWithState Python state server speaks protobuf to
+    the JVM, and this container does not ship it (installs are out
+    of contract), so the operator has no registry row; the API
+    surface is exercised by a pytest that SKIPS unless protobuf
+    imports and otherwise asserts parity with the plain aggregate."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class Totals(StatefulProcessor):
+        def init(self, handle):
+            self._st = handle.getValueState("totals", "n long, s long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = (self._st.get() or (0, 0)) if self._st.exists() \
+                else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                s += int(pdf["v100"].sum())
+            self._st.update((n, s))
+            yield pd.DataFrame([{"user_id": key[0], "n_events": n,
+                                 "value_sum_x100": s}])
+
+        def close(self):
+            pass
+
+    out_schema = "user_id long, n_events long, value_sum_x100 long"
+    return (sdf.select("user_id",
+                       F.floor(F.col("value") * 100).cast("long")
+                       .alias("v100"))
+            .groupBy("user_id")
+            .transformWithStateInPandas(Totals(),
+                                        outputStructType=out_schema,
+                                        outputMode="Update",
+                                        timeMode="None"))

@@ -143,3 +143,36 @@ def test_stage_table_dir_gc_stale_generations(spark, sf_smoke, tmp_path):
     assert d1b != d1
     assert not os.path.isdir(d1), "stale generation not GC'd"
     assert os.path.isdir(d2), "concurrent variant wrongly GC'd"
+
+
+def test_transform_with_state_totals(spark, sf_smoke):
+    """tws_user_totals (the Spark 4 transformWithStateInPandas
+    surface): per-user exact totals must equal the plain batch
+    aggregate.  SKIPS when google.protobuf is absent — the
+    transformWithState Python state server requires it, and this
+    container does not ship it (documented gate in
+    streaming/jobs.py)."""
+    import pytest
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available: "
+                    "transformWithState state server cannot start")
+    from pyspark.sql import functions as F
+
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.streaming.jobs import (
+        events_stream, run_available_now, tws_user_totals)
+    sdf = events_stream(spark, sf_smoke, tag="tws_test")
+    got = run_available_now(tws_user_totals(sdf),
+                            output_mode="update")
+    exp = (load_table(spark, sf_smoke, "events")
+           .groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100).cast("long"))
+                .alias("value_sum_x100")))
+    g = {(r["user_id"], r["n_events"], r["value_sum_x100"])
+         for r in got.collect()}
+    e = {(r["user_id"], r["n_events"], r["value_sum_x100"])
+         for r in exp.collect()}
+    assert g == e
