@@ -699,6 +699,38 @@ FROM orders WHERE o_orderkey % 100 = 0
 """
 
 
+V29_SQL = """
+WITH RECURSIVE chain(doc_id, node, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM documents
+  UNION ALL
+  SELECT c.doc_id, c.node // 2, c.depth + 1
+  FROM chain c WHERE c.node >= 1
+)
+SELECT d.depth_to_root,
+       COUNT(*) AS n_docs,
+       CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+FROM (SELECT doc_id, MAX(depth) AS depth_to_root
+      FROM chain GROUP BY doc_id) d
+GROUP BY d.depth_to_root
+"""
+
+
+def v29_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V29 (r5): RECURSIVE CTE through the SQL entry point — new in
+    Spark 4 (WITH RECURSIVE), previously the one classic ANSI
+    construct this engine could not run and the reason iterative
+    operators (L11 components, X49 recurrences) ship as DataFrame
+    loops with DuckDB recursive twins.  The query walks each
+    document's halving parent chain (node -> node/2, a log-depth
+    synthetic hierarchy) and rolls up documents by their depth to
+    the root — ONE shared ANSI text executed verbatim on both
+    engines (modulo the one-token integer-division spelling — DIV
+    vs //), the TPC-H sub-suite discipline.  Non-negative ids make
+    the truncation identical, so every depth is exact."""
+    register_views(spark, sf_dir)
+    return spark.sql(V29_SQL.replace("c.node // 2", "c.node DIV 2"))
+
+
 def m5_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 (r5): deletion-list PURGE — the right-to-be-forgotten
     maintenance job every stored corpus eventually runs: a deletion
@@ -1034,6 +1066,7 @@ QUERIES: dict[str, tuple] = {
     "m1_upsert": (m1_upsert, M1_SQL),
     "m2_scd2": (m2_scd2, M2_SQL),
     "m5_purge": (m5_purge, M5_SQL),
+    "v29_recursive_cte": (v29_recursive_cte, V29_SQL),
     "m3_salted_join": (m3_salted_join, M3_SQL),
     "m4_bucketed_join": (m4_bucketed_join, M4_SQL),
 }
