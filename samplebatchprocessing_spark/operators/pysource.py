@@ -62,11 +62,60 @@ class SynthEventsSource(DataSource):
     def reader(self, schema) -> SynthEventsReader:
         return SynthEventsReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return SynthEventsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration on any (vanilla) session.  The class
     is pickled by reference, so ship the package to the workers
-    first (same mechanism every UDF path uses)."""
+    first (same mechanism every UDF path uses).  The STREAMING
+    reader additionally runs in a driver-side StreamingPythonRunner
+    process that does NOT see addPyFile paths — register this module
+    for pickle-BY-VALUE so that process needs no import at all."""
+    from pyspark import cloudpickle
+
     from ..session import ship_package
     ship_package(spark)
+    import samplebatchprocessing_spark.operators.pysource as _self
+    cloudpickle.register_pickle_by_value(_self)
     spark.dataSource.register(SynthEventsSource)
+
+
+class SynthEventsStreamReader:
+    """``SimpleDataSourceStreamReader`` for the same synthetic
+    relation — the STREAMING half of the Python Data Source API
+    (Spark 4): offsets are plain row positions, each micro-batch
+    advances by ``chunk`` rows until ``n_rows`` is exhausted, and
+    ``readBetweenOffsets`` replays any committed span exactly (the
+    recovery contract).  Deterministic payload -> the finite stream
+    drains under AvailableNow and the result is auditable by the
+    same arithmetic oracle as the batch scan."""
+
+    def __init__(self, options: dict) -> None:
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.chunk = int(options.get("chunk", 128))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    @staticmethod
+    def _rows(lo: int, hi: int):
+        # iter(list), not a bare generator or list: the wrapper both
+        # calls next() on the result (empty-batch validation) and
+        # pickles it into the prefetch cache — a list_iterator
+        # satisfies both, a generator fails pickling and a list
+        # fails next().
+        return iter([(i, (i * MULT) % MOD % 16, (i * MULT) % MOD)
+                     for i in range(lo, hi)])
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(pos + self.chunk, self.n_rows)
+        return self._rows(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["pos"], end["pos"])
+
+    def commit(self, end: dict) -> None:
+        pass

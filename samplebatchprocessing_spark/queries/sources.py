@@ -459,6 +459,37 @@ FROM g GROUP BY bucket
 """
 
 
+def p17_python_stream_source(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """P17 (r5): the STREAMING half of the Python Data Source API —
+    the same registered source read with ``spark.readStream``
+    through its ``SimpleDataSourceStreamReader``: position offsets,
+    128-row micro-batches (10k rows = ~79 batches), exact replay via
+    ``readBetweenOffsets``.  The finite stream drains with
+    ``processAllAvailable`` (AvailableNow snapshots only the simple
+    reader's FIRST prefetched chunk — measured: 1 batch of 128 rows)
+    into the same per-bucket aggregate as P14, so the twin audits
+    the whole streaming read path — offset management included: a
+    skipped or double-read batch changes the counts."""
+    from ..operators import pysource
+    pysource.register(spark)
+    sdf = (spark.readStream.format("synth_events")
+           .option("n_rows", 10000).option("chunk", 128).load())
+    agg = (sdf.groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sum_value"),
+                F.min("id").alias("min_id"),
+                F.max("id").alias("max_id")))
+    name = "p17_stream_out"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(processingTime="0 seconds").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 
 def p16_corrupt_tolerant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P16 (r5): corrupt-record-tolerant JSON-lines ingestion — the
@@ -607,4 +638,5 @@ QUERIES: dict[str, tuple] = {
     "t5_range_sorted_layout": (t5_range_sorted_layout, T5_SQL),
     "q5_nested_pruning": (q5_nested_pruning, Q5_SQL),
     "p14_python_datasource": (p14_python_datasource, P14_SQL),
+    "p17_python_stream_source": (p17_python_stream_source, P14_SQL),
 }
