@@ -19,7 +19,9 @@ driver after planning, so the source parallelizes like any file scan
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamWriter,
+                                    InputPartition)
 
 # Modular-hash payload: id * MULT % MOD stays inside int64 for any
 # id < 2^32 and is a plain arithmetic expression in any SQL engine.
@@ -64,6 +66,9 @@ class SynthEventsSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return SynthEventsStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return JsonDirWriter(self.options)
 
 
 def register(spark) -> None:
@@ -118,4 +123,48 @@ class SynthEventsStreamReader:
         return self._rows(start["pos"], end["pos"])
 
     def commit(self, end: dict) -> None:
+        pass
+
+
+class JsonDirWriter(DataSourceStreamWriter):
+    """``DataSourceStreamWriter`` for the synthetic source — the SINK
+    half of the Python Data Source API: each micro-batch task writes
+    its rows as JSON lines under ``path``, returns a commit message
+    naming the file, and ``commit`` journals the batch's file list —
+    the same manifest-commit discipline as the P8 pipeline.  Local
+    paths serve the local[?] test contract; a cluster deployment
+    points ``path`` at shared/object storage."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        rows = [{"id": r[0], "bucket": r[1], "value": r[2]}
+                for r in iterator]
+        if not rows:
+            return WriterCommitMessage()
+        fn = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        with open(fn, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row) + "\n")
+        msg = WriterCommitMessage()
+        msg.file = fn
+        msg.n = len(rows)
+        return msg
+
+    def commit(self, messages, batchId) -> None:
+        import json
+        import os
+        files = [{"file": m.file, "n": m.n} for m in messages
+                 if getattr(m, "file", None)]
+        log = os.path.join(self.path, f"_commit_{batchId}.json")
+        with open(log, "w") as fh:
+            json.dump(files, fh)
+
+    def abort(self, messages, batchId) -> None:
         pass

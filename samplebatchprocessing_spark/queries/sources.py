@@ -491,6 +491,73 @@ def p17_python_stream_source(spark: SparkSession,
 
 
 
+def p18_python_stream_sink(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """P18 (r5): custom Python streaming SINK
+    (``DataSourceStreamWriter``) — the write-side completion of the
+    Python Data Source API (P14 batch read, P17 streaming read): the
+    synthetic stream writes through executor-side Python tasks into
+    JSON-lines files with per-batch commit journals (the P8
+    manifest-commit discipline), then the files are READ BACK and
+    aggregated.  Commit journals must account for every written file
+    and row — the audit joins the journal totals against the re-read
+    totals as declared booleans the oracle states TRUE, plus the
+    exact per-bucket aggregate shared with P14."""
+    import glob
+    import json
+    import shutil
+    from ..operators import pysource
+    pysource.register(spark)
+    out = _work_dir(sf_dir, "p18_pysink")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    sdf = (spark.readStream.format("synth_events")
+           .option("n_rows", 10000).option("chunk", 1024).load())
+    q = (sdf.writeStream.format("synth_events")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(out, "_ckpt"))
+         .outputMode("append")
+         .trigger(processingTime="0 seconds").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    journal_rows = 0
+    journal_files = 0
+    for log in glob.glob(os.path.join(out, "_commit_*.json")):
+        with open(log) as fh:
+            for entry in json.load(fh):
+                journal_files += 1
+                journal_rows += entry["n"]
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("value", T.LongType()),
+    ])
+    back = (spark.read.schema(schema)
+            .option("pathGlobFilter", "*.jsonl").json(out))
+    n_files = len(glob.glob(os.path.join(out, "*.jsonl")))
+    agg = (back.groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sum_value")))
+    tot = (back.agg(F.count(F.lit(1)).alias("_n")).collect()[0]["_n"])
+    return agg.withColumn(
+        "journal_matches",
+        F.lit(journal_rows == tot and journal_files == n_files))
+
+
+P18_SQL = """
+WITH g AS (
+  SELECT i AS id,
+         CAST((i * 2654435761) % 1000003 % 16 AS INT) AS bucket,
+         (i * 2654435761) % 1000003 AS value
+  FROM (SELECT UNNEST(RANGE(0, 10000)) AS i))
+SELECT bucket, COUNT(*) AS n, CAST(SUM(value) AS BIGINT) AS sum_value,
+       TRUE AS journal_matches
+FROM g GROUP BY bucket
+"""
+
+
 def p16_corrupt_tolerant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P16 (r5): corrupt-record-tolerant JSON-lines ingestion — the
     p13 posture on the other wire format scraped corpora actually
@@ -639,4 +706,5 @@ QUERIES: dict[str, tuple] = {
     "q5_nested_pruning": (q5_nested_pruning, Q5_SQL),
     "p14_python_datasource": (p14_python_datasource, P14_SQL),
     "p17_python_stream_source": (p17_python_stream_source, P14_SQL),
+    "p18_python_stream_sink": (p18_python_stream_sink, P18_SQL),
 }
