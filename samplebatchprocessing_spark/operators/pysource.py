@@ -39,6 +39,11 @@ class SynthEventsReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.n_rows = int(options.get("n_rows", 1000))
         self.n_parts = int(options.get("n_parts", 4))
+        # arrow=true switches read() to yield pyarrow RecordBatches —
+        # the columnar fast path of the same API: one batch per
+        # partition built vectorized in numpy, no per-row Python
+        # tuples on the wire.
+        self.arrow = str(options.get("arrow", "false")).lower() == "true"
 
     def partitions(self) -> list[RangePartition]:
         per = -(-self.n_rows // self.n_parts)  # ceil
@@ -46,6 +51,18 @@ class SynthEventsReader(DataSourceReader):
                 for lo in range(0, self.n_rows, per)]
 
     def read(self, partition: RangePartition):
+        if self.arrow:
+            import numpy as np
+            import pyarrow as pa
+            ids = np.arange(partition.start, partition.end,
+                            dtype=np.int64)
+            v = (ids * MULT) % MOD
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()),
+                 pa.array((v % 16).astype(np.int32), pa.int32()),
+                 pa.array(v, pa.int64())],
+                names=["id", "bucket", "value"])
+            return
         for i in range(partition.start, partition.end):
             v = (i * MULT) % MOD
             yield (i, v % 16, v)

@@ -491,6 +491,26 @@ def p17_python_stream_source(spark: SparkSession,
 
 
 
+def p19_arrow_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P19 (r5): the COLUMNAR fast path of the Python Data Source —
+    the same source with ``arrow=true``, where each partition reader
+    yields one numpy-built pyarrow RecordBatch instead of per-row
+    tuples (the form that keeps a custom Python source viable at
+    scale: vectorized construction, zero per-row pickling).  Shares
+    P14's arithmetic oracle, so row-path and Arrow-path must agree
+    bit-for-bit."""
+    from ..operators import pysource
+    pysource.register(spark)
+    df = (spark.read.format("synth_events")
+          .option("n_rows", 10000).option("n_parts", 8)
+          .option("arrow", "true").load())
+    return (df.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("sum_value"),
+                 F.min("id").alias("min_id"),
+                 F.max("id").alias("max_id")))
+
+
 def p18_python_stream_sink(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """P18 (r5): custom Python streaming SINK
@@ -707,4 +727,5 @@ QUERIES: dict[str, tuple] = {
     "p14_python_datasource": (p14_python_datasource, P14_SQL),
     "p17_python_stream_source": (p17_python_stream_source, P14_SQL),
     "p18_python_stream_sink": (p18_python_stream_sink, P18_SQL),
+    "p19_arrow_datasource": (p19_arrow_datasource, P14_SQL),
 }

@@ -731,6 +731,73 @@ def v29_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(V29_SQL.replace("c.node // 2", "c.node DIV 2"))
 
 
+def m6_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 (r5): INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the
+    100 TB reason summary tables exist: the per-source aggregate is a
+    persisted parquet artifact, and a change batch (inserts =
+    doc_id % 10 = 0, deletes = doc_id % 7 = 0 of the old corpus)
+    updates it by merging +/- DELTAS — sums of signed contributions
+    through one full-outer join — instead of re-scanning the corpus.
+    Groups whose count reaches zero drop out.  The audit recomputes
+    the aggregate FROM SCRATCH on the post-change corpus and joins it
+    against the incrementally-maintained artifact; the declared
+    boolean states they agree row-for-row, and the oracle derives
+    the same numbers arithmetically."""
+    import os
+    from .sources import _work_dir
+    doc = load_table(spark, sf_dir, "documents")
+    base = doc.filter(F.col("doc_id") % 10 != 0)
+    inserts = doc.filter(F.col("doc_id") % 10 == 0)
+    deletes = base.filter(F.col("doc_id") % 7 == 0)
+
+    mv_dir = _work_dir(sf_dir, "m6_mv")
+    (base.groupBy("source")
+     .agg(F.count(F.lit(1)).alias("n"),
+          F.sum("n_chars").alias("chars"))
+     .write.mode("overwrite").parquet(mv_dir))
+    mv = spark.read.parquet(mv_dir)
+
+    delta = (inserts.select("source", "n_chars",
+                            F.lit(1).alias("w"))
+             .unionByName(deletes.select("source", "n_chars",
+                                         F.lit(-1).alias("w")))
+             .groupBy("source")
+             .agg(F.sum("w").alias("dn"),
+                  F.sum(F.col("w") * F.col("n_chars")).alias("dchars")))
+    mv2 = (mv.join(delta, "source", "full_outer")
+           .select("source",
+                   (F.coalesce("n", F.lit(0))
+                    + F.coalesce("dn", F.lit(0))).alias("n"),
+                   (F.coalesce("chars", F.lit(0))
+                    + F.coalesce("dchars", F.lit(0))).alias("chars"))
+           .filter(F.col("n") > 0))
+
+    full = (doc.filter((F.col("doc_id") % 10 == 0)
+                       | (F.col("doc_id") % 7 != 0))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("fn"),
+                 F.sum("n_chars").alias("fchars")))
+    return (mv2.join(full, "source", "full_outer")
+            .select("source",
+                    F.coalesce("n", F.lit(0)).cast("long")
+                    .alias("n_docs"),
+                    F.coalesce("chars", F.lit(0)).cast("long")
+                    .alias("chars_sum"),
+                    ((F.col("n") == F.col("fn"))
+                     & (F.col("chars") == F.col("fchars")))
+                    .alias("incremental_matches_full")))
+
+
+M6_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       TRUE AS incremental_matches_full
+FROM documents
+WHERE doc_id % 10 = 0 OR doc_id % 7 <> 0
+GROUP BY source
+"""
+
+
 def m5_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 (r5): deletion-list PURGE — the right-to-be-forgotten
     maintenance job every stored corpus eventually runs: a deletion
@@ -1066,6 +1133,7 @@ QUERIES: dict[str, tuple] = {
     "m1_upsert": (m1_upsert, M1_SQL),
     "m2_scd2": (m2_scd2, M2_SQL),
     "m5_purge": (m5_purge, M5_SQL),
+    "m6_incremental_mv": (m6_incremental_mv, M6_SQL),
     "v29_recursive_cte": (v29_recursive_cte, V29_SQL),
     "m3_salted_join": (m3_salted_join, M3_SQL),
     "m4_bucketed_join": (m4_bucketed_join, M4_SQL),
