@@ -54,8 +54,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # extended-inventory breadth (r5: x47/x48 replace x19/x6 — the
     # heavy-hitter and plain-split rows are strictly subsumed by the
     # k-means report and the cluster-aware split, which carry the
-    # round's new first-class evidence)
-    "l11_dedup_clusters", "mm1_image_features", "x1_lang_id",
+    # round's new first-class evidence; r5 wave 2 swaps the thin
+    # lang-ID row for the DSIR flagship, whose lambda-table +
+    # integer-dot-product chain is the round's widest new surface —
+    # x1's predicate is fully exercised inside x9/x20 anyway)
+    "l11_dedup_clusters", "mm1_image_features", "x65_dsir_weights",
     "x48_cluster_safe_split", "x13_contamination", "v8_tpch_q3",
     "m1_upsert", "x47_kmeans_clusters", "x20_pretrain_pipeline",
     "x25_funnel",
