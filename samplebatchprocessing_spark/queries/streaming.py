@@ -673,6 +673,63 @@ FROM pos GROUP BY source
 """
 
 
+def s21_stream_incremental_mv(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """S21 (r5): STREAMING incremental materialized-view maintenance
+    — M6's delta merge running per micro-batch: the document stream
+    is a CDC feed (every doc an insert; doc_id % 7 = 0 docs also
+    emit a delete — the insert-then-delete lifecycle), and
+    foreachBatch reduces each batch to signed per-source deltas
+    landed as parquet keyed by BATCH ID (idempotent overwrite per
+    epoch, the S8 commit discipline — a retried batch can never
+    double-count), so the view is the sum of delta artifacts and a
+    corpus re-scan never happens.  The final per-source (n_docs,
+    chars_sum) equals the batch m6 semantics; the oracle derives it
+    arithmetically."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..streaming.jobs import documents_stream
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink = f"/tmp/sbp_stream/s21_mv_{tag}"
+    ckpt = f"/tmp/sbp_stream/s21_ckpt_{tag}"
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    sdf = documents_stream(spark, sf_dir, tag="mv")
+    cdc = (sdf.select("doc_id", "source", "n_chars", F.explode(
+        F.when(F.col("doc_id") % 7 == 0,
+               F.array(F.lit(1), F.lit(-1)))
+        .otherwise(F.array(F.lit(1)))).alias("w")))
+
+    def merge_batch(df: DataFrame, batch_id: int) -> None:
+        delta = (df.groupBy("source")
+                 .agg(F.sum("w").alias("dn"),
+                      F.sum(F.col("w") * F.col("n_chars"))
+                      .alias("dchars")))
+        (delta.write.mode("overwrite")
+         .parquet(os.path.join(sink, f"batch={batch_id}")))
+
+    q = (cdc.writeStream.foreachBatch(merge_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{sink}/batch=*")
+            .groupBy("source")
+            .agg(F.sum("dn").cast("long").alias("n_docs"),
+                 F.sum("dchars").cast("long").alias("chars_sum"))
+            .filter(F.col("n_docs") > 0))
+
+
+S21_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents WHERE doc_id % 7 <> 0
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "s1_stream_scan": (s1_stream_scan, S1_SQL),
     "s2_tumbling_window": (s2_tumbling_window, S2_SQL),
@@ -695,4 +752,5 @@ QUERIES: dict[str, tuple] = {
     "s17_stream_decontaminate": (s17_stream_decontaminate, _s17_sql()),
     "s18_stream_dsir_gate": (s18_stream_dsir_gate, _s18_sql()),
     "s19_stream_bloom_gate": (s19_stream_bloom_gate, S19_SQL),
+    "s21_stream_incremental_mv": (s21_stream_incremental_mv, S21_SQL),
 }
