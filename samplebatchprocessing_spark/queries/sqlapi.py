@@ -731,6 +731,67 @@ def v29_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(V29_SQL.replace("c.node // 2", "c.node DIV 2"))
 
 
+def j13_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 (r5): POINT-IN-TIME (temporal) join — each order joined to
+    the customer-dimension version that was valid ON ITS ORDER DATE,
+    the feature-store / warehouse correctness rule that prevents
+    future data from leaking into historical facts.  The dimension is
+    the M2 SCD2 build with the change effective mid-history
+    (1997-01-01: every 10th customer re-balanced +100), so orders
+    genuinely split across versions; the join is the custkey
+    equi-join with the validity-interval residual
+    ``valid_from <= d < valid_to`` — hash-partitioned on the key,
+    never a range blow-up (versions per key are bounded).  Output:
+    per (status, dim version) exact counts + decimal balance sums —
+    any order matched to the wrong version moves a row."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal")
+    dim = (cust
+           .withColumn("valid_from", F.lit("1990-01-01").cast("date"))
+           .withColumn("valid_to",
+                       F.when(F.col("c_custkey") % 10 == 0,
+                              F.lit("1997-01-01").cast("date")))
+           .unionByName(
+               cust.filter(F.col("c_custkey") % 10 == 0)
+               .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+               .withColumn("valid_from",
+                           F.lit("1997-01-01").cast("date"))
+               .withColumn("valid_to", F.lit(None).cast("date"))))
+    ord_ = (load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    F.to_date("o_orderdate").alias("d")))
+    j = ord_.join(dim, (F.col("o_custkey") == F.col("c_custkey"))
+                  & (F.col("d") >= F.col("valid_from"))
+                  & (F.col("valid_to").isNull()
+                     | (F.col("d") < F.col("valid_to"))))
+    ver = (F.col("valid_from") == F.lit("1997-01-01").cast("date")) \
+        .cast("int")
+    return (j.groupBy("o_orderstatus", ver.alias("dim_version"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("c_acctbal", "bal_sum")))
+
+
+J13_SQL = f"""
+WITH dim AS (
+  SELECT c_custkey, c_acctbal, DATE '1990-01-01' AS valid_from,
+         CASE WHEN c_custkey % 10 = 0 THEN DATE '1997-01-01' END
+           AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 100.0, DATE '1997-01-01',
+         CAST(NULL AS DATE)
+  FROM customer WHERE c_custkey % 10 = 0)
+SELECT o_orderstatus,
+       CAST(valid_from = DATE '1997-01-01' AS INT) AS dim_version,
+       COUNT(*) AS n, {sql_dsum('c_acctbal')} AS bal_sum
+FROM orders JOIN dim
+  ON o_custkey = c_custkey
+ AND CAST(o_orderdate AS DATE) >= valid_from
+ AND (valid_to IS NULL OR CAST(o_orderdate AS DATE) < valid_to)
+GROUP BY o_orderstatus, CAST(valid_from = DATE '1997-01-01' AS INT)
+"""
+
+
 def m6_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 (r5): INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the
     100 TB reason summary tables exist: the per-source aggregate is a
@@ -1134,6 +1195,7 @@ QUERIES: dict[str, tuple] = {
     "m2_scd2": (m2_scd2, M2_SQL),
     "m5_purge": (m5_purge, M5_SQL),
     "m6_incremental_mv": (m6_incremental_mv, M6_SQL),
+    "j13_temporal_join": (j13_temporal_join, J13_SQL),
     "v29_recursive_cte": (v29_recursive_cte, V29_SQL),
     "m3_salted_join": (m3_salted_join, M3_SQL),
     "m4_bucketed_join": (m4_bucketed_join, M4_SQL),
