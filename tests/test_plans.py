@@ -639,3 +639,14 @@ def test_span_removal_no_cartesian(spark, sf_smoke):
     plan = plan_str(dup_span_removal(doc), mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temporal_join_is_keyed_equi_join(spark, sf_smoke):
+    """j13: the point-in-time join must ride the custkey hash join
+    with the validity interval as a residual — a nested-loop over
+    (order, version) pairs would melt at fact-table scale."""
+    from samplebatchprocessing_spark.queries.sqlapi import (
+        j13_temporal_join)
+    plan = plan_str(j13_temporal_join(spark, sf_smoke), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
