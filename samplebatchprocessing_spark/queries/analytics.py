@@ -1005,6 +1005,120 @@ FROM lineitem"""
     for c in _X73_COLS)
 
 
+def x75_rolling_active_users(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """X75 (r5): rolling 3-day ACTIVE USERS — the DAU/WAU-class
+    metric that needs distinct-per-overlapping-window, which plain
+    window frames can't express (a distinct count can't merge across
+    frame rows).  The declared rewrite replicates each event to the
+    3 window-end days it belongs to (row-local explode, bounded x3),
+    then one exact distinct count per (window_end) — the standard
+    explode-to-windows form whose cost scales with window length,
+    not corpus size.  Only windows fully inside the data range are
+    reported (no partial-edge windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(F.to_date("ts").alias("day"), "user_id")
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    w = (d.select("user_id", F.explode(F.expr(
+        "sequence(day, date_add(day, 2))")).alias("window_end"))
+         .crossJoin(F.broadcast(bounds))
+         .filter((F.col("window_end") >= F.date_add("lo", 2))
+                 & (F.col("window_end") <= F.col("hi"))))
+    return (w.groupBy("window_end")
+            .agg(F.countDistinct("user_id").alias("n_active_3d")))
+
+
+X75_SQL = """
+WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+w AS (
+  SELECT d.user_id, d.day + o AS window_end
+  FROM d, UNNEST([0, 1, 2]) AS u(o), b
+  WHERE d.day + o >= b.lo + 2 AND d.day + o <= b.hi)
+SELECT window_end, COUNT(DISTINCT user_id) AS n_active_3d
+FROM w GROUP BY window_end
+"""
+
+
+def x76_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76 (r5): A/B experiment readout — users split by the stable
+    hash parity (user_id % 2), conversion = the user purchased after
+    their first view (X25's ordered-funnel rule), compared with the
+    two-proportion z statistic.  The a13 exact-moment discipline:
+    counts are exact integers on both engines, and z comes from ONE
+    shared double expression tree over those integers, reported at
+    6 dp — no engine-ordered float accumulation anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    conv = (ev.filter(F.col("event_type") == "purchase")
+            .join(views, "user_id")
+            .filter((F.col("ts") > F.col("t0"))
+                    & (F.col("ts") <= F.col("t0")
+                       + F.expr("INTERVAL 1 HOUR")))
+            .select("user_id").distinct()
+            .withColumn("c", F.lit(1)))
+    per = (views.join(conv, "user_id", "left")
+           .select((F.col("user_id") % 2).alias("variant"),
+                   F.coalesce("c", F.lit(0)).alias("c")))
+    agg = per.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("conv"))
+    a = agg.filter(F.col("variant") == 0).select(
+        F.col("n").alias("na"), F.col("conv").alias("ca"))
+    b = agg.filter(F.col("variant") == 1).select(
+        F.col("n").alias("nb"), F.col("conv").alias("cb"))
+    j = a.crossJoin(b)
+    na, ca = F.col("na").cast("double"), F.col("ca").cast("double")
+    nb, cb = F.col("nb").cast("double"), F.col("cb").cast("double")
+    p = (ca + cb) / (na + nb)
+    denom = p * (1 - p) * (1 / na + 1 / nb)
+    # p = 0 or 1 (everyone or no one converts — real at small SF)
+    # zero-variances the pooled estimate; z is undefined, NULL on
+    # both engines.
+    z = F.when(denom > 0,
+               (ca / na - cb / nb) / F.sqrt(denom))
+    return j.select(F.col("na").cast("long").alias("n_a"),
+                    F.col("ca").cast("long").alias("conv_a"),
+                    F.col("nb").cast("long").alias("n_b"),
+                    F.col("cb").cast("long").alias("conv_b"),
+                    r6(z, "z_score"))
+
+
+X76_SQL = """
+WITH views AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+conv AS (
+  SELECT DISTINCT e.user_id FROM events e
+  JOIN views v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.t0
+    AND e.ts <= v.t0 + INTERVAL 1 HOUR),
+per AS (
+  SELECT v.user_id % 2 AS variant,
+         CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS c
+  FROM views v LEFT JOIN conv c ON c.user_id = v.user_id),
+agg AS (SELECT variant, COUNT(*) AS n, SUM(c) AS conv
+        FROM per GROUP BY variant),
+j AS (
+  SELECT a.n AS na, a.conv AS ca, b.n AS nb, b.conv AS cb
+  FROM (SELECT * FROM agg WHERE variant = 0) a,
+       (SELECT * FROM agg WHERE variant = 1) b)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+       CASE WHEN ((CAST(ca AS DOUBLE) + cb) / (na + nb))
+                 * (1 - (CAST(ca AS DOUBLE) + cb) / (na + nb))
+                 * (1.0 / na + 1.0 / nb) > 0
+            THEN ROUND((CAST(ca AS DOUBLE) / na
+                        - CAST(cb AS DOUBLE) / nb)
+                 / SQRT(((CAST(ca AS DOUBLE) + cb) / (na + nb))
+                        * (1 - (CAST(ca AS DOUBLE) + cb) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 6)
+       END AS z_score
+FROM j
+"""
+
+
 X60_SQL = """
 SELECT event_type,
        COUNT(DISTINCT user_id) AS n_exact,
@@ -1038,5 +1152,7 @@ QUERIES: dict[str, tuple] = {
     "x69_weighted_median": (x69_weighted_median, _x69_sql()),
     "x70_mad_outliers": (x70_mad_outliers, X70_SQL),
     "x72_k_anonymity": (x72_k_anonymity, X72_SQL),
+    "x75_rolling_active_users": (x75_rolling_active_users, X75_SQL),
+    "x76_ab_test": (x76_ab_test, X76_SQL),
     "x73_table_profile": (x73_table_profile, X73_SQL),
 }

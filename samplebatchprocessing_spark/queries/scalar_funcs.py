@@ -274,6 +274,57 @@ FROM documents
 """
 
 
+def f9_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (r5): the bitwise family — row-level AND/OR/XOR/NOT,
+    shifts, popcount, and the BIT_AND/BIT_OR/BIT_XOR aggregates
+    (flag-mask rollups — 'which permission bits are set anywhere /
+    everywhere in the group').  Exact int64 semantics are identical
+    across engines; shifts use literal counts (both dialects)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+    d = li.select(
+        F.col("l_returnflag").alias("g"),
+        k.alias("k"),
+        k.bitwiseAND(F.lit(255)).alias("lo"),
+        k.bitwiseOR(F.lit(4096)).alias("hi"),
+        k.bitwiseXOR(F.col("l_partkey")).alias("x"),
+        F.bit_count(k).alias("pc"),
+        F.shiftleft(k, 3).alias("shl"),
+        F.shiftright(k, 2).alias("shr"))
+    return d.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_and("lo").alias("and_lo"),
+        F.bit_or("lo").alias("or_lo"),
+        F.bit_xor("x").alias("xor_all"),
+        F.sum("pc").cast("long").alias("popcount_sum"),
+        F.sum("shl").cast("long").alias("shl_sum"),
+        F.sum("shr").cast("long").alias("shr_sum"),
+        F.sum("hi").cast("long").alias("hi_sum"))
+
+
+F9_SQL = """
+WITH d AS (
+  SELECT l_returnflag AS g,
+         l_orderkey * 8 + l_linenumber AS k,
+         (l_orderkey * 8 + l_linenumber) & 255 AS lo,
+         (l_orderkey * 8 + l_linenumber) | 4096 AS hi,
+         xor(l_orderkey * 8 + l_linenumber, l_partkey) AS x,
+         BIT_COUNT(l_orderkey * 8 + l_linenumber) AS pc,
+         (l_orderkey * 8 + l_linenumber) << 3 AS shl,
+         (l_orderkey * 8 + l_linenumber) >> 2 AS shr
+  FROM lineitem)
+SELECT g, COUNT(*) AS n,
+       CAST(BIT_AND(lo) AS BIGINT) AS and_lo,
+       CAST(BIT_OR(lo) AS BIGINT) AS or_lo,
+       CAST(BIT_XOR(x) AS BIGINT) AS xor_all,
+       CAST(SUM(pc) AS BIGINT) AS popcount_sum,
+       CAST(SUM(shl) AS BIGINT) AS shl_sum,
+       CAST(SUM(shr) AS BIGINT) AS shr_sum,
+       CAST(SUM(hi) AS BIGINT) AS hi_sum
+FROM d GROUP BY g
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "f1_string": (f1_string, F1_SQL),
     "f2_datetime": (f2_datetime, F2_SQL),
@@ -283,4 +334,5 @@ QUERIES: dict[str, tuple] = {
     "f6_struct_map": (f6_struct_map, F6_SQL),
     "f7_json": (f7_json, F7_SQL),
     "f8_hash": (f8_hash, F8_SQL),
+    "f9_bitwise": (f9_bitwise, F9_SQL),
 }
