@@ -1119,6 +1119,70 @@ FROM j
 """
 
 
+def x77_embedding_diversity(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """X77 (r5): per-label EMBEDDING DIVERSITY — the total pairwise
+    squared distance, the audit that flags collapsed/duplicated
+    clusters before balancing or subsampling.  The quadratic
+    quantity computes in ONE LINEAR PASS by the moment identity
+    ``sum_{i,j} ||xi - xj||^2 = 2n * sum||xi||^2 - 2||sum xi||^2``
+    on the X47 integer grid (floor(v * 1024)), so the result is an
+    exact int64 on both engines — no pair join exists anywhere.
+
+    Scale (100 TB): per-row squared norms are row-local; the
+    per-(label, dim) component sums are one uniform-key shuffle; the
+    identity folds everything into a per-label scalar.  This is the
+    canonical trick for pairwise statistics at scale: moments, not
+    pairs."""
+    from ..operators.clustering import quantize_vec
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("label", "vec_id", quantize_vec().alias("qv"))
+    sq = F.expr("aggregate(qv, 0L, (a, x) -> a + x * x)")
+    per = q.select("label", sq.alias("sq"), "qv")
+    norms = per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sq").alias("ssq"))
+    comps = (q.select("label", F.posexplode("qv").alias("d", "v"))
+             .groupBy("label", "d")
+             .agg(F.sum("v").alias("s"))
+             .groupBy("label")
+             .agg(F.sum(F.col("s") * F.col("s")).alias("s2")))
+    return (norms.join(comps, "label")
+            .select("label", F.col("n").cast("long").alias("n_vecs"),
+                    (2 * (F.col("n") * F.col("ssq") - F.col("s2")))
+                    .cast("long").alias("sum_sq_dist"),
+                    (F.col("n") * (F.col("n") - 1)).cast("long")
+                    .alias("n_ordered_pairs")))
+
+
+X77_SQL = """
+WITH q AS (
+  SELECT label, vec_id,
+         LIST_TRANSFORM(embedding,
+           v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1024) AS BIGINT))
+           AS qv
+  FROM embeddings),
+norms AS (
+  SELECT label, COUNT(*) AS n,
+         SUM(LIST_REDUCE(LIST_CONCAT([CAST(0 AS BIGINT)],
+             LIST_TRANSFORM(qv, x -> x * x)), (a, x) -> a + x))
+           AS ssq
+  FROM q GROUP BY label),
+comps AS (
+  SELECT label, SUM(s * s) AS s2 FROM (
+    SELECT label, d, SUM(v) AS s FROM (
+      SELECT label, UNNEST(qv) AS v,
+             UNNEST(range(1, LEN(qv) + 1)) AS d
+      FROM q)
+    GROUP BY label, d)
+  GROUP BY label)
+SELECT norms.label, CAST(n AS BIGINT) AS n_vecs,
+       CAST(2 * (n * ssq - s2) AS BIGINT) AS sum_sq_dist,
+       CAST(n * (n - 1) AS BIGINT) AS n_ordered_pairs
+FROM norms JOIN comps ON comps.label = norms.label
+"""
+
+
 X60_SQL = """
 SELECT event_type,
        COUNT(DISTINCT user_id) AS n_exact,
@@ -1154,5 +1218,6 @@ QUERIES: dict[str, tuple] = {
     "x72_k_anonymity": (x72_k_anonymity, X72_SQL),
     "x75_rolling_active_users": (x75_rolling_active_users, X75_SQL),
     "x76_ab_test": (x76_ab_test, X76_SQL),
+    "x77_embedding_diversity": (x77_embedding_diversity, X77_SQL),
     "x73_table_profile": (x73_table_profile, X73_SQL),
 }

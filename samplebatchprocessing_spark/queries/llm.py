@@ -2032,6 +2032,57 @@ def _x51_sql() -> str:
     return shard_pack_sql(500, f"LEN({tokenize_sql('text')})")
 
 
+def x78_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78 (r5): per-source GINI COEFFICIENT of token frequencies —
+    the inequality lens on lexical use that complements X54's
+    type-token ratios (boilerplate concentrates mass in few tokens ->
+    high Gini; templated word-soup flattens it).  The exact rank
+    formula ``G = sum_i (2i - m - 1) c_(i) / (m * sum c)`` runs on
+    integer counts with a (count, token) total order, so numerator
+    and denominator are exact int64 on both engines (the ratio is
+    the reader's division — no float crosses the gate).
+
+    Scale (100 TB): token counting is one (source, token) uniform
+    shuffle; the ranking window runs over the vocabulary-sized
+    aggregated frame per source — the X69 histogram discipline,
+    never the corpus."""
+    doc = load_table(spark, sf_dir, "documents")
+    c = (doc.select("source",
+                    F.explode(text.tokenize(F.col("text"))).alias("t"))
+         .groupBy("source", "t").agg(F.count(F.lit(1)).alias("c")))
+    wr = W.partitionBy("source").orderBy("c", "t")
+    r = (c.withColumn("i", F.row_number().over(wr))
+         .withColumn("m", F.count(F.lit(1)).over(
+             W.partitionBy("source"))))
+    return (r.groupBy("source").agg(
+        F.min("m").cast("long").alias("m"),
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.sum((2 * F.col("i") - F.col("m") - 1) * F.col("c"))
+        .cast("long").alias("gini_num"))
+        .withColumn("gini_den",
+                    (F.col("m") * F.col("total_tokens"))
+                    .cast("long")))
+
+
+X78_SQL = f"""
+WITH c AS (
+  SELECT source, t, COUNT(*) AS c FROM (
+    SELECT source, UNNEST({tokenize_sql('text')}) AS t
+    FROM documents)
+  GROUP BY source, t),
+r AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY c, t) AS i,
+         COUNT(*) OVER (PARTITION BY source) AS m
+  FROM c)
+SELECT source, MIN(m) AS m,
+       CAST(SUM(c) AS BIGINT) AS total_tokens,
+       CAST(SUM((2 * i - m - 1) * c) AS BIGINT) AS gini_num,
+       CAST(MIN(m) * SUM(c) AS BIGINT) AS gini_den
+FROM r GROUP BY source
+"""
+
+
 def x54_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X54 (r5): lexical-diversity audit — per-source unigram and
     bigram type-token ratios (distinct/total, exact integer x 10^6),
@@ -2712,6 +2763,7 @@ QUERIES: dict[str, tuple] = {
     "x67_url_dedup": (x67_url_dedup, X67_SQL),
     "x68_bloom_prefilter": (x68_bloom_prefilter, X68_SQL),
     "x54_ngram_diversity": (x54_ngram_diversity, X54_SQL),
+    "x78_token_gini": (x78_token_gini, X78_SQL),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),
     "x58_cluster_size_histogram": (
