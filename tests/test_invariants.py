@@ -519,3 +519,53 @@ def test_trailing_debounce_keeps_every_burst_leader(spark, sf_smoke):
     kept = {r["event_id"]
             for r in x71_debounce_trailing(spark, sf_smoke).collect()}
     assert leaders <= kept
+
+
+def test_embedding_diversity_matches_numpy_bruteforce(spark, sf_smoke):
+    """X77: the one-pass moment identity must equal the O(n^2)
+    pairwise sum computed brute-force in numpy on the same integer
+    grid."""
+    import numpy as np
+
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.operators.clustering import (
+        QUANT_SCALE)
+    from samplebatchprocessing_spark.queries.analytics import (
+        x77_embedding_diversity)
+    got = {r["label"]: (r["n_vecs"], r["sum_sq_dist"])
+           for r in x77_embedding_diversity(spark, sf_smoke).collect()}
+    emb = load_table(spark, sf_smoke, "embeddings").collect()
+    by_label: dict = {}
+    for r in emb:
+        q = np.floor(np.array(r["embedding"], dtype=np.float64)
+                     * QUANT_SCALE).astype(np.int64)
+        by_label.setdefault(r["label"], []).append(q)
+    for label, vecs in by_label.items():
+        m = np.stack(vecs)
+        d = m[:, None, :] - m[None, :, :]
+        brute = int((d * d).sum())
+        assert got[label] == (len(vecs), brute), label
+
+
+def test_weighted_median_and_mad_bounds(spark, sf_smoke):
+    """X69/X70 sanity: the weighted median lies within the observed
+    value range; MAD is non-negative and at most the half-range;
+    outliers never exceed the group size."""
+    from pyspark.sql import functions as F
+
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.queries.analytics import (
+        x69_weighted_median, x70_mad_outliers)
+    doc = load_table(spark, sf_smoke, "documents")
+    rng = {r["source"]: (r["lo"], r["hi"]) for r in
+           doc.groupBy("source").agg(F.min("n_chars").alias("lo"),
+                                     F.max("n_chars").alias("hi"))
+           .collect()}
+    for r in x69_weighted_median(spark, sf_smoke).collect():
+        lo, hi = rng[r["source"]]
+        assert lo <= r["wmedian_chars"] <= hi
+    for r in x70_mad_outliers(spark, sf_smoke).collect():
+        lo, hi = rng[r["source"]]
+        assert lo <= r["median_chars"] <= hi
+        assert 0 <= r["mad_chars"] <= hi - lo
+        assert 0 <= r["n_outliers"] <= r["n_docs"]
