@@ -1183,6 +1183,134 @@ FROM norms JOIN comps ON comps.label = norms.label
 """
 
 
+def x79_transition_matrix(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """X79 (r5): user-journey TRANSITION MATRIX — the first-order
+    Markov view of the event log: for each (from_type, to_type),
+    how many consecutive-event transitions occur across all users,
+    plus the row-normalized probability as an exact integer
+    cross-multiplication (x 10^6, integer division — no float
+    crosses the gate).  One (user)-keyed shuffle for the lag window
+    over the (ts, event_id) total order, then a transition-keyed
+    rollup — the standard product-analytics path report."""
+    from pyspark.sql import Window as W
+    ev = load_table(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (ev.select("user_id", "ts", "event_id",
+                   F.col("event_type").alias("to_type"))
+         .withColumn("from_type", F.lag("to_type").over(wo))
+         .filter(F.col("from_type").isNotNull()))
+    cnt = (t.groupBy("from_type", "to_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = (cnt.groupBy("from_type")
+           .agg(F.sum("n").alias("row_total")))
+    return (cnt.join(tot, "from_type")
+            .select("from_type", "to_type", "n",
+                    F.col("row_total").cast("long").alias("row_total"),
+                    F.expr("n * 1000000 div row_total")
+                    .alias("p_x1e6")))
+
+
+X79_SQL = """
+WITH t AS (
+  SELECT user_id, event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events),
+cnt AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM t WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type),
+tot AS (SELECT from_type, SUM(n) AS row_total FROM cnt
+        GROUP BY from_type)
+SELECT cnt.from_type, to_type, n,
+       CAST(row_total AS BIGINT) AS row_total,
+       n * 1000000 // row_total AS p_x1e6
+FROM cnt JOIN tot ON tot.from_type = cnt.from_type
+"""
+
+
+def x80_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80 (r5): conversion SURVIVAL TABLE (the Kaplan-Meier input) —
+    per whole-hour lag since first view: users still at risk, users
+    converting in that hour, users censored (last seen, never
+    converted).  X32 reports the converters' lag distribution; the
+    survival view is the one that handles NON-converters honestly
+    (right-censoring at last activity) instead of dropping them.
+    All quantities are exact integers — the KM estimator itself is a
+    product of rationals, so the declared artifact is its exact
+    input table, at-risk counts derived by the reverse cumulative
+    sums both engines compute identically.
+
+    Scale (100 TB): two user-keyed aggregates (first view, first
+    conversion / last activity) and one hour-keyed rollup; the
+    at-risk accumulation runs over the bounded lag-hour frame (x69
+    histogram discipline)."""
+    from pyspark.sql import Window as W
+    ev = load_table(spark, sf_dir, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    conv = (ev.filter(F.col("event_type") == "purchase")
+            .join(views, "user_id")
+            .filter(F.col("ts") > F.col("t0"))
+            .groupBy("user_id").agg(F.min("ts").alias("tc")))
+    last = ev.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    per = (views.join(conv, "user_id", "left")
+           .join(last, "user_id")
+           .select("user_id",
+                   F.when(F.col("tc").isNotNull(), 1).otherwise(0)
+                   .alias("converted"),
+                   F.floor((F.unix_millis(F.coalesce("tc", "tl"))
+                            - F.unix_millis(F.col("t0")))
+                           / 3_600_000).cast("long").alias("lag_h")))
+    g = (per.groupBy("lag_h")
+         .agg(F.sum("converted").alias("n_events"),
+              F.sum(1 - F.col("converted")).alias("n_censored")))
+    wdesc = (W.orderBy(F.col("lag_h").desc())
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (g.withColumn(
+        "n_at_risk",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wdesc)
+        .cast("long"))
+        .select("lag_h",
+                F.col("n_at_risk"),
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("n_censored").cast("long").alias("n_censored")))
+
+
+X80_SQL = """
+WITH views AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+conv AS (
+  SELECT e.user_id, MIN(e.ts) AS tc FROM events e
+  JOIN views v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.t0
+  GROUP BY e.user_id),
+last AS (SELECT user_id, MAX(ts) AS tl FROM events GROUP BY user_id),
+per AS (
+  SELECT v.user_id,
+         CASE WHEN c.tc IS NOT NULL THEN 1 ELSE 0 END AS converted,
+         CAST(FLOOR((epoch_ms(COALESCE(c.tc, l.tl))
+                     - epoch_ms(v.t0)) / 3600000.0) AS BIGINT)
+           AS lag_h
+  FROM views v
+  LEFT JOIN conv c ON c.user_id = v.user_id
+  JOIN last l ON l.user_id = v.user_id),
+g AS (
+  SELECT lag_h, SUM(converted) AS n_events,
+         SUM(1 - converted) AS n_censored
+  FROM per GROUP BY lag_h)
+SELECT lag_h,
+       CAST(SUM(n_events + n_censored)
+            OVER (ORDER BY lag_h DESC ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS n_at_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_censored AS BIGINT) AS n_censored
+FROM g
+"""
+
+
 X60_SQL = """
 SELECT event_type,
        COUNT(DISTINCT user_id) AS n_exact,
@@ -1219,5 +1347,7 @@ QUERIES: dict[str, tuple] = {
     "x75_rolling_active_users": (x75_rolling_active_users, X75_SQL),
     "x76_ab_test": (x76_ab_test, X76_SQL),
     "x77_embedding_diversity": (x77_embedding_diversity, X77_SQL),
+    "x79_transition_matrix": (x79_transition_matrix, X79_SQL),
+    "x80_survival_table": (x80_survival_table, X80_SQL),
     "x73_table_profile": (x73_table_profile, X73_SQL),
 }
