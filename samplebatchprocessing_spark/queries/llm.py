@@ -2032,6 +2032,169 @@ def _x51_sql() -> str:
     return shard_pack_sql(500, f"LEN({tokenize_sql('text')})")
 
 
+def x82_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82 (r5): dedup-detector EVALUATION against PLANTED ground
+    truth — the audit that answers "what does my blocking actually
+    miss": every 25th document gets a near-duplicate copy (one token
+    appended -> token-set Jaccard m/(m+1) ~ 0.97), the length-band
+    Jaccard detector runs at threshold 0.8 on the augmented corpus,
+    and the confusion counts are EXACT integers on both engines —
+    including ``n_missed_by_blocking``, the planted pairs whose
+    +1-token copy crosses a length-band boundary and never meets its
+    original in any block.  A nonzero value is the measured,
+    reproducible cost of band blocking (the reason the LSH path
+    exists); extra_found counts genuine non-planted near-dups, not
+    errors.
+
+    Scale: the augmentation is a row-local union; detector cost is
+    the L5 band plan; truth is a by-construction key relation."""
+    doc = load_table(spark, sf_dir, "documents")
+    copies = (doc.filter(F.col("doc_id") % 25 == 0)
+              .select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" dupmark"))
+                      .alias("text")))
+    corpus = doc.select("doc_id", "text").unionByName(copies)
+    found = (dedup.jaccard_pairs(corpus, threshold=0.8,
+                                 open_vocab="band")
+             .select("doc_a", "doc_b"))
+    truth = (doc.filter(F.col("doc_id") % 25 == 0)
+             .select(F.col("doc_id").alias("doc_a"),
+                     (F.col("doc_id") + 100000).alias("doc_b")))
+    tp = found.join(truth, ["doc_a", "doc_b"], "left_semi")
+    fn = truth.join(found, ["doc_a", "doc_b"], "left_anti")
+    extra = found.join(truth, ["doc_a", "doc_b"], "left_anti")
+    return (truth.agg(F.count(F.lit(1)).alias("n_planted"))
+            .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_found")))
+            .crossJoin(fn.agg(F.count(F.lit(1))
+                              .alias("n_missed_by_blocking")))
+            .crossJoin(extra.agg(F.count(F.lit(1))
+                                 .alias("n_extra_found"))))
+
+
+def _x82_sql() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' dupmark'
+  FROM documents WHERE doc_id % 25 = 0),
+s AS (SELECT doc_id, {token_set_sql('text')} AS toks FROM corpus),
+b AS (SELECT doc_id, toks,
+             CAST(FLOOR(LEN(toks) / 10) AS INT) AS band FROM s),
+found AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id
+  WHERE CAST(LEN(LIST_INTERSECT(a.toks, c.toks)) AS DOUBLE)
+        / (LEN(a.toks) + LEN(c.toks)
+           - LEN(LIST_INTERSECT(a.toks, c.toks))) >= 0.8),
+truth AS (
+  SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
+  FROM documents WHERE doc_id % 25 = 0)
+SELECT
+  (SELECT COUNT(*) FROM truth) AS n_planted,
+  (SELECT COUNT(*) FROM found JOIN truth USING (doc_a, doc_b))
+    AS n_found,
+  (SELECT COUNT(*) FROM truth t WHERE NOT EXISTS (
+     SELECT 1 FROM found f
+     WHERE f.doc_a = t.doc_a AND f.doc_b = t.doc_b))
+    AS n_missed_by_blocking,
+  (SELECT COUNT(*) FROM found f WHERE NOT EXISTS (
+     SELECT 1 FROM truth t
+     WHERE t.doc_a = f.doc_a AND t.doc_b = f.doc_b))
+    AS n_extra_found
+"""
+
+
+def x81_entity_resolution(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """X81 (r5): ENTITY RESOLUTION end to end — block -> match ->
+    cluster -> canonicalize, the master-data pipeline every warehouse
+    eventually runs: every 20th customer gets a dirty duplicate
+    record (key + 10000, one-character typo in the name tail), the
+    blocking key is the typo-stable digit prefix (chars 10..17 — the
+    standard 'block on the stable part' design; at corpus scale the
+    key bounds every block), candidates match on levenshtein <= 1,
+    matches cluster by L11's iterative components, and the canonical
+    count is records minus collapsed duplicates.  The funnel —
+    records, candidates, matches, clusters, canonical records — is
+    exact integers; the oracle replays blocking + edit distance +
+    a recursive-CTE components twin."""
+    # Entity names need ENTROPY for edit distance to mean anything —
+    # the fixture's sequential "Customer#00000NNN" names make every
+    # same-block neighbor levenshtein-1 and the matcher degenerates
+    # (measured: every candidate matches).  The x10 discipline:
+    # derive a 32-hex entity name per customer (md5 of the fixture
+    # name — distinct entities differ in ~30 positions), give every
+    # 20th customer a dirty duplicate with a one-character tail typo.
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_custkey", F.md5("c_name").alias("c_name")))
+    dirty = cust.filter(F.col("c_custkey") % 20 == 0).select(
+        (F.col("c_custkey") + 10000).alias("c_custkey"),
+        F.concat(F.substring("c_name", 1, 31), F.lit("z"))
+        .alias("c_name"))
+    rec = cust.unionByName(dirty)
+    bk = F.substring("c_name", 1, 8)
+    a = rec.select(F.col("c_custkey").alias("doc_a"),
+                   F.col("c_name").alias("na"), bk.alias("bk"))
+    b = rec.select(F.col("c_custkey").alias("doc_b"),
+                   F.col("c_name").alias("nb"), bk.alias("bk"))
+    cand = (a.join(b, "bk").filter(F.col("doc_a") < F.col("doc_b")))
+    matches = cand.filter(F.levenshtein("na", "nb") <= 1) \
+                  .select("doc_a", "doc_b")
+    matches = matches.localCheckpoint(eager=True)
+    clusters = dedup.dedup_clusters(matches)
+    n_rec = rec.count()
+    n_cand = cand.count()
+    n_match = matches.count()
+    cl = clusters.agg(
+        F.count(F.lit(1)).alias("nodes"),
+        F.countDistinct("cluster_id").alias("n_clusters")).collect()[0]
+    n_canonical = n_rec - (cl["nodes"] - cl["n_clusters"])
+    return spark.createDataFrame(
+        [(n_rec, n_cand, n_match, int(cl["nodes"]),
+          int(cl["n_clusters"]), int(n_canonical))],
+        "n_records long, n_candidate_pairs long, n_matches long, "
+        "n_matched_records long, n_clusters long, n_canonical long")
+
+
+def _x81_sql() -> str:
+    return """
+WITH RECURSIVE base AS (
+  SELECT c_custkey, MD5(c_name) AS c_name FROM customer),
+rec AS (
+  SELECT c_custkey, c_name FROM base
+  UNION ALL
+  SELECT c_custkey + 10000,
+         SUBSTRING(c_name, 1, 31) || 'z'
+  FROM base WHERE c_custkey % 20 = 0),
+blocked AS (
+  SELECT c_custkey, c_name, SUBSTRING(c_name, 1, 8) AS bk
+  FROM rec),
+cand AS (
+  SELECT a.c_custkey AS doc_a, b.c_custkey AS doc_b,
+         a.c_name AS na, b.c_name AS nb
+  FROM blocked a JOIN blocked b
+    ON a.bk = b.bk AND a.c_custkey < b.c_custkey),
+m AS (SELECT doc_a, doc_b FROM cand
+      WHERE levenshtein(na, nb) <= 1),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM m
+      UNION SELECT doc_b, doc_a FROM m),
+reach AS (
+  SELECT src AS node, src AS r FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
+comp AS (SELECT node, MIN(r) AS root FROM reach GROUP BY node)
+SELECT (SELECT COUNT(*) FROM rec) AS n_records,
+       (SELECT COUNT(*) FROM cand) AS n_candidate_pairs,
+       (SELECT COUNT(*) FROM m) AS n_matches,
+       (SELECT COUNT(*) FROM comp) AS n_matched_records,
+       (SELECT COUNT(DISTINCT root) FROM comp) AS n_clusters,
+       (SELECT COUNT(*) FROM rec)
+         - ((SELECT COUNT(*) FROM comp)
+            - (SELECT COUNT(DISTINCT root) FROM comp)) AS n_canonical
+"""
+
+
 def x78_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X78 (r5): per-source GINI COEFFICIENT of token frequencies —
     the inequality lens on lexical use that complements X54's
@@ -2764,6 +2927,8 @@ QUERIES: dict[str, tuple] = {
     "x68_bloom_prefilter": (x68_bloom_prefilter, X68_SQL),
     "x54_ngram_diversity": (x54_ngram_diversity, X54_SQL),
     "x78_token_gini": (x78_token_gini, X78_SQL),
+    "x82_dedup_eval": (x82_dedup_eval, _x82_sql()),
+    "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),
     "x58_cluster_size_histogram": (
