@@ -207,10 +207,17 @@ def test_watch_daemon_two_drops_and_stop(spark, bucket, sf_smoke):
             time.sleep(0.2)
         assert n_out() == 4, "startup backlog not drained"
 
-        # second drop while the daemon is live
+        # second drop while the daemon is live — ATOMIC (tmp dotfile
+        # + rename): a plain copy races the 0.5 s poll, which can
+        # read the file mid-write and crash the micro-batch (observed
+        # under full-suite load; dotfiles are invisible to Spark's
+        # file listing, and S3-style drops — the reference semantics
+        # — are atomic too)
         extra = sorted(glob.glob(f"{sf_smoke}/*.parquet"))[5]
-        shutil.copy(extra,
-                    os.path.join(bucket, "input", "late_arrival.bin"))
+        tmp = os.path.join(bucket, "input", ".late_arrival.bin.tmp")
+        shutil.copy(extra, tmp)
+        os.rename(tmp,
+                  os.path.join(bucket, "input", "late_arrival.bin"))
         while n_out() < 5 and time.time() < deadline:
             time.sleep(0.2)
         assert n_out() == 5, "live drop not picked up by the poll loop"
