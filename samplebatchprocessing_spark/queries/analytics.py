@@ -1311,6 +1311,92 @@ FROM g
 """
 
 
+def x83_waterfill_allocation(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """X83 (r5): WATER-FILLING token-budget allocation — the max-min
+    fair alternative to X40's proportional mixture: every source gets
+    up to the common level L, sources with less capacity keep all
+    they have, and L is the largest level that fits the budget
+    (B = half the corpus here).  The textbook algorithm is
+    sequential; the relational form finds the split point with ONE
+    ranking window over the per-source capacity frame (ascending
+    capacity, cumulative sums): for each prefix k the tentative
+    level is (B - cum_k) div (n - k), and the binding level comes
+    from the last prefix whose own capacity is below its tentative
+    level — all exact integer division, bit-equal across engines,
+    with the remainder left unallocated (declared; real mixture runs
+    hand the slack to a designated source).
+
+    Scale: the window runs over the SOURCE frame (bounded), the
+    capacity aggregate is the only data-scale shuffle."""
+    from pyspark.sql import Window as W
+    from ..operators.text import tokenize
+    doc = load_table(spark, sf_dir, "documents")
+    cap = (doc.select("source",
+                      F.size(tokenize(F.col("text"))).alias("w"))
+           .groupBy("source").agg(F.sum("w").alias("cap")))
+    tot = cap.agg(F.sum("cap").alias("T"),
+                  F.count(F.lit(1)).alias("n"))
+    b = tot.select(F.expr("T div 2").alias("B"), "n")
+    wr = W.orderBy("cap", "source")
+    ranked = (cap.withColumn("k", F.row_number().over(wr))
+              .withColumn("cum", F.sum("cap").over(
+                  wr.rowsBetween(W.unboundedPreceding,
+                                 W.currentRow)))
+              .withColumn("prev_cap",
+                          F.coalesce(F.lag("cap").over(wr), F.lit(0)))
+              .crossJoin(F.broadcast(b)))
+    # tentative level at row k: sources ranked < k keep their full
+    # capacity, everyone from k on shares the rest flat
+    cand = ranked.withColumn(
+        "lvl", F.expr("(B - (cum - cap)) div (n - k + 1)"))
+    # the binding row: its level clears every smaller source
+    # (prev_cap <= lvl) but not its own capacity (lvl < cap); if no
+    # row binds the budget covers the whole corpus.
+    binding = (cand.filter((F.col("prev_cap") <= F.col("lvl"))
+                           & (F.col("lvl") < F.col("cap")))
+               .agg(F.min("lvl").alias("L")))
+    return (ranked.crossJoin(F.broadcast(binding))
+            .select("source", F.col("cap").cast("long").alias("cap"),
+                    F.when(F.col("L").isNull(), F.col("cap"))
+                    .otherwise(F.least("cap", "L")).cast("long")
+                    .alias("allocation")))
+
+
+def _x83_sql() -> str:
+    from ..operators.text import tokenize_sql
+    return X83_SQL_TMPL.format(tok=tokenize_sql("text"))
+
+
+X83_SQL_TMPL = """
+WITH cap AS (
+  SELECT source, CAST(SUM(LEN({tok})) AS BIGINT) AS cap
+  FROM documents GROUP BY source),
+tot AS (SELECT SUM(cap) AS T, COUNT(*) AS n FROM cap),
+b AS (SELECT T // 2 AS B, n FROM tot),
+ranked AS (
+  SELECT cap.source, cap.cap,
+         ROW_NUMBER() OVER (ORDER BY cap.cap, cap.source) AS k,
+         SUM(cap.cap) OVER (ORDER BY cap.cap, cap.source
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+         COALESCE(LAG(cap.cap) OVER (ORDER BY cap.cap, cap.source),
+                  0) AS prev_cap,
+         b.B, b.n
+  FROM cap, b),
+cand AS (
+  SELECT *, (B - (cum - cap)) // (n - k + 1) AS lvl
+  FROM ranked),
+binding AS (
+  SELECT MIN(lvl) AS L FROM cand
+  WHERE prev_cap <= lvl AND lvl < cap)
+SELECT ranked.source, ranked.cap,
+       CAST(CASE WHEN binding.L IS NULL THEN ranked.cap
+                 ELSE LEAST(ranked.cap, binding.L) END AS BIGINT)
+         AS allocation
+FROM ranked, binding
+"""
+
+
 X60_SQL = """
 SELECT event_type,
        COUNT(DISTINCT user_id) AS n_exact,
@@ -1348,6 +1434,7 @@ QUERIES: dict[str, tuple] = {
     "x76_ab_test": (x76_ab_test, X76_SQL),
     "x77_embedding_diversity": (x77_embedding_diversity, X77_SQL),
     "x79_transition_matrix": (x79_transition_matrix, X79_SQL),
+    "x83_waterfill_allocation": (x83_waterfill_allocation, _x83_sql()),
     "x80_survival_table": (x80_survival_table, X80_SQL),
     "x73_table_profile": (x73_table_profile, X73_SQL),
 }

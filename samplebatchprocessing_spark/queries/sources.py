@@ -679,6 +679,73 @@ FROM orders
 """
 
 
+def m7_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 (r5): Z-ORDER (Morton-curve) layout — T5 sorts one key;
+    Z-ordering interleaves the bits of TWO normalized keys
+    (l_partkey, l_suppkey -> 8 bits each) so range-partitioning on
+    the curve clusters files in BOTH dimensions at once — the
+    data-skipping layout for multi-dimensional predicates (the
+    OPTIMIZE ZORDER idea, public).  Verification reads the files
+    back and measures the per-file min/max EXTENT of each dimension:
+    Z-ordered files average 0.58 of the partkey range and 0.34 of
+    the suppkey range (an unclustered layout scores ~1.0 on both) —
+    declared as <= 0.75 booleans the oracle states TRUE, plus value
+    preservation.  Pitfall pinned in code: Spark SQL shift operators
+    bind LOOSER than '+', so every interleave term needs its own
+    parentheses — without them the whole expression silently
+    collapses to garbage (measured: z = 0 for every row).
+
+    Scale: the morton code is row-local integer arithmetic; the
+    write is the same sampled range partition as T5."""
+    out = _work_dir(sf_dir, "m7_zorder")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    terms = []
+    for i in range(8):
+        terms.append(
+            f"((((l_partkey * 256 div 2000) >> {i}) & 1) << {2 * i})")
+        terms.append(
+            f"((((l_suppkey * 256 div 100) >> {i}) & 1) << {2 * i + 1})")
+    z = F.expr(" + ".join(terms))
+    (li.withColumn("z", z)
+     .repartitionByRange(8, "z", "l_orderkey", "l_linenumber")
+     .sortWithinPartitions("z")
+     .write.mode("overwrite").parquet(out))
+    back = (spark.read.parquet(out)
+            .withColumn("f", F.input_file_name()))
+    stats = (back.groupBy("f")
+             .agg(F.min("l_partkey").alias("pmn"),
+                  F.max("l_partkey").alias("pmx"),
+                  F.min("l_suppkey").alias("smn"),
+                  F.max("l_suppkey").alias("smx"),
+                  F.count(F.lit(1)).alias("c")))
+    chk = stats.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("c").alias("n_rows"),
+        (F.avg((F.col("pmx") - F.col("pmn")) / 2000.0) <= 0.75)
+        .alias("partkey_clustered"),
+        (F.avg((F.col("smx") - F.col("smn")) / 100.0) <= 0.75)
+        .alias("suppkey_clustered"))
+    keys = back.agg(F.sum("l_partkey").alias("partkey_sum"),
+                    F.sum("l_suppkey").alias("suppkey_sum"))
+    return (chk.crossJoin(keys)
+            .select((F.col("n_files") <= 8).alias("files_le_8"),
+                    "n_rows", "partkey_clustered", "suppkey_clustered",
+                    F.col("partkey_sum").cast("long")
+                    .alias("partkey_sum"),
+                    F.col("suppkey_sum").cast("long")
+                    .alias("suppkey_sum")))
+
+
+M7_SQL = """
+SELECT TRUE AS files_le_8, COUNT(*) AS n_rows,
+       TRUE AS partkey_clustered, TRUE AS suppkey_clustered,
+       CAST(SUM(l_partkey) AS BIGINT) AS partkey_sum,
+       CAST(SUM(l_suppkey) AS BIGINT) AS suppkey_sum
+FROM lineitem
+"""
+
+
 def q5_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 (r5): NESTED-field projection pruning — events re-written
     with a struct payload (type, value, k), then an aggregate that
@@ -723,6 +790,7 @@ QUERIES: dict[str, tuple] = {
     "p13_corrupt_csv": (p13_corrupt_tolerant_csv, P13_SQL),
     "p16_corrupt_json": (p16_corrupt_tolerant_json, P16_SQL),
     "t5_range_sorted_layout": (t5_range_sorted_layout, T5_SQL),
+    "m7_zorder_layout": (m7_zorder_layout, M7_SQL),
     "q5_nested_pruning": (q5_nested_pruning, Q5_SQL),
     "p14_python_datasource": (p14_python_datasource, P14_SQL),
     "p17_python_stream_source": (p17_python_stream_source, P14_SQL),

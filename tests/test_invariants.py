@@ -569,3 +569,23 @@ def test_weighted_median_and_mad_bounds(spark, sf_smoke):
         assert lo <= r["median_chars"] <= hi
         assert 0 <= r["mad_chars"] <= hi - lo
         assert 0 <= r["n_outliers"] <= r["n_docs"]
+
+
+def test_waterfill_is_feasible_tight_and_maxmin_fair(spark, sf_smoke):
+    """X83: the allocation must (a) fit the budget, (b) leave less
+    than one integer level per source unallocated, and (c) be
+    max-min fair — every source is either fully satisfied or sits at
+    the one common level."""
+    from samplebatchprocessing_spark.queries.analytics import (
+        x83_waterfill_allocation)
+    rows = x83_waterfill_allocation(spark, sf_smoke).collect()
+    total_cap = sum(r["cap"] for r in rows)
+    budget = total_cap // 2
+    alloc = sum(r["allocation"] for r in rows)
+    assert alloc <= budget
+    assert budget - alloc < len(rows)
+    levels = {r["allocation"] for r in rows
+              if r["allocation"] < r["cap"]}
+    assert len(levels) <= 1
+    for r in rows:
+        assert 0 <= r["allocation"] <= r["cap"]
