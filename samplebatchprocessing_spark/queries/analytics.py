@@ -1397,6 +1397,98 @@ FROM ranked, binding
 """
 
 
+def x84_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84 (r5): BOT / automation detection by inter-event timing
+    regularity — scripted clients fire on near-constant intervals,
+    so a user whose gap variance is tiny relative to the squared
+    mean gap (coefficient of variation) is flagged.  Exact integer
+    algebra end to end: per-user gap moments (n, sum_s, sum_sq_s —
+    SECOND resolution: millisecond squares overflow int64 once a
+    user's span reaches days x hundreds of events, measured)
+    from one lag window over the (ts, event_id) total order, and the
+    CV^2 < 1/100 test as the cross-multiplication
+    ``100 * (n*Q - S^2) < n * S^2`` (population variance numerator
+    n*Q - S^2 vs mean^2 = S^2/n^2) — no division, no float.  Output:
+    the exact audit (eligible users with >= 5 gaps, flagged count,
+    plus per-flag gap totals so a wrong flag moves integers).
+
+    Scale: one user-keyed shuffle for the lag window, one scalar
+    rollup.  Second-resolution gaps over year-scale spans keep
+    n*Q < 2^62 into millions of events per user."""
+    from pyspark.sql import Window as W
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id")
+    # planted bots (the x63 injection discipline): three synthetic
+    # users firing every 61 s exactly — the organic fixture's gaps
+    # are random, so without planting the detector (correctly)
+    # flags nobody and the audit never exercises.
+    bots = (spark.range(3).select(
+        (F.col("id") + 90001).alias("user_id"), F.explode(
+            F.sequence(F.lit(0), F.lit(49))).alias("i"))
+        .select("user_id",
+                F.expr("timestampadd(SECOND, i * 61,"
+                       " TIMESTAMP '1996-06-01 00:00:00')")
+                .alias("ts"),
+                (F.col("user_id") * 1000 + F.col("i"))
+                .alias("event_id")))
+    ev = ev.unionByName(bots)
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (ev.select("user_id", "ts", "event_id")
+         .withColumn("gap",
+                     (F.unix_millis(F.col("ts"))
+                      - F.unix_millis(F.lag("ts").over(wo)))
+                     / F.lit(1000))
+         .withColumn("gap", F.floor("gap").cast("long"))
+         .filter(F.col("gap").isNotNull()))
+    per = (g.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("gap").alias("s"),
+                F.sum(F.col("gap") * F.col("gap")).alias("q")))
+    eligible = per.filter(F.col("n") >= 5)
+    flagged = (100 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+               < F.col("s") * F.col("s"))
+    return eligible.agg(
+        F.count(F.lit(1)).alias("n_eligible_users"),
+        F.sum(flagged.cast("long")).alias("n_flagged"),
+        F.sum(F.when(flagged, F.col("n")).otherwise(0)).cast("long")
+         .alias("flagged_gap_count"),
+        F.sum(F.when(flagged, F.col("s")).otherwise(0)).cast("long")
+         .alias("flagged_gap_s_sum"))
+
+
+X84_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id FROM events
+  UNION ALL
+  SELECT 90001 + b AS user_id,
+         TIMESTAMP '1996-06-01 00:00:00'
+           + (i * 61) * INTERVAL 1 SECOND AS ts,
+         (90001 + b) * 1000 + i AS event_id
+  FROM UNNEST([0, 1, 2]) AS t(b), UNNEST(range(0, 50)) AS u(i)),
+g AS (
+  SELECT user_id,
+         CAST(FLOOR((epoch_ms(ts) - epoch_ms(LAG(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id))) / 1000.0)
+              AS BIGINT) AS gap
+  FROM ev),
+per AS (
+  SELECT user_id, COUNT(*) AS n, SUM(gap) AS s,
+         SUM(gap * gap) AS q
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+e AS (SELECT * FROM per WHERE n >= 5)
+SELECT COUNT(*) AS n_eligible_users,
+       CAST(SUM(CASE WHEN 100 * (n * q - s * s) < s * s
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN 100 * (n * q - s * s) < s * s
+                     THEN n ELSE 0 END) AS BIGINT)
+         AS flagged_gap_count,
+       CAST(SUM(CASE WHEN 100 * (n * q - s * s) < s * s
+                     THEN s ELSE 0 END) AS BIGINT)
+         AS flagged_gap_s_sum
+FROM e
+"""
+
+
 X60_SQL = """
 SELECT event_type,
        COUNT(DISTINCT user_id) AS n_exact,
@@ -1435,6 +1527,7 @@ QUERIES: dict[str, tuple] = {
     "x77_embedding_diversity": (x77_embedding_diversity, X77_SQL),
     "x79_transition_matrix": (x79_transition_matrix, X79_SQL),
     "x83_waterfill_allocation": (x83_waterfill_allocation, _x83_sql()),
+    "x84_bot_detection": (x84_bot_detection, X84_SQL),
     "x80_survival_table": (x80_survival_table, X80_SQL),
     "x73_table_profile": (x73_table_profile, X73_SQL),
 }
