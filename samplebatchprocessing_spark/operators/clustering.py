@@ -135,7 +135,8 @@ def kmeans_fixedpoint_sql(k: int = 8, iters: int = 3,
     chain = _kmeans_cte_chain(k, iters, table, vec_col, id_col)
     return chain + f"""
 SELECT CAST(cid AS INTEGER) AS cid, COUNT(*) AS n_points,
-       SUM(vid) AS sum_vec_id, SUM(d) AS inertia
+       CAST(SUM(vid) AS BIGINT) AS sum_vec_id,
+       CAST(SUM(d) AS BIGINT) AS inertia
 FROM a{iters} GROUP BY cid"""
 
 

@@ -392,14 +392,14 @@ r AS (
          n_stops >= {min_stops} AS r6
   FROM d)
 SELECT source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS n_pass_r1,
-       SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS n_pass_r2,
-       SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS n_pass_r3,
-       SUM(CASE WHEN r4 THEN 1 ELSE 0 END) AS n_pass_r4,
-       SUM(CASE WHEN r5 THEN 1 ELSE 0 END) AS n_pass_r5,
-       SUM(CASE WHEN r6 THEN 1 ELSE 0 END) AS n_pass_r6,
-       SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 AND r6
-                THEN 1 ELSE 0 END) AS n_pass_all
+       CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_r1,
+       CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_r2,
+       CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_r3,
+       CAST(SUM(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_r4,
+       CAST(SUM(CASE WHEN r5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_r5,
+       CAST(SUM(CASE WHEN r6 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_r6,
+       CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 AND r6
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
 FROM r GROUP BY source
 """
 
@@ -500,12 +500,14 @@ r AS (
            AS has_brace
   FROM pg)
 SELECT source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS n_docs_lorem,
-       SUM(CASE WHEN has_brace THEN 1 ELSE 0 END) AS n_docs_brace,
+       CAST(SUM(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_lorem,
+       CAST(SUM(CASE WHEN has_brace THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_brace,
        CAST(SUM(n_js) AS BIGINT) AS n_js_lines,
        CAST(SUM(n_lines) AS BIGINT) AS n_lines_total,
        CAST(SUM(n_kept) AS BIGINT) AS n_lines_kept,
-       SUM(CASE WHEN NOT has_lorem AND NOT has_brace AND n_kept >= 3
-                THEN 1 ELSE 0 END) AS n_docs_kept
+       CAST(SUM(CASE WHEN NOT has_lorem AND NOT has_brace AND n_kept >= 3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept
 FROM r GROUP BY source
 """

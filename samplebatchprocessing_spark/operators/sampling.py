@@ -229,9 +229,10 @@ k AS (SELECT d.{by_col},
       WHERE CAST({hb} AS HUGEINT) * b.t_tokens
             < CAST(b.b_target AS HUGEINT) * {1 << 20}
       GROUP BY d.{by_col})
-SELECT b.{by_col}, b.t_tokens, b.b_target,
+SELECT b.{by_col}, CAST(b.t_tokens AS BIGINT) AS t_tokens,
+       CAST(b.b_target AS BIGINT) AS b_target,
        COALESCE(k.n_kept, 0) AS n_kept,
-       COALESCE(k.kept_tokens, 0) AS kept_tokens
+       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
 FROM b LEFT JOIN k ON b.{by_col} = k.{by_col}
 """
 
@@ -356,7 +357,8 @@ c AS (
          SUM(tok) OVER (PARTITION BY src ORDER BY bkt, h, id
                         ROWS UNBOUNDED PRECEDING) - tok AS start
   FROM b)
-SELECT src AS {source_col}, start // {budget} AS shard_id,
-       COUNT(*) AS n_docs, SUM(tok) AS shard_tokens
+SELECT src AS {source_col},
+       CAST(start // {budget} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS shard_tokens
 FROM c GROUP BY src, start // {budget}
 """

@@ -735,8 +735,10 @@ enc AS (SELECT word, CAST(LENGTH(word) AS BIGINT) AS wchars,
                     AS BIGINT) AS wpieces
         FROM es)
 SELECT doc_id, COUNT(*) AS n_words,
-       SUM(wchars) AS n_sym_chars, SUM(wpieces) AS n_pieces,
-       1000 * SUM(wchars) // SUM(wpieces) AS chars_per_piece_x1000
+       CAST(SUM(wchars) AS BIGINT) AS n_sym_chars,
+       CAST(SUM(wpieces) AS BIGINT) AS n_pieces,
+       CAST(1000 * SUM(wchars) // SUM(wpieces) AS BIGINT)
+         AS chars_per_piece_x1000
 FROM occ JOIN enc USING (word)
 GROUP BY doc_id
 """

@@ -452,25 +452,25 @@ WITH g1 AS (SELECT l_suppkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
 g2 AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
 g3 AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1)
 SELECT 'lineitem.l_suppkey' AS join_key, COUNT(*) AS n_keys,
-       SUM(c) AS n_rows, MAX(c) AS max_rows,
+       CAST(SUM(c) AS BIGINT) AS n_rows, MAX(c) AS max_rows,
        CAST(QUANTILE_DISC(c, 0.5) AS BIGINT) AS p50_rows,
        CAST(QUANTILE_DISC(c, 0.99) AS BIGINT) AS p99_rows,
-       MAX(c) * COUNT(*) * 1000 // SUM(c) AS skew_x1000,
+       MAX(c) * COUNT(*) * 1000 // CAST(SUM(c) AS BIGINT) AS skew_x1000,
        (SELECT MIN(k) FROM g1 WHERE c = (SELECT MAX(c) FROM g1))
          AS heaviest_key
 FROM g1
 UNION ALL
-SELECT 'lineitem.l_orderkey', COUNT(*), SUM(c), MAX(c),
+SELECT 'lineitem.l_orderkey', COUNT(*), CAST(SUM(c) AS BIGINT), MAX(c),
        CAST(QUANTILE_DISC(c, 0.5) AS BIGINT),
        CAST(QUANTILE_DISC(c, 0.99) AS BIGINT),
-       MAX(c) * COUNT(*) * 1000 // SUM(c),
+       MAX(c) * COUNT(*) * 1000 // CAST(SUM(c) AS BIGINT),
        (SELECT MIN(k) FROM g2 WHERE c = (SELECT MAX(c) FROM g2))
 FROM g2
 UNION ALL
-SELECT 'events.user_id', COUNT(*), SUM(c), MAX(c),
+SELECT 'events.user_id', COUNT(*), CAST(SUM(c) AS BIGINT), MAX(c),
        CAST(QUANTILE_DISC(c, 0.5) AS BIGINT),
        CAST(QUANTILE_DISC(c, 0.99) AS BIGINT),
-       MAX(c) * COUNT(*) * 1000 // SUM(c),
+       MAX(c) * COUNT(*) * 1000 // CAST(SUM(c) AS BIGINT),
        (SELECT MIN(k) FROM g3 WHERE c = (SELECT MAX(c) FROM g3))
 FROM g3
 """
@@ -540,8 +540,10 @@ rk AS (SELECT cid, vid,
                                  ORDER BY {hb}, vid) AS rk
        FROM a3)
 SELECT CAST(cid AS INTEGER) AS cid, COUNT(*) AS n_total,
-       SUM(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN rk <= 40 THEN vid END) AS kept_id_sum
+       CAST(SUM(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rk <= 40 THEN vid END) AS BIGINT)
+         AS kept_id_sum
 FROM rk GROUP BY cid"""
 
 
@@ -595,13 +597,13 @@ st AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
               SUM(CAST(d AS DECIMAL(38,0)) * d) AS q
        FROM a3 GROUP BY cid)
 SELECT CAST(a.cid AS INTEGER) AS cid, COUNT(*) AS n_points,
-       SUM(CASE WHEN CAST(st.n AS DECIMAL(38,0)) * a.d - st.s > 0
+       CAST(SUM(CASE WHEN CAST(st.n AS DECIMAL(38,0)) * a.d - st.s > 0
                  AND 4 * (CAST(st.n AS DECIMAL(38,0)) * a.d - st.s)
                        * (CAST(st.n AS DECIMAL(38,0)) * a.d - st.s)
                      > 9 * (CAST(st.n AS DECIMAL(38,0)) * st.q
                             - st.s * st.s)
-                THEN 1 ELSE 0 END) AS n_outliers_15sigma,
-       MAX(a.d) AS max_d
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_15sigma,
+       CAST(MAX(a.d) AS BIGINT) AS max_d
 FROM a3 a JOIN st USING (cid)
 GROUP BY a.cid"""
 
@@ -1225,7 +1227,7 @@ tot AS (SELECT from_type, SUM(n) AS row_total FROM cnt
         GROUP BY from_type)
 SELECT cnt.from_type, to_type, n,
        CAST(row_total AS BIGINT) AS row_total,
-       n * 1000000 // row_total AS p_x1e6
+       n * 1000000 // CAST(row_total AS BIGINT) AS p_x1e6
 FROM cnt JOIN tot ON tot.from_type = cnt.from_type
 """
 

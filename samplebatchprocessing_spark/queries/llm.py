@@ -352,7 +352,8 @@ def l10_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 L10_SQL = """
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(AVG(n_chars), 6) AS avg_chars
 FROM documents WHERE lang IN ('es', 'de', 'fr')
 GROUP BY lang, source
@@ -464,8 +465,10 @@ d AS (SELECT b2.vec_id
       WHERE ROUND({_COS_SD}, 6) >= 0.3
       GROUP BY b2.vec_id)
 SELECT b.label, COUNT(*) AS n_vecs,
-       SUM(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END) AS n_dups,
-       SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS n_kept,
+       CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_dups,
+       CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
        MIN(CASE WHEN d.vec_id IS NULL THEN b.vec_id END) AS min_kept_id,
        MAX(CASE WHEN d.vec_id IS NULL THEN b.vec_id END) AS max_kept_id
 FROM b LEFT JOIN d ON b.vec_id = d.vec_id
@@ -500,7 +503,7 @@ SELECT CASE WHEN {b} < 80 THEN 'train'
             WHEN {b} < 90 THEN 'val'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs,
-       SUM(LENGTH(text)) AS total_chars,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
        COUNT(DISTINCT lang) AS n_langs
 FROM documents GROUP BY 1
 """
@@ -580,7 +583,8 @@ deduped AS (
 SELECT CASE WHEN {b} < 80 THEN 'train'
             WHEN {b} < 90 THEN 'val'
             ELSE 'test' END AS split,
-       lang, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS total_chars
+       lang, COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
 FROM deduped GROUP BY 1, 2
 """
 
@@ -973,11 +977,16 @@ p AS (SELECT CAST(LEN(LIST_INTERSECT(a.toks, c.toks)) AS BIGINT) AS i,
                   - LEN(LIST_INTERSECT(a.toks, c.toks)) AS BIGINT) AS u
       FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id)
 SELECT COUNT(*) AS n_candidates,
-       SUM(CASE WHEN 10 * i >= 5 * u THEN 1 ELSE 0 END) AS n_ge_05,
-       SUM(CASE WHEN 10 * i >= 6 * u THEN 1 ELSE 0 END) AS n_ge_06,
-       SUM(CASE WHEN 10 * i >= 7 * u THEN 1 ELSE 0 END) AS n_ge_07,
-       SUM(CASE WHEN 10 * i >= 8 * u THEN 1 ELSE 0 END) AS n_ge_08,
-       SUM(CASE WHEN 10 * i >= 9 * u THEN 1 ELSE 0 END) AS n_ge_09
+       CAST(SUM(CASE WHEN 10 * i >= 5 * u THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ge_05,
+       CAST(SUM(CASE WHEN 10 * i >= 6 * u THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ge_06,
+       CAST(SUM(CASE WHEN 10 * i >= 7 * u THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ge_07,
+       CAST(SUM(CASE WHEN 10 * i >= 8 * u THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ge_08,
+       CAST(SUM(CASE WHEN 10 * i >= 9 * u THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ge_09
 FROM p
 """
 
@@ -1027,11 +1036,12 @@ bad AS (SELECT DISTINCT t.doc_id
         FROM sh t JOIN ev USING (shingle) WHERE NOT t.is_eval),
 train AS (SELECT * FROM documents WHERE source <> 'src0')
 SELECT source, COUNT(*) AS n_train,
-       SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-         AS n_contaminated,
-       SUM(CASE WHEN bad.doc_id IS NULL THEN 1 ELSE 0 END) AS n_kept,
-       COALESCE(SUM(CASE WHEN bad.doc_id IS NULL THEN n_chars END), 0)
-         AS kept_chars
+       CAST(SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN bad.doc_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN bad.doc_id IS NULL THEN n_chars END),
+                     0) AS BIGINT) AS kept_chars
 FROM train LEFT JOIN bad USING (doc_id)
 GROUP BY source
 """
@@ -2007,9 +2017,9 @@ p AS (SELECT doc_id, n_chars,
 SELECT REGEXP_REPLACE(host, '^www\\.', '') AS domain,
        COUNT(*) AS n_docs, COUNT(DISTINCT host) AS n_hosts,
        COUNT(DISTINCT path) AS n_paths,
-       SUM(CASE WHEN query IS NOT NULL THEN 1 ELSE 0 END)
-         AS n_with_query,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(CASE WHEN query IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_query,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM p GROUP BY 1
 """
 
@@ -2772,14 +2782,15 @@ s AS (SELECT doc_id, root, {case.format(b=root_split)} AS split,
              {case.format(b=doc_split)} AS naive_split
       FROM d),
 g AS (SELECT split, root, COUNT(*) AS c FROM s GROUP BY split, root),
-per AS (SELECT split, SUM(c) AS n_docs, COUNT(*) AS n_roots,
-               SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END)
+per AS (SELECT split, CAST(SUM(c) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_roots,
+               CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_multi_doc_roots
         FROM g GROUP BY split),
 leak AS (SELECT MAX(ns) = 1 AS no_leakage
          FROM (SELECT root, COUNT(*) AS ns FROM g GROUP BY root)),
-naive AS (SELECT SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END)
-                   AS n_naive_leaky
+naive AS (SELECT CAST(SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_naive_leaky
           FROM (SELECT root, COUNT(DISTINCT naive_split) AS ns
                 FROM s GROUP BY root))
 SELECT per.*, leak.no_leakage, naive.n_naive_leaky

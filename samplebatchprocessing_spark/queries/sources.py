@@ -79,7 +79,7 @@ def p2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 P2_SQL = f"""
-SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS key_sum,
+SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
        {sql_dsum('o_totalprice')} AS price_sum
 FROM orders GROUP BY o_orderstatus
 """
@@ -135,7 +135,8 @@ def p4_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 P4_SQL = f"""
 SELECT event_type, COUNT(*) AS n, {sql_dsum('value')} AS value_sum,
-       SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS k_sum
+       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum
 FROM events GROUP BY event_type
 """
 
@@ -213,7 +214,7 @@ def p15_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 P15_SQL = """
-SELECT doc_id % 10 AS id_mod, COUNT(*) AS n, SUM(n_chars) AS chars,
+SELECT doc_id % 10 AS id_mod, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
        COUNT(DISTINCT MD5(text)) AS n_distinct_md5,
        MAX(doc_id) AS max_id
 FROM documents GROUP BY doc_id % 10
@@ -770,7 +771,8 @@ def q5_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS k_sum
+       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum
 FROM events GROUP BY event_type
 """
 

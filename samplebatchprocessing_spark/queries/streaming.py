@@ -216,7 +216,8 @@ g AS (
            AS gap
   FROM t)
 SELECT user_id, COUNT(*) AS n_events,
-       1 + COALESCE(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END), 0)
+       1 + CAST(COALESCE(SUM(CASE WHEN gap > 1800000000
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
          AS n_sessions,
        COALESCE(MAX(gap), 0) AS max_gap_us
 FROM g GROUP BY user_id
@@ -336,7 +337,8 @@ def _s12_sql() -> str:
         "LEAST(GREATEST(CAST(FLOOR(value) AS BIGINT), 0), 100)", 100,
         id_col="event_id")
     return f"""
-SELECT event_type, COUNT(*) AS n, SUM(event_id) AS id_sum
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
 FROM events WHERE {cond} GROUP BY event_type
 """
 

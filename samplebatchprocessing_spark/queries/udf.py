@@ -148,7 +148,8 @@ def d6_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D6_SQL = """
 SELECT event_type,
-       SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum,
        COUNT(*) AS n,
        CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS DOUBLE)
          / COUNT(*) AS k_mean
