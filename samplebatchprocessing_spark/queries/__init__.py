@@ -33,35 +33,42 @@ Entry = tuple[SparkFn, str | None]
 # 50 names, all present in the registry, all 11 §2B families covered —
 # is locked by tests/test_registry_order.py.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # one anchor per §2B family: P Q J A W T U F S D L
-    "p1_parquet_scan", "q1_project_compute", "j1_inner_join",
-    "a1_pricing_summary", "w1_ranking", "t3_global_topk", "u1_union",
-    "f1_string", "s2_tumbling_batch", "d2_pandas_udf", "l2_tokenize",
-    # depth on P/S/D/L (+ the new a12 contract row), round-robin
-    "p2_csv_roundtrip", "s1_stream_scan", "d1_scalar_udf", "l4_tfidf",
-    "p3_csv_infer", "s2_tumbling_window", "d3_apply_in_pandas",
-    "l5_jaccard_pairs",
-    "p4_json_roundtrip", "s3_sliding_window", "d4_map_in_pandas",
-    "l7_cosine_topk",
-    "p6_parquet_sink", "s4_session_window", "d5_udtf_explode",
-    "l1_exact_dedup",
-    "p7_partitioned_sink", "s5_watermark_append", "d6_udaf_grouped",
-    "l3_token_counts",
-    "p8_manifest_pipeline", "s6_stream_dedup", "a12_two_phase",
-    "l6_minhash_lsh",
-    "l9_binary_ingest", "s7_stateful_agg", "l8_sim_join",
-    "l10_lang_stats", "s8_foreach_batch_sink",
-    # extended-inventory breadth (r5: x47/x48 replace x19/x6 — the
-    # heavy-hitter and plain-split rows are strictly subsumed by the
-    # k-means report and the cluster-aware split, which carry the
-    # round's new first-class evidence; r5 wave 2 swaps the thin
-    # lang-ID row for the DSIR flagship, whose lambda-table +
-    # integer-dot-product chain is the round's widest new surface —
-    # x1's predicate is fully exercised inside x9/x20 anyway)
-    "l11_dedup_clusters", "mm1_image_features", "x65_dsir_weights",
-    "x48_cluster_safe_split", "x13_contamination", "v8_tpch_q3",
-    "m1_upsert", "x47_kmeans_clusters", "x20_pretrain_pipeline",
-    "x25_funnel",
+    # r6 ROTATION (VERDICT r5 #3): overlap with the r5 window is held
+    # to 7 entries — exactly the rows that were red or unchecked there
+    # (the 6 HUGEINT-twin hash fails p2/p4/d6/l10/x47/x48 plus the
+    # newly oracle-paired s8) so the driver re-certifies the fixes —
+    # and every other slot is a yet-unsampled entry so evidence
+    # accrues across rounds.  tests/test_registry_order.py locks the
+    # overlap bound, the 50-name shape, and the family anchors.
+    #
+    # one anchor per §2B family: P Q J A W T U F S D L (rotated to
+    # previously-unsampled representatives where the family allows)
+    "p2_csv_roundtrip", "q5_nested_pruning", "j2_full_outer",
+    "a15_grouping_sets", "w7_distribution_ranks",
+    "t5_range_sorted_layout", "u2_intersect", "f9_bitwise",
+    "s8_foreach_batch_sink", "d6_udaf_grouped", "l10_lang_stats",
+    # the other four r5-red re-certifications + fresh family depth
+    "p4_json_roundtrip", "x47_kmeans_clusters", "x48_cluster_safe_split",
+    "p9_orc_roundtrip", "d7_udtf_table_arg", "s9_custom_stateful",
+    "l5_ngram_lsh",
+    # the 20 remaining HUGEINT-latent twins the r5 judge enumerated —
+    # all carried the same uncast-SUM defect, all cast in r6; a green
+    # row here is the driver's own proof the sweep landed
+    "x37_join_skew_report", "x40_mixture_budget", "x43_semantic_dedup",
+    "x46_bpe_encode", "x50_gopher_quality", "x51_shard_pack",
+    "x52_domain_stats", "x53_cluster_balanced_sample",
+    "x55_decontaminate", "x56_dedup_threshold_curve",
+    "x57_embedding_outliers", "x62_c4_filters", "x79_transition_matrix",
+    "x6_train_split", "x9_corpus_curation", "p15_text_roundtrip",
+    "s12_stream_weighted_sample", "s16_stream_quality_gate",
+    "s17_stream_decontaminate", "v25_tpch_q12_shape",
+    # yet-unsampled breadth: streaming join, SQL-surface, TPC-H,
+    # maintenance
+    "s10_stream_stream_join",
+    "v1_pivot", "v3_exists_subquery", "v6_cte", "v29_recursive_cte",
+    "v9_tpch_q5", "v10_tpch_q10", "v23_tpch_q6",
+    "m2_scd2", "m3_salted_join", "m6_incremental_mv",
+    "m7_zorder_layout",
 )
 
 

@@ -285,7 +285,14 @@ def s8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete-on-success commit point made transactional.  Each
     micro-batch lands as parquet partitioned by batch id (idempotent
     overwrite per epoch); kill/restart recovery is exercised in
-    tests/test_streaming.py.  Rows-only driver check."""
+    tests/test_streaming.py.
+
+    Oracle-paired (r6): availableNow drains the WHOLE fixture and the
+    per-epoch overwrite makes every event land exactly once, so the
+    sink's final state is deterministic — per-type count plus the
+    exact event-id checksum equal a static aggregate of the source
+    table.  Only the mid-stream kill/restart trajectory stays a local
+    property (it depends on where the kill lands)."""
     import hashlib
     import os
     import shutil
@@ -309,7 +316,15 @@ def s8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return (spark.read.parquet(f"{sink}/batch=*")
             .groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n")))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("event_id").alias("id_sum")))
+
+
+S8_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM events GROUP BY event_type
+"""
 
 
 def s12_stream_weighted_sample(spark: SparkSession,
@@ -742,7 +757,7 @@ QUERIES: dict[str, tuple] = {
     "s5_watermark_append": (s5_watermark_append, S5_SQL),
     "s6_stream_dedup": (s6_stream_dedup, S6_SQL),
     "s7_stateful_agg": (s7_stateful_agg, S7_SQL),
-    "s8_foreach_batch_sink": (s8_foreach_batch_sink, None),
+    "s8_foreach_batch_sink": (s8_foreach_batch_sink, S8_SQL),
     "s9_custom_stateful": (s9_custom_stateful, S9_SQL),
     "s10_stream_stream_join": (s10_stream_stream_join, S10_SQL),
     "s11_stream_static_join": (s11_stream_static_join, S11_SQL),
