@@ -131,14 +131,18 @@ def main() -> None:
               f"{[round(s, 3) for s in samples]} ({n} rows)",
               file=sys.stderr)
 
+    print(json.dumps(summarize(timings, errors, sf_dir)))
+
+
+def summarize(timings: dict, errors: dict, sf_dir: str) -> dict:
+    """The one JSON line. A sum over a partial suite is not comparable
+    round-to-round (a crashing heavy query would *improve* the
+    headline), so the headline is null whenever any query errored; the
+    partial sum stays available separately for debugging."""
     total = round(sum(v for v in timings.values()
                       if isinstance(v, (int, float))), 3)
     out = {
         "metric": "bench_suite_wall_sec",
-        # A sum over a partial suite is not comparable round-to-round
-        # (a crashing heavy query would *improve* the headline), so the
-        # headline is null whenever any query errored; the partial sum
-        # stays available separately for debugging.
         "value": None if errors else total,
         "unit": "sec",
         "queries": timings,
@@ -148,7 +152,7 @@ def main() -> None:
         out["errors"] = errors
         out["partial_sum_sec"] = total
         out["n_errored"] = len(errors)
-    print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":

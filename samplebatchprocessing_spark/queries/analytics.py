@@ -1409,8 +1409,9 @@ def x84_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's span reaches days x hundreds of events, measured)
     from one lag window over the (ts, event_id) total order, and the
     CV^2 < 1/100 test as the cross-multiplication
-    ``100 * (n*Q - S^2) < n * S^2`` (population variance numerator
-    n*Q - S^2 vs mean^2 = S^2/n^2) — no division, no float.  Output:
+    ``100 * (n*Q - S^2) < S^2`` (CV^2 = variance/mean^2 =
+    (n*Q - S^2)/S^2 after the n^2 denominators cancel) — no
+    division, no float.  Output:
     the exact audit (eligible users with >= 5 gaps, flagged count,
     plus per-flag gap totals so a wrong flag moves integers).
 

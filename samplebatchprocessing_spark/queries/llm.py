@@ -2121,9 +2121,10 @@ def x81_entity_resolution(spark: SparkSession,
     cluster -> canonicalize, the master-data pipeline every warehouse
     eventually runs: every 20th customer gets a dirty duplicate
     record (key + 10000, one-character typo in the name tail), the
-    blocking key is the typo-stable digit prefix (chars 10..17 — the
-    standard 'block on the stable part' design; at corpus scale the
-    key bounds every block), candidates match on levenshtein <= 1,
+    blocking key is the typo-stable md5-name prefix (chars 1..8 —
+    the typo lands in the name TAIL, so the standard 'block on the
+    stable part' design holds; at corpus scale the key bounds every
+    block), candidates match on levenshtein <= 1,
     matches cluster by L11's iterative components, and the canonical
     count is records minus collapsed duplicates.  The funnel —
     records, candidates, matches, clusters, canonical records — is

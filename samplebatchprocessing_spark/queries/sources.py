@@ -701,12 +701,21 @@ def m7_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _work_dir(sf_dir, "m7_zorder")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    # Normalizers derive from the ACTUAL key ranges (ADVICE r5: the
+    # old hardcoded /2000 and /100 divisors only mapped to 8 bits at
+    # sf0.01 — at any other SF the scaled value exceeded 255 and the
+    # interleave wrapped mod 256).  One bounded 2-scalar aggregate to
+    # the driver; `* 256 div (max+1)` lands every key in [0, 255] at
+    # every scale factor.
+    pmax, smax = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
     terms = []
     for i in range(8):
         terms.append(
-            f"((((l_partkey * 256 div 2000) >> {i}) & 1) << {2 * i})")
+            f"((((l_partkey * 256 div {pmax + 1}) >> {i}) & 1)"
+            f" << {2 * i})")
         terms.append(
-            f"((((l_suppkey * 256 div 100) >> {i}) & 1) << {2 * i + 1})")
+            f"((((l_suppkey * 256 div {smax + 1}) >> {i}) & 1)"
+            f" << {2 * i + 1})")
     z = F.expr(" + ".join(terms))
     (li.withColumn("z", z)
      .repartitionByRange(8, "z", "l_orderkey", "l_linenumber")
@@ -723,9 +732,9 @@ def m7_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     chk = stats.agg(
         F.count(F.lit(1)).alias("n_files"),
         F.sum("c").alias("n_rows"),
-        (F.avg((F.col("pmx") - F.col("pmn")) / 2000.0) <= 0.75)
+        (F.avg((F.col("pmx") - F.col("pmn")) / float(pmax)) <= 0.75)
         .alias("partkey_clustered"),
-        (F.avg((F.col("smx") - F.col("smn")) / 100.0) <= 0.75)
+        (F.avg((F.col("smx") - F.col("smn")) / float(smax)) <= 0.75)
         .alias("suppkey_clustered"))
     keys = back.agg(F.sum("l_partkey").alias("partkey_sum"),
                     F.sum("l_suppkey").alias("suppkey_sum"))

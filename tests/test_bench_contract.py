@@ -1,0 +1,40 @@
+"""The BENCH harness's one-JSON-line contract (VERDICT r5 #6): a
+crashing query must null the headline — a partial sum would read as a
+speedup — while the per-query detail and error inventory survive."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import BENCH_QUERIES, summarize
+
+
+def test_summary_clean_run():
+    timings = {"q1": 1.5, "q2": 0.25}
+    out = summarize(timings, {}, "/root/testdata/sf0.1")
+    assert out["value"] == 1.75
+    assert out["queries"] == timings
+    assert "errors" not in out and "n_errored" not in out
+    json.dumps(out)  # one-line contract: must be JSON-serializable
+
+
+def test_summary_forced_failure_nulls_headline():
+    timings = {"q1": 1.5, "q2": {"err": "Boom: kaput"}}
+    errors = {"q2": "Boom: kaput"}
+    out = summarize(timings, errors, "/root/testdata/sf0.1")
+    assert out["value"] is None          # headline never lies faster
+    assert out["n_errored"] == 1
+    assert out["partial_sum_sec"] == 1.5  # debugging detail survives
+    assert out["errors"] == errors
+    json.dumps(out)
+
+
+def test_bench_queries_exist_in_registry():
+    from samplebatchprocessing_spark.queries import registry
+    reg = registry()
+    missing = [n for n in BENCH_QUERIES if n not in reg]
+    assert not missing, missing
