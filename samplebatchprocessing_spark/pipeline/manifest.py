@@ -158,6 +158,28 @@ LOG_SCHEMA = ("file_name string, in_bytes long, out_bytes long, "
               "out_path string, ok boolean")
 
 
+def _fs_local_path(uri: str) -> str:
+    """Scheme shim for the WORKER-side commit: Spark's binaryFile
+    reader accepts any Hadoop filesystem URI (`file://`, `s3a://`,
+    ...), but the per-file commit runs in the Python worker against
+    the filesystem client for that scheme.  Bare paths and
+    ``file://`` URIs map to POSIX I/O (what this container can
+    execute — pinning the SCALE.md "Object-store commit" notes as
+    testable fact); an object-store scheme would dispatch to the
+    store's client (single-PUT copy for ``tempkey`` commit) and
+    raises explicitly here rather than writing a local directory
+    literally named ``s3a:``."""
+    if "://" not in uri:
+        return uri
+    scheme, rest = uri.split("://", 1)
+    if scheme == "file":
+        return "/" + rest.lstrip("/")
+    raise NotImplementedError(
+        f"scheme {scheme!r}: worker-side commit needs the object-store "
+        f"client (tempkey commit = single-PUT copy; see SCALE.md "
+        f"'Object-store commit')")
+
+
 def _file_processor(transform: Callable[[bytes], bytes],
                     ext: str, commit: str):
     """Arrow-batched per-file worker shared by the batch pipeline and
@@ -168,7 +190,8 @@ def _file_processor(transform: Callable[[bytes], bytes],
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                out_dir = os.path.join(r.bucket, r.out_prefix)
+                out_dir = os.path.join(_fs_local_path(r.bucket),
+                                       r.out_prefix)
                 out_path = os.path.join(out_dir, r.file_name + ext)
                 raw = bytes(r.content)
                 try:

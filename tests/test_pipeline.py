@@ -265,3 +265,38 @@ def test_cli_watch_sigint_graceful(bucket):
             proc.communicate()
     assert proc.returncode == 0, f"non-graceful exit: {proc.returncode}"
     assert "4/4 files ok" in out
+
+
+def test_pipeline_file_scheme_uri_end_to_end(spark, bucket):
+    """SCALE.md 'Object-store commit' as executable fact: the whole
+    pipeline runs against a scheme-prefixed (file://) bucket URI —
+    Spark's binaryFile source resolves the URI through the Hadoop
+    filesystem layer while the worker-side per-file commit maps it
+    through the scheme shim; tempkey commit (the s3a strategy) is
+    exercised over the URI form too."""
+    uri = f"file://{bucket}"
+    manifest = build_manifest(spark, uri)
+    assert manifest.count() == 4
+    for commit in ("replace", "tempkey"):
+        log = run_pipeline(spark, manifest, commit=commit).collect()
+        assert len(log) == 4 and all(r["ok"] for r in log)
+        for r in log:
+            src = os.path.join(bucket, "input", r["file_name"])
+            out = r["out_path"]
+            assert not out.startswith("file:")   # shim resolved to POSIX
+            with open(src, "rb") as f_in, open(out, "rb") as f_out:
+                assert (hashlib.md5(f_in.read()).hexdigest()
+                        == hashlib.md5(f_out.read()).hexdigest())
+        assert not glob.glob(os.path.join(bucket, "output",
+                                          "*.inprogress"))
+
+
+def test_pipeline_object_store_scheme_raises_not_silent():
+    """An s3a:// bucket must fail loudly in the worker commit (no
+    client in this container), never write a local dir named 's3a:'."""
+    from samplebatchprocessing_spark.pipeline.manifest import (
+        _fs_local_path)
+    assert _fs_local_path("/tmp/x") == "/tmp/x"
+    assert _fs_local_path("file:///tmp/x") == "/tmp/x"
+    with pytest.raises(NotImplementedError, match="s3a"):
+        _fs_local_path("s3a://bucket/prefix")
