@@ -137,6 +137,53 @@ def cosine_topk(emb: DataFrame, query_pred, k: int = 5) -> DataFrame:
             .withColumn("cosine", F.round("cosine", 6)))
 
 
+def hard_negative_topk(emb: DataFrame, query_pred, k: int = 3,
+                       label_col: str = "label") -> DataFrame:
+    """X88: HARD-NEGATIVE MINING — for each query vector, the top-k
+    most-similar vectors with a DIFFERENT label: the contrastive-
+    training counterpart of :func:`cosine_topk` (a hard negative is
+    a near-miss the model must learn to push away; random negatives
+    are too easy to carry gradient — public InfoNCE/DPR practice).
+
+    Same plan shape and determinism contract as cosine_topk (query
+    side broadcast, per-vector norms, partition-local top-k before
+    the single exchange, (-cosine, vec_id) tie-break, zero-norm
+    vectors dropped per vector); the only difference is the label
+    inequality applied per pair BEFORE scoring, so excluded pairs
+    never cost a dot product.  At 100 TB the label filter doesn't
+    change the bound: the exchange still carries
+    ~partitions x queries x k rows."""
+    queries = (emb.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        _norm_col(F.col("embedding")).alias("q_norm"))
+        .filter((F.col("q_norm") > 0) & ~F.isnan("q_norm")))
+    cands = (emb.select(
+        "vec_id", F.col(label_col).alias("neg_label"), "embedding",
+        _norm_col(F.col("embedding")).alias("c_norm"))
+        .filter((F.col("c_norm") > 0) & ~F.isnan("c_norm")))
+    pairs = (cands.crossJoin(F.broadcast(queries))
+             .filter(F.col("neg_label") != F.col("q_label")))
+    qd = F.transform("q_emb", lambda x: x.cast("double"))
+    cd = F.transform("embedding", lambda x: x.cast("double"))
+    dot = _seq_sum(F.zip_with(qd, cd, lambda x, y: x * y))
+    cos = dot / (F.col("q_norm") * F.col("c_norm"))
+    # labels ride through the pruner (it keys on query_id/cosine/
+    # vec_id and passes other columns through) — no corpus-sized
+    # label join after the fact
+    scored = _partition_topk(
+        pairs.select("query_id", "q_label", "vec_id", "neg_label",
+                     cos.alias("cosine")), k)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("cosine", F.round("cosine", 6))
+            .select("query_id", "q_label", "vec_id", "neg_label",
+                    "cosine", "rank"))
+
+
 def sim_join(emb: DataFrame, threshold: float,
              block_col: str = "label") -> DataFrame:
     """L8: pairwise similarity join (cosine >= threshold) with a

@@ -713,7 +713,8 @@ def bpe_encode_stats(df: DataFrame,
 
 
 def bpe_encode_stats_sql(merges: tuple[tuple[str, str, str], ...]
-                         = PINNED_BPE_MERGES) -> str:
+                         = PINNED_BPE_MERGES,
+                         group_col: str = "doc_id") -> str:
     """DuckDB twin of :func:`bpe_encode_stats` via a structurally
     DIFFERENT encoding of the same algorithm: each word becomes a
     bracket-delimited symbol string (``'[c][a][t]'``) and every merge
@@ -726,7 +727,7 @@ def bpe_encode_stats_sql(merges: tuple[tuple[str, str, str], ...]
     for l, r, m in merges:
         s = f"REPLACE({s}, '[{l}][{r}]', '[{m}]')"
     return f"""
-WITH occ AS (SELECT doc_id, UNNEST({tokenize_sql('text')}) AS word
+WITH occ AS (SELECT {group_col}, UNNEST({tokenize_sql('text')}) AS word
              FROM documents),
 w AS (SELECT DISTINCT word FROM occ),
 es AS (SELECT word, {s} AS s FROM w),
@@ -734,13 +735,13 @@ enc AS (SELECT word, CAST(LENGTH(word) AS BIGINT) AS wchars,
                CAST(LENGTH(s) - LENGTH(REPLACE(s, '[', ''))
                     AS BIGINT) AS wpieces
         FROM es)
-SELECT doc_id, COUNT(*) AS n_words,
+SELECT {group_col}, COUNT(*) AS n_words,
        CAST(SUM(wchars) AS BIGINT) AS n_sym_chars,
        CAST(SUM(wpieces) AS BIGINT) AS n_pieces,
        CAST(1000 * SUM(wchars) // SUM(wpieces) AS BIGINT)
          AS chars_per_piece_x1000
 FROM occ JOIN enc USING (word)
-GROUP BY doc_id
+GROUP BY {group_col}
 """
 
 

@@ -1501,6 +1501,145 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
+def x85_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85 (r6): MARKETING ATTRIBUTION — first-touch and last-touch
+    revenue credit per channel: for every purchase, the user's
+    earliest and latest preceding non-purchase events (the "touches")
+    each claim the purchase's value under the two classic models; the
+    report is per-channel purchase counts and exact-decimal revenue
+    sums under both.  Purchases with no preceding touch are declared
+    out (no channel to credit — the standard direct-traffic bucket
+    would be a third model).
+
+    Determinism: the touch order is the (ts, event_id) total order —
+    one ROW_NUMBER per purchase per direction, identical on both
+    engines; revenue sums are dsum-exact decimals.
+
+    Scale (100 TB): the purchase-x-touch join is keyed on user_id
+    (the natural partition key; per-user event counts are bounded in
+    practice), the per-purchase windows run inside that key, and the
+    channel rollup is a channels-sized frame.  No global window, no
+    cross join."""
+    from pyspark.sql import Window as W
+    from ..exprs import dsum
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"), "value")
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"))
+    j = purch.join(touch, "user_id").filter(F.col("tts") < F.col("pts"))
+    wf = W.partitionBy("pid").orderBy("tts", "tid")
+    wl = W.partitionBy("pid").orderBy(F.col("tts").desc(),
+                                      F.col("tid").desc())
+    first = (j.withColumn("rk", F.row_number().over(wf))
+             .filter(F.col("rk") == 1)
+             .groupBy("channel")
+             .agg(F.count(F.lit(1)).alias("n_first"),
+                  dsum("value", "first_revenue")))
+    last = (j.withColumn("rk", F.row_number().over(wl))
+            .filter(F.col("rk") == 1)
+            .groupBy("channel")
+            .agg(F.count(F.lit(1)).alias("n_last"),
+                 dsum("value", "last_revenue")))
+    return (first.join(last, "channel", "full_outer")
+            .select("channel",
+                    F.coalesce("n_first", F.lit(0)).alias("n_first"),
+                    F.coalesce("first_revenue", F.lit(0.0))
+                    .alias("first_revenue"),
+                    F.coalesce("n_last", F.lit(0)).alias("n_last"),
+                    F.coalesce("last_revenue", F.lit(0.0))
+                    .alias("last_revenue")))
+
+
+def _x85_sql() -> str:
+    from ..exprs import sql_dsum
+    return f"""
+WITH p AS (SELECT user_id, ts AS pts, event_id AS pid, value
+           FROM events WHERE event_type = 'purchase'),
+t AS (SELECT user_id, ts AS tts, event_id AS tid,
+             event_type AS channel
+      FROM events WHERE event_type <> 'purchase'),
+j AS (SELECT p.pid, p.value, t.channel, t.tts, t.tid
+      FROM p JOIN t ON p.user_id = t.user_id AND t.tts < p.pts),
+f AS (SELECT * FROM j
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY pid
+                                 ORDER BY tts, tid) = 1),
+l AS (SELECT * FROM j
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY pid
+                                 ORDER BY tts DESC, tid DESC) = 1),
+fa AS (SELECT channel, COUNT(*) AS n_first,
+              {sql_dsum('value')} AS first_revenue
+       FROM f GROUP BY channel),
+la AS (SELECT channel, COUNT(*) AS n_last,
+              {sql_dsum('value')} AS last_revenue
+       FROM l GROUP BY channel)
+SELECT COALESCE(fa.channel, la.channel) AS channel,
+       COALESCE(n_first, 0) AS n_first,
+       COALESCE(first_revenue, 0.0) AS first_revenue,
+       COALESCE(n_last, 0) AS n_last,
+       COALESCE(last_revenue, 0.0) AS last_revenue
+FROM fa FULL OUTER JOIN la ON fa.channel = la.channel
+"""
+
+
+def x86_seasonal_outliers(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """X86 (r6): SEASONAL-PROFILE ANOMALY flags — the ops-monitoring
+    read: per event type, the hour-of-day traffic profile (24 counts)
+    compared to the type's own DISCRETE median hourly count; hours
+    whose count deviates from the median by more than 50% in either
+    direction are flagged (integer cross-multiplication
+    ``2*c > 3*med`` / ``2*c < med`` — no float, no division).  The
+    same residual-vs-seasonal-baseline test, run on a day-of-week
+    profile at real scale, is the standard first-line traffic
+    anomaly detector.
+
+    Determinism: counts are exact; the median is percentile_disc /
+    QUANTILE_DISC (the r5 x37 discipline — an interpolated median of
+    an even count list is a float boundary risk, the discrete one is
+    an actual observed integer).
+
+    Scale: one (type, hour) shuffle over the corpus — 24 x |types|
+    output rows; the median runs over the 24-row per-type profile."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = (ev.groupBy("event_type", F.hour("ts").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    med = (prof.groupBy("event_type")
+           .agg(F.expr("CAST(percentile_disc(0.5) WITHIN GROUP "
+                       "(ORDER BY c) AS LONG)").alias("med")))
+    return (prof.join(med, "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_hours"),
+                 F.max("med").alias("median_hourly"),
+                 F.sum((2 * F.col("c") > 3 * F.col("med"))
+                       .cast("long")).alias("n_high"),
+                 F.sum((2 * F.col("c") < F.col("med"))
+                       .cast("long")).alias("n_low"),
+                 F.sum("c").alias("n_events")))
+
+
+X86_SQL = """
+WITH prof AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hour, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+med AS (
+  SELECT event_type, CAST(QUANTILE_DISC(c, 0.5) AS BIGINT) AS med
+  FROM prof GROUP BY event_type)
+SELECT prof.event_type, COUNT(*) AS n_hours,
+       MAX(med) AS median_hourly,
+       CAST(SUM(CASE WHEN 2 * c > 3 * med THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high,
+       CAST(SUM(CASE WHEN 2 * c < med THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low,
+       CAST(SUM(c) AS BIGINT) AS n_events
+FROM prof JOIN med USING (event_type)
+GROUP BY prof.event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "x25_funnel": (x25_funnel, X25_SQL),
     "j11_interval_overlap": (j11_interval_overlap, _j11_sql()),
@@ -1531,6 +1670,8 @@ QUERIES: dict[str, tuple] = {
     "x79_transition_matrix": (x79_transition_matrix, X79_SQL),
     "x83_waterfill_allocation": (x83_waterfill_allocation, _x83_sql()),
     "x84_bot_detection": (x84_bot_detection, X84_SQL),
+    "x85_attribution": (x85_attribution, _x85_sql()),
+    "x86_seasonal_outliers": (x86_seasonal_outliers, X86_SQL),
     "x80_survival_table": (x80_survival_table, X80_SQL),
     "x73_table_profile": (x73_table_profile, X73_SQL),
 }

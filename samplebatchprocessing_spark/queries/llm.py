@@ -2882,6 +2882,77 @@ GROUP BY a.source, b.source
 """
 
 
+def x88_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88 (r6): HARD-NEGATIVE MINING for contrastive training — for
+    every query vector (vec_id % 50 = 0, L7's query set), the top-3
+    most-cosine-similar vectors whose LABEL differs: the near-misses
+    an embedding model must learn to separate (random negatives carry
+    no gradient; public InfoNCE/DPR practice).  Plan shape is exactly
+    L7's (broadcast queries, per-vector norms, partition-local top-k
+    before one exchange, (-cosine, vec_id) tie-break); the label
+    inequality runs per pair BEFORE the dot product so excluded pairs
+    are free.  At 100 TB the label filter changes nothing about the
+    exchange bound (~partitions x queries x k rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_topk(
+        emb, F.col("vec_id") % 50 == 0, k=3)
+
+
+_COS_HN = similarity.cosine_sql_expr("q.embedding", "c.embedding")
+
+X88_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding
+           FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, q.q_label, c.vec_id, c.label AS neg_label,
+         {_COS_HN} AS cosine
+  FROM q, embeddings c WHERE c.label <> q.q_label)
+SELECT query_id, q_label, vec_id, neg_label,
+       ROUND(cosine, 6) AS cosine, rank FROM (
+  SELECT query_id, q_label, vec_id, neg_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored WHERE NOT ISNAN(cosine)
+) WHERE rank <= 3
+"""
+
+
+def x89_tokenizer_fertility(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """X89 (r6): TOKENIZER FERTILITY per language — the health metric
+    a multilingual tokenizer ships with: pieces-per-word (fertility)
+    and chars-per-piece by language, from the PINNED x44-trained
+    merge table replayed by the x46 encoder.  A language whose
+    fertility is far above the corpus mean is being shredded into
+    characters (under-represented in tokenizer training) and will pay
+    that cost in sequence length forever — the audit that catches it
+    before pretraining.  All integers: counts and x1000 integer-
+    division ratios, bit-replayable (the oracle replays the merge
+    cascade through the structurally different bracket-REPLACE
+    encoding).
+
+    Scale: identical to x46 — the corpus collapses to the distinct-
+    word vocabulary before merge work; the per-language rollup joins
+    occurrences back on the word key (one shuffle each)."""
+    doc = load_table(spark, sf_dir, "documents")
+    st = text.bpe_encode_stats(doc, id_col="lang")
+    return st.select(
+        "lang", "n_words", "n_sym_chars", "n_pieces",
+        "chars_per_piece_x1000",
+        F.expr("1000 * n_pieces div n_words")
+        .alias("pieces_per_word_x1000"))
+
+
+def _x89_sql() -> str:
+    inner = text.bpe_encode_stats_sql(group_col="lang")
+    return f"""
+SELECT lang, n_words, n_sym_chars, n_pieces, chars_per_piece_x1000,
+       CAST(1000 * n_pieces // n_words AS BIGINT)
+         AS pieces_per_word_x1000
+FROM ({inner})
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -2940,6 +3011,8 @@ QUERIES: dict[str, tuple] = {
     "x54_ngram_diversity": (x54_ngram_diversity, X54_SQL),
     "x78_token_gini": (x78_token_gini, X78_SQL),
     "x82_dedup_eval": (x82_dedup_eval, _x82_sql()),
+    "x88_hard_negatives": (x88_hard_negatives, X88_SQL),
+    "x89_tokenizer_fertility": (x89_tokenizer_fertility, _x89_sql()),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),

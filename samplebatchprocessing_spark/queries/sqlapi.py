@@ -1162,6 +1162,161 @@ def v28_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(V28_SQL)
 
 
+def m8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 (r6): SNAPSHOT TIME TRAVEL with copy-on-write file reuse —
+    the Iceberg/Delta idea stripped to its load-bearing parts: a
+    table is a MANIFEST (an ordered list of data files), a write
+    makes a new manifest, and reading "as of" snapshot N is reading
+    N's file list — no data copied for time travel, no rewrite of
+    unchanged files for an update.
+
+    Concretely: orders land bucketed by ``o_orderkey % 8`` as
+    snapshot 1; an upsert (every 100th order re-priced x2, status
+    'U') touches keys in only 2 of the 8 buckets, so snapshot 2's
+    manifest REWRITES those 2 files and REUSES the other 6 by
+    reference.  The query reads both snapshots through their
+    manifests and reports per-(snapshot, status) counts and exact
+    price sums, plus the declared copy-on-write booleans (6 files
+    reused, 2 rewritten) the oracle pins TRUE.
+
+    Scale (100 TB): time travel costs one manifest read; an update
+    rewrites only the files whose keys changed (here 1/4 of the
+    data).  The manifest is deployment-sized metadata, never
+    data-scale — exactly the table-format contract."""
+    import json
+    import os
+    from .sources import _work_dir
+    out = _work_dir(sf_dir, "m8_tt")
+    ord_ = (load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                    (F.col("o_orderkey") % 8).alias("bkt")))
+    (ord_.write.partitionBy("bkt").mode("overwrite")
+     .parquet(f"{out}/data_v1"))
+    changed = sorted(
+        r["bkt"] for r in ord_.filter(F.col("o_orderkey") % 100 == 0)
+        .select("bkt").distinct().collect())
+    upd = (ord_.filter(F.col("bkt").isin([int(b) for b in changed]))
+           .withColumn("o_totalprice",
+                       F.when(F.col("o_orderkey") % 100 == 0,
+                              F.col("o_totalprice") * 2)
+                       .otherwise(F.col("o_totalprice")))
+           .withColumn("o_orderstatus",
+                       F.when(F.col("o_orderkey") % 100 == 0,
+                              F.lit("U"))
+                       .otherwise(F.col("o_orderstatus"))))
+    (upd.write.partitionBy("bkt").mode("overwrite")
+     .parquet(f"{out}/data_v2"))
+    manifests = {
+        1: [f"{out}/data_v1/bkt={b}" for b in range(8)],
+        2: [(f"{out}/data_v2/bkt={b}" if b in changed
+             else f"{out}/data_v1/bkt={b}") for b in range(8)],
+    }
+    with open(f"{out}/manifest.json", "w") as f:
+        json.dump({str(k): v for k, v in manifests.items()}, f)
+    reused = sum(1 for p in manifests[2] if "/data_v1/" in p)
+    rewritten = len(manifests[2]) - reused
+
+    def read_asof(snap: int) -> DataFrame:
+        return spark.read.parquet(*manifests[snap])
+
+    parts = []
+    for snap in (1, 2):
+        parts.append(
+            read_asof(snap).groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice", "price_sum"))
+            .select(F.lit(snap).alias("snapshot"), "o_orderstatus",
+                    "n", "price_sum"))
+    res = parts[0].unionByName(parts[1])
+    return (res
+            .withColumn("cow_files_reused", F.lit(reused == 6))
+            .withColumn("cow_files_rewritten", F.lit(rewritten == 2)))
+
+
+M8_SQL = f"""
+SELECT 1 AS snapshot, o_orderstatus, COUNT(*) AS n,
+       {sql_dsum('o_totalprice')} AS price_sum,
+       TRUE AS cow_files_reused, TRUE AS cow_files_rewritten
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 2, CASE WHEN o_orderkey % 100 = 0 THEN 'U'
+               ELSE o_orderstatus END, COUNT(*),
+       {sql_dsum("CASE WHEN o_orderkey % 100 = 0 "
+                 "THEN o_totalprice * 2 ELSE o_totalprice END")},
+       TRUE, TRUE
+FROM orders
+GROUP BY CASE WHEN o_orderkey % 100 = 0 THEN 'U'
+              ELSE o_orderstatus END
+"""
+
+
+def m9_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 (r6): DATA-SKIPPING effectiveness report — the audit that
+    justifies T5/M7 layout work: per-file min/max key statistics
+    (what a lakehouse keeps in its manifest and parquet footers
+    anyway) decide how many files a range predicate can prune
+    WITHOUT opening them.  lineitem is written twice — range-sorted
+    on l_orderkey (T5's layout) and hash-scattered (the layout a
+    shuffle leaves behind) — into 16 files each; for a mid-range
+    10%-of-keyspace predicate the sorted layout's [min,max] spans
+    overlap at most 3 files while the scattered layout overlaps all
+    16.  Declared: exact row counts + key checksum of the predicate's
+    true result (identical from either layout) and the two skipping
+    booleans the oracle pins TRUE.
+
+    Scale: min/max-per-file is one aggregate keyed by file (the
+    write-time metadata pass every table format does); the report
+    reads STATS, not data.  This is the measurable form of the
+    SCALE.md partition-pruning notes."""
+    import os
+    from .sources import _work_dir
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+    sorted_dir = _work_dir(sf_dir, "m9_sorted")
+    scatter_dir = _work_dir(sf_dir, "m9_scatter")
+    (li.repartitionByRange(16, "l_orderkey", "l_linenumber")
+     .sortWithinPartitions("l_orderkey", "l_linenumber")
+     .write.mode("overwrite").parquet(sorted_dir))
+    (li.repartition(16)   # round-robin: every file spans the keyspace
+     .write.mode("overwrite").parquet(scatter_dir))
+    lo_hi = li.agg(F.min("l_orderkey").alias("lo"),
+                   F.max("l_orderkey").alias("hi")).first()
+    # mid-range 10% band [p45, p55) of the key space
+    lo = lo_hi["lo"] + (lo_hi["hi"] - lo_hi["lo"]) * 45 // 100
+    hi = lo_hi["lo"] + (lo_hi["hi"] - lo_hi["lo"]) * 55 // 100
+
+    def overlap_count(d: str) -> int:
+        stats = (spark.read.parquet(d)
+                 .groupBy(F.input_file_name().alias("f"))
+                 .agg(F.min("l_orderkey").alias("mn"),
+                      F.max("l_orderkey").alias("mx")))
+        return (stats.filter((F.col("mn") <= hi)
+                             & (F.col("mx") >= lo)).count())
+    n_sorted = overlap_count(sorted_dir)
+    n_scatter = overlap_count(scatter_dir)
+    truth = (li.filter((F.col("l_orderkey") >= lo)
+                       & (F.col("l_orderkey") <= hi))
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.sum("l_orderkey").alias("key_sum")))
+    return truth.select(
+        "n_rows", "key_sum",
+        F.lit(n_sorted <= 3).alias("sorted_skips_most"),
+        F.lit(n_scatter >= 12).alias("scatter_skips_none"))
+
+
+M9_SQL = """
+WITH b AS (SELECT MIN(l_orderkey) AS lo0, MAX(l_orderkey) AS hi0
+           FROM lineitem),
+r AS (SELECT lo0 + (hi0 - lo0) * 45 // 100 AS lo,
+             lo0 + (hi0 - lo0) * 55 // 100 AS hi FROM b)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+       TRUE AS sorted_skips_most, TRUE AS scatter_skips_none
+FROM lineitem, r
+WHERE l_orderkey >= lo AND l_orderkey <= hi
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "v1_pivot": (v1_pivot, V1_SQL),
     "v2_unpivot": (v2_unpivot, V2_SQL),
@@ -1199,4 +1354,6 @@ QUERIES: dict[str, tuple] = {
     "v29_recursive_cte": (v29_recursive_cte, V29_SQL),
     "m3_salted_join": (m3_salted_join, M3_SQL),
     "m4_bucketed_join": (m4_bucketed_join, M4_SQL),
+    "m8_time_travel": (m8_time_travel, M8_SQL),
+    "m9_skipping_report": (m9_skipping_report, M9_SQL),
 }
