@@ -2953,6 +2953,138 @@ FROM ({inner})
 """
 
 
+def x90_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90 (r6): BATCH PADDING-WASTE audit — the training-throughput
+    number length-bucketed batching buys: padding every document to
+    the max sequence length L=256 wastes ``L - min(w, L)`` slots per
+    document, while bucketing by length (caps 64/128/256) pads only
+    to the bucket cap.  Per source: documents, true token mass,
+    naive vs bucketed padded cost, and the exact x1000 savings ratio
+    — all integers (the GPU-hours argument for the X8/X51 packing
+    operators, quantified).
+
+    Scale: one row-local width expression + one source-keyed
+    aggregate; nothing else."""
+    from ..operators.text import tokenize
+    doc = load_table(spark, sf_dir, "documents")
+    w = F.size(tokenize(F.col("text")))
+    cap = (F.when(w <= 64, 64).when(w <= 128, 128)
+           .otherwise(256)).cast("long")
+    d = doc.select(
+        "source", w.alias("w"),
+        F.least(w, F.lit(256)).cast("long").alias("used"),
+        cap.alias("cap"))
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("used").cast("long").alias("used_tokens"),
+                 (F.count(F.lit(1)) * 256 - F.sum("used"))
+                 .cast("long").alias("naive_waste"),
+                 (F.sum("cap") - F.sum("used")).cast("long")
+                 .alias("bucketed_waste"))
+            .withColumn("savings_x1000", F.expr(
+                "1000 * (naive_waste - bucketed_waste)"
+                " div naive_waste")))
+
+
+def _x90_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT source, LEN({tokenize_sql('text')}) AS w FROM documents),
+c AS (
+  SELECT source, LEAST(w, 256) AS used,
+         CASE WHEN w <= 64 THEN 64 WHEN w <= 128 THEN 128
+              ELSE 256 END AS cap
+  FROM d),
+a AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(used) AS BIGINT) AS used_tokens,
+         CAST(COUNT(*) * 256 - SUM(used) AS BIGINT) AS naive_waste,
+         CAST(SUM(cap) - SUM(used) AS BIGINT) AS bucketed_waste
+  FROM c GROUP BY source)
+SELECT *, CAST(1000 * (naive_waste - bucketed_waste) // naive_waste
+               AS BIGINT) AS savings_x1000
+FROM a
+"""
+
+
+def x91_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91 (r6): DISTINCTIVE KEYWORDS per source — the dataset-card
+    entry that tells a reader what makes each slice different: terms
+    ranked by an integer distinctiveness score
+    ``1000 * tf DIV df`` (term frequency inside the source over
+    corpus-wide document frequency — L4's TF-IDF idea with the float
+    idf replaced by an exact integer proxy so top-3-per-source
+    ranking is bit-stable), tie-broken on the term.  T4's
+    top-k-per-group over the term-frequency matrix.
+
+    Scale: one (source, term) shuffle (vocab x sources keys), the
+    df join is vocab-sized, the rank window partitions by source."""
+    from pyspark.sql import Window as W
+    from ..operators.text import tokenize
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select("source", "doc_id",
+                      F.explode(tokenize(F.col("text"))).alias("t"))
+    tf = (toks.groupBy("source", "t")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = (toks.select("doc_id", "t").distinct()
+           .groupBy("t").agg(F.count(F.lit(1)).alias("df")))
+    scored = (tf.join(df_, "t")
+              .withColumn("score_x1000",
+                          F.expr("1000 * tf div df")))
+    w = W.partitionBy("source").orderBy(
+        F.col("score_x1000").desc(), F.col("t"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("source", "rank", "t", "tf", "df",
+                    "score_x1000"))
+
+
+def _x91_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, doc_id, UNNEST({tokenize_sql('text')}) AS t
+  FROM documents),
+tf AS (SELECT source, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT t, COUNT(*) AS df
+       FROM (SELECT DISTINCT doc_id, t FROM toks) GROUP BY t),
+s AS (SELECT tf.source, tf.t, tf.tf, df.df,
+             CAST(1000 * tf.tf // df.df AS BIGINT) AS score_x1000
+      FROM tf JOIN df USING (t))
+SELECT source, rank, t, tf, df, score_x1000 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY score_x1000 DESC, t) AS rank
+  FROM s)
+WHERE rank <= 3
+"""
+
+
+def x92_dominant_direction(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """X92 (r6): DOMINANT EMBEDDING DIRECTION via integer fixed-point
+    POWER ITERATION — un-centered PCA-1 over the corpus Gram matrix,
+    the anisotropy probe for embedding spaces (one axis explaining
+    most variance = the classic contrastive-encoder failure mode;
+    Mu & Viswanath 2018's "all-but-the-top" is the published fix this
+    report decides on).  The Gram matrix is computed by Arrow-batched
+    integer numpy matmuls (order-irrelevant integer sums -> exact on
+    any partitioning); three fixed-point rounds run RELATIONALLY on
+    the 4096-row Gram frame with portable floor-division
+    renormalization; the twin unrolls the identical trajectory as a
+    CTE chain over a pair-join Gram.  Declared: top-5 |component|
+    dims + the x1000 Rayleigh quotient (top-eigenvalue estimate).
+
+    Scale: the only data-scale pass is the one-read partial-Gram
+    scan; iterations touch dim^2 rows."""
+    from ..operators.spectral import power_iteration_top5
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_top5(emb, iters=3)
+
+
+def _x92_sql() -> str:
+    from ..operators.spectral import power_iteration_sql
+    return power_iteration_sql(iters=3)
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -3013,6 +3145,9 @@ QUERIES: dict[str, tuple] = {
     "x82_dedup_eval": (x82_dedup_eval, _x82_sql()),
     "x88_hard_negatives": (x88_hard_negatives, X88_SQL),
     "x89_tokenizer_fertility": (x89_tokenizer_fertility, _x89_sql()),
+    "x90_padding_waste": (x90_padding_waste, _x90_sql()),
+    "x91_source_keywords": (x91_source_keywords, _x91_sql()),
+    "x92_dominant_direction": (x92_dominant_direction, _x92_sql()),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),

@@ -325,6 +325,59 @@ FROM d GROUP BY g
 """
 
 
+def f10_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 (r6): the REGEX family — count / first-capture / global
+    replace / boolean match / regex split, the text-wrangling surface
+    every log or scraped-corpus pipeline leans on.  Functions pair as
+    Spark `regexp_count`/`regexp_extract`/`regexp_replace` (global by
+    default)/`rlike`/`split` vs DuckDB `LEN(REGEXP_EXTRACT_ALL)`/
+    `REGEXP_EXTRACT(..., 1)`/`REGEXP_REPLACE(..., 'g')` (per-match
+    flag REQUIRED — the classic dialect trap)/`REGEXP_MATCHES`/
+    `STRING_SPLIT_REGEX`.  Both engines run RE2-class engines over
+    the same ASCII corpus, so counts and captures are exact.
+
+    Scale: all row-local expressions — whole-stage codegen, no
+    shuffle besides the declared rollup."""
+    doc = load_table(spark, sf_dir, "documents")
+    return (doc.select(
+        "source",
+        F.regexp_count("text", F.lit("scan")).alias("n_scan"),
+        F.regexp_extract("text", r"([a-z]{6,})", 1).alias("first6"),
+        F.length(F.regexp_replace("text", "[aeiou]", ""))
+        .alias("novowel_len"),
+        F.col("text").rlike("stream [a-z]+ batch").cast("int")
+        .alias("has_sb"),
+        (F.size(F.split("text", "join")) - 1).alias("n_join"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_scan").cast("long").alias("scan_hits"),
+             F.count_distinct("first6").alias("n_first6"),
+             F.sum("novowel_len").cast("long").alias("novowel_total"),
+             F.sum("has_sb").cast("long").alias("n_has_sb"),
+             F.sum("n_join").cast("long").alias("join_hits")))
+
+
+F10_SQL = """
+WITH d AS (
+  SELECT source,
+         LEN(REGEXP_EXTRACT_ALL(text, 'scan')) AS n_scan,
+         REGEXP_EXTRACT(text, '([a-z]{6,})', 1) AS first6,
+         LENGTH(REGEXP_REPLACE(text, '[aeiou]', '', 'g'))
+           AS novowel_len,
+         CASE WHEN REGEXP_MATCHES(text, 'stream [a-z]+ batch')
+              THEN 1 ELSE 0 END AS has_sb,
+         LEN(STRING_SPLIT_REGEX(text, 'join')) - 1 AS n_join
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_scan) AS BIGINT) AS scan_hits,
+       COUNT(DISTINCT first6) AS n_first6,
+       CAST(SUM(novowel_len) AS BIGINT) AS novowel_total,
+       CAST(SUM(has_sb) AS BIGINT) AS n_has_sb,
+       CAST(SUM(n_join) AS BIGINT) AS join_hits
+FROM d GROUP BY source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "f1_string": (f1_string, F1_SQL),
     "f2_datetime": (f2_datetime, F2_SQL),
@@ -335,4 +388,5 @@ QUERIES: dict[str, tuple] = {
     "f7_json": (f7_json, F7_SQL),
     "f8_hash": (f8_hash, F8_SQL),
     "f9_bitwise": (f9_bitwise, F9_SQL),
+    "f10_regex": (f10_regex, F10_SQL),
 }

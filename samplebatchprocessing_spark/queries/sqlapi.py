@@ -1162,29 +1162,15 @@ def v28_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(V28_SQL)
 
 
-def m8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 (r6): SNAPSHOT TIME TRAVEL with copy-on-write file reuse —
-    the Iceberg/Delta idea stripped to its load-bearing parts: a
-    table is a MANIFEST (an ordered list of data files), a write
-    makes a new manifest, and reading "as of" snapshot N is reading
-    N's file list — no data copied for time travel, no rewrite of
-    unchanged files for an update.
-
-    Concretely: orders land bucketed by ``o_orderkey % 8`` as
-    snapshot 1; an upsert (every 100th order re-priced x2, status
-    'U') touches keys in only 2 of the 8 buckets, so snapshot 2's
-    manifest REWRITES those 2 files and REUSES the other 6 by
-    reference.  The query reads both snapshots through their
-    manifests and reports per-(snapshot, status) counts and exact
-    price sums, plus the declared copy-on-write booleans (6 files
-    reused, 2 rewritten) the oracle pins TRUE.
-
-    Scale (100 TB): time travel costs one manifest read; an update
-    rewrites only the files whose keys changed (here 1/4 of the
-    data).  The manifest is deployment-sized metadata, never
-    data-scale — exactly the table-format contract."""
+def _snapshot_materialize(spark: SparkSession,
+                          sf_dir: str) -> dict[int, list]:
+    """Shared M8/M10 snapshot store: orders bucketed by
+    ``o_orderkey % 8`` as snapshot 1; the upsert (every 100th order
+    re-priced x2, status 'U') rewrites only the buckets containing
+    changed keys, snapshot 2's manifest reuses the rest by
+    reference.  Returns {snapshot_id: [file dirs]} and persists the
+    manifest JSON alongside the data."""
     import json
-    import os
     from .sources import _work_dir
     out = _work_dir(sf_dir, "m8_tt")
     ord_ = (load_table(spark, sf_dir, "orders")
@@ -1213,6 +1199,31 @@ def m8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     with open(f"{out}/manifest.json", "w") as f:
         json.dump({str(k): v for k, v in manifests.items()}, f)
+    return manifests
+
+
+def m8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 (r6): SNAPSHOT TIME TRAVEL with copy-on-write file reuse —
+    the Iceberg/Delta idea stripped to its load-bearing parts: a
+    table is a MANIFEST (an ordered list of data files), a write
+    makes a new manifest, and reading "as of" snapshot N is reading
+    N's file list — no data copied for time travel, no rewrite of
+    unchanged files for an update.
+
+    Concretely: orders land bucketed by ``o_orderkey % 8`` as
+    snapshot 1; an upsert (every 100th order re-priced x2, status
+    'U') touches keys in only 2 of the 8 buckets, so snapshot 2's
+    manifest REWRITES those 2 files and REUSES the other 6 by
+    reference.  The query reads both snapshots through their
+    manifests and reports per-(snapshot, status) counts and exact
+    price sums, plus the declared copy-on-write booleans (6 files
+    reused, 2 rewritten) the oracle pins TRUE.
+
+    Scale (100 TB): time travel costs one manifest read; an update
+    rewrites only the files whose keys changed (here 1/4 of the
+    data).  The manifest is deployment-sized metadata, never
+    data-scale — exactly the table-format contract."""
+    manifests = _snapshot_materialize(spark, sf_dir)
     reused = sum(1 for p in manifests[2] if "/data_v1/" in p)
     rewritten = len(manifests[2]) - reused
 
@@ -1244,6 +1255,50 @@ SELECT 2, CASE WHEN o_orderkey % 100 = 0 THEN 'U'
        {sql_dsum("CASE WHEN o_orderkey % 100 = 0 "
                  "THEN o_totalprice * 2 ELSE o_totalprice END")},
        TRUE, TRUE
+FROM orders
+GROUP BY CASE WHEN o_orderkey % 100 = 0 THEN 'U'
+              ELSE o_orderstatus END
+"""
+
+
+def m10_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 (r6): SNAPSHOT VACUUM — the retention half of M8's table
+    format: expiring snapshot 1 makes every file referenced ONLY by
+    its manifest removable (here: the 2 bucket files the upsert
+    rewrote; the 6 shared files stay because the live snapshot still
+    references them).  Vacuum deletes exactly that set, then the
+    live snapshot is read back THROUGH ITS MANIFEST to prove the
+    delete touched nothing reachable.  Declared: the live snapshot's
+    per-status aggregate post-vacuum plus the pinned booleans
+    (2 files removed, 6 retained shared files).
+
+    Scale: removability is a manifest set-difference — metadata-sized,
+    never a data scan; this is why table formats can expire petabytes
+    of history in seconds."""
+    import shutil
+    manifests = _snapshot_materialize(spark, sf_dir)
+    live = set(manifests[2])
+    removable = [p for p in manifests[1] if p not in live]
+    for p in removable:
+        shutil.rmtree(p, ignore_errors=True)
+    back = spark.read.parquet(*manifests[2])
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice", "price_sum"))
+            .withColumn("n_removed_ok",
+                        F.lit(len(removable) == 2))
+            .withColumn("n_shared_kept_ok",
+                        F.lit(len(live & set(manifests[1])) == 6)))
+
+
+M10_SQL = f"""
+SELECT CASE WHEN o_orderkey % 100 = 0 THEN 'U'
+            ELSE o_orderstatus END AS o_orderstatus,
+       COUNT(*) AS n,
+       {sql_dsum("CASE WHEN o_orderkey % 100 = 0 "
+                 "THEN o_totalprice * 2 ELSE o_totalprice END")}
+         AS price_sum,
+       TRUE AS n_removed_ok, TRUE AS n_shared_kept_ok
 FROM orders
 GROUP BY CASE WHEN o_orderkey % 100 = 0 THEN 'U'
               ELSE o_orderstatus END
@@ -1356,4 +1411,5 @@ QUERIES: dict[str, tuple] = {
     "m4_bucketed_join": (m4_bucketed_join, M4_SQL),
     "m8_time_travel": (m8_time_travel, M8_SQL),
     "m9_skipping_report": (m9_skipping_report, M9_SQL),
+    "m10_vacuum": (m10_vacuum, M10_SQL),
 }
