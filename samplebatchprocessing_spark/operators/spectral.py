@@ -76,8 +76,14 @@ def power_iteration_top5(emb: DataFrame, iters: int = 3,
     """X92 report: top-5 |component| dims of the dominant eigenvector
     after ``iters`` fixed-point rounds from the all-ones start, plus
     the x1000 Rayleigh quotient."""
-    spark = emb.sparkSession
-    g = gram_matrix(emb, vec_col)
+    # The Gram frame is referenced by every iteration AND the
+    # Rayleigh join — without materialization Spark re-executes the
+    # whole corpus scan per reference (measured: 89 scans at
+    # iters=3).  It is dim^2 = 4096 rows: eager-localCheckpoint it
+    # once (the r5 staging discipline), and truncate each
+    # iteration's lineage the same way (64 rows) so the DAG depth
+    # stays O(1) per round instead of compounding.
+    g = gram_matrix(emb, vec_col).localCheckpoint(eager=True)
     u = (g.select("j").distinct()
          .select("j", F.lit(U_SCALE).cast("decimal(38,0)").alias("val")))
     for _ in range(iters):
@@ -88,7 +94,8 @@ def power_iteration_top5(emb: DataFrame, iters: int = 3,
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
         u = (w.crossJoin(F.broadcast(m))
              .select("j", F.expr(
-                 _fdiv(f"w * {U_SCALE}", "m")).alias("val")))
+                 _fdiv(f"w * {U_SCALE}", "m")).alias("val"))
+             .localCheckpoint(eager=True))
     # Rayleigh estimate of the top eigenvalue: u^T G u / u^T u, x1000
     ugu = (g.join(u.select(F.col("j").alias("i"),
                            F.col("val").alias("ui")), "i")

@@ -589,3 +589,157 @@ def test_waterfill_is_feasible_tight_and_maxmin_fair(spark, sf_smoke):
     assert len(levels) <= 1
     for r in rows:
         assert 0 <= r["allocation"] <= r["cap"]
+
+
+def test_attribution_conserves_purchases(spark, sf_smoke):
+    """X85: first-touch and last-touch totals must each equal the
+    number of purchases with >= 1 preceding touch, and the revenue
+    totals under both models must be identical (they distribute the
+    same purchases differently)."""
+    from samplebatchprocessing_spark.queries.analytics import (
+        x85_attribution)
+    from pyspark.sql import functions as F
+    from samplebatchprocessing_spark.catalog import load_table
+    rows = x85_attribution(spark, sf_smoke).collect()
+    n_first = sum(r["n_first"] for r in rows)
+    n_last = sum(r["n_last"] for r in rows)
+    assert n_first == n_last > 0
+    assert abs(sum(r["first_revenue"] for r in rows)
+               - sum(r["last_revenue"] for r in rows)) < 1e-6
+    # cross-check the attributable-purchase count independently
+    ev = load_table(spark, sf_smoke, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid"))
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("tts"))
+    n_attr = (p.join(t, "user_id")
+              .filter(F.col("tts") < F.col("pts"))
+              .select("pid").distinct().count())
+    assert n_first == n_attr
+
+
+def test_seasonal_outlier_counts_bounded(spark, sf_smoke):
+    """X86: flags partition the per-type hour set; a type's flagged
+    hours can never exceed its observed hours, and every type's
+    event total matches the raw table."""
+    from samplebatchprocessing_spark.queries.analytics import (
+        x86_seasonal_outliers)
+    from samplebatchprocessing_spark.catalog import load_table
+    rows = {r["event_type"]: r
+            for r in x86_seasonal_outliers(spark, sf_smoke).collect()}
+    ev = load_table(spark, sf_smoke, "events")
+    totals = {r["event_type"]: r["n"] for r in
+              ev.groupBy("event_type").count()
+              .withColumnRenamed("count", "n").collect()}
+    for t, r in rows.items():
+        assert r["n_high"] + r["n_low"] <= r["n_hours"] <= 24
+        assert r["n_events"] == totals[t]
+
+
+def test_hard_negatives_never_same_label(spark, sf_smoke):
+    """X88: no returned negative may share the query's label, and per
+    query the ranks are 1..k with strictly ordered cosines under the
+    declared tie-break."""
+    from pyspark.sql import functions as F
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.operators.similarity import (
+        hard_negative_topk)
+    emb = load_table(spark, sf_smoke, "embeddings")
+    rows = (hard_negative_topk(emb, F.col("vec_id") % 50 == 0, k=3)
+            .collect())
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["neg_label"] != r["q_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(-r["cosine"], r["vec_id"]) for r in rs]
+        assert keys == sorted(keys)
+
+
+def test_power_iteration_replays_exact_trajectory(spark, sf_smoke):
+    """X92 differential (the x29 PageRank discipline): the engine must
+    replay the DECLARED finite fixed-point trajectory bit-for-bit —
+    pure-Python big-int power iteration on the same quantized Gram
+    matrix, same floor-division renormalization.  (The fixture
+    embeddings are near-isotropic — lambda2/lambda1 = 0.93 measured —
+    so 3 rounds do NOT converge to the true eigenvector; the declared
+    semantics are the trajectory, and convergence is asserted
+    separately on a planted-direction frame.)"""
+    import numpy as np
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.operators.clustering import (
+        QUANT_SCALE)
+    from samplebatchprocessing_spark.operators.spectral import (
+        U_SCALE, power_iteration_top5)
+    emb = load_table(spark, sf_smoke, "embeddings")
+    rows = sorted(power_iteration_top5(emb, iters=3).collect(),
+                  key=lambda r: r["rank"])
+    x = np.array([r["embedding"] for r in
+                  emb.select("embedding").collect()], dtype=np.float64)
+    g = (np.floor(x * QUANT_SCALE)).astype(object)
+    gm = g.T @ g                      # python ints, exact
+    dim = gm.shape[0]
+    v = [U_SCALE] * dim
+    for _ in range(3):
+        w = [sum(int(gm[i, j]) * v[j] for j in range(dim))
+             for i in range(dim)]
+        m = max(abs(t) for t in w)
+        v = [(t * U_SCALE - ((t * U_SCALE % m + m) % m)) // m
+             for t in w]
+    order = sorted(range(dim), key=lambda d: (-abs(v[d]), d))[:5]
+    got = [(r["dim"], r["component"]) for r in rows]
+    want = [(d, v[d]) for d in order]
+    assert got == want, (got, want)
+    ugu = sum(int(gm[i, j]) * v[i] * v[j]
+              for i in range(dim) for j in range(dim))
+    uu = sum(t * t for t in v)
+    assert rows[0]["rayleigh_x1000"] == (ugu * 1000) // uu
+
+
+def test_power_iteration_finds_planted_direction(spark, sf_smoke):
+    """X92 convergence: on a frame with one PLANTED dominant axis the
+    3-round trajectory must rank that axis first (and the Rayleigh
+    estimate must dwarf the isotropic background)."""
+    from samplebatchprocessing_spark.operators.spectral import (
+        power_iteration_top5)
+    rows = [(i, [0.001 * ((i * 7 + d) % 11 - 5) + (4.0 if d == 5 else 0.0)
+                 for d in range(8)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sorted(power_iteration_top5(df, iters=3).collect(),
+                 key=lambda r: r["rank"])
+    assert out[0]["dim"] == 5
+    assert abs(out[0]["component"]) > 10 * abs(out[1]["component"])
+
+
+def test_padding_waste_bucketed_never_worse(spark, sf_smoke):
+    """X90: bucketed waste <= naive waste per source, and the savings
+    ratio is consistent with the two waste columns."""
+    from samplebatchprocessing_spark.queries.llm import x90_padding_waste
+    for r in x90_padding_waste(spark, sf_smoke).collect():
+        assert 0 <= r["bucketed_waste"] <= r["naive_waste"]
+        if r["naive_waste"]:
+            assert r["savings_x1000"] == (
+                1000 * (r["naive_waste"] - r["bucketed_waste"])
+                // r["naive_waste"])
+
+
+def test_vacuum_removes_only_unreferenced_files(spark, sf_smoke):
+    """M10: after vacuum, the removable v1 bucket dirs are gone, the
+    6 shared dirs survive, and the live snapshot still reads."""
+    import os
+    from samplebatchprocessing_spark.queries.sqlapi import (
+        _snapshot_materialize, m10_vacuum)
+    rows = m10_vacuum(spark, sf_smoke).collect()
+    assert all(r["n_removed_ok"] and r["n_shared_kept_ok"] for r in rows)
+    manifests = _snapshot_materialize(spark, sf_smoke)  # re-stage
+    live = set(manifests[2])
+    import shutil
+    for p in [p for p in manifests[1] if p not in live]:
+        shutil.rmtree(p, ignore_errors=True)
+    for p in manifests[1]:
+        assert os.path.isdir(p) == (p in live)
+    assert spark.read.parquet(*manifests[2]).count() > 0

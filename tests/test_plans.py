@@ -650,3 +650,52 @@ def test_temporal_join_is_keyed_equi_join(spark, sf_smoke):
     plan = plan_str(j13_temporal_join(spark, sf_smoke), mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hard_negatives_broadcasts_queries(spark, sf_smoke):
+    """X88 must follow L7's shape: the query side is broadcast (the
+    corpus side never shuffles for the scoring pass) and the label
+    filter lives in the pair stage, not a post-hoc join."""
+    from samplebatchprocessing_spark.operators.similarity import (
+        hard_negative_topk)
+    emb = load_table(spark, sf_smoke, "embeddings")
+    plan = plan_str(hard_negative_topk(emb, F.col("vec_id") % 50 == 0))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # one rank window over the k-bounded frame (WindowGroupLimit
+    # rows are the pushed-down limit, not extra windows)
+    assert plan.count("+- Window ") == 1
+
+
+def test_attribution_join_is_user_keyed(spark, sf_smoke):
+    """X85's purchase-x-touch join must shuffle on user_id (the
+    natural partition key), never build a cartesian."""
+    from samplebatchprocessing_spark.queries.analytics import (
+        x85_attribution)
+    plan = plan_str(x85_attribution(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "user_id" in plan
+
+
+def test_power_iteration_gram_is_single_scan(spark, sf_smoke):
+    """X92's only data-scale pass is the partial-Gram mapInPandas
+    scan, materialized ONCE by eager localCheckpoint: the final plan
+    must contain ZERO parquet scans (before the checkpoint fix it
+    re-executed the corpus scan per Gram reference — measured 89
+    scans at iters=3) and read only checkpointed frames."""
+    from samplebatchprocessing_spark.queries.llm import (
+        x92_dominant_direction)
+    plan = plan_str(x92_dominant_direction(spark, sf_smoke), "simple")
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 0, f"Gram lineage leaked into the plan: {n_scans}"
+    assert "Scan ExistingRDD" in plan
+
+
+def test_skipping_report_truth_is_pushed_down(spark, sf_smoke):
+    """M9's truth aggregate must push the key-band predicate into the
+    lineitem scan."""
+    from samplebatchprocessing_spark.catalog import load_table as lt
+    li = lt(spark, sf_smoke, "lineitem")
+    plan = plan_str(li.filter((F.col("l_orderkey") >= 100)
+                              & (F.col("l_orderkey") <= 200))
+                    .agg(F.count(F.lit(1))))
+    assert "GreaterThanOrEqual(l_orderkey,100)" in plan
