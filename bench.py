@@ -44,6 +44,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     "x47_kmeans_clusters",   # integer fixed-point k-means (round 5)
     "x64_span_dedup",        # duplicated-span removal (round 5, wave 2)
     "x65_dsir_weights",      # DSIR importance weighting (round 5, wave 2)
+    "x88_hard_negatives",    # different-label cosine top-k miner (round 6)
+    "x92_dominant_direction",  # power-iteration PCA-1 over the Gram (round 6)
+    "m9_skipping_report",    # two layout writes + per-file min/max stats (round 6)
 )
 
 

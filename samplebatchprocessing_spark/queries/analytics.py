@@ -1640,6 +1640,148 @@ GROUP BY prof.event_type
 """
 
 
+def x93_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93 (r6): WINSORIZATION report — robust preprocessing for a
+    heavy-tailed metric: clip event values at the type's own
+    DISCRETE p5/p95 (actual observed values, so both engines pick
+    the identical double — the x37/x86 quantile discipline), and
+    report how much mass the clip moved: clipped-row counts on each
+    side plus exact-decimal sums before and after.  The
+    before/after delta IS the outlier influence a mean-based
+    downstream metric was silently carrying.
+
+    Scale: the quantile pass and the clip pass are two aggregates
+    over the same (type)-keyed shuffle; boundaries broadcast back."""
+    from ..exprs import dsum
+    ev = load_table(spark, sf_dir, "events")
+    q = (ev.groupBy("event_type")
+         .agg(F.expr("percentile_disc(0.05) WITHIN GROUP"
+                     " (ORDER BY value)").alias("p05"),
+              F.expr("percentile_disc(0.95) WITHIN GROUP"
+                     " (ORDER BY value)").alias("p95")))
+    j = ev.join(F.broadcast(q), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")),
+                      F.col("p95"))
+    return (j.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("p05").alias("p05"),
+                 F.max("p95").alias("p95"),
+                 F.sum((F.col("value") < F.col("p05")).cast("long"))
+                 .alias("n_clip_lo"),
+                 F.sum((F.col("value") > F.col("p95")).cast("long"))
+                 .alias("n_clip_hi"),
+                 dsum("value", "sum_raw"),
+                 dsum(clipped, "sum_winsorized")))
+
+
+def _x93_sql() -> str:
+    from ..exprs import sql_dsum
+    return f"""
+WITH q AS (SELECT event_type,
+                  QUANTILE_DISC(value, 0.05) AS p05,
+                  QUANTILE_DISC(value, 0.95) AS p95
+           FROM events GROUP BY event_type)
+SELECT e.event_type, COUNT(*) AS n,
+       MAX(p05) AS p05, MAX(p95) AS p95,
+       CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       {sql_dsum('value')} AS sum_raw,
+       {sql_dsum('LEAST(GREATEST(value, p05), p95)')}
+         AS sum_winsorized
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+def x94_path_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94 (r6): SEQUENCE-PATTERN matching over event paths — the
+    MATCH_RECOGNIZE workload neither engine ships natively,
+    expressed relationally: each user's events collapse to ONE
+    ordered comma-joined type string ((ts, event_id) total order),
+    and 'view, any clicks, purchase with nothing else between'
+    conversions are counted by a regex over that string — both
+    engines run RE2-class engines left-to-right non-overlapping, so
+    the counts are exact.  Per user: path length and direct-funnel
+    conversion count, plus the per-user-bounded path audit columns.
+
+    Scale: one user-keyed shuffle; the path string is bounded by the
+    per-user event count (the same bound every sessionization op
+    already carries).  The regex is row-local on the collapsed
+    frame (|users| rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    path = (ev.groupBy("user_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(
+                        "ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"]), ",").alias("path"),
+                F.count(F.lit(1)).alias("n_events")))
+    return path.select(
+        "user_id", "n_events",
+        F.regexp_count("path", F.lit("view,(click,)*purchase"))
+        .alias("n_direct_conversions"),
+        F.regexp_count("path", F.lit("error")).alias("n_errors"))
+
+
+X94_SQL = """
+WITH p AS (
+  SELECT user_id,
+         STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS path,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       LEN(REGEXP_EXTRACT_ALL(path, 'view,(?:click,)*purchase'))
+         AS n_direct_conversions,
+       LEN(REGEXP_EXTRACT_ALL(path, 'error')) AS n_errors
+FROM p
+"""
+
+
+def x95_trigram_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95 (r6): top-10 THREE-STEP user journeys — X79's transition
+    matrix extended one hop: two lags over the per-user (ts,
+    event_id) order give every consecutive type triple, counted
+    globally and ranked (count desc, lexicographic tie-break).  The
+    'what do users actually do' product question at its most-asked
+    depth.
+
+    Scale: one user-keyed shuffle for the lag window, one
+    (t1,t2,t3)-keyed aggregate (|types|^3 keys), then a top-10 over
+    that bounded frame."""
+    from pyspark.sql import Window as W
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (ev.select(
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"))
+        .filter(F.col("t1").isNotNull()))
+    counts = tri.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).alias("n"))
+    wr = W.orderBy(F.col("n").desc(), "t1", "t2", "t3")
+    return (counts.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= 10)
+            .select("rank", "t1", "t2", "t3", "n"))
+
+
+X95_SQL = """
+WITH tri AS (
+  SELECT LAG(event_type, 2) OVER w AS t1,
+         LAG(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (SELECT t1, t2, t3, COUNT(*) AS n FROM tri
+      WHERE t1 IS NOT NULL GROUP BY t1, t2, t3)
+SELECT rank, t1, t2, t3, n FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, t1, t2, t3) AS rank
+  FROM c)
+WHERE rank <= 10
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "x25_funnel": (x25_funnel, X25_SQL),
     "j11_interval_overlap": (j11_interval_overlap, _j11_sql()),
@@ -1672,6 +1814,9 @@ QUERIES: dict[str, tuple] = {
     "x84_bot_detection": (x84_bot_detection, X84_SQL),
     "x85_attribution": (x85_attribution, _x85_sql()),
     "x86_seasonal_outliers": (x86_seasonal_outliers, X86_SQL),
+    "x93_winsorize": (x93_winsorize, _x93_sql()),
+    "x94_path_pattern": (x94_path_pattern, X94_SQL),
+    "x95_trigram_journeys": (x95_trigram_journeys, X95_SQL),
     "x80_survival_table": (x80_survival_table, X80_SQL),
     "x73_table_profile": (x73_table_profile, X73_SQL),
 }

@@ -827,6 +827,75 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def j14_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 (r6): NEAREST as-of join (either direction) — for each
+    purchase, the user's closest click in TIME, before or after;
+    ties prefer the prior click (the pandas ``merge_asof
+    direction='nearest'`` semantics, which neither Spark nor the J8
+    carry-forward alone expresses).  Composed from the scale-safe
+    primitive: one backward and one forward single-shuffle as-of
+    pass (each |L|+|R| rows, no pair blow-up), then a row-local
+    argmin over the two candidates.  Declared output: the matched
+    click and the SIGNED microsecond offset (negative = prior).
+
+    Scale: exactly two J8-cost passes — still no per-key pair
+    materialization, unlike the naive |purchases| x |clicks| join
+    the oracle twin runs (fine for DuckDB at oracle scale, fatal at
+    100 TB)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"))
+    bk = asof_join(purchases, clicks,
+                   left_ts="ts", right_ts="c_ts",
+                   left_by="user_id", right_by="c_user_id",
+                   right_cols=["click_id", "c_ts"],
+                   direction="backward").select(
+        "event_id", "user_id", "ts",
+        F.col("click_id").alias("bk_id"), F.col("c_ts").alias("bk_ts"))
+    fw = asof_join(purchases, clicks,
+                   left_ts="ts", right_ts="c_ts",
+                   left_by="user_id", right_by="c_user_id",
+                   right_cols=["click_id", "c_ts"],
+                   direction="forward").select(
+        F.col("event_id").alias("f_event_id"),
+        F.col("click_id").alias("fw_id"), F.col("c_ts").alias("fw_ts"))
+    j = bk.join(fw, bk.event_id == fw.f_event_id).drop("f_event_id")
+    dt_bk = F.unix_micros("bk_ts") - F.unix_micros("ts")
+    dt_fw = F.unix_micros("fw_ts") - F.unix_micros("ts")
+    take_bk = (F.col("bk_id").isNotNull()
+               & (F.col("fw_id").isNull() | (-dt_bk <= dt_fw)))
+    return j.select(
+        "event_id", "user_id",
+        F.when(take_bk, F.col("bk_id")).otherwise(F.col("fw_id"))
+        .alias("nearest_click_id"),
+        F.when(take_bk, dt_bk).otherwise(dt_fw).alias("dt_us"),
+        F.when(F.col("bk_id").isNull() & F.col("fw_id").isNull(),
+               F.lit(None).cast("string"))
+        .when(take_bk, F.lit("b")).otherwise(F.lit("f")).alias("side"))
+
+
+J14_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id AS click_id FROM events
+      WHERE event_type = 'click'),
+j AS (SELECT p.event_id, p.user_id, c.click_id,
+             EPOCH_US(c.ts) - EPOCH_US(p.ts) AS dt
+      FROM p JOIN c ON p.user_id = c.user_id),
+n AS (SELECT * FROM j
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id
+                                 ORDER BY ABS(dt), dt) = 1)
+SELECT p.event_id, p.user_id, n.click_id AS nearest_click_id,
+       n.dt AS dt_us,
+       CASE WHEN n.dt IS NULL THEN NULL
+            WHEN n.dt <= 0 THEN 'b' ELSE 'f' END AS side
+FROM p LEFT JOIN n ON p.event_id = n.event_id
+"""
+
+
 def j9_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: TPC-H Q5-style 6-way star join, with the region predicate
     pushed to the FRONT of the join tree: region is filtered first,
@@ -1541,6 +1610,7 @@ QUERIES: dict[str, tuple] = {
     "j8_asof_join": (j8_asof_join, J8_SQL),
     "j8b_asof_forward": (j8b_asof_forward, J8B_SQL),
     "j8c_asof_tolerance": (j8c_asof_tolerance, J8C_SQL),
+    "j14_asof_nearest": (j14_asof_nearest, J14_SQL),
     "j9_star_join": (j9_star_join, J9_SQL),
     "j10_fuzzy_join": (j10_fuzzy_join, J10_SQL),
     "x35_quality_audit": (x35_quality_audit, X35_SQL),

@@ -747,6 +747,67 @@ GROUP BY source
 """
 
 
+def s22_stream_seasonal_gate(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """S22 (r6): the X86 seasonal-anomaly profile SERVED on a stream
+    — the S13/S15 train-once/score-forever discipline applied to ops
+    monitoring: the per-(type, hour) traffic profile and its
+    discrete-median flags train batch-side (a 24 x |types| frame),
+    fold into the streaming plan as a broadcast stream-static join,
+    and every arriving event is tagged row-locally as landing in a
+    high/low/normal hour.  The only streaming state is the final
+    per-type rollup.  Deterministic on the finite fixture -> the
+    oracle derives the same rollup arithmetically (events joined to
+    the replayed profile), not just a parity check.
+
+    Scale: the profile side is bounded by |types| x 24 regardless of
+    corpus size; the stream side never shuffles before the final
+    aggregate."""
+    from ..catalog import load_table
+    from ..streaming.jobs import events_stream
+    ev = load_table(spark, sf_dir, "events")
+    prof = (ev.groupBy("event_type", F.hour("ts").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    med = (prof.groupBy("event_type")
+           .agg(F.expr("CAST(percentile_disc(0.5) WITHIN GROUP "
+                       "(ORDER BY c) AS LONG)").alias("med")))
+    flags = (prof.join(med, "event_type")
+             .select("event_type", "hour",
+                     (2 * F.col("c") > 3 * F.col("med"))
+                     .alias("is_high"),
+                     (2 * F.col("c") < F.col("med")).alias("is_low")))
+    sdf = events_stream(spark, sf_dir, tag="seasonal")
+    tagged = (sdf.select("event_type", F.hour("ts").alias("hour"))
+              .join(F.broadcast(flags), ["event_type", "hour"]))
+    agg = (tagged.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("is_high").cast("long")).alias("n_in_high"),
+                F.sum(F.col("is_low").cast("long")).alias("n_in_low")))
+    return run_available_now(agg, output_mode="complete")
+
+
+S22_SQL = """
+WITH prof AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hour, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+med AS (
+  SELECT event_type, CAST(QUANTILE_DISC(c, 0.5) AS BIGINT) AS med
+  FROM prof GROUP BY event_type),
+f AS (SELECT prof.event_type, hour,
+             2 * c > 3 * med AS is_high, 2 * c < med AS is_low
+      FROM prof JOIN med USING (event_type))
+SELECT e.event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN is_high THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_high,
+       CAST(SUM(CASE WHEN is_low THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_low
+FROM events e
+JOIN f ON f.event_type = e.event_type
+      AND f.hour = EXTRACT(hour FROM e.ts)
+GROUP BY e.event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "s1_stream_scan": (s1_stream_scan, S1_SQL),
     "s2_tumbling_window": (s2_tumbling_window, S2_SQL),
@@ -770,4 +831,5 @@ QUERIES: dict[str, tuple] = {
     "s18_stream_dsir_gate": (s18_stream_dsir_gate, _s18_sql()),
     "s19_stream_bloom_gate": (s19_stream_bloom_gate, S19_SQL),
     "s21_stream_incremental_mv": (s21_stream_incremental_mv, S21_SQL),
+    "s22_stream_seasonal_gate": (s22_stream_seasonal_gate, S22_SQL),
 }
