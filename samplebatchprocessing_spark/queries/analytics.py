@@ -1782,6 +1782,129 @@ WHERE rank <= 10
 """
 
 
+def x96_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96 (r6): MARKET-BASKET co-occurrence — the top-10 part PAIRS
+    that appear in the same order ("frequently bought together"),
+    with support counts and each part's individual order frequency
+    (the inputs to lift/confidence, kept as exact integers; the
+    division is the consumer's choice).  The pair join is keyed on
+    the ORDER (bounded per-order line count — the standard basket
+    bound), never a global cross join; per-part brands come from the
+    broadcast part dim.
+
+    Scale: one orderkey-keyed self-join whose fan-out is the squared
+    per-order basket size (TPC-H ~4 lines/order), one pair
+    aggregate, a top-10 over the bounded pair frame."""
+    from pyspark.sql import Window as W
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p_b"))
+    pairs = (a.join(b, "l_orderkey")
+             .filter(F.col("p_a") < F.col("p_b"))
+             .groupBy("p_a", "p_b")
+             .agg(F.count(F.lit(1)).alias("n_orders_both")))
+    freq = (li.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+    wr = W.orderBy(F.col("n_orders_both").desc(), "p_a", "p_b")
+    return (pairs.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= 10)
+            .join(freq.select(F.col("l_partkey").alias("p_a"),
+                              F.col("n_orders").alias("n_orders_a")),
+                  "p_a")
+            .join(freq.select(F.col("l_partkey").alias("p_b"),
+                              F.col("n_orders").alias("n_orders_b")),
+                  "p_b")
+            .select("rank", "p_a", "p_b", "n_orders_both",
+                    "n_orders_a", "n_orders_b"))
+
+
+X96_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS p_a, b.l_partkey AS p_b,
+         COUNT(*) AS n_orders_both
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+freq AS (SELECT l_partkey, COUNT(*) AS n_orders FROM li GROUP BY 1),
+top AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY n_orders_both DESC,
+                                 p_a, p_b) AS rank
+    FROM pairs)
+  WHERE rank <= 10)
+SELECT rank, p_a, p_b, n_orders_both,
+       fa.n_orders AS n_orders_a, fb.n_orders AS n_orders_b
+FROM top
+JOIN freq fa ON fa.l_partkey = top.p_a
+JOIN freq fb ON fb.l_partkey = top.p_b
+"""
+
+
+def x97_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97 (r6): RFM customer segmentation — the classic warehouse
+    scoring: per customer, Recency (days from last order to the
+    corpus max date), Frequency (order count), Monetary (exact-
+    decimal total), each cut into quintiles by NTILE(5) under a
+    fully deterministic (metric, customer-key) order; the report is
+    the segment-code census plus each code's exact monetary mass.
+    Recency ntile is DESCENDING on days (most-recent = 5-ish code
+    semantics folded as 6 - ntile).
+
+    Scale: one customer-keyed aggregate; the three ntile windows run
+    over the customer frame (|customers| rows, global windows — at
+    real scale the standard fix is range-bucketed quantile cuts, the
+    X31 decile idiom; declared here at the census granularity)."""
+    from pyspark.sql import Window as W
+    from ..exprs import dsum
+    ord_ = load_table(spark, sf_dir, "orders")
+    mx = ord_.agg(F.max(F.to_date("o_orderdate")).alias("mx"))
+    per = (ord_.groupBy("o_custkey")
+           .agg(F.max(F.to_date("o_orderdate")).alias("last_d"),
+                F.count(F.lit(1)).alias("freq"),
+                dsum("o_totalprice", "monetary"))
+           .crossJoin(F.broadcast(mx))
+           .select("o_custkey",
+                   F.datediff("mx", "last_d").alias("recency_days"),
+                   "freq", "monetary"))
+    r = F.ntile(5).over(W.orderBy(F.col("recency_days").desc(),
+                                  F.col("o_custkey")))
+    f_ = F.ntile(5).over(W.orderBy(F.col("freq"), F.col("o_custkey")))
+    m = F.ntile(5).over(W.orderBy(F.col("monetary"),
+                                  F.col("o_custkey")))
+    scored = per.select(
+        "o_custkey", "monetary",
+        r.alias("r_code"), f_.alias("f_code"), m.alias("m_code"))
+    return (scored.groupBy("r_code", "f_code", "m_code")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 dsum("monetary", "segment_monetary")))
+
+
+def _x97_sql() -> str:
+    from ..exprs import sql_dsum
+    return f"""
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+per AS (
+  SELECT o_custkey,
+         DATE_DIFF('day', MAX(CAST(o_orderdate AS DATE)),
+                   (SELECT mx FROM mx)) AS recency_days,
+         COUNT(*) AS freq,
+         {sql_dsum('o_totalprice')} AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey, monetary,
+         NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
+           AS r_code,
+         NTILE(5) OVER (ORDER BY freq, o_custkey) AS f_code,
+         NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_code
+  FROM per)
+SELECT r_code, f_code, m_code, COUNT(*) AS n_customers,
+       {sql_dsum('monetary')} AS segment_monetary
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "x25_funnel": (x25_funnel, X25_SQL),
     "j11_interval_overlap": (j11_interval_overlap, _j11_sql()),
@@ -1817,6 +1940,8 @@ QUERIES: dict[str, tuple] = {
     "x93_winsorize": (x93_winsorize, _x93_sql()),
     "x94_path_pattern": (x94_path_pattern, X94_SQL),
     "x95_trigram_journeys": (x95_trigram_journeys, X95_SQL),
+    "x96_market_basket": (x96_market_basket, X96_SQL),
+    "x97_rfm": (x97_rfm, _x97_sql()),
     "x80_survival_table": (x80_survival_table, X80_SQL),
     "x73_table_profile": (x73_table_profile, X73_SQL),
 }

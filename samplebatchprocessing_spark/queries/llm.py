@@ -3085,6 +3085,106 @@ def _x92_sql() -> str:
     return power_iteration_sql(iters=3)
 
 
+def x98_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98 (r6): RAG INDEXING PIPELINE end to end — chunk ->
+    hash-embed -> retrieve, composed from this engine's own
+    operators the way X20 composes curation: documents split into
+    32-token chunks (X15's slicing), every chunk embedded with the
+    X45 feature-hashing vectorizer (engine-portable md5 hash, signed
+    integer counts), the INDEX is each document's first chunk (the
+    title/abstract proxy), and every chunk of the query documents
+    (doc_id % 499 = 0) retrieves its top-3 positively-similar index
+    chunks by EXACT integer dot product ((dot desc, candidate doc)
+    tie-break; dot <= 0 declared non-retrievable, which makes the
+    dense and sparse dot forms agree on the candidate set).
+
+    The Spark side runs the DENSE form (L7's shape: broadcast query
+    vectors, fold dot, rank window); the oracle replays the SPARSE
+    relational form (bucket-join sum of v_q*v_c) — structurally
+    different algebra, identical integers.
+
+    Scale: chunking/hashing is row-local + two uniform-key shuffles
+    (X45's bound); retrieval is the L7 broadcast pattern with the
+    index side one row per document."""
+    from ..operators.text import tokenize
+    dim = 64
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", tokenize(F.col("text")).alias("t")) \
+              .filter(F.size("t") > 0)
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(sequence(0, (size(t) - 1) div 32),"
+            " i -> slice(t, i * 32 + 1, 32))")).alias("ci", "ctoks"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10) \
+         .cast("long")
+    cells = (chunks.select("doc_id", "ci",
+                           F.explode("ctoks").alias("tok"))
+             .select("doc_id", "ci", (h % dim).cast("int").alias("b"),
+                     F.when((h % (2 * dim)) < dim, F.lit(1))
+                     .otherwise(F.lit(-1)).alias("s"))
+             .groupBy("doc_id", "ci", "b")
+             .agg(F.sum("s").cast("long").alias("v")))
+    entries = F.map_from_entries(
+        F.collect_list(F.struct(F.col("b"), F.col("v"))))
+    vecs = (cells.groupBy("doc_id", "ci").agg(entries.alias("m"))
+            .select("doc_id", "ci", F.expr(
+                f"transform(sequence(0, {dim - 1}),"
+                f" i -> coalesce(element_at(m, i), 0L))").alias("vec")))
+    queries = (vecs.filter(F.col("doc_id") % 499 == 0)
+               .select(F.col("doc_id").alias("q_doc"),
+                       F.col("ci").alias("q_idx"),
+                       F.col("vec").alias("q_vec")))
+    index = (vecs.filter(F.col("ci") == 0)
+             .select(F.col("doc_id").alias("c_doc"),
+                     F.col("vec").alias("c_vec")))
+    dot = F.aggregate(
+        F.zip_with("q_vec", "c_vec", lambda a, b_: a * b_),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (index.crossJoin(F.broadcast(queries))
+              .filter(F.col("c_doc") != F.col("q_doc"))
+              .select("q_doc", "q_idx", "c_doc", dot.alias("dot"))
+              .filter(F.col("dot") > 0))
+    w = W.partitionBy("q_doc", "q_idx").orderBy(
+        F.col("dot").desc(), F.col("c_doc"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("q_doc", "q_idx", "rank", "c_doc", "dot"))
+
+
+def _x98_sql() -> str:
+    dim = 64
+    return f"""
+WITH s AS (SELECT doc_id, {tokenize_sql('text')} AS t FROM documents
+           WHERE LEN({tokenize_sql('text')}) > 0),
+ch AS (SELECT doc_id, UNNEST(RANGE(0, (LEN(t) + 31) // 32)) AS ci, t
+       FROM s),
+ctoks AS (SELECT doc_id, ci,
+                 UNNEST(t[ci * 32 + 1 : ci * 32 + 32]) AS tok
+          FROM ch),
+cells AS (
+  SELECT doc_id, ci, CAST(h % {dim} AS INT) AS b,
+         SUM(CASE WHEN (h // {dim}) % 2 = 0 THEN 1 ELSE -1 END) AS v
+  FROM (SELECT doc_id, ci,
+               ('0x' || SUBSTRING(MD5(tok), 1, 15))::BIGINT AS h
+        FROM ctoks)
+  GROUP BY doc_id, ci, b),
+qc AS (SELECT * FROM cells WHERE doc_id % 499 = 0),
+cc AS (SELECT * FROM cells WHERE ci = 0),
+dots AS (
+  SELECT q.doc_id AS q_doc, q.ci AS q_idx, c.doc_id AS c_doc,
+         CAST(SUM(q.v * c.v) AS BIGINT) AS dot
+  FROM qc q JOIN cc c ON q.b = c.b AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2, 3
+  HAVING SUM(q.v * c.v) > 0)
+SELECT q_doc, q_idx, rank, c_doc, dot FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_doc, q_idx
+                               ORDER BY dot DESC, c_doc) AS rank
+  FROM dots)
+WHERE rank <= 3
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -3148,6 +3248,7 @@ QUERIES: dict[str, tuple] = {
     "x90_padding_waste": (x90_padding_waste, _x90_sql()),
     "x91_source_keywords": (x91_source_keywords, _x91_sql()),
     "x92_dominant_direction": (x92_dominant_direction, _x92_sql()),
+    "x98_rag_pipeline": (x98_rag_pipeline, _x98_sql()),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),
