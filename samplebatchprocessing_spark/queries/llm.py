@@ -3185,6 +3185,189 @@ WHERE rank <= 3
 """
 
 
+def x99_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99 (r6): N-GRAM NOVELTY per source — what fraction of each
+    document's distinct 3-grams appear FIRST in that document (by
+    doc_id corpus order): the freshness/derivativeness signal that
+    separates template-stamped slices from original ones (a spammy
+    source scores near zero once its template has been seen).  All
+    integers: per-source document count, distinct-gram mass, novel-
+    gram mass, and the x1000 novelty ratio.
+
+    The trigram strings build with the X65 zip_with(slice, slice)
+    discipline (an element_at-in-transform lambda re-runs the
+    collapsed tokenizer per element — the recorded O(n^2) trap).
+
+    Scale: one gram-keyed shuffle for the first-occurrence argmin
+    (vocabulary-of-grams-sized), one join back on the gram, a
+    source rollup."""
+    from ..operators.text import tokenize
+    doc = load_table(spark, sf_dir, "documents")
+    t = tokenize(F.col("text"))
+    tri = F.expr(
+        "zip_with(zip_with(slice(t, 1, size(t) - 2),"
+        "                  slice(t, 2, size(t) - 2),"
+        "                  (a, b) -> concat(a, ' ', b)),"
+        "         slice(t, 3, size(t) - 2),"
+        "         (ab, c) -> concat(ab, ' ', c))")
+    grams = (doc.select("doc_id", "source", t.alias("t"))
+             .filter(F.size("t") >= 3)
+             .select("doc_id", "source",
+                     F.explode(F.array_distinct(tri)).alias("g")))
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (grams.join(first, "g")
+               .groupBy("doc_id", "source")
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum((F.col("doc_id") == F.col("first_doc"))
+                          .cast("long")).alias("n_novel")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_grams").cast("long").alias("n_grams"),
+                 F.sum("n_novel").cast("long").alias("n_novel"))
+            .withColumn("novelty_x1000",
+                        F.expr("1000 * n_novel div n_grams")))
+
+
+def _x99_sql() -> str:
+    return f"""
+WITH s AS (SELECT doc_id, source, {tokenize_sql('text')} AS t
+           FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, source,
+         ARRAY_TO_STRING(t[i : i + 2], ' ') AS g
+  FROM s, UNNEST(RANGE(1, LEN(t) - 3 + 2)) AS u(i)
+  WHERE LEN(t) >= 3),
+f AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g),
+pd AS (
+  SELECT g.doc_id, g.source, COUNT(*) AS n_grams,
+         SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+           AS n_novel
+  FROM g JOIN f USING (g) GROUP BY g.doc_id, g.source)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       CAST(1000 * SUM(n_novel) // SUM(n_grams) AS BIGINT)
+         AS novelty_x1000
+FROM pd GROUP BY source
+"""
+
+
+def x100_datasheet_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X100 (r6): the DATASET CARD rollup — one GROUPING SETS pass
+    producing the (source, lang) matrix, per-source totals, and the
+    corpus grand total: documents, exact character mass, distinct
+    content hashes (the exact-dedup numerator), and distinct
+    languages.  The one-query form of the datasheet tables a corpus
+    release ships (Gebru et al. 2021's datasheets, public).
+
+    Scale: one shuffle; grouping-sets replication is x3 on the
+    aggregate keys only."""
+    doc = load_table(spark, sf_dir, "documents")
+    return (doc
+            .groupingSets([["source", "lang"], ["source"], []],
+                          "source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("n_chars"),
+                 F.count_distinct(F.md5("text")).alias("n_distinct"),
+                 F.count_distinct("lang").alias("n_langs"))
+            .select(F.coalesce("source", F.lit("<all>"))
+                    .alias("source"),
+                    F.coalesce("lang", F.lit("<all>")).alias("lang"),
+                    "n_docs", "n_chars", "n_distinct", "n_langs"))
+
+
+X100_SQL = """
+SELECT COALESCE(source, '<all>') AS source,
+       COALESCE(lang, '<all>') AS lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       COUNT(DISTINCT MD5(text)) AS n_distinct,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), ())
+"""
+
+
+def x101_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X101 (r6): PLANTED-TRUTH evaluation of the SEMANTIC dedup
+    path — X82's discipline applied to X43's detector: every 25th
+    vector gets a near-duplicate copy (last dimension negated ->
+    cosine ~ 1 - 2*e_64^2/|e|^2, ~0.97 on the fixture), the
+    LSH-bucketed detector runs at threshold 0.9 on the augmented
+    corpus, and the confusion counts are exact — including
+    ``n_missed_by_lsh``, planted copies whose sign flip crosses a
+    hyperplane and lands them in a different bucket: the measured,
+    reproducible recall cost of single-table LSH blocking (the
+    reason banded multi-table LSH exists).
+
+    Scale: augmentation is a row-local union; detector cost is
+    X43's bucket-join plan; truth is a by-construction relation."""
+    from ..operators.similarity import cosine_expr, lsh_bucket_expr
+    emb = load_table(spark, sf_dir, "embeddings")
+    perturbed = F.expr(
+        "concat(slice(embedding, 1, 63),"
+        " array(-element_at(embedding, 64)))")
+    copies = (emb.filter(F.col("vec_id") % 25 == 0)
+              .select((F.col("vec_id") + 100000).alias("vec_id"),
+                      perturbed.alias("embedding")))
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    bkt = lsh_bucket_expr()(F.col("embedding"))
+    base = corpus.withColumn("bkt", bkt)
+    a = base.select(F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("e_a"), "bkt")
+    b = base.select(F.col("vec_id").alias("id_b"),
+                    F.col("embedding").alias("e_b"), "bkt")
+    cos = F.round(cosine_expr(F.col("e_a"), F.col("e_b")), 6)
+    found = (a.join(b, "bkt")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(cos >= 0.9)
+             .select("id_a", "id_b"))
+    truth = (emb.filter(F.col("vec_id") % 25 == 0)
+             .select(F.col("vec_id").alias("id_a"),
+                     (F.col("vec_id") + 100000).alias("id_b")))
+    tp = found.join(truth, ["id_a", "id_b"], "left_semi")
+    fn = truth.join(found, ["id_a", "id_b"], "left_anti")
+    extra = found.join(truth, ["id_a", "id_b"], "left_anti")
+    return (truth.agg(F.count(F.lit(1)).alias("n_planted"))
+            .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_found")))
+            .crossJoin(fn.agg(F.count(F.lit(1))
+                              .alias("n_missed_by_lsh")))
+            .crossJoin(extra.agg(F.count(F.lit(1))
+                                 .alias("n_extra_found"))))
+
+
+def _x101_sql() -> str:
+    from ..operators.similarity import cosine_sql_expr, lsh_bucket_sql
+    cos = cosine_sql_expr("a.embedding", "b.embedding")
+    bkt = lsh_bucket_sql("embedding")
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         LIST_CONCAT(embedding[1:63], [-embedding[64]])
+  FROM embeddings WHERE vec_id % 25 = 0),
+bk AS (SELECT vec_id, embedding, {bkt} AS bkt FROM corpus),
+found AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+  WHERE ROUND({cos}, 6) >= 0.9),
+truth AS (
+  SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+  FROM embeddings WHERE vec_id % 25 = 0),
+tp AS (SELECT * FROM found WHERE (id_a, id_b) IN
+       (SELECT (id_a, id_b) FROM truth)),
+fn AS (SELECT * FROM truth WHERE (id_a, id_b) NOT IN
+       (SELECT (id_a, id_b) FROM found)),
+ex AS (SELECT * FROM found WHERE (id_a, id_b) NOT IN
+       (SELECT (id_a, id_b) FROM truth))
+SELECT (SELECT COUNT(*) FROM truth) AS n_planted,
+       (SELECT COUNT(*) FROM tp) AS n_found,
+       (SELECT COUNT(*) FROM fn) AS n_missed_by_lsh,
+       (SELECT COUNT(*) FROM ex) AS n_extra_found
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -3249,6 +3432,9 @@ QUERIES: dict[str, tuple] = {
     "x91_source_keywords": (x91_source_keywords, _x91_sql()),
     "x92_dominant_direction": (x92_dominant_direction, _x92_sql()),
     "x98_rag_pipeline": (x98_rag_pipeline, _x98_sql()),
+    "x99_ngram_novelty": (x99_ngram_novelty, _x99_sql()),
+    "x100_datasheet_cube": (x100_datasheet_cube, X100_SQL),
+    "x101_semdedup_eval": (x101_semdedup_eval, _x101_sql()),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),
