@@ -3297,8 +3297,11 @@ def x101_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, and the confusion counts are exact — including
     ``n_missed_by_lsh``, planted copies whose sign flip crosses a
     hyperplane and lands them in a different bucket: the measured,
-    reproducible recall cost of single-table LSH blocking (the
-    reason banded multi-table LSH exists).
+    reproducible recall cost of single-table LSH blocking — over
+    HALF the plants at sf0.001 (11/20), because flipping a whole
+    dimension crosses every hyperplane with a large component there.
+    That number is the point: it is the quantified argument for the
+    banded multi-table LSH the L6 path uses.
 
     Scale: augmentation is a row-local union; detector cost is
     X43's bucket-join plan; truth is a by-construction relation."""
