@@ -3371,6 +3371,110 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_planted,
 """
 
 
+def x102_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102 (r6): COLLOCATION mining — the top-20 adjacent token
+    pairs whose observed co-occurrence most exceeds independence,
+    ranked by integer LIFT x1e6 = n_ab * N * 1e6 / (n_a * n_b) (the
+    PMI argument without the log — monotone in PMI, so the ranking
+    is identical and stays in exact integer division).  Minimum
+    support 5 keeps the rare-pair lift explosion out (the standard
+    PMI pathology).  The corpus-statistic that finds multiword
+    units before tokenizer training freezes them.
+
+    Scale: bigram and unigram counts are two uniform-key shuffles;
+    the lift join touches the bigram VOCABULARY frame, not the
+    corpus; top-20 over that bounded frame."""
+    from pyspark.sql import Window as W
+    from ..operators.text import tokenize
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select(tokenize(F.col("text")).alias("t")) \
+              .filter(F.size("t") >= 2)
+    bi = (toks.select(F.explode(F.expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+        " (a, b) -> struct(a AS w1, b AS w2))")).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5))
+    uni = (toks.select(F.explode("t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+    tot = uni.agg(F.sum("n").alias("N"))
+    scored = (bi
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("n").alias("n_a")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("n").alias("n_b")), "w2")
+              .crossJoin(F.broadcast(tot))
+              # decimal(38,0) intermediates: n_ab * N * 1e6 wraps
+              # int64 once the corpus passes ~10^12 tokens (the x40
+              # overflow discipline); the quotient lands back in
+              # int64 for any support >= 5
+              .withColumn("lift_x1e6", F.expr(
+                  "CAST(CAST(n_ab AS DECIMAL(38,0)) * N * 1000000"
+                  " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS LONG)")))
+    w = W.orderBy(F.col("lift_x1e6").desc(), "w1", "w2")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select("rank", "w1", "w2", "n_ab", "n_a", "n_b",
+                    "lift_x1e6"))
+
+
+def _x102_sql() -> str:
+    return f"""
+WITH s AS (SELECT {tokenize_sql('text')} AS t FROM documents
+           WHERE LEN({tokenize_sql('text')}) >= 2),
+bi AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS n_ab
+  FROM s, UNNEST(RANGE(1, LEN(t))) AS u(i)
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+uni AS (
+  SELECT UNNEST(t) AS w FROM s),
+un AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM un),
+scored AS (
+  SELECT bi.w1, bi.w2, bi.n_ab, a.n AS n_a, b.n AS n_b,
+         CAST(CAST(bi.n_ab AS HUGEINT) * tot.N * 1000000
+              // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT)
+           AS lift_x1e6
+  FROM bi JOIN un a ON a.w = bi.w1
+          JOIN un b ON b.w = bi.w2, tot)
+SELECT rank, w1, w2, n_ab, n_a, n_b, lift_x1e6 FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY lift_x1e6 DESC, w1, w2)
+           AS rank
+  FROM scored)
+WHERE rank <= 20
+"""
+
+
+def x103_prefix_filter_join(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """X103 (r6): prefix-filtered set-similarity join
+    (``operators.dedup.prefix_filter_pairs`` — AllPairs/PPJoin) at
+    Jaccard >= 4/5 over token sets: the LOSSLESS blocking the band
+    (L5) and LSH (L6/X101) paths approximate.  Declared output is
+    the full matched-pair relation with exact intersection/union
+    integers; the invariant suite proves the pair set equals the
+    brute-force all-pairs truth (zero recall loss — the property
+    this plan exists for)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_pairs(doc)
+
+
+def x104_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X104 (r6): L11's duplicate clusters computed by the
+    ALTERNATING large-star/small-star algorithm
+    (``operators.dedup.cc_two_phase``, Kiveris et al. 2014) — round
+    count O(log component size) instead of label propagation's
+    O(diameter), the published fix for the long-chain components a
+    transitive near-dup graph grows at corpus scale.  Same output
+    contract as L11 (every doc labeled with its component minimum),
+    so it shares L11's recursive-CTE oracle and the two Spark
+    implementations are mutual differentials (pytest-checked)."""
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(doc, threshold=0.9,
+                                open_vocab="signature")
+    return dedup.cc_two_phase(pairs)
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -3438,6 +3542,10 @@ QUERIES: dict[str, tuple] = {
     "x99_ngram_novelty": (x99_ngram_novelty, _x99_sql()),
     "x100_datasheet_cube": (x100_datasheet_cube, X100_SQL),
     "x101_semdedup_eval": (x101_semdedup_eval, _x101_sql()),
+    "x102_collocations": (x102_collocations, _x102_sql()),
+    "x103_prefix_filter_join": (x103_prefix_filter_join,
+                                dedup.prefix_filter_pairs_sql()),
+    "x104_cc_twophase": (x104_cc_twophase, L11_SQL),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),

@@ -846,3 +846,59 @@ def test_semdedup_eval_confusion_partitions_truth(spark, sf_smoke):
     # at sf0.001, the recall cost the report exists to surface)
     assert r["n_found"] > 0
     assert r["n_missed_by_lsh"] > 0
+
+
+def test_prefix_filter_join_has_zero_recall_loss(spark, sf_smoke):
+    """X103: the prefix-filtered pair set must equal the brute-force
+    all-pairs truth at the same threshold — the lossless-blocking
+    guarantee (pigeonhole on the required overlap) that band and LSH
+    blocking trade away.  Truth computed independently in DuckDB."""
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.operators.dedup import (
+        prefix_filter_pairs)
+    from samplebatchprocessing_spark.operators.text import token_set_sql
+    from samplebatchprocessing_spark.oracle import duck_conn
+    doc = load_table(spark, sf_smoke, "documents")
+    got = {(r["doc_a"], r["doc_b"])
+           for r in prefix_filter_pairs(doc).collect()}
+    conn = duck_conn(sf_smoke)
+    try:
+        truth = set(map(tuple, conn.execute(f"""
+            WITH s AS (SELECT doc_id, {token_set_sql('text')} AS toks
+                       FROM documents),
+            s2 AS (SELECT * FROM s WHERE LEN(toks) > 0)
+            SELECT a.doc_id, b.doc_id
+            FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+            WHERE 5 * LEN(LIST_INTERSECT(a.toks, b.toks))
+                  >= 4 * (LEN(a.toks) + LEN(b.toks)
+                          - LEN(LIST_INTERSECT(a.toks, b.toks)))
+        """).fetchall()))
+    finally:
+        conn.close()
+    assert got == truth
+    assert truth, "fixture should contain qualifying pairs"
+
+
+def test_cc_two_phase_matches_label_propagation(spark, sf_smoke):
+    """X104 differential: large-star/small-star must produce the
+    identical component labeling as L11's label propagation on the
+    same pair graph — and on a constructed long PATH graph (the
+    diameter case the algorithm exists for) it must converge to one
+    component well inside the round budget."""
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.operators import dedup
+    doc = load_table(spark, sf_smoke, "documents")
+    pairs = dedup.jaccard_pairs(doc, threshold=0.9,
+                                open_vocab="signature")
+    lp = {(r["doc_id"], r["cluster_id"])
+          for r in dedup.dedup_clusters(pairs).collect()}
+    ts = {(r["doc_id"], r["cluster_id"])
+          for r in dedup.cc_two_phase(pairs).collect()}
+    assert lp == ts
+    # 200-node path: diameter 199 >> the 25-round budget that label
+    # propagation would need; two-phase contracts it in O(log n)
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long")
+    out = dedup.cc_two_phase(path, max_iter=12).collect()
+    assert len(out) == 201
+    assert {r["cluster_id"] for r in out} == {0}

@@ -699,3 +699,14 @@ def test_skipping_report_truth_is_pushed_down(spark, sf_smoke):
                               & (F.col("l_orderkey") <= 200))
                     .agg(F.count(F.lit(1))))
     assert "GreaterThanOrEqual(l_orderkey,100)" in plan
+
+
+def test_prefix_filter_join_no_cartesian(spark, sf_smoke):
+    """X103's candidate generation must be the prefix-token equi-join
+    — never a cartesian; the verify joins back on the pair ids."""
+    from samplebatchprocessing_spark.operators.dedup import (
+        prefix_filter_pairs)
+    doc = load_table(spark, sf_smoke, "documents")
+    plan = plan_str(prefix_filter_pairs(doc))
+    assert "CartesianProduct" not in plan
+    assert "ptok" in plan
