@@ -62,11 +62,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x6_train_split", "x9_corpus_curation", "p15_text_roundtrip",
     "s12_stream_weighted_sample", "s16_stream_quality_gate",
     "s17_stream_decontaminate", "v25_tpch_q12_shape",
-    # yet-unsampled breadth: streaming join, SQL-surface, TPC-H,
-    # maintenance
+    # yet-unsampled breadth: streaming join, SQL surface, TPC-H,
+    # maintenance, and the r6 flagships (power-iteration PCA-1, the
+    # lossless PPJoin similarity join, the composed RAG pipeline) so
+    # the round's widest new operators carry driver evidence in the
+    # round they landed
     "s10_stream_stream_join",
-    "v1_pivot", "v3_exists_subquery", "v6_cte", "v29_recursive_cte",
-    "v9_tpch_q5", "v10_tpch_q10", "v23_tpch_q6",
+    "x92_dominant_direction", "x98_rag_pipeline",
+    "x103_prefix_filter_join",
+    "v6_cte", "v29_recursive_cte", "v9_tpch_q5", "v23_tpch_q6",
     "m2_scd2", "m3_salted_join", "m6_incremental_mv",
     "m7_zorder_layout",
 )
