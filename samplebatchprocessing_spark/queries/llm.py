@@ -3475,6 +3475,66 @@ def x104_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cc_two_phase(pairs)
 
 
+def mm6_interleaved_assembly(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """MM6 (r6): INTERLEAVED image-text document ASSEMBLY — the
+    MMC4/OBELICS-style packing step that turns a text corpus and a
+    media pool into multimodal training documents: each media blob
+    is assigned to document ``media_id % 100`` (row-local,
+    layout-independent), takes one ``<image>`` slot at the
+    deterministic insert position ``media_id % (n_tokens + 1)``, and
+    the per-document assembly record reports text tokens, image
+    count, image byte mass, final sequence length (text + one slot
+    per image), and the exact insert-position checksum.  The decode
+    stays out (the documented multimodal stub contract); every
+    ASSEMBLY decision is typed metadata, so the oracle replays it
+    from the blob listing + documents join exactly.
+
+    Scale: media assignment is an equi-join on the derived doc key;
+    the assembly bookkeeping is one doc-keyed aggregate.  The blob
+    CONTENT never shuffles — only ids and byte counts travel."""
+    from ..operators import multimodal as mm
+    from ..operators.text import tokenize
+    media = mm.media_table_from_fixture(spark, sf_dir, "image")
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", "source",
+                      F.size(tokenize(F.col("text"))).alias("n_tokens"))
+    assigned = (media.select("media_id", "n_bytes",
+                             (F.col("media_id") % 100).alias("doc_id"))
+                .join(toks, "doc_id"))
+    per_doc = (assigned.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_images"),
+                    F.sum("n_bytes").cast("long").alias("image_bytes"),
+                    F.sum(F.col("media_id") % (F.col("n_tokens") + 1))
+                    .cast("long").alias("pos_checksum")))
+    return (toks.join(per_doc, "doc_id")
+            .select("doc_id", "source", "n_tokens", "n_images",
+                    "image_bytes",
+                    (F.col("n_tokens") + F.col("n_images"))
+                    .cast("long").alias("seq_len"),
+                    "pos_checksum"))
+
+
+def _mm6_sql() -> str:
+    return f"""
+WITH m AS (SELECT media_id, size AS n_bytes FROM ({_MM_IDS})),
+t AS (SELECT doc_id, source, LEN({tokenize_sql('text')}) AS n_tokens
+      FROM documents),
+a AS (SELECT m.media_id, m.n_bytes, t.doc_id, t.n_tokens
+      FROM m JOIN t ON t.doc_id = m.media_id % 100),
+pd AS (SELECT doc_id, COUNT(*) AS n_images,
+              CAST(SUM(n_bytes) AS BIGINT) AS image_bytes,
+              CAST(SUM(media_id % (n_tokens + 1)) AS BIGINT)
+                AS pos_checksum
+       FROM a GROUP BY doc_id)
+SELECT t.doc_id, t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       pd.n_images, pd.image_bytes,
+       CAST(t.n_tokens + pd.n_images AS BIGINT) AS seq_len,
+       pd.pos_checksum
+FROM t JOIN pd USING (doc_id)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -3546,6 +3606,7 @@ QUERIES: dict[str, tuple] = {
     "x103_prefix_filter_join": (x103_prefix_filter_join,
                                 dedup.prefix_filter_pairs_sql()),
     "x104_cc_twophase": (x104_cc_twophase, L11_SQL),
+    "mm6_interleaved_assembly": (mm6_interleaved_assembly, _mm6_sql()),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),

@@ -267,6 +267,61 @@ FROM c GROUP BY cs % 10
 """
 
 
+def d9_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 (r6): ``mapInArrow`` — the LOWEST-overhead Python boundary:
+    the worker receives raw ``pyarrow.RecordBatch`` objects and
+    answers with RecordBatches, no pandas materialization at all
+    (the surface for Arrow-native kernels and zero-copy handoffs to
+    C++/Rust libraries).  The batch kernel computes an exact integer
+    line-value checksum with ``pyarrow.compute`` vector ops —
+    integer arithmetic, so accumulation grouping is
+    order-irrelevant and the SQL twin replays it exactly.
+
+    Completes the D ladder: D1 pickled rows -> D8 Arrow-batched row
+    UDF -> D2 pandas series -> D3/D4 pandas frames -> D9 raw Arrow.
+
+    Scale: one pass, no shuffle before the declared rollup; Arrow
+    batches avoid the pandas conversion cost the other surfaces
+    pay."""
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def mod(x, m):   # pyarrow.compute has no modulo kernel;
+            s = pa.scalar(m, pa.int64())   # x >= 0, so trunc == floor
+            return pc.subtract(x, pc.multiply(pc.divide(x, s), s))
+
+        for rb in batches:
+            t = pa.Table.from_batches([rb])
+            k = pc.add(pc.multiply(t.column("l_orderkey"),
+                                   pa.scalar(8, pa.int64())),
+                       pc.cast(t.column("l_linenumber"), pa.int64()))
+            q = pc.cast(t.column("l_quantity"), pa.int64())
+            cs = mod(pc.add(pc.multiply(k, pa.scalar(31, pa.int64())),
+                            q), 1000003)
+            out = pa.table({"bucket": pc.cast(mod(cs, 10), pa.int32()),
+                            "cs": cs})
+            yield from out.to_batches()
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+    mapped = li.mapInArrow(kernel, "bucket int, cs long")
+    return (mapped.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cs").cast("long").alias("cs_sum")))
+
+
+D9_SQL = """
+WITH b AS (
+  SELECT ((l_orderkey * 8 + l_linenumber) * 31
+          + CAST(l_quantity AS BIGINT)) % 1000003 AS cs
+  FROM lineitem)
+SELECT CAST(cs % 10 AS INT) AS bucket, COUNT(*) AS n,
+       CAST(SUM(cs) AS BIGINT) AS cs_sum
+FROM b GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "d1_scalar_udf": (d1_scalar_udf, D1_SQL),
     "d2_pandas_udf": (d2_pandas_udf, D2_SQL),
@@ -276,4 +331,5 @@ QUERIES: dict[str, tuple] = {
     "d6_udaf_grouped": (d6_udaf_grouped, D6_SQL),
     "d7_udtf_table_arg": (d7_udtf_table_arg, D7_SQL),
     "d8_arrow_udf": (d8_arrow_udf, D8_SQL),
+    "d9_map_in_arrow": (d9_map_in_arrow, D9_SQL),
 }
