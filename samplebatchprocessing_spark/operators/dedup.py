@@ -198,12 +198,21 @@ def prefix_filter_pairs(df: DataFrame, threshold_num: int = 4,
         f"size(st) - ((({threshold_num} * size(st))"
         f" + {threshold_den} - 1) div {threshold_den}) + 1")
     prefix = (ordered.select(F.col(id_col).alias("pid"),
+                             F.size("st").alias("m"),
                              F.explode(F.slice("st", 1, plen))
                              .alias("ptok")))
+    # LENGTH filter (the AllPairs companion prune, also lossless):
+    # Jaccard >= num/den forces num*max(m_a,m_b) <= den*min(m_a,m_b),
+    # so cross-length candidates die inside the join condition before
+    # the verify pays for them
     cand = (prefix.alias("a")
             .join(prefix.alias("b"),
                   (F.col("a.ptok") == F.col("b.ptok"))
-                  & (F.col("a.pid") < F.col("b.pid")))
+                  & (F.col("a.pid") < F.col("b.pid"))
+                  & (threshold_num * F.col("b.m")
+                     <= threshold_den * F.col("a.m"))
+                  & (threshold_num * F.col("a.m")
+                     <= threshold_den * F.col("b.m")))
             .select(F.col("a.pid").alias("doc_a"),
                     F.col("b.pid").alias("doc_b"))
             .distinct())
@@ -239,13 +248,14 @@ ordered AS (
          COUNT(*) AS m
   FROM tok JOIN dfreq USING (tok) GROUP BY doc_id),
 pref AS (
-  SELECT doc_id,
+  SELECT doc_id, m,
          UNNEST(st[1 : m - (({n} * m + {d} - 1) // {d}) + 1]) AS ptok
   FROM ordered),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM pref a JOIN pref b
-    ON a.ptok = b.ptok AND a.doc_id < b.doc_id),
+    ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+   AND {n} * b.m <= {d} * a.m AND {n} * a.m <= {d} * b.m),
 ver AS (
   SELECT doc_a, doc_b,
          LEN(LIST_INTERSECT(x.toks, y.toks)) AS inter,
