@@ -307,13 +307,14 @@ GOPHER_STOPS: tuple[str, ...] = (
     "the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_rules(df: DataFrame, text_col: str = "text",
-                 min_stops: int = 2) -> DataFrame:
-    """Per-source Gopher quality audit: document counts passing each
-    published rule, plus the all-rules count — the corpus-curation
-    dashboard before a pretraining run.  Every predicate is row-local
-    exact-integer arithmetic (scale-free), and the rollup is one
-    source-keyed aggregate."""
+def gopher_row_flags(df: DataFrame, text_col: str = "text",
+                     min_stops: int = 2,
+                     keep_cols: tuple = ("doc_id",)) -> DataFrame:
+    """Row-level Gopher rule flags (r1..r6 + passes_all) with
+    ``keep_cols`` carried through — the shared core of the
+    per-source audit (:func:`gopher_rules`), the streaming gate
+    (S16), and the quality x duplication census (X106).  Row-local
+    exact-integer predicates only, so it is streaming-safe."""
     from .text import tokenize
     text = F.col(text_col)
     toks = tokenize(text)
@@ -334,9 +335,10 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     stops2 = F.size(F.array_intersect(
         F.array_distinct(F.col("__toks")),
         F.array(*[F.lit(s) for s in GOPHER_STOPS])))
-    d = (df.select("source", toks.alias("__toks"), text.alias(text_col))
+    d = (df.select(*keep_cols, toks.alias("__toks"),
+                   text.alias(text_col))
          .select(
-             "source",
+             *keep_cols,
              ((w2 >= 50) & (w2 <= 100000)).alias("r1"),
              ((3 * w2 <= wlen) & (wlen <= 10 * w2)).alias("r2"),
              ((10 * (n_hash + F.floor(n_ell).cast("long"))) <= w2)
@@ -346,24 +348,39 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
              (5 * alpha_w >= 4 * w2).alias("r5"),
              (stops2 >= min_stops).alias("r6"),
          ))
+    return d.withColumn(
+        "passes_all", F.col("r1") & F.col("r2") & F.col("r3")
+        & F.col("r4") & F.col("r5") & F.col("r6"))
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_stops: int = 2) -> DataFrame:
+    """Per-source Gopher quality audit: document counts passing each
+    published rule, plus the all-rules count — the corpus-curation
+    dashboard before a pretraining run.  Every predicate is row-local
+    exact-integer arithmetic (scale-free), and the rollup is one
+    source-keyed aggregate."""
+    d = gopher_row_flags(df, text_col=text_col, min_stops=min_stops,
+                         keep_cols=("source",))
     agg = [F.count(F.lit(1)).alias("n_docs")]
     for r in ("r1", "r2", "r3", "r4", "r5", "r6"):
         agg.append(F.sum(F.col(r).cast("long")).alias(f"n_pass_{r}"))
-    agg.append(F.sum((F.col("r1") & F.col("r2") & F.col("r3")
-                      & F.col("r4") & F.col("r5") & F.col("r6"))
-                     .cast("long")).alias("n_pass_all"))
+    agg.append(F.sum(F.col("passes_all").cast("long"))
+               .alias("n_pass_all"))
     return d.groupBy("source").agg(*agg)
 
 
-def gopher_rules_sql(table: str = "documents",
-                     min_stops: int = 2) -> str:
-    """DuckDB twin of :func:`gopher_rules` — the same integer
-    cross-multiplied predicates over the same tokenization."""
+def gopher_flags_cte(table: str = "documents",
+                     min_stops: int = 2,
+                     key_col: str = "source") -> str:
+    """The shared d/r CTE body of the Gopher twin, parameterized on
+    the carried key column — reused by the per-source audit twin and
+    X106's per-document census twin."""
     from .text import tokenize_sql
     toks = tokenize_sql("text")
     return f"""
 WITH d AS (
-  SELECT source,
+  SELECT {key_col},
          LEN(t.toks) AS w,
          CAST(LIST_SUM(LIST_TRANSFORM(t.toks, x -> LENGTH(x)))
               AS BIGINT) AS wlen,
@@ -380,9 +397,9 @@ WITH d AS (
              ln -> RIGHT(ln, 3) = '...')) AS n_ell_end,
          LEN(LIST_INTERSECT(LIST_DISTINCT(t.toks),
              {list(GOPHER_STOPS)!r})) AS n_stops
-  FROM (SELECT source, text, {toks} AS toks FROM {table}) t),
+  FROM (SELECT {key_col}, text, {toks} AS toks FROM {table}) t),
 r AS (
-  SELECT source,
+  SELECT {key_col},
          w >= 50 AND w <= 100000 AS r1,
          3 * w <= wlen AND wlen <= 10 * w AS r2,
          10 * (n_hash + n_ell) <= w AS r3,
@@ -390,7 +407,14 @@ r AS (
            AND 10 * n_ell_end <= 3 * n_lines AS r4,
          5 * alpha_w >= 4 * w AS r5,
          n_stops >= {min_stops} AS r6
-  FROM d)
+  FROM d)"""
+
+
+def gopher_rules_sql(table: str = "documents",
+                     min_stops: int = 2) -> str:
+    """DuckDB twin of :func:`gopher_rules` — the same integer
+    cross-multiplied predicates over the same tokenization."""
+    return gopher_flags_cte(table, min_stops, "source") + """
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_r1,
        CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_r2,

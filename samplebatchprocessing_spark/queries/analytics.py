@@ -1905,6 +1905,106 @@ FROM scored GROUP BY 1, 2, 3
 """
 
 
+def x105_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105 (r6): the ELBOW report — X47's fixed-point k-means run at
+    k = 2, 4, 8 and reduced to one row per k: total inertia plus the
+    exact x1000 inertia ratio to the k=2 anchor.  The model-selection
+    table every clustering deployment reads before freezing k; all
+    integer arithmetic, so each k's whole trajectory replays
+    bit-for-bit in the oracle's unrolled CTE chains (three chains,
+    one per k, UNION ALL'd).
+
+    Scale: three independent X47 runs — each is the documented
+    bounded-iteration plan (k x dim centroid means to the driver per
+    round, join-free literal-centroid assignment)."""
+    from ..operators.clustering import kmeans_fixedpoint
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = None
+    for k in (2, 4, 8):
+        rep = (kmeans_fixedpoint(emb, k=k, iters=3)
+               .agg(F.sum("n_points").cast("long").alias("n_points"),
+                    F.sum("inertia").cast("long").alias("inertia"))
+               .select(F.lit(k).alias("k"), "n_points", "inertia"))
+        out = rep if out is None else out.unionByName(rep)
+    anchor = out.filter(F.col("k") == 2).select(
+        F.col("inertia").alias("anchor"))
+    return (out.crossJoin(F.broadcast(anchor))
+            .select("k", "n_points", "inertia",
+                    F.expr("1000 * inertia div anchor")
+                    .alias("inertia_vs_k2_x1000")))
+
+
+def _x105_sql() -> str:
+    from ..operators.clustering import _kmeans_cte_chain
+    parts = []
+    for k in (2, 4, 8):
+        chain = _kmeans_cte_chain(k, 3, "embeddings", "embedding",
+                                  "vec_id")
+        parts.append(f"""
+SELECT {k} AS k, COUNT(*) AS n_points,
+       CAST(SUM(d) AS BIGINT) AS inertia
+FROM ({chain}
+SELECT d FROM a3) """)
+    union = "UNION ALL".join(parts)
+    return f"""
+WITH r AS ({union}),
+a AS (SELECT inertia AS anchor FROM r WHERE k = 2)
+SELECT k, n_points, inertia,
+       CAST(1000 * inertia // anchor AS BIGINT)
+         AS inertia_vs_k2_x1000
+FROM r, a
+"""
+
+
+def x106_quality_dedup_interaction(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """X106 (r6): QUALITY x DUPLICATION interaction — the 2x2 audit
+    behind the "dedup first or filter first" pipeline-ordering
+    decision: every document is labeled exact-duplicate-or-not (L1's
+    md5 keep-first rule) and Gopher-pass-or-not (X50's full rule
+    set via the shared row-flag core), and the report is the cross
+    census with exact char mass.
+    If duplicates concentrate in the quality-fail cell (they do on
+    template-spam corpora), filtering first shrinks the dedup join;
+    if not, dedup first saves filter compute — this table is the
+    evidence either way.
+
+    Scale: both labels are existing single-shuffle operators; the
+    census is one 4-key aggregate."""
+    from ..operators.curation import gopher_row_flags
+    from pyspark.sql import Window as W
+    doc = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    labeled = doc.select(
+        "doc_id", "n_chars",
+        (F.row_number().over(w) > 1).alias("is_dup"))
+    flags = gopher_row_flags(doc, min_stops=1,
+                             keep_cols=("doc_id",)).select(
+        "doc_id", "passes_all")
+    j = labeled.join(flags, "doc_id")
+    return (j.groupBy("is_dup", "passes_all")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("n_chars")))
+
+
+def _x106_sql() -> str:
+    from ..operators.curation import gopher_flags_cte
+    cte = gopher_flags_cte("documents", 1, "doc_id")
+    return cte + """,
+dup AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                            ORDER BY doc_id) > 1 AS is_dup
+  FROM documents)
+SELECT dup.is_dup,
+       (r1 AND r2 AND r3 AND r4 AND r5 AND r6) AS passes_all,
+       COUNT(*) AS n_docs,
+       CAST(SUM(dup.n_chars) AS BIGINT) AS n_chars
+FROM dup JOIN r USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "x25_funnel": (x25_funnel, X25_SQL),
     "j11_interval_overlap": (j11_interval_overlap, _j11_sql()),
@@ -1942,6 +2042,9 @@ QUERIES: dict[str, tuple] = {
     "x95_trigram_journeys": (x95_trigram_journeys, X95_SQL),
     "x96_market_basket": (x96_market_basket, X96_SQL),
     "x97_rfm": (x97_rfm, _x97_sql()),
+    "x105_kmeans_elbow": (x105_kmeans_elbow, _x105_sql()),
+    "x106_quality_dedup_interaction": (x106_quality_dedup_interaction,
+                                       _x106_sql()),
     "x80_survival_table": (x80_survival_table, X80_SQL),
     "x73_table_profile": (x73_table_profile, X73_SQL),
 }
