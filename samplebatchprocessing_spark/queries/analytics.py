@@ -1930,7 +1930,11 @@ def x105_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inertia").alias("anchor"))
     return (out.crossJoin(F.broadcast(anchor))
             .select("k", "n_points", "inertia",
-                    F.expr("1000 * inertia div anchor")
+                    # decimal(38,0) product: 1000 * inertia wraps
+                    # int64 past ~2^29 vectors (the kmeans_fixedpoint
+                    # bound / 1000); the ratio itself is tiny
+                    F.expr("CAST(CAST(inertia AS DECIMAL(38,0)) * 1000"
+                           " DIV anchor AS LONG)")
                     .alias("inertia_vs_k2_x1000")))
 
 
@@ -1950,7 +1954,7 @@ SELECT d FROM a3) """)
 WITH r AS ({union}),
 a AS (SELECT inertia AS anchor FROM r WHERE k = 2)
 SELECT k, n_points, inertia,
-       CAST(1000 * inertia // anchor AS BIGINT)
+       CAST(CAST(inertia AS HUGEINT) * 1000 // anchor AS BIGINT)
          AS inertia_vs_k2_x1000
 FROM r, a
 """
