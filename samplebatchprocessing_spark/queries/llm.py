@@ -2981,9 +2981,12 @@ def x90_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("naive_waste"),
                  (F.sum("cap") - F.sum("used")).cast("long")
                  .alias("bucketed_waste"))
+            # nullif: a source whose every doc fills the max length
+            # has zero naive waste — NULL ratio, not an ANSI
+            # divide-by-zero raise
             .withColumn("savings_x1000", F.expr(
                 "1000 * (naive_waste - bucketed_waste)"
-                " div naive_waste")))
+                " div nullif(naive_waste, 0)")))
 
 
 def _x90_sql() -> str:
@@ -3001,8 +3004,8 @@ a AS (
          CAST(COUNT(*) * 256 - SUM(used) AS BIGINT) AS naive_waste,
          CAST(SUM(cap) - SUM(used) AS BIGINT) AS bucketed_waste
   FROM c GROUP BY source)
-SELECT *, CAST(1000 * (naive_waste - bucketed_waste) // naive_waste
-               AS BIGINT) AS savings_x1000
+SELECT *, CAST(1000 * (naive_waste - bucketed_waste)
+               // NULLIF(naive_waste, 0) AS BIGINT) AS savings_x1000
 FROM a
 """
 
