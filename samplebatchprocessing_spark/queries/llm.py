@@ -3538,6 +3538,127 @@ FROM t JOIN pd USING (doc_id)
 """
 
 
+def x107_crawl_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107 (r6): CRAWL-CHUNK STITCH detection — pairs where one
+    document's last 8 tokens equal another's first 8 (the signature
+    of a page split across crawl records, the pre-dedup repair step
+    crawl pipelines run so the two halves rejoin instead of
+    near-duplicating each other).  Affix keys are row-local token
+    slices; candidates come from ONE equi-join on the md5 affix key;
+    the verify re-compares the raw token arrays, so hash collisions
+    cannot forge a pair.  Self-stitches (a doc whose head equals its
+    own tail — template frames) are declared out.
+
+    The fixture has no organic splits (measured: zero pairs), so the
+    x63/x82 injection discipline applies: every 50th document gets a
+    PLANTED continuation (id + 200000, text prefixed with the
+    original's last 8 tokens) constructed identically on both
+    engines — the detector must recover exactly those pairs, and a
+    0-row "pass" is impossible.
+
+    Scale: two row-local affix projections, one key equi-join —
+    never a pair scan; affix keys on real crawls are near-unique so
+    buckets stay tiny."""
+    from ..operators.text import tokenize
+    doc = load_table(spark, sf_dir, "documents")
+    t = tokenize(F.col("text"))
+    staged = doc.select("doc_id", t.alias("t")).filter(F.size("t") >= 8)
+    plants = (staged.filter(F.col("doc_id") % 50 == 0)
+              .select((F.col("doc_id") + 200000).alias("doc_id"),
+                      F.expr("concat(slice(t, -8, 8), t)").alias("t")))
+    base = staged.unionByName(plants)
+    head = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.md5(F.concat_ws(" ", F.slice("t", 1, 8))).alias("k"),
+        F.slice("t", 1, 8).alias("head8"))
+    tail = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.md5(F.concat_ws(" ", F.expr("slice(t, -8, 8)"))).alias("k"),
+        F.expr("slice(t, -8, 8)").alias("tail8"))
+    return (tail.join(head, "k")
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .filter(F.col("tail8") == F.col("head8"))   # collision guard
+            .groupBy("doc_a")
+            .agg(F.count(F.lit(1)).alias("n_continuations"),
+                 F.min("doc_b").alias("first_continuation"))
+            .select("doc_a", "n_continuations", "first_continuation"))
+
+
+def _x107_sql() -> str:
+    return f"""
+WITH s AS (SELECT doc_id, {tokenize_sql('text')} AS t FROM documents),
+st AS (SELECT * FROM s WHERE LEN(t) >= 8),
+b AS (SELECT doc_id, t FROM st
+      UNION ALL
+      SELECT doc_id + 200000, LIST_CONCAT(t[-8:], t)
+      FROM st WHERE doc_id % 50 = 0),
+h AS (SELECT doc_id AS doc_b,
+             ARRAY_TO_STRING(t[1:8], ' ') AS affix FROM b),
+tl AS (SELECT doc_id AS doc_a,
+              ARRAY_TO_STRING(t[-8:], ' ') AS affix FROM b)
+SELECT doc_a, COUNT(*) AS n_continuations,
+       MIN(doc_b) AS first_continuation
+FROM tl JOIN h USING (affix)
+WHERE doc_a <> doc_b
+GROUP BY doc_a
+"""
+
+
+def x108_lsh_parameter_sweep(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """X108 (r6): MinHash-LSH BANDING SWEEP — the s-curve, measured:
+    the 32-hash signature banded as 4x8 / 8x4 / 16x2 against the
+    exact jaccard>=0.8 truth set, one row per configuration with the
+    exact truth count, the theory-derived recall bound the
+    measurement must clear (4 bands ~0.75 measured -> declared
+    >= 0.6; 8 bands ~0.99 -> >= 0.95; 16 bands 1.0 -> >= 0.99), and
+    the monotonicity boolean (more bands can only widen candidates).
+    This is the tuning table behind L6's 8x4 default — the X82/X101
+    planted-eval discipline applied to the parameter grid.
+
+    Scale: three candidate generations over the same signature frame
+    (one signature pass, staged); truth is the X103-class exact set.
+    The measured recalls are engine-side only — the DECLARED columns
+    are cross-engine (exact count + booleans)."""
+    from ..operators.text import token_set
+    doc = load_table(spark, sf_dir, "documents")
+    sets = (doc.select("doc_id", token_set(F.col("text")).alias("toks"))
+            .localCheckpoint(eager=True))
+    truth = (dedup.jaccard_pairs(doc, threshold=0.8,
+                                 open_vocab="signature")
+             .select("doc_a", "doc_b").localCheckpoint(eager=True))
+    bounds = {4: 0.6, 8: 0.95, 16: 0.99}
+    out, recalls = None, {}
+    for nb in (4, 8, 16):
+        cand = dedup._lsh_pairs_from_sets(sets, n_bands=nb)
+        agg = (truth.join(cand.withColumn("h", F.lit(1)),
+                          ["doc_a", "doc_b"], "left")
+               .agg(F.count(F.lit(1)).alias("n_true_pairs"),
+                    (F.sum(F.coalesce("h", F.lit(0)))
+                     / F.count(F.lit(1))).alias("recall")))
+        row = agg.first()
+        recalls[nb] = row["recall"]
+        rep = spark.createDataFrame(
+            [(nb, 32 // nb, row["n_true_pairs"],
+              bool(row["recall"] >= bounds[nb]))],
+            "bands int, rows_per_band int, n_true_pairs long, "
+            "recall_meets_bound boolean")
+        out = rep if out is None else out.unionByName(rep)
+    mono = recalls[16] >= recalls[8] >= recalls[4]
+    return out.withColumn("recall_monotone_in_bands", F.lit(mono))
+
+
+def _x108_sql() -> str:
+    truth = _L5_BAND_JACCARD.format(thr='0.8')
+    return f"""
+WITH t AS (SELECT COUNT(*) AS n FROM ({truth}))
+SELECT bands, 32 // bands AS rows_per_band,
+       CAST(n AS BIGINT) AS n_true_pairs,
+       TRUE AS recall_meets_bound, TRUE AS recall_monotone_in_bands
+FROM t, UNNEST([4, 8, 16]) AS u(bands)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -3610,6 +3731,8 @@ QUERIES: dict[str, tuple] = {
                                 dedup.prefix_filter_pairs_sql()),
     "x104_cc_twophase": (x104_cc_twophase, L11_SQL),
     "mm6_interleaved_assembly": (mm6_interleaved_assembly, _mm6_sql()),
+    "x107_crawl_stitch": (x107_crawl_stitch, _x107_sql()),
+    "x108_lsh_parameter_sweep": (x108_lsh_parameter_sweep, _x108_sql()),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),
