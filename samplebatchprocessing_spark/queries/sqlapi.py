@@ -1429,6 +1429,59 @@ FROM lineitem
 """
 
 
+def v30_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V30 (r6): the TPC-H REFRESH stream (RF1 insert / RF2 delete) —
+    the half of the benchmark read-only ports skip: a deterministic
+    RF1 batch (every 100th order re-keyed +10^7, with its lineitems,
+    prices x1.1 via exact decimal) is inserted, a deterministic RF2
+    batch (orderkey % 77 = 0) is deleted, and Q1's pricing summary
+    re-runs over the refreshed corpus — insert, delete, and the
+    flagship read in ONE lineage.  The oracle replays the identical
+    set algebra; decimal(30,6) keeps the x1.1 reprice exact so the
+    dsum columns stay bit-stable.
+
+    Scale: RF batches are filters + unions (no shuffle beyond Q1's
+    own aggregate); a real deployment lands them through M1's upsert
+    / M5's purge paths — this row pins the arithmetic contract."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus")
+    rf1 = (li.filter(F.col("l_orderkey") % 100 == 0)
+           .withColumn("l_orderkey",
+                       F.col("l_orderkey") + 10_000_000)
+           .withColumn("l_extendedprice",
+                       (F.col("l_extendedprice").cast(
+                           "decimal(30,6)") * F.lit(11)
+                        / F.lit(10)).cast("double")))
+    refreshed = (li.unionByName(rf1)
+                 .filter(F.col("l_orderkey") % 77 != 0))
+    return (refreshed.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("l_quantity", "sum_qty"),
+                 dsum("l_extendedprice", "sum_price")))
+
+
+V30_SQL = f"""
+WITH rf1 AS (
+  SELECT l_orderkey + 10000000 AS l_orderkey, l_quantity,
+         CAST(CAST(l_extendedprice AS DECIMAL(30,6)) * 11 / 10
+              AS DOUBLE) AS l_extendedprice,
+         l_returnflag, l_linestatus
+  FROM lineitem WHERE l_orderkey % 100 = 0),
+refreshed AS (
+  SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag,
+         l_linestatus
+  FROM lineitem
+  UNION ALL
+  SELECT * FROM rf1)
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_price
+FROM refreshed WHERE l_orderkey % 77 <> 0
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "v1_pivot": (v1_pivot, V1_SQL),
     "v2_unpivot": (v2_unpivot, V2_SQL),
@@ -1470,4 +1523,5 @@ QUERIES: dict[str, tuple] = {
     "m9_skipping_report": (m9_skipping_report, M9_SQL),
     "m10_vacuum": (m10_vacuum, M10_SQL),
     "m11_codec_report": (m11_codec_report, M11_SQL),
+    "v30_tpch_refresh": (v30_tpch_refresh, V30_SQL),
 }
