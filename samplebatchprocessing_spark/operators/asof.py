@@ -80,3 +80,68 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     return (carried
             .filter(F.col(_SIDE) == left_rank)
             .drop(_KEY, _TS, _SIDE))
+
+
+def multi_asof_join(left: DataFrame, rights: list, *,
+                    left_ts: str, left_by: str) -> DataFrame:
+    """J15: as-of join against SEVERAL right tables in ONE shuffle —
+    the feature-store point-in-time read: every left row picks up
+    the latest prior value from each of N feature tables, and the
+    whole thing still costs a single hash partition + sort of
+    |L| + sum|R_i| rows (N separate as-of joins would shuffle the
+    left side N times).
+
+    ``rights`` is a list of dicts:
+    ``{"df": DataFrame, "ts": col, "by": col, "cols": [payload...]}``
+    — payload column names must be globally distinct.  Semantics per
+    table are the non-strict backward as-of (ties admit the right
+    row), identical to :func:`asof_join`.
+
+    Implementation: every side lands in one tagged union; one window
+    per PAYLOAD COLUMN carries the last non-null value forward over
+    the same (key, ts, side) order — Spark evaluates all the
+    `last(ignorenulls)` calls in ONE window operator because frame
+    and ordering are shared, so cost does not grow with N beyond the
+    extra columns themselves."""
+    ltypes = dict(left.dtypes)
+    all_payload: list[str] = []
+    rtypes: dict[str, str] = {}
+    for r in rights:
+        for c in r["cols"]:
+            if c in all_payload:
+                raise ValueError(f"duplicate payload column {c}")
+            all_payload.append(c)
+            rtypes[c] = dict(r["df"].dtypes)[c]
+
+    lt = (left
+          .withColumn(_KEY, F.col(left_by))
+          .withColumn(_TS, F.col(left_ts))
+          .withColumn(_SIDE, F.lit(1)))
+    for c in all_payload:
+        lt = lt.withColumn(c, F.lit(None).cast(rtypes[c]))
+
+    unioned = lt.select(lt.columns)
+    for r in rights:
+        rt = r["df"].select(
+            F.col(r["by"]).alias(_KEY),
+            F.col(r["ts"]).alias(_TS),
+            F.lit(0).alias(_SIDE),
+            *r["cols"])
+        for c in left.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(ltypes[c]))
+        for c in all_payload:
+            if c not in r["cols"]:
+                rt = rt.withColumn(c, F.lit(None).cast(rtypes[c]))
+        unioned = unioned.unionByName(rt.select(lt.columns))
+
+    w = (W.partitionBy(_KEY)
+         .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    carried = unioned
+    for c in all_payload:
+        carried = carried.withColumn(
+            c, F.last(c, ignorenulls=True).over(w))
+
+    return (carried
+            .filter(F.col(_SIDE) == 1)
+            .drop(_KEY, _TS, _SIDE))

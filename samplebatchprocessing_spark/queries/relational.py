@@ -896,6 +896,52 @@ FROM p LEFT JOIN n ON p.event_id = n.event_id
 """
 
 
+def j15_multi_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15 (r6): MULTI-TABLE as-of join — each purchase picks up the
+    user's latest prior click AND latest prior view in ONE
+    single-shuffle pass (``operators.asof.multi_asof_join``): the
+    feature-store point-in-time read, where running N separate as-of
+    joins would shuffle the fact side N times.  All payload carries
+    share one window operator (same key, order, frame).  The oracle
+    runs two native DuckDB ASOF joins — the semantics J15 must equal
+    while paying one shuffle instead of two."""
+    from ..operators.asof import multi_asof_join
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("prior_click_id"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("prior_view_id"))
+    out = multi_asof_join(
+        purchases,
+        [{"df": clicks, "ts": "c_ts", "by": "c_user",
+          "cols": ["prior_click_id"]},
+         {"df": views, "ts": "v_ts", "by": "v_user",
+          "cols": ["prior_view_id"]}],
+        left_ts="ts", left_by="user_id")
+    return out.select("event_id", "user_id", "value",
+                      "prior_click_id", "prior_view_id")
+
+
+J15_SQL = """
+SELECT p.event_id, p.user_id, p.value,
+       c.event_id AS prior_click_id, v.event_id AS prior_view_id
+FROM (
+  SELECT p0.event_id, p0.user_id, p0.value, p0.ts,
+         c0.event_id AS click_eid
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p0
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c0
+    ON p0.user_id = c0.user_id AND c0.ts <= p0.ts
+) p
+LEFT JOIN events c ON c.event_id = p.click_eid
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
 def j9_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: TPC-H Q5-style 6-way star join, with the region predicate
     pushed to the FRONT of the join tree: region is filtered first,
@@ -1611,6 +1657,7 @@ QUERIES: dict[str, tuple] = {
     "j8b_asof_forward": (j8b_asof_forward, J8B_SQL),
     "j8c_asof_tolerance": (j8c_asof_tolerance, J8C_SQL),
     "j14_asof_nearest": (j14_asof_nearest, J14_SQL),
+    "j15_multi_asof": (j15_multi_asof, J15_SQL),
     "j9_star_join": (j9_star_join, J9_SQL),
     "j10_fuzzy_join": (j10_fuzzy_join, J10_SQL),
     "x35_quality_audit": (x35_quality_audit, X35_SQL),

@@ -710,3 +710,15 @@ def test_prefix_filter_join_no_cartesian(spark, sf_smoke):
     plan = plan_str(prefix_filter_pairs(doc))
     assert "CartesianProduct" not in plan
     assert "ptok" in plan
+
+
+def test_multi_asof_single_shuffle_single_window(spark, sf_smoke):
+    """J15 contract: N right tables, ONE hash exchange on the key and
+    ONE window operator carrying every payload column — the reason
+    the operator exists instead of N separate as-of joins."""
+    from samplebatchprocessing_spark.queries.relational import (
+        j15_multi_asof)
+    plan = plan_str(j15_multi_asof(spark, sf_smoke), "simple")
+    assert plan.count("+- Window ") == 1, plan
+    n_hash_ex = plan.count("Exchange hashpartitioning")
+    assert n_hash_ex == 1, f"expected 1 key exchange, saw {n_hash_ex}"
