@@ -1482,6 +1482,30 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+W10_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(SUM(event_id) OVER w AS BIGINT) AS idsum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def w10_interval_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 (r6): TIME-INTERVAL range frames — the trailing-1-hour
+    window ordered by EVENT TIME (``RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING``), the frame W3/W4's row/numeric-offset forms cannot
+    express when rows are irregularly spaced: the frame boundary is
+    a timestamp subtraction, ties are peers, and the result is
+    independent of row order within an instant.  Runs through the
+    SQL entry point — one shared ANSI text on both engines (the
+    TPC-H sub-suite discipline).  Exact integer aggregates only
+    (count + event-id checksum), so the hash gate is bit-stable."""
+    register_views(spark, sf_dir)
+    return spark.sql(W10_SQL)
+
+
 QUERIES: dict[str, tuple] = {
     "v1_pivot": (v1_pivot, V1_SQL),
     "v2_unpivot": (v2_unpivot, V2_SQL),
@@ -1524,4 +1548,5 @@ QUERIES: dict[str, tuple] = {
     "m10_vacuum": (m10_vacuum, M10_SQL),
     "m11_codec_report": (m11_codec_report, M11_SQL),
     "v30_tpch_refresh": (v30_tpch_refresh, V30_SQL),
+    "w10_interval_frames": (w10_interval_frames, W10_SQL),
 }
