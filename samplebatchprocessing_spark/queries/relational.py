@@ -896,6 +896,70 @@ FROM p LEFT JOIN n ON p.event_id = n.event_id
 """
 
 
+def u4_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 (r6): ``unionByName(allowMissingColumns=True)`` — the
+    schema-evolution union: two projections with DIFFERENT column
+    sets (old records lack o_orderpriority, new records lack
+    o_totalprice) align by NAME with NULL fill, the DataFrame form
+    of DuckDB's ``UNION ALL BY NAME``.  Positional UNION (U1) would
+    silently mis-align these; the by-name form is what multi-vintage
+    ingestion actually needs.  The rollup proves both the fill and
+    the alignment: per status, counts of rows carrying each
+    vintage's column."""
+    ord_ = _t(spark, sf_dir, "orders")
+    old_v = (ord_.filter(F.col("o_orderkey") % 2 == 0)
+             .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    new_v = (ord_.filter(F.col("o_orderkey") % 2 == 1)
+             .select("o_orderkey", "o_orderstatus", "o_orderpriority"))
+    u = old_v.unionByName(new_v, allowMissingColumns=True)
+    return (u.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("o_totalprice").alias("n_with_price"),
+                 F.count("o_orderpriority").alias("n_with_priority"),
+                 dsum("o_totalprice", "price_sum")))
+
+
+U4_SQL = """
+WITH u AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL BY NAME
+  SELECT o_orderkey, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1)
+SELECT o_orderstatus, COUNT(*) AS n,
+       COUNT(o_totalprice) AS n_with_price,
+       COUNT(o_orderpriority) AS n_with_priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         AS price_sum
+FROM u GROUP BY o_orderstatus
+"""
+
+
+def t6_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 (r6): OFFSET pagination — page 3 of the customer list
+    (LIMIT 20 OFFSET 40) under a total order, the API-backend query
+    shape.  Spark's ``offset()`` landed in 3.4; the total order on
+    (c_acctbal DESC, c_custkey) makes every page deterministic —
+    without the key tie-break, page boundaries shift run to run (the
+    classic pagination bug, declared here as the contract).
+
+    Scale note: OFFSET is O(offset) work on any engine — real APIs
+    keyset-paginate (WHERE key > last_seen ORDER BY key LIMIT n);
+    declared at the page-3 shape the oracle can replay."""
+    cust = _t(spark, sf_dir, "customer")
+    return (cust.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+            .select("c_custkey", "c_name", "c_acctbal")
+            .offset(40).limit(20))
+
+
+T6_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer ORDER BY c_acctbal DESC, c_custkey
+LIMIT 20 OFFSET 40
+"""
+
+
 def j15_multi_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J15 (r6): MULTI-TABLE as-of join — each purchase picks up the
     user's latest prior click AND latest prior view in ONE
@@ -1673,4 +1737,6 @@ QUERIES: dict[str, tuple] = {
     "u1_union": (u1_union, U1_SQL),
     "u2_intersect": (u2_intersect, U2_SQL),
     "u3_except": (u3_except, U3_SQL),
+    "u4_union_by_name": (u4_union_by_name, U4_SQL),
+    "t6_pagination": (t6_pagination, T6_SQL),
 }
