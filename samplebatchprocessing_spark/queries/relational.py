@@ -896,6 +896,103 @@ FROM p LEFT JOIN n ON p.event_id = n.event_id
 """
 
 
+def a16_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 (r6): the conditional-aggregate family — ``count_if``,
+    ``bool_and`` / ``bool_or`` (ANSI EVERY/ANY), and FILTER-style
+    conditional sums, the idioms that replace CASE-WHEN pyramids in
+    rule audits.  Per order status: urgent-order count, whether ALL
+    orders clear a price floor, whether ANY is five-figure, and the
+    exact-decimal sum of just the urgent slice."""
+    ord_ = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return (ord_.groupBy("o_orderstatus")
+            .agg(F.count_if(urgent).alias("n_urgent"),
+                 F.bool_and(F.col("o_totalprice") > 900.0)
+                 .alias("all_above_floor"),
+                 F.bool_or(F.col("o_totalprice") >= 10000.0)
+                 .alias("any_five_figure"),
+                 F.sum(F.when(urgent, F.col("o_totalprice"))
+                       .cast(DEC)).cast("double")
+                 .alias("urgent_price_sum")))
+
+
+A16_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+       BOOL_AND(o_totalprice > 900.0) AS all_above_floor,
+       BOOL_OR(o_totalprice >= 10000.0) AS any_five_figure,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+            FILTER (o_orderpriority = '1-URGENT') AS DOUBLE)
+         AS urgent_price_sum
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def x110_revenue_concentration(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """X110 (r6): REVENUE CONCENTRATION — what share of total revenue
+    the top-10 / top-100 customers carry (the whale-dependence
+    metric next to X78's Gini): exact decimal revenue sums, top-k
+    selected under a (revenue desc, custkey) total order, shares as
+    exact x1e6 integer division over cent-scaled integers (no float
+    division in the hash-gated columns).
+
+    Scale: one customer-keyed aggregate, a TakeOrdered top-k over
+    the customer frame, one broadcast-sized final arithmetic row."""
+    ord_ = _t(spark, sf_dir, "orders")
+    per = (ord_.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")))
+    cents = (per.select("o_custkey",
+                        (F.col("rev") * 100).cast("decimal(38,0)")
+                        .alias("rc")))
+    from pyspark.sql import Window as W
+    wr = W.orderBy(F.col("rc").desc(), "o_custkey")
+    ranked = cents.withColumn("rk", F.row_number().over(wr))
+    tot = cents.agg(F.sum("rc").alias("total_cents"),
+                    F.count(F.lit(1)).alias("n_customers"))
+    top = (ranked.crossJoin(F.broadcast(tot))
+           .agg(F.max("n_customers").alias("n_customers"),
+                F.max("total_cents").alias("t"),
+                F.sum(F.when(F.col("rk") <= 10, F.col("rc")))
+                .alias("top10"),
+                F.sum(F.when(F.col("rk") <= 100, F.col("rc")))
+                .alias("top100")))
+    return top.select(
+        "n_customers",
+        F.col("t").cast("long").alias("total_cents"),
+        F.col("top10").cast("long").alias("top10_cents"),
+        F.col("top100").cast("long").alias("top100_cents"),
+        F.expr("CAST(top10 * 1000000 DIV t AS LONG)")
+        .alias("top10_share_x1e6"),
+        F.expr("CAST(top100 * 1000000 DIV t AS LONG)")
+        .alias("top100_share_x1e6"))
+
+
+X110_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) * 100
+              AS DECIMAL(38,0)) AS rc
+  FROM orders GROUP BY o_custkey),
+rk AS (SELECT rc, ROW_NUMBER() OVER (ORDER BY rc DESC, o_custkey)
+                AS rk FROM per),
+t AS (SELECT CAST(SUM(rc) AS HUGEINT) AS t,
+             COUNT(*) AS n_customers FROM per)
+SELECT n_customers,
+       CAST(t AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN rk <= 10 THEN rc END) AS BIGINT)
+         AS top10_cents,
+       CAST(SUM(CASE WHEN rk <= 100 THEN rc END) AS BIGINT)
+         AS top100_cents,
+       CAST(SUM(CASE WHEN rk <= 10 THEN CAST(rc AS HUGEINT) END)
+            * 1000000 // t AS BIGINT) AS top10_share_x1e6,
+       CAST(SUM(CASE WHEN rk <= 100 THEN CAST(rc AS HUGEINT) END)
+            * 1000000 // t AS BIGINT) AS top100_share_x1e6
+FROM rk, t
+GROUP BY n_customers, t
+"""
+
+
 def u4_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4 (r6): ``unionByName(allowMissingColumns=True)`` — the
     schema-evolution union: two projections with DIFFERENT column
@@ -1738,5 +1835,8 @@ QUERIES: dict[str, tuple] = {
     "u2_intersect": (u2_intersect, U2_SQL),
     "u3_except": (u3_except, U3_SQL),
     "u4_union_by_name": (u4_union_by_name, U4_SQL),
+    "a16_conditional_aggs": (a16_conditional_aggs, A16_SQL),
+    "x110_revenue_concentration": (x110_revenue_concentration,
+                                   X110_SQL),
     "t6_pagination": (t6_pagination, T6_SQL),
 }
