@@ -993,6 +993,50 @@ GROUP BY n_customers, t
 """
 
 
+def x111_fulfillment_lag(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """X111 (r6): ORDER-FULFILLMENT LAG — days from order date to
+    each line's ship date, rolled up per order priority: the
+    supply-chain SLA table (does URGENT actually ship faster?).
+    Exact integers only: line counts, total lag days, the x1000
+    integer mean, the discrete p90 (the x37/x86 quantile
+    discipline), and the max.
+
+    Scale: one orderkey-keyed join (orders side is the smaller
+    relation — broadcast at fixture scale, shuffle-hash beyond), one
+    priority rollup."""
+    ord_ = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.to_date("o_orderdate").alias("od"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd"))
+    j = li.join(ord_, li.l_orderkey == ord_.o_orderkey).select(
+        "o_orderpriority", F.datediff("sd", "od").alias("lag"))
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum("lag").cast("long").alias("lag_days_total"),
+                 F.expr("1000 * CAST(sum(lag) AS BIGINT)"
+                        " div count(1)").alias("mean_lag_x1000"),
+                 F.expr("CAST(percentile_disc(0.9) WITHIN GROUP"
+                        " (ORDER BY lag) AS LONG)").alias("p90_lag"),
+                 F.max("lag").cast("long").alias("max_lag")))
+
+
+X111_SQL = """
+WITH j AS (
+  SELECT o_orderpriority,
+         DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS lag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       CAST(SUM(lag) AS BIGINT) AS lag_days_total,
+       CAST(1000 * SUM(lag) // COUNT(*) AS BIGINT) AS mean_lag_x1000,
+       CAST(QUANTILE_DISC(lag, 0.9) AS BIGINT) AS p90_lag,
+       CAST(MAX(lag) AS BIGINT) AS max_lag
+FROM j GROUP BY o_orderpriority
+"""
+
+
 def u4_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4 (r6): ``unionByName(allowMissingColumns=True)`` — the
     schema-evolution union: two projections with DIFFERENT column
@@ -1838,5 +1882,6 @@ QUERIES: dict[str, tuple] = {
     "a16_conditional_aggs": (a16_conditional_aggs, A16_SQL),
     "x110_revenue_concentration": (x110_revenue_concentration,
                                    X110_SQL),
+    "x111_fulfillment_lag": (x111_fulfillment_lag, X111_SQL),
     "t6_pagination": (t6_pagination, T6_SQL),
 }
