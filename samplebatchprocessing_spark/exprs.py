@@ -45,6 +45,21 @@ def sql_davg(expr: str) -> str:
             f" / COUNT({expr})")
 
 
+def bounded_part(col: Column | str) -> Column:
+    """Partition key for a window over a frame BOUNDED by an upstream
+    ``limit(k)`` / tiny-vocabulary construction: a constant-zero
+    expression that is NOT foldable (``pmod(key, 1)``), so Catalyst
+    keeps it as a real partition spec.  ``partitionBy(F.lit(0))``
+    constant-folds to an empty spec and the plan degrades to the
+    warn-logging no-partition WindowExec; this keeps the bounded
+    window an ordinary hash-partitioned one (one tiny exchange) and
+    keeps "No Partition Defined" warnings out of bench stderr, where
+    they would mask real single-partition regressions (r6 verdict
+    item 6)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(c.cast("long"), F.lit(1))
+
+
 def r6(col: Column, alias: str | None = None) -> Column:
     """Round to 6 dp — for aggregates that cannot be made exact
     (stddev/percentile); relative FP error ~1e-12 makes a 6-dp

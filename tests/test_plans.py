@@ -722,3 +722,88 @@ def test_multi_asof_single_shuffle_single_window(spark, sf_smoke):
     assert plan.count("+- Window ") == 1, plan
     n_hash_ex = plan.count("Exchange hashpartitioning")
     assert n_hash_ex == 1, f"expected 1 key exchange, saw {n_hash_ex}"
+
+
+def single_partition_parents(df) -> list[str]:
+    """Operator lines that directly consume an
+    ``Exchange SinglePartition`` in the simple-mode plan.
+
+    A SinglePartition exchange is legitimate ONLY as the final pass
+    of a scalar (no-grouping-key) aggregate, where the rows moved
+    are per-partition partial-agg rows.  One feeding a Window or
+    Sort is the unbounded-frame scale-killer the r7 rewrites
+    removed."""
+    import re
+    lines = plan_str(df, "simple").splitlines()
+
+    def indent(ln: str) -> int:
+        m = re.search(r"[A-Za-z*]", ln)
+        return m.start() if m else len(ln)
+
+    out = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        ind = indent(ln)
+        for j in range(i - 1, -1, -1):
+            if lines[j].strip() and indent(lines[j]) < ind:
+                out.append(lines[j].strip())
+                break
+    return out
+
+
+def assert_single_partition_only_under_scalar_agg(df):
+    bad = [p for p in single_partition_parents(df)
+           if "Aggregate" not in p]
+    assert not bad, f"SinglePartition exchange feeding {bad}"
+
+
+def test_revenue_concentration_topk_not_global_window(spark, sf_smoke):
+    """X110 (r7 fix): the top-100 selection is TakeOrderedAndProject
+    over the customer frame; the rank window runs only over the 100
+    survivors under a non-foldable constant partition key.  The only
+    SinglePartition exchange left is the 1-row total-revenue scalar
+    agg's final pass."""
+    from samplebatchprocessing_spark.queries.relational import (
+        x110_revenue_concentration)
+    df = x110_revenue_concentration(spark, sf_smoke)
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert_single_partition_only_under_scalar_agg(df)
+
+
+def test_collocations_topk_not_global_window(spark, sf_smoke):
+    """X102 (r7 fix): the top-20 over the unbounded bigram-pair frame
+    is TakeOrderedAndProject; the rank window sees only 20 rows.  The
+    only SinglePartition exchange left is the corpus-token-total
+    scalar agg's final pass."""
+    from samplebatchprocessing_spark.queries.llm import x102_collocations
+    df = x102_collocations(spark, sf_smoke)
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert_single_partition_only_under_scalar_agg(df)
+
+
+def test_market_basket_topk_not_global_window(spark, sf_smoke):
+    """X96 (r7 fix): the top-10 over the part-pair frame is
+    TakeOrderedAndProject, the 10 winners broadcast back onto the
+    frequency dim — no single-partition exchange at all, no
+    cartesian."""
+    from samplebatchprocessing_spark.queries.analytics import (
+        x96_market_basket)
+    df = x96_market_basket(spark, sf_smoke)
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_codes_broadcast_boundaries_no_window(spark, sf_smoke):
+    """X97 (r7 fix): quintile codes come from broadcast percentile
+    boundaries + comparison counts (the X31 idiom) — no window
+    operator at all; the only SinglePartition exchange is the 1-row
+    boundary agg's final pass."""
+    from samplebatchprocessing_spark.queries.analytics import x97_rfm
+    df = x97_rfm(spark, sf_smoke)
+    assert "Window" not in plan_str(df, "simple")
+    assert_single_partition_only_under_scalar_agg(df)
