@@ -57,7 +57,9 @@ def bounded_part(col: Column | str) -> Column:
     they would mask real single-partition regressions (r6 verdict
     item 6)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.pmod(c.cast("long"), F.lit(1))
+    # coalesce: a NULL key must not split the frame into a second
+    # (null-keyed) partition — that would restart row_numbers.
+    return F.coalesce(F.pmod(c.cast("long"), F.lit(1)), F.lit(0))
 
 
 def r6(col: Column, alias: str | None = None) -> Column:

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..exprs import bounded_part
+
 from .clustering import QUANT_SCALE, quantize_vec
 
 U_SCALE = 1 << 20    # fixed-point unit for the iterated vector
@@ -106,7 +108,10 @@ def power_iteration_top5(emb: DataFrame, iters: int = 3,
     ray = (ugu.crossJoin(uu)
            .select(F.expr(_fdiv("ugu * 1000", "uu"))
                    .cast("long").alias("rayleigh_x1000")))
-    wnd = W.orderBy(F.abs(F.col("val")).desc(), F.col("j"))
+    # frame = dim rows (64); r7 bounded_part silences the bench-tail
+    # WindowExec warnings that masked real single-partition regressions
+    wnd = (W.partitionBy(bounded_part("j"))
+           .orderBy(F.abs(F.col("val")).desc(), F.col("j")))
     top = (u.withColumn("rank", F.row_number().over(wnd))
            .filter(F.col("rank") <= 5))
     return (top.crossJoin(F.broadcast(ray))

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..exprs import bounded_part
+
 # Deterministic per-language marker vocabularies for the heuristic
 # language-ID scorer.  Tiny on purpose: broadcastable as literals
 # into the plan (no join needed at any scale).
@@ -332,7 +334,9 @@ def vocab_coverage(df: DataFrame, vocab_size: int = 100,
     toks = df.select(id_col,
                      F.explode(tokenize(F.col(text_col))).alias("token"))
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    wv = W.orderBy(F.col("n").desc(), "token")
+    # vocabulary-sized frame (bounded by design); r7 bounded_part
+    wv = (W.partitionBy(bounded_part("n"))
+          .orderBy(F.col("n").desc(), "token"))
     vocab = (counts.withColumn("_r", F.row_number().over(wv))
              .filter(F.col("_r") <= vocab_size)
              .select("token", F.lit(1).alias("in_vocab")))
@@ -427,7 +431,9 @@ def bigram_model_frames(df: DataFrame, vocab_size: int = 100,
                   F.posexplode(tokenize(F.col(text_col)))
                   .alias("pos", "token"))
     counts = e.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    wv = W.orderBy(F.col("n").desc(), "token")
+    # vocabulary-sized frame (bounded by design); r7 bounded_part
+    wv = (W.partitionBy(bounded_part("n"))
+          .orderBy(F.col("n").desc(), "token"))
     vocab = (counts.withColumn("_r", F.row_number().over(wv))
              .filter(F.col("_r") <= vocab_size)
              .select("token", F.lit(True).alias("in_vocab")))

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..exprs import r6
+from ..exprs import bounded_part, r6
 from ..operators.eventflow import (cohort_retention, conversion_lags,
                                    funnel_stages, peak_concurrency)
 from ..operators.graph import pagerank_fixedpoint
@@ -1268,7 +1268,11 @@ def x80_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (per.groupBy("lag_h")
          .agg(F.sum("converted").alias("n_events"),
               F.sum(1 - F.col("converted")).alias("n_censored")))
-    wdesc = (W.orderBy(F.col("lag_h").desc())
+    # frame = distinct lag-hours (bounded by corpus time range);
+    # bounded_part keeps the bounded window off the no-partition
+    # WindowExec warning path (r7)
+    wdesc = (W.partitionBy(bounded_part("lag_h"))
+             .orderBy(F.col("lag_h").desc())
              .rowsBetween(W.unboundedPreceding, W.currentRow))
     return (g.withColumn(
         "n_at_risk",
@@ -1340,7 +1344,8 @@ def x83_waterfill_allocation(spark: SparkSession,
     tot = cap.agg(F.sum("cap").alias("T"),
                   F.count(F.lit(1)).alias("n"))
     b = tot.select(F.expr("T div 2").alias("B"), "n")
-    wr = W.orderBy("cap", "source")
+    # frame = one row per source (bounded vocabulary); r7 bounded_part
+    wr = W.partitionBy(bounded_part("cap")).orderBy("cap", "source")
     ranked = (cap.withColumn("k", F.row_number().over(wr))
               .withColumn("cum", F.sum("cap").over(
                   wr.rowsBetween(W.unboundedPreceding,
@@ -1760,7 +1765,9 @@ def x95_trigram_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("t1").isNotNull()))
     counts = tri.groupBy("t1", "t2", "t3").agg(
         F.count(F.lit(1)).alias("n"))
-    wr = W.orderBy(F.col("n").desc(), "t1", "t2", "t3")
+    # frame = event-type trigram vocabulary (bounded); r7 bounded_part
+    wr = (W.partitionBy(bounded_part("n"))
+          .orderBy(F.col("n").desc(), "t1", "t2", "t3"))
     return (counts.withColumn("rank", F.row_number().over(wr))
             .filter(F.col("rank") <= 10)
             .select("rank", "t1", "t2", "t3", "n"))

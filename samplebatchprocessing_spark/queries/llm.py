@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..exprs import sql_davg
+from ..exprs import bounded_part, sql_davg
 from ..operators import curation, dedup, similarity, text
 from ..operators.text import token_set_sql, tokenize_sql
 
@@ -1286,7 +1286,9 @@ def x33_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = text.token_counts(doc).select("token", "n_occurrences")
     top = (counts.orderBy(F.col("n_occurrences").desc(), "token")
            .limit(_ZIPF_K))
-    w = W.orderBy(F.col("n_occurrences").desc(), "token")
+    # frame = the top-100 rows only (post-limit); r7 bounded_part
+    w = (W.partitionBy(bounded_part("n_occurrences"))
+         .orderBy(F.col("n_occurrences").desc(), "token"))
     ranked = top.select(F.row_number().over(w).alias("rank"),
                         "n_occurrences")
     x = F.round(F.ln(F.col("rank")), 6).cast("decimal(10,6)")

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table
-from ..exprs import sql_dsum, dsum
+from ..exprs import bounded_part, sql_dsum, dsum
 
 _WORK = "/tmp/sbp_work"
 
@@ -661,7 +661,9 @@ def t5_range_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.min("o_totalprice").alias("mn"),
                   F.max("o_totalprice").alias("mx"),
                   F.count(F.lit(1)).alias("c")))
-    w = W.orderBy("mn", "f")      # files-sized frame: global window OK
+    # files-sized frame (bounded); r7 bounded_part keeps it off the
+    # no-partition WindowExec warning path
+    w = W.partitionBy(bounded_part("c")).orderBy("mn", "f")
     chk = (stats.withColumn("prev_mx", F.lag("mx").over(w))
            .agg(F.count(F.lit(1)).alias("n_files"),
                 F.min(F.coalesce(F.col("prev_mx") <= F.col("mn"),
