@@ -30,7 +30,8 @@ def asof_join(left: DataFrame, right: DataFrame, *,
               left_by: str, right_by: str,
               right_cols: list[str],
               strict: bool = False,
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              tiebreak: str | None = None) -> DataFrame:
     """For each left row, attach ``right_cols`` from the matched
     right row within the same key group; nulls when no such row
     (left-outer semantics, like DuckDB ``ASOF LEFT JOIN``).
@@ -39,7 +40,14 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     ``left_ts`` (strictly < when ``strict``).  direction="forward":
     smallest ``right_ts`` >= ``left_ts`` (strictly > when
     ``strict``) — the same single-shuffle carry, just run over the
-    DESCENDING time order, so cost is identical."""
+    DESCENDING time order, so cost is identical.
+
+    ``tiebreak``: name of a column in ``right_cols`` that totals the
+    order among several right rows sharing the SAME match timestamp
+    — the row with the smallest ``tiebreak`` value wins.  Without
+    it, equal-ts right rows make the carried payload engine/
+    partition-order dependent (the (ts, event_id) total-order
+    discipline used elsewhere in the repo)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction: {direction}")
     # At equal ts a non-strict match admits the right row -> sort it
@@ -69,8 +77,14 @@ def asof_join(left: DataFrame, right: DataFrame, *,
 
     ts_order = (F.col(_TS).asc() if direction == "backward"
                 else F.col(_TS).desc())
+    order = [ts_order, F.col(_SIDE).asc()]
+    if tiebreak is not None:
+        if tiebreak not in right_cols:
+            raise ValueError(f"tiebreak {tiebreak} not in right_cols")
+        # carry-last wins, so DESC makes the smallest value the match
+        order.append(F.col(tiebreak).desc())
     w = (W.partitionBy(_KEY)
-         .orderBy(ts_order, F.col(_SIDE).asc())
+         .orderBy(*order)
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     carried = unioned
     for c in right_cols:
@@ -110,6 +124,12 @@ def multi_asof_join(left: DataFrame, rights: list, *,
         for c in r["cols"]:
             if c in all_payload:
                 raise ValueError(f"duplicate payload column {c}")
+            if c in left.columns or c in (_KEY, _TS, _SIDE):
+                # lt.withColumn(c, lit(None)) below would silently
+                # overwrite the left column with NULL
+                raise ValueError(
+                    f"payload column {c} collides with a left/"
+                    f"internal column")
             all_payload.append(c)
             rtypes[c] = dict(r["df"].dtypes)[c]
 

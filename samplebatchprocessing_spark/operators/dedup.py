@@ -725,6 +725,7 @@ def cc_two_phase(pairs: DataFrame, *, id_a: str = "doc_a",
         return _sym(out.select(F.col("a").alias("u"),
                                F.col("b").alias("v")))
 
+    delta = 0
     for _ in range(max_iter):
         new_e = small_star(large_star(edges))
         new_e = new_e.localCheckpoint(eager=True)
@@ -733,6 +734,14 @@ def cc_two_phase(pairs: DataFrame, *, id_a: str = "doc_a",
         edges = new_e
         if delta == 0:
             break
+    if delta != 0:
+        # roots from a non-converged edge set would be silently wrong
+        # cluster_ids; the alternating rounds converge in O(log
+        # component size), so hitting this means max_iter was set far
+        # too low for the graph, not a transient condition.
+        raise RuntimeError(
+            f"cc_two_phase did not converge in {max_iter} rounds "
+            f"(last round still changed {delta} edges)")
     roots = (edges.groupBy("u")
              .agg(F.least(F.min("v"), F.col("u")).alias("root")))
     return (nodes.join(roots, nodes.n == roots.u, "left")

@@ -1978,6 +1978,11 @@ def x105_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("inertia").cast("long").alias("inertia"))
                .select(F.lit(k).alias("k"), "n_points", "inertia"))
         out = rep if out is None else out.unionByName(rep)
+    # eager checkpoint of the 3-row report: deriving the k=2 anchor
+    # from `out` lazily would re-execute the k=2 assignment subtree
+    # (one extra corpus scan) — the x65/x92 multiply-referenced-
+    # subtree discipline
+    out = out.localCheckpoint(eager=True)
     anchor = out.filter(F.col("k") == 2).select(
         F.col("inertia").alias("anchor"))
     return (out.crossJoin(F.broadcast(anchor))

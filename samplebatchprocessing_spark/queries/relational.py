@@ -852,14 +852,14 @@ def j14_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
                    left_ts="ts", right_ts="c_ts",
                    left_by="user_id", right_by="c_user_id",
                    right_cols=["click_id", "c_ts"],
-                   direction="backward").select(
+                   direction="backward", tiebreak="click_id").select(
         "event_id", "user_id", "ts",
         F.col("click_id").alias("bk_id"), F.col("c_ts").alias("bk_ts"))
     fw = asof_join(purchases, clicks,
                    left_ts="ts", right_ts="c_ts",
                    left_by="user_id", right_by="c_user_id",
                    right_cols=["click_id", "c_ts"],
-                   direction="forward").select(
+                   direction="forward", tiebreak="click_id").select(
         F.col("event_id").alias("f_event_id"),
         F.col("click_id").alias("fw_id"), F.col("c_ts").alias("fw_ts"))
     j = bk.join(fw, bk.event_id == fw.f_event_id).drop("f_event_id")
@@ -887,7 +887,7 @@ j AS (SELECT p.event_id, p.user_id, c.click_id,
       FROM p JOIN c ON p.user_id = c.user_id),
 n AS (SELECT * FROM j
       QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id
-                                 ORDER BY ABS(dt), dt) = 1)
+                                 ORDER BY ABS(dt), dt, click_id) = 1)
 SELECT p.event_id, p.user_id, n.click_id AS nearest_click_id,
        n.dt AS dt_us,
        CASE WHEN n.dt IS NULL THEN NULL

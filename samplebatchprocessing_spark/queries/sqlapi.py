@@ -1162,8 +1162,8 @@ def v28_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(V28_SQL)
 
 
-def _snapshot_materialize(spark: SparkSession,
-                          sf_dir: str) -> dict[int, list]:
+def _snapshot_materialize(spark: SparkSession, sf_dir: str,
+                          name: str = "m8_tt") -> dict[int, list]:
     """Shared M8/M10 snapshot store: orders bucketed by
     ``o_orderkey % 8`` as snapshot 1; the upsert (every 100th order
     re-priced x2, status 'U') rewrites only the buckets containing
@@ -1172,7 +1172,7 @@ def _snapshot_materialize(spark: SparkSession,
     manifest JSON alongside the data."""
     import json
     from .sources import _work_dir
-    out = _work_dir(sf_dir, "m8_tt")
+    out = _work_dir(sf_dir, name)
     ord_ = (load_table(spark, sf_dir, "orders")
             .select("o_orderkey", "o_orderstatus", "o_totalprice",
                     (F.col("o_orderkey") % 8).alias("bkt")))
@@ -1276,7 +1276,9 @@ def m10_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a data scan; this is why table formats can expire petabytes
     of history in seconds."""
     import shutil
-    manifests = _snapshot_materialize(spark, sf_dir)
+    # own work dir (m10_tt): m8_time_travel reads m8_tt through its
+    # manifests lazily — vacuuming under the same dir would race it
+    manifests = _snapshot_materialize(spark, sf_dir, name="m10_tt")
     live = set(manifests[2])
     removable = [p for p in manifests[1] if p not in live]
     for p in removable:

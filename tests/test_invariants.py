@@ -902,3 +902,47 @@ def test_cc_two_phase_matches_label_propagation(spark, sf_smoke):
     out = dedup.cc_two_phase(path, max_iter=12).collect()
     assert len(out) == 201
     assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_cc_two_phase_raises_on_nonconvergence(spark):
+    """r7 (ADVICE): exhausting max_iter without reaching the edge-set
+    fixpoint must raise, never silently label from a non-converged
+    edge set."""
+    import pytest
+    from samplebatchprocessing_spark.operators import dedup
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.cc_two_phase(path, max_iter=1)
+
+
+def test_multi_asof_rejects_left_column_collision(spark):
+    """r7 (ADVICE): a right payload column whose name collides with a
+    left column must be rejected — the union scaffolding would
+    silently NULL the left column otherwise."""
+    import pytest
+    from samplebatchprocessing_spark.operators.asof import multi_asof_join
+    left = spark.createDataFrame(
+        [(1, 10, 5)], "k long, ts long, price long")
+    right = spark.createDataFrame(
+        [(1, 9, 7)], "k long, ts long, price long")
+    with pytest.raises(ValueError, match="collides"):
+        multi_asof_join(left,
+                        [{"df": right, "ts": "ts", "by": "k",
+                          "cols": ["price"]}],
+                        left_ts="ts", left_by="k")
+
+
+def test_asof_tiebreak_picks_smallest_id(spark):
+    """r7 (ADVICE, J14): two right rows at the identical match ts —
+    the tiebreak column must decide (smallest wins), not partition
+    order."""
+    from samplebatchprocessing_spark.operators.asof import asof_join
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 90, 7), (1, 90, 3), (1, 90, 5)],
+        "k long, rts long, rid long")
+    out = asof_join(left, right, left_ts="ts", right_ts="rts",
+                    left_by="k", right_by="k", right_cols=["rid"],
+                    tiebreak="rid").collect()
+    assert [r["rid"] for r in out] == [3]
