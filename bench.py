@@ -47,6 +47,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "x88_hard_negatives",    # different-label cosine top-k miner (round 6)
     "x92_dominant_direction",  # power-iteration PCA-1 over the Gram (round 6)
     "m9_skipping_report",    # two layout writes + per-file min/max stats (round 6)
+    "x103_prefix_filter_join",  # lossless AllPairs/PPJoin dedup path (round 7)
+    "j15_multi_asof",        # one-shuffle multi-table as-of read (round 7)
 )
 
 

@@ -33,46 +33,45 @@ Entry = tuple[SparkFn, str | None]
 # 50 names, all present in the registry, all 11 §2B families covered —
 # is locked by tests/test_registry_order.py.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r6 ROTATION (VERDICT r5 #3): overlap with the r5 window is held
-    # to 7 entries — exactly the rows that were red or unchecked there
-    # (the 6 HUGEINT-twin hash fails p2/p4/d6/l10/x47/x48 plus the
-    # newly oracle-paired s8) so the driver re-certifies the fixes —
-    # and every other slot is a yet-unsampled entry so evidence
-    # accrues across rounds.  tests/test_registry_order.py locks the
-    # overlap bound, the 50-name shape, and the family anchors.
+    # r7 ROTATION (VERDICT r6 #2): the r6 gate went 50/50 green, so
+    # nothing needs re-certification — every slot is a never-sampled
+    # entry (overlap with the r6 window: 0; with r5: 0), except the Q
+    # anchor (q2_cast, last sampled r4) because every Q entry already
+    # has driver evidence.  Priorities: the four r7 single-partition
+    # rewrites (x110/x102/x96/x97) so the fixes get driver
+    # re-certification in-round, every entry whose plan r7 touched
+    # (j14/j15 tiebreak, x104 convergence guard, x105 checkpoint,
+    # m8/m10 work-dir split, the bounded_part sweep: x33/x80/x83/
+    # x95/x17/x42), then the post-window r6 rows the verdict
+    # enumerated.  tests/test_registry_order.py locks the overlap
+    # bound, the 50-name shape, and the family anchors.
     #
-    # one anchor per §2B family: P Q J A W T U F S D L (rotated to
-    # previously-unsampled representatives where the family allows)
-    "p2_csv_roundtrip", "q5_nested_pruning", "j2_full_outer",
-    "a15_grouping_sets", "w7_distribution_ranks",
-    "t5_range_sorted_layout", "u2_intersect", "f9_bitwise",
-    "s8_foreach_batch_sink", "d6_udaf_grouped", "l10_lang_stats",
-    # the other four r5-red re-certifications + fresh family depth
-    "p4_json_roundtrip", "x47_kmeans_clusters", "x48_cluster_safe_split",
-    "p9_orc_roundtrip", "d7_udtf_table_arg", "s9_custom_stateful",
-    "l5_ngram_lsh",
-    # the 20 remaining HUGEINT-latent twins the r5 judge enumerated —
-    # all carried the same uncast-SUM defect, all cast in r6; a green
-    # row here is the driver's own proof the sweep landed
-    "x37_join_skew_report", "x40_mixture_budget", "x43_semantic_dedup",
-    "x46_bpe_encode", "x50_gopher_quality", "x51_shard_pack",
-    "x52_domain_stats", "x53_cluster_balanced_sample",
-    "x55_decontaminate", "x56_dedup_threshold_curve",
-    "x57_embedding_outliers", "x62_c4_filters", "x79_transition_matrix",
-    "x6_train_split", "x9_corpus_curation", "p15_text_roundtrip",
-    "s12_stream_weighted_sample", "s16_stream_quality_gate",
-    "s17_stream_decontaminate", "v25_tpch_q12_shape",
-    # yet-unsampled breadth: streaming join, SQL surface, TPC-H,
-    # maintenance, and the r6 flagships (power-iteration PCA-1, the
-    # lossless PPJoin similarity join, the composed RAG pipeline) so
-    # the round's widest new operators carry driver evidence in the
-    # round they landed
-    "s10_stream_stream_join",
-    "x92_dominant_direction", "x98_rag_pipeline",
-    "x103_prefix_filter_join",
-    "v6_cte", "v29_recursive_cte", "v9_tpch_q5", "v23_tpch_q6",
-    "m2_scd2", "m3_salted_join", "m6_incremental_mv",
-    "m7_zorder_layout",
+    # one anchor per §2B family: P Q J A W T U F S D L
+    "p13_corrupt_csv", "q2_cast", "j14_asof_nearest",
+    "a16_conditional_aggs", "w10_interval_frames", "t6_pagination",
+    "u4_union_by_name", "f10_regex", "s11_stream_static_join",
+    "d9_map_in_arrow", "l12_embedding_neardup",
+    # the four r7 global-window rewrites
+    "x110_revenue_concentration", "x102_collocations",
+    "x96_market_basket", "x97_rfm",
+    # entries whose code r7 touched (advice fixes + bounded_part)
+    "j15_multi_asof", "x104_cc_twophase", "x105_kmeans_elbow",
+    "m8_time_travel", "m10_vacuum", "x33_zipf_fit",
+    "x80_survival_table", "x83_waterfill_allocation",
+    "x17_vocab_coverage", "x42_bigram_perplexity",
+    "x95_trigram_journeys",
+    # post-window r6 rows (VERDICT r6 #2 enumeration)
+    "x111_fulfillment_lag", "v30_tpch_refresh", "m11_codec_report",
+    "x85_attribution", "x86_seasonal_outliers", "x88_hard_negatives",
+    "x89_tokenizer_fertility", "x90_padding_waste",
+    "x91_source_keywords", "x93_winsorize", "x94_path_pattern",
+    "x99_ngram_novelty", "x100_datasheet_cube", "x101_semdedup_eval",
+    "x106_quality_dedup_interaction", "x107_crawl_stitch",
+    "x108_lsh_parameter_sweep", "mm6_interleaved_assembly",
+    "s22_stream_seasonal_gate",
+    # never-sampled family depth
+    "w9_running_distinct", "a17_mode", "j8b_asof_forward",
+    "d8_arrow_udf", "l6_simhash",
 )
 
 

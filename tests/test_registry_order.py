@@ -94,16 +94,44 @@ R5_WINDOW = frozenset({
 })
 
 
-def test_window_rotation_bounds_overlap_with_r5():
-    overlap = R5_WINDOW & set(DRIVER_WINDOW)
-    assert len(overlap) <= 15, sorted(overlap)
-    # the overlap must be exactly the re-certification set: rows the
-    # r5 driver gate marked red (HUGEINT twins) or unchecked (s8)
-    assert overlap == {
-        "p2_csv_roundtrip", "p4_json_roundtrip", "d6_udaf_grouped",
-        "l10_lang_stats", "x47_kmeans_clusters",
-        "x48_cluster_safe_split", "s8_foreach_batch_sink",
-    }
+# The r6 driver window, frozen (went 50/50 green in CORRECTNESS_r06).
+R6_WINDOW = frozenset({
+    "p2_csv_roundtrip", "q5_nested_pruning", "j2_full_outer",
+    "a15_grouping_sets", "w7_distribution_ranks",
+    "t5_range_sorted_layout", "u2_intersect", "f9_bitwise",
+    "s8_foreach_batch_sink", "d6_udaf_grouped", "l10_lang_stats",
+    "p4_json_roundtrip", "x47_kmeans_clusters", "x48_cluster_safe_split",
+    "p9_orc_roundtrip", "d7_udtf_table_arg", "s9_custom_stateful",
+    "l5_ngram_lsh", "x37_join_skew_report", "x40_mixture_budget",
+    "x43_semantic_dedup", "x46_bpe_encode", "x50_gopher_quality",
+    "x51_shard_pack", "x52_domain_stats", "x53_cluster_balanced_sample",
+    "x55_decontaminate", "x56_dedup_threshold_curve",
+    "x57_embedding_outliers", "x62_c4_filters", "x79_transition_matrix",
+    "x6_train_split", "x9_corpus_curation", "p15_text_roundtrip",
+    "s12_stream_weighted_sample", "s16_stream_quality_gate",
+    "s17_stream_decontaminate", "v25_tpch_q12_shape",
+    "s10_stream_stream_join", "x92_dominant_direction",
+    "x98_rag_pipeline", "x103_prefix_filter_join", "v6_cte",
+    "v29_recursive_cte", "v9_tpch_q5", "v23_tpch_q6", "m2_scd2",
+    "m3_salted_join", "m6_incremental_mv", "m7_zorder_layout",
+})
+
+
+def test_window_rotation_bounds_overlap_with_prior_rounds():
+    """Rotation policy (VERDICT r5 #3 / r6 #2): round-over-round
+    overlap <= 15 so the registry tail accrues driver evidence.  r6
+    went 50/50 green, so the r7 window re-certifies nothing — overlap
+    with both frozen prior windows is exactly zero."""
+    assert not R6_WINDOW & set(DRIVER_WINDOW)
+    assert not R5_WINDOW & set(DRIVER_WINDOW)
+
+
+def test_window_contains_the_r7_rewrites():
+    """The four r7 single-partition rewrites must carry driver
+    evidence in the round they landed (VERDICT r6 #2)."""
+    for n in ("x110_revenue_concentration", "x102_collocations",
+              "x96_market_basket", "x97_rfm"):
+        assert n in DRIVER_WINDOW, n
 
 
 def test_readme_counts_match_registry(reg):
