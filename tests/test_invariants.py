@@ -946,3 +946,20 @@ def test_asof_tiebreak_picks_smallest_id(spark):
                     left_by="k", right_by="k", right_cols=["rid"],
                     tiebreak="rid").collect()
     assert [r["rid"] for r in out] == [3]
+
+
+def test_lsh_default_bands_derived_and_certified(spark, sf_smoke):
+    """r7 (VERDICT r6 stretch #8): L6's default band config is no
+    longer a free literal — it is the smallest band count whose
+    theoretical s-curve recall at jaccard 0.8 clears 0.95, and the
+    X108 sweep's measured recall for that same config must clear the
+    same bound on the fixture corpus (the default and the tuning
+    table are one artifact)."""
+    from samplebatchprocessing_spark.operators.dedup import (
+        N_BANDS, N_HASHES, choose_bands)
+    assert N_BANDS == choose_bands(N_HASHES, 0.8, 0.95) == 8
+    from samplebatchprocessing_spark.queries.llm import (
+        x108_lsh_parameter_sweep)
+    rows = {r["bands"]: r for r in
+            x108_lsh_parameter_sweep(spark, sf_smoke).collect()}
+    assert rows[N_BANDS]["recall_meets_bound"] is True
