@@ -204,10 +204,38 @@ def prefix_filter_pairs(df: DataFrame, threshold_num: int = 4,
     RAREST tokens, prefix-token buckets are small by construction —
     the published reason this plan beats banding on skewed corpora.
     One vocabulary shuffle, one prefix-key equi-join, one verify
-    join back to the set frame."""
+    join back to the set frame.  The set frame and the exploded
+    prefix frame each feed 2-3 downstream branches, so both are
+    staged (the x65/x92 shared-subtree discipline — unstaged, the
+    whole tokenize->order->slice tree re-executes per branch: 74 s
+    -> ~25 s at sf0.1, measured r7).
+
+    Two further LOSSLESS prunes on top of the prefix pigeonhole:
+    - PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2): a shared
+      prefix token at (1-based) sorted positions (i, j) bounds the
+      overlap by ``1 + min(m_a - i, m_b - j)``; a qualifying pair's
+      FIRST shared token (which the prefix property guarantees sits
+      inside both prefixes) always passes the bound, so filtering
+      candidate-generating rows on it loses nothing while dropping
+      deep-position-only collisions before the distinct.
+    - CLOSED-VOCAB mask verify: when the corpus vocabulary fits in
+      63 tokens (probed, same guard as :func:`jaccard_pairs`), the
+      exact verify runs on 64-bit bitmask AND + popcount instead of
+      joining token arrays — identical integers, 8-byte shuffle
+      payloads.  Mask bits are assigned in the SAME rarest-first
+      (df, token) total order the prefixes use, so the lowest set
+      bit of ``mask_a & mask_b`` names each pair's FIRST shared
+      token; keeping only the candidate row generated BY that token
+      (PPJoin's first-occurrence dedup, here as a row-local bit
+      trick) emits every qualifying pair exactly once — no
+      ``distinct()`` shuffle at all, and the verify runs inline in
+      the join stage.  Open-vocab corpora take the array_intersect
+      path with an explicit pair distinct."""
     from .text import token_set
-    base = df.select(id_col, token_set(F.col(text_col)).alias("toks"))
-    base = base.filter(F.size("toks") > 0)
+    n, d = threshold_num, threshold_den
+    base = _stage_sets(
+        df.select(id_col, token_set(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") > 0))
     toks = base.select(id_col, F.explode("toks").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ndf"))
     ordered = (toks.join(dfreq, "tok")
@@ -218,39 +246,88 @@ def prefix_filter_pairs(df: DataFrame, threshold_num: int = 4,
     # prefix_len = m - ceil(t*m) + 1, with ceil(num*m/den) in exact
     # integer form
     plen = F.expr(
-        f"size(st) - ((({threshold_num} * size(st))"
-        f" + {threshold_den} - 1) div {threshold_den}) + 1")
+        f"size(st) - ((({n} * size(st))"
+        f" + {d} - 1) div {d}) + 1")
     prefix = (ordered.select(F.col(id_col).alias("pid"),
                              F.size("st").alias("m"),
-                             F.explode(F.slice("st", 1, plen))
-                             .alias("ptok")))
+                             F.posexplode(F.slice("st", 1, plen))
+                             .alias("pos0", "ptok"))
+              .select("pid", "m", (F.col("pos0") + 1).alias("pos"),
+                      "ptok")
+              .localCheckpoint(eager=True))
     # LENGTH filter (the AllPairs companion prune, also lossless):
     # Jaccard >= num/den forces num*max(m_a,m_b) <= den*min(m_a,m_b),
     # so cross-length candidates die inside the join condition before
-    # the verify pays for them
-    cand = (prefix.alias("a")
-            .join(prefix.alias("b"),
-                  (F.col("a.ptok") == F.col("b.ptok"))
-                  & (F.col("a.pid") < F.col("b.pid"))
-                  & (threshold_num * F.col("b.m")
-                     <= threshold_den * F.col("a.m"))
-                  & (threshold_num * F.col("a.m")
-                     <= threshold_den * F.col("b.m")))
-            .select(F.col("a.pid").alias("doc_a"),
-                    F.col("b.pid").alias("doc_b"))
-            .distinct())
-    sa = base.select(F.col(id_col).alias("doc_a"),
-                     F.col("toks").alias("ta"))
-    sb = base.select(F.col(id_col).alias("doc_b"),
-                     F.col("toks").alias("tb"))
-    ver = (cand.join(sa, "doc_a").join(sb, "doc_b")
-           .select("doc_a", "doc_b",
-                   F.size(F.array_intersect("ta", "tb")).alias("inter"),
-                   (F.size("ta") + F.size("tb")
-                    - F.size(F.array_intersect("ta", "tb")))
-                   .alias("uni")))
-    return ver.filter(
-        threshold_den * F.col("inter") >= threshold_num * F.col("uni"))
+    # the verify pays for them.  Positional filter: qualifying needs
+    # (n+d)*inter >= n*(m_a+m_b); this row's overlap upper bound is
+    # 1 + min(m_a - pos_a, m_b - pos_b).
+    ubound = 1 + F.least(F.col("a.m") - F.col("a.pos"),
+                         F.col("b.m") - F.col("b.pos"))
+    join_cond = ((F.col("a.ptok") == F.col("b.ptok"))
+                 & (F.col("a.pid") < F.col("b.pid"))
+                 & (n * F.col("b.m") <= d * F.col("a.m"))
+                 & (n * F.col("a.m") <= d * F.col("b.m"))
+                 & ((n + d) * ubound
+                    >= n * (F.col("a.m") + F.col("b.m"))))
+    # Closed-vocab probe off the (already tiny, already aggregated)
+    # document-frequency frame, in the prefixes' own rarest-first
+    # (ndf, tok) order; < 64 not <= 64 — bit index 63 would need
+    # 1 << 63, past the signed JVM long (same guard as the
+    # jaccard_pairs dispatch above).
+    vocab = [r["tok"] for r in dfreq.select("tok", "ndf")
+             .orderBy("ndf", "tok").limit(65).collect()]
+    if len(vocab) < 64:
+        kv = []
+        for i, tk in enumerate(vocab):
+            kv += [F.lit(tk), F.lit(1 << i).cast("long")]
+        token_bit = F.create_map(*kv)
+        mask = F.aggregate(
+            F.col("toks"), F.lit(0).cast("long"),
+            lambda acc, tk: acc.bitwiseOR(F.element_at(token_bit, tk)))
+        masked = base.select(id_col, mask.alias("mask"),
+                             F.size("toks").alias("sz"))
+        sa = masked.select(F.col(id_col).alias("doc_a"),
+                           F.col("mask").alias("mask_a"),
+                           F.col("sz").alias("sz_a"))
+        sb = masked.select(F.col(id_col).alias("doc_b"),
+                           F.col("mask").alias("mask_b"),
+                           F.col("sz").alias("sz_b"))
+        raw = (prefix.alias("a").join(prefix.alias("b"), join_cond)
+               .select(F.col("a.pid").alias("doc_a"),
+                       F.col("b.pid").alias("doc_b"),
+                       F.col("a.ptok").alias("ptok"))
+               .join(sa, "doc_a").join(sb, "doc_b")
+               .withColumn("shared", F.col("mask_a")
+                           .bitwiseAND(F.col("mask_b"))))
+        # One surviving row per pair: this row's generating token is
+        # the pair's first shared token (lowest set bit, rarest-first
+        # bit order) — a qualifying pair's first shared token is
+        # always inside both prefixes (the pigeonhole token bounds
+        # its position), so exactly one row survives per true pair.
+        first_shared = F.col("shared").bitwiseAND(-F.col("shared"))
+        inter = F.bit_count("shared").cast("int")
+        ver = (raw.filter(F.element_at(token_bit, F.col("ptok"))
+                          == first_shared)
+               .select("doc_a", "doc_b", inter.alias("inter"),
+                       (F.col("sz_a") + F.col("sz_b") - inter)
+                       .cast("int").alias("uni")))
+    else:
+        cand = (prefix.alias("a").join(prefix.alias("b"), join_cond)
+                .select(F.col("a.pid").alias("doc_a"),
+                        F.col("b.pid").alias("doc_b"))
+                .distinct())
+        sa = base.select(F.col(id_col).alias("doc_a"),
+                         F.col("toks").alias("ta"))
+        sb = base.select(F.col(id_col).alias("doc_b"),
+                         F.col("toks").alias("tb"))
+        ver = (cand.join(sa, "doc_a").join(sb, "doc_b")
+               .select("doc_a", "doc_b",
+                       F.size(F.array_intersect("ta", "tb"))
+                       .alias("inter"),
+                       (F.size("ta") + F.size("tb")
+                        - F.size(F.array_intersect("ta", "tb")))
+                       .alias("uni")))
+    return ver.filter(d * F.col("inter") >= n * F.col("uni"))
 
 
 def prefix_filter_pairs_sql(threshold_num: int = 4,
