@@ -879,6 +879,42 @@ def test_prefix_filter_join_has_zero_recall_loss(spark, sf_smoke):
     assert truth, "fixture should contain qualifying pairs"
 
 
+def test_prefix_filter_open_vocab_array_path_lossless(spark):
+    """The fixture corpus has a 31-token vocabulary, so every
+    fixture-driven x103 run takes the closed-vocab popcount branch —
+    the open-vocab (>= 64 tokens) distinct + array_intersect branch
+    would otherwise ship untested.  Synthetic 80-token vocabulary:
+    the operator must dispatch to the array path (plan shows
+    array_intersect, no bit_count) and still equal driver-side
+    brute-force truth exactly."""
+    import itertools
+    from samplebatchprocessing_spark.operators.dedup import (
+        prefix_filter_pairs)
+    toks = [f"tk{i:02d}" for i in range(80)]
+    # overlapping sliding windows of 10 tokens -> adjacent docs share
+    # 9/11 = 0.818 >= 4/5; stride-2 neighbours share 8/12 < 4/5
+    rows = [(i, " ".join(toks[i:i + 10])) for i in range(70)]
+    rows += [(200, " ".join(toks[:10])), (201, " ".join(toks[:10]))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prefix_filter_pairs(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "array_intersect" in plan, "expected open-vocab array path"
+    assert "bit_count" not in plan, "mask path must not fire at 80 tokens"
+    got = {(r["doc_a"], r["doc_b"]): (r["inter"], r["uni"])
+           for r in out.collect()}
+    sets = {i: set(t.split()) for i, t in rows}
+    truth = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if 5 * inter >= 4 * uni:
+            truth[(a, b)] = (inter, uni)
+    assert got == truth
+    assert (200, 201) in truth and truth[(200, 201)] == (10, 10)
+    assert any(v != (10, 10) for v in truth.values()), \
+        "fixture should contain non-identical qualifying pairs"
+
+
 def test_cc_two_phase_matches_label_propagation(spark, sf_smoke):
     """X104 differential: large-star/small-star must produce the
     identical component labeling as L11's label propagation on the
