@@ -178,6 +178,39 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.8,
             .filter(F.col("jaccard") >= threshold))
 
 
+def _df_ordered_prefixes(base: DataFrame, n: int, d: int,
+                         id_col: str = "doc_id"):
+    """(dfreq, prefix) for the AllPairs prefix join: tokens sorted
+    rarest-first by (global document frequency, token), each document
+    exposing only its first ``m - ceil(n*m/d) + 1`` tokens with their
+    1-based sorted positions.  The prefix frame feeds both self-join
+    sides, so it is eagerly checkpointed.  Split out of
+    :func:`prefix_filter_pairs` so the skew-resistance property —
+    a corpus-universal stop-token sorts LAST everywhere and never
+    enters any prefix — is directly testable on the very frame the
+    join keys on (tests/test_invariants.py)."""
+    toks = base.select(id_col, F.explode("toks").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ndf"))
+    ordered = (toks.join(dfreq, "tok")
+               .groupBy(id_col)
+               .agg(F.expr("transform(array_sort(collect_list("
+                           "struct(ndf, tok))), s -> s.tok)")
+                    .alias("st")))
+    # prefix_len = m - ceil(t*m) + 1, with ceil(num*m/den) in exact
+    # integer form
+    plen = F.expr(
+        f"size(st) - ((({n} * size(st))"
+        f" + {d} - 1) div {d}) + 1")
+    prefix = (ordered.select(F.col(id_col).alias("pid"),
+                             F.size("st").alias("m"),
+                             F.posexplode(F.slice("st", 1, plen))
+                             .alias("pos0", "ptok"))
+              .select("pid", "m", (F.col("pos0") + 1).alias("pos"),
+                      "ptok")
+              .localCheckpoint(eager=True))
+    return dfreq, prefix
+
+
 def prefix_filter_pairs(df: DataFrame, threshold_num: int = 4,
                         threshold_den: int = 5,
                         text_col: str = "text",
@@ -236,25 +269,7 @@ def prefix_filter_pairs(df: DataFrame, threshold_num: int = 4,
     base = _stage_sets(
         df.select(id_col, token_set(F.col(text_col)).alias("toks"))
         .filter(F.size("toks") > 0))
-    toks = base.select(id_col, F.explode("toks").alias("tok"))
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ndf"))
-    ordered = (toks.join(dfreq, "tok")
-               .groupBy(id_col)
-               .agg(F.expr("transform(array_sort(collect_list("
-                           "struct(ndf, tok))), s -> s.tok)")
-                    .alias("st")))
-    # prefix_len = m - ceil(t*m) + 1, with ceil(num*m/den) in exact
-    # integer form
-    plen = F.expr(
-        f"size(st) - ((({n} * size(st))"
-        f" + {d} - 1) div {d}) + 1")
-    prefix = (ordered.select(F.col(id_col).alias("pid"),
-                             F.size("st").alias("m"),
-                             F.posexplode(F.slice("st", 1, plen))
-                             .alias("pos0", "ptok"))
-              .select("pid", "m", (F.col("pos0") + 1).alias("pos"),
-                      "ptok")
-              .localCheckpoint(eager=True))
+    dfreq, prefix = _df_ordered_prefixes(base, n, d, id_col)
     # LENGTH filter (the AllPairs companion prune, also lossless):
     # Jaccard >= num/den forces num*max(m_a,m_b) <= den*min(m_a,m_b),
     # so cross-length candidates die inside the join condition before

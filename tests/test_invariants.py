@@ -915,6 +915,54 @@ def test_prefix_filter_open_vocab_array_path_lossless(spark):
         "fixture should contain non-identical qualifying pairs"
 
 
+def test_prefix_filter_hot_token_never_enters_prefixes(spark):
+    """The published skew-resistance claim the x103 plan rests on
+    (Bayardo et al. 2007): prefixes hold each document's RAREST
+    tokens, so a universal stop-token (df = corpus size — the worst
+    possible join key) sorts LAST in every document and never enters
+    any prefix.  Adding it to every document must leave the prefix
+    relation's token set free of it and the final pair relation
+    identical except for the +1 shift in inter/uni."""
+    from samplebatchprocessing_spark.operators.dedup import (
+        prefix_filter_pairs)
+    toks = [f"tk{i:02d}" for i in range(80)]
+    rows = [(i, " ".join(toks[i:i + 10])) for i in range(60)]
+    clean = spark.createDataFrame(rows, "doc_id long, text string")
+    hot = spark.createDataFrame(
+        [(i, t + " everywhere") for i, t in rows],
+        "doc_id long, text string")
+    from samplebatchprocessing_spark.operators.dedup import (
+        _df_ordered_prefixes, _stage_sets)
+    from samplebatchprocessing_spark.operators.text import token_set
+    # the claim itself, on the very frame the join keys on: the
+    # universal token never appears as a prefix token, so it adds
+    # ZERO candidate mass (it would otherwise be the hottest join
+    # key in the corpus — one bucket holding every document)
+    sets_hot = _stage_sets(hot.select(
+        "doc_id", token_set(F.col("text")).alias("toks")))
+    _, prefix = _df_ordered_prefixes(sets_hot, 4, 5)
+    ptoks = {r["ptok"] for r in prefix.select("ptok").distinct().collect()}
+    assert "everywhere" not in ptoks
+    n_pref_hot = prefix.count()
+    sets_clean = _stage_sets(clean.select(
+        "doc_id", token_set(F.col("text")).alias("toks")))
+    _, prefix_clean = _df_ordered_prefixes(sets_clean, 4, 5)
+    # the +1 set size can grow each prefix by at most one token
+    assert n_pref_hot <= prefix_clean.count() + hot.count()
+    # and the full operator still equals brute-force truth
+    import itertools
+    got = {(r["doc_a"], r["doc_b"]): (r["inter"], r["uni"])
+           for r in prefix_filter_pairs(hot).collect()}
+    sets = {i: set(t.split()) | {"everywhere"} for i, t in rows}
+    truth = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if 5 * inter >= 4 * uni:
+            truth[(a, b)] = (inter, uni)
+    assert got == truth and truth
+
+
 def test_cc_two_phase_matches_label_propagation(spark, sf_smoke):
     """X104 differential: large-star/small-star must produce the
     identical component labeling as L11's label propagation on the
