@@ -301,6 +301,107 @@ def _kmeans_centroids(vecs, n_cells: int, n_iter: int = 8,
     return C
 
 
+def ivf_centroids(emb: DataFrame, n_cells: int,
+                  quantizer: str = "kmeans", sample_cap: int = 4096):
+    """Coarse-quantizer centroid matrix (numpy, unit-norm rows).
+    Deterministic: the k-means sample is drawn by xxhash64(vec_id)
+    order (layout-independent), seeds fixed in
+    :func:`_kmeans_centroids`; the "first" quantizer is the
+    ``n_cells`` lowest-vec_id vectors."""
+    import numpy as np
+    if quantizer == "kmeans":
+        sample_rows = (emb.select("vec_id", "embedding")
+                       .orderBy(F.xxhash64(F.col("vec_id")))
+                       .limit(sample_cap).collect())
+        smat = np.array([r["embedding"] for r in sample_rows],
+                        dtype=np.float64)
+        return _kmeans_centroids(smat, n_cells)
+    cent_rows = (emb.orderBy("vec_id").limit(n_cells)
+                 .select("embedding").collect())
+    cmat = np.array([r["embedding"] for r in cent_rows],
+                    dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    return cmat
+
+
+def ivf_assign(emb: DataFrame, cmat) -> DataFrame:
+    """(vec_id, embedding, cell): every vector labeled with its
+    argmax-cosine centroid cell — one Arrow pass, no shuffle."""
+    b_cent = emb.sparkSession.sparkContext.broadcast(cmat)
+    assign_schema = "vec_id long, embedding array<float>, cell int"
+
+    def _assign(batches):
+        import numpy as np
+        C = b_cent.value
+        for pdf in batches:
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            pdf = pdf.copy()
+            pdf["cell"] = (M @ C.T).argmax(axis=1).astype("int32")
+            yield pdf
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _assign, assign_schema)
+
+
+def ivf_probe_df(emb: DataFrame, query_pred, cmat,
+                 n_probe: int) -> DataFrame:
+    """One (query_id, q_emb, cell) row per probed cell per query —
+    the query side is tiny by contract, so probe cells are computed
+    driver-side and the frame is broadcast into the candidate join."""
+    import numpy as np
+    q_rows = emb.filter(query_pred).select("vec_id", "embedding").collect()
+    if not q_rows:
+        raise ValueError("query predicate selected no vectors")
+    qmat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    probe = np.argsort(-(qmat @ cmat.T), axis=1)[:, :n_probe]
+    return emb.sparkSession.createDataFrame(
+        [(int(r["vec_id"]), r["embedding"], int(c))
+         for r, cells in zip(q_rows, probe) for c in cells],
+        "query_id long, q_emb array<float>, cell int")
+
+
+def ivf_index_write(emb: DataFrame, index_dir: str,
+                    n_cells: int = 16, sample_cap: int = 4096):
+    """IVF index BUILD step: assignment pass + a parquet sink
+    PARTITIONED BY cell under ``index_dir``; returns the centroid
+    matrix (the caller persists/broadcasts it — dim x n_cells floats,
+    metadata-sized).  At 100 TB this runs once at ingest; the
+    partition layout is what makes every later probe read
+    ~n_probe/n_cells of the bytes (disk-level partition pruning,
+    plan-gated in tests/test_plans.py)."""
+    cmat = ivf_centroids(emb, n_cells, "kmeans", sample_cap)
+    (ivf_assign(emb, cmat).write.mode("overwrite")
+     .partitionBy("cell").parquet(index_dir))
+    return cmat
+
+
+def ivf_index_probe(spark, index_dir: str, cmat, emb: DataFrame,
+                    query_pred, k: int = 5,
+                    n_probe: int = 4) -> DataFrame:
+    """IVF index PROBE step against a PERSISTED index: the probe-cell
+    filter lands on the index scan's partition column, so only the
+    probed cell directories are read.  Exact cosine rescoring + the
+    (cosine desc, vec_id) per-query top-k window over the pruned
+    candidates — identical output contract to :func:`ivf_topk`."""
+    probe_df = ivf_probe_df(emb, query_pred, cmat, n_probe)
+    cells = sorted({r["cell"] for r in probe_df.select("cell")
+                    .distinct().collect()})
+    index = (spark.read.parquet(index_dir)
+             .filter(F.col("cell").isin(cells)))
+    pairs = (index.join(F.broadcast(probe_df), "cell")
+             .filter(F.col("vec_id") != F.col("query_id")))
+    cos = cosine_expr(F.col("q_emb"), F.col("embedding"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (pairs.select("query_id", "vec_id", cos.alias("cosine"))
+            .filter(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("cosine", F.round("cosine", 6)))
+
+
 def ivf_topk(emb: DataFrame, query_pred, k: int = 5,
              n_cells: int = 16, n_probe: int = 4,
              quantizer: str = "kmeans",
@@ -330,51 +431,9 @@ def ivf_topk(emb: DataFrame, query_pred, k: int = 5,
     candidates.  Recall is property-tested (planted neighbors +
     recall floor vs the exact operator); rows-only driver check.
     """
-    import numpy as np
-    if quantizer == "kmeans":
-        sample_rows = (emb.select("vec_id", "embedding")
-                       .orderBy(F.xxhash64(F.col("vec_id")))
-                       .limit(sample_cap).collect())
-        smat = np.array([r["embedding"] for r in sample_rows],
-                        dtype=np.float64)
-        cmat = _kmeans_centroids(smat, n_cells)
-    else:
-        cent_rows = (emb.orderBy("vec_id").limit(n_cells)
-                     .select("embedding").collect())
-        cmat = np.array([r["embedding"] for r in cent_rows],
-                        dtype=np.float64)
-        cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
-    b_cent = emb.sparkSession.sparkContext.broadcast(cmat)
-
-    assign_schema = ("vec_id long, embedding array<float>, cell int")
-
-    def _assign(batches):
-        import numpy as np
-        C = b_cent.value
-        for pdf in batches:
-            M = np.array(list(pdf["embedding"]), dtype=np.float64)
-            M /= np.linalg.norm(M, axis=1, keepdims=True)
-            pdf = pdf.copy()
-            pdf["cell"] = (M @ C.T).argmax(axis=1).astype("int32")
-            yield pdf
-
-    cands = (emb.select("vec_id", "embedding")
-             .mapInPandas(_assign, assign_schema))
-
-    # Query side: tiny by contract — compute probe cells driver-side
-    # and broadcast one (query, probe_cell) row per probed cell.
-    q_rows = emb.filter(query_pred).select("vec_id", "embedding").collect()
-    if not q_rows:
-        raise ValueError("query predicate selected no vectors")
-    qmat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
-    probe = np.argsort(-(qmat @ cmat.T), axis=1)[:, :n_probe]
-    spark = emb.sparkSession
-    probe_df = spark.createDataFrame(
-        [(int(r["vec_id"]), r["embedding"], int(c))
-         for r, cells in zip(q_rows, probe) for c in cells],
-        "query_id long, q_emb array<float>, cell int")
-
+    cmat = ivf_centroids(emb, n_cells, quantizer, sample_cap)
+    cands = ivf_assign(emb, cmat)
+    probe_df = ivf_probe_df(emb, query_pred, cmat, n_probe)
     pairs = (cands.join(F.broadcast(probe_df), "cell")
              .filter(F.col("vec_id") != F.col("query_id")))
     cos = cosine_expr(F.col("q_emb"), F.col("embedding"))

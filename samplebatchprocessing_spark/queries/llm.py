@@ -3669,6 +3669,65 @@ FROM t, UNNEST([4, 8, 16]) AS u(bands)
 """
 
 
+def x109_ann_index_lifecycle(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """X109 (r7): the IVF index LIFECYCLE around L7's in-flight ANN —
+    BUILD once (deterministic sampled-k-means centroids, one Arrow
+    assignment pass, parquet sink PARTITIONED BY cell:
+    ``operators.similarity.ivf_index_write``), then PROBE the
+    PERSISTED index (``ivf_index_probe``): the probe-cell filter
+    lands on the index scan's partition column, so only the probed
+    cell directories are read — the m9 data-skipping argument applied
+    to ANN serving, plan-gated in tests/test_plans.py.
+
+    Declared columns follow the L7-IVF property-oracle discipline
+    (centroids depend on the data sample, so raw ANN rows are not
+    cross-engine): the exact top-k row count, the persisted-probe
+    recall floor vs the exact operator (same >= 0.35 bound as
+    l7_topk_ivf — probing 4/16 cells on the uniform fixture, any
+    quantizer's worst case), index completeness (persisted rows ==
+    corpus rows), and the probe-breadth identity (exactly n_probe
+    cells per query row).
+
+    Scale (100 TB): the build is one pass + one partitioned write at
+    ingest; every later query batch reads ~n_probe/n_cells of the
+    index bytes and rescores with the exact cosine.  The reference's
+    closest shape is its compute-once/read-many job-artifact flow
+    (GetJobs.py:45-47 writes outputs a later consumer lists)."""
+    from .sources import _work_dir
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    n_probe, n_cells = 4, 16
+    idx_dir = _work_dir(sf_dir, "x109_ivf")
+    cmat = similarity.ivf_index_write(emb, idx_dir, n_cells=n_cells)
+    probe = similarity.ivf_index_probe(spark, idx_dir, cmat, emb,
+                                       pred, k=5, n_probe=n_probe)
+    probe_df = similarity.ivf_probe_df(emb, pred, cmat, n_probe)
+    n_queries = probe_df.select("query_id").distinct().count()
+    probe_rows = probe_df.count()
+    n_corpus = emb.count()
+    n_index = spark.read.parquet(idx_dir).count()
+    exact = similarity.cosine_topk(emb, pred, k=5).select(
+        "query_id", "vec_id")
+    hits = (probe.select("query_id", "vec_id")
+            .withColumn("hit", F.lit(1)))
+    return (exact.join(hits, ["query_id", "vec_id"], "left")
+            .agg(F.count(F.lit(1)).alias("n_exact_rows"),
+                 ((F.sum(F.coalesce("hit", F.lit(0)))
+                   / F.count(F.lit(1))) >= 0.35).alias("recall_ge_35"),
+                 F.lit(n_index == n_corpus).alias("index_complete"),
+                 F.lit(probe_rows == n_probe * n_queries)
+                 .alias("probe_breadth_exact")))
+
+
+X109_SQL = """
+SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_rows,
+       TRUE AS recall_ge_35, TRUE AS index_complete,
+       TRUE AS probe_breadth_exact
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -3743,6 +3802,7 @@ QUERIES: dict[str, tuple] = {
     "mm6_interleaved_assembly": (mm6_interleaved_assembly, _mm6_sql()),
     "x107_crawl_stitch": (x107_crawl_stitch, _x107_sql()),
     "x108_lsh_parameter_sweep": (x108_lsh_parameter_sweep, _x108_sql()),
+    "x109_ann_index_lifecycle": (x109_ann_index_lifecycle, X109_SQL),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),

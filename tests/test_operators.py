@@ -770,3 +770,28 @@ def test_ewma_fixedpoint_constructed(spark):
         (1, 11): (1, u1[0]), (1, 12): (2, u1[1]), (1, 13): (3, u1[2]),
         (2, 20): (1, u2[0]),
     }
+
+
+def test_ivf_persisted_probe_equals_inflight(spark, sf_smoke):
+    """X109 differential: probing the PERSISTED cell-partitioned
+    index must return exactly the rows the in-flight ivf_topk
+    computes with the same parameters — the centroid sample draw is
+    layout-independent (xxhash64 order) and seeded, so build-time and
+    query-time quantizers are identical and persistence must be a
+    pure plan change, never a result change."""
+    import hashlib
+    from samplebatchprocessing_spark.operators import similarity
+    emb = load_table(spark, sf_smoke, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    idx = ("/tmp/sbp_work/x109_diff_"
+           + hashlib.md5(sf_smoke.encode()).hexdigest()[:8])
+    cmat = similarity.ivf_index_write(emb, idx, n_cells=16)
+    persisted = {(r["query_id"], r["vec_id"], r["rank"], r["cosine"])
+                 for r in similarity.ivf_index_probe(
+                     spark, idx, cmat, emb, pred, k=5, n_probe=4)
+                 .collect()}
+    inflight = {(r["query_id"], r["vec_id"], r["rank"], r["cosine"])
+                for r in similarity.ivf_topk(
+                    emb, pred, k=5, n_cells=16, n_probe=4).collect()}
+    assert persisted == inflight
+    assert persisted, "probe should return rows"

@@ -807,3 +807,32 @@ def test_rfm_codes_broadcast_boundaries_no_window(spark, sf_smoke):
     df = x97_rfm(spark, sf_smoke)
     assert "Window" not in plan_str(df, "simple")
     assert_single_partition_only_under_scalar_agg(df)
+
+
+def test_ivf_index_probe_prunes_cell_partitions(spark, sf_smoke):
+    """X109: probing a PERSISTED cell-partitioned IVF index must
+    prune at planning time — the probe-cell filter lands in the index
+    scan's PartitionFilters, and the probe physically reads fewer
+    index files than exist (the whole point of persisting the
+    assignment: each query batch reads ~n_probe/n_cells of the
+    bytes)."""
+    import hashlib
+    from samplebatchprocessing_spark.operators import similarity
+    emb = load_table(spark, sf_smoke, "embeddings")
+    idx = ("/tmp/sbp_work/x109_plan_"
+           + hashlib.md5(sf_smoke.encode()).hexdigest()[:8])
+    cmat = similarity.ivf_index_write(emb, idx, n_cells=16)
+    probe = similarity.ivf_index_probe(
+        spark, idx, cmat, emb, F.col("vec_id") % 250 == 0,
+        k=5, n_probe=2)
+    plan = plan_str(probe)
+    assert "PartitionFilters" in plan and "cell" in plan
+    touched = (spark.read.parquet(idx)
+               .filter(F.col("cell").isin(
+                   [r["cell"] for r in similarity.ivf_probe_df(
+                       emb, F.col("vec_id") % 250 == 0, cmat, 2)
+                    .select("cell").distinct().collect()]))
+               .select(F.input_file_name()).distinct().count())
+    total = (spark.read.parquet(idx)
+             .select(F.input_file_name()).distinct().count())
+    assert 0 < touched < total
