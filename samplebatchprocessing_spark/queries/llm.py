@@ -3728,6 +3728,64 @@ FROM embeddings WHERE vec_id % 50 = 0
 """
 
 
+def x87_ann_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87 (r7): INCREMENTAL maintenance of the X109 persisted IVF
+    index — the deployed reality where the quantizer is frozen at
+    build time and delta batches arrive forever after.  Build the
+    index from the base corpus (vec_id % 7 != 3), then APPEND the
+    delta batch assigned against the SAME frozen centroids —
+    existing cell partitions' rows are never rewritten, the delta
+    lands as new files inside its cells (one Arrow pass over the
+    delta only).  Because per-row assignment depends only on
+    (vector, centroids), merge must equal a from-scratch rebuild
+    with the same centroids EXACTLY — declared as the probe-parity
+    boolean (both directions of exceptAll empty over the full
+    (query_id, vec_id, rank, cosine) probe relation), alongside the
+    exact base/delta counts and the merged-row-count identity.
+
+    Scale (100 TB): ingest cost is proportional to the DELTA, not
+    the corpus; the only full-corpus touch is the one-time build.
+    Re-centroiding cadence stays a policy knob (SCALE.md)."""
+    from .sources import _work_dir
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % 7 == 3
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    n_probe, n_cells = 4, 16
+    idx = _work_dir(sf_dir, "x87_ivf")
+    rebuild = _work_dir(sf_dir, "x87_ivf_rebuild")
+    cmat = similarity.ivf_index_write(base, idx, n_cells=n_cells)
+    (similarity.ivf_assign(delta, cmat).write.mode("append")
+     .partitionBy("cell").parquet(idx))
+    (similarity.ivf_assign(emb, cmat).write.mode("overwrite")
+     .partitionBy("cell").parquet(rebuild))
+    pred = F.col("vec_id") % 50 == 0
+    merged_probe = similarity.ivf_index_probe(
+        spark, idx, cmat, emb, pred, k=5, n_probe=n_probe)
+    rebuilt_probe = similarity.ivf_index_probe(
+        spark, rebuild, cmat, emb, pred, k=5, n_probe=n_probe)
+    cols = ["query_id", "vec_id", "rank", "cosine"]
+    a, b = merged_probe.select(cols), rebuilt_probe.select(cols)
+    parity = (a.exceptAll(b).count() == 0
+              and b.exceptAll(a).count() == 0
+              and a.count() > 0)
+    n_base, n_delta = base.count(), delta.count()
+    merged_rows = spark.read.parquet(idx).count()
+    return spark.createDataFrame(
+        [(n_base, n_delta, merged_rows == n_base + n_delta, parity)],
+        "n_base long, n_delta long, merge_complete boolean, "
+        "probe_parity boolean")
+
+
+X87_SQL = """
+SELECT CAST(SUM(CASE WHEN vec_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_base,
+       CAST(SUM(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_delta,
+       TRUE AS merge_complete, TRUE AS probe_parity
+FROM embeddings
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -3803,6 +3861,7 @@ QUERIES: dict[str, tuple] = {
     "x107_crawl_stitch": (x107_crawl_stitch, _x107_sql()),
     "x108_lsh_parameter_sweep": (x108_lsh_parameter_sweep, _x108_sql()),
     "x109_ann_index_lifecycle": (x109_ann_index_lifecycle, X109_SQL),
+    "x87_ann_index_merge": (x87_ann_index_merge, X87_SQL),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),
