@@ -87,3 +87,74 @@ def pagerank_fixedpoint(edges: DataFrame, iterations: int = 3,
         if it < iterations - 1:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_count(edges: DataFrame, a: str = "a",
+                   b: str = "b") -> DataFrame:
+    """Exact triangle census over an undirected edge list, via
+    degree-ordered edge orientation (the distributed-triangle
+    standard: Suri & Vassilvitskii 2011, "Counting Triangles and the
+    Curse of the Last Reducer").  Returns ONE row:
+    (n_nodes, n_edges, n_wedges, n_triangles, transitivity_ppm).
+
+    Algorithm: canonicalize each undirected edge {x, y} once, orient
+    every edge from its lower-(degree, id) endpoint to the higher
+    one, join oriented wedges (s->t1, s->t2) back against the
+    oriented edge (t1->t2).  Each triangle matches EXACTLY once:
+    its minimum-(degree, id) vertex is the wedge center, and of the
+    two ordered (t1, t2) pairs only the one agreeing with the third
+    edge's orientation survives the equi-join.
+
+    Scale: the orientation bounds every out-neighborhood by
+    O(sqrt(m)) regardless of raw degree skew — the wedge join's
+    fan-out is sum(d_out^2) = O(m^1.5) worst-case instead of the
+    hub-dominated sum(deg^2) of a naive wedge join; all three joins
+    are keyed equi-joins (plan-gated: no cartesian).  ``deg`` is
+    node-sized and re-read three times, ``oe`` edge-sized and
+    re-read three times — both eagerly localCheckpointed (the
+    x65/x92 shared-subtree discipline) so the corpus-derived edge
+    list is scanned once.
+
+    transitivity = 3 * triangles / wedges (closed over open+closed
+    wedges), kept exact as parts-per-million floor division.
+    """
+    e = (edges
+         .select(F.least(F.col(a), F.col(b)).alias("u"),
+                 F.greatest(F.col(a), F.col(b)).alias("v"))
+         .filter(F.col("u") < F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    deg = (e.select(F.col("u").alias("node"))
+           .unionByName(e.select(F.col("v").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).alias("dg"))
+           .localCheckpoint(eager=True))
+    du = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("dg").alias("dv"))
+    u_first = ((F.col("du") < F.col("dv"))
+               | ((F.col("du") == F.col("dv"))
+                  & (F.col("u") < F.col("v"))))
+    oe = (e.join(du, "u").join(dv, "v")
+          .select(F.when(u_first, F.col("u")).otherwise(F.col("v"))
+                  .alias("s"),
+                  F.when(u_first, F.col("v")).otherwise(F.col("u"))
+                  .alias("t"))
+          .localCheckpoint(eager=True))
+    e1 = oe.select(F.col("s"), F.col("t").alias("t1"))
+    e2 = oe.select(F.col("s"), F.col("t").alias("t2"))
+    e3 = oe.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tri = (e1.join(e2, "s")
+           .filter(F.col("t1") != F.col("t2"))
+           .join(e3, ["t1", "t2"])
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    summary = (deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("cast(sum(dg) div 2 as bigint)").alias("n_edges"),
+        F.expr("cast(sum(dg * (dg - 1) div 2) as bigint)")
+        .alias("n_wedges")))
+    return (summary.crossJoin(tri)  # two 1-row frames
+            .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+                    F.expr("case when n_wedges > 0 then "
+                           "cast(3 * n_triangles * 1000000 div n_wedges"
+                           " as bigint) end")
+                    .alias("transitivity_ppm")))

@@ -69,11 +69,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x106_quality_dedup_interaction", "x107_crawl_stitch",
     "x108_lsh_parameter_sweep", "mm6_interleaved_assembly",
     "s22_stream_seasonal_gate",
-    # never-sampled family depth + the two NEW r7 operators (ANN
-    # index lifecycle/merge) so they get driver evidence in their
-    # debut round — still never-sampled slots, overlap unchanged
-    "j8b_asof_forward", "d8_arrow_udf", "l6_simhash",
+    # never-sampled family depth + the four NEW r7 operators (ANN
+    # index lifecycle/merge, triangle census, DQ audit) so they get
+    # driver evidence in their debut round — still never-sampled
+    # slots, overlap unchanged.  (j8b/d8 yielded their slots: both
+    # families already carry anchor + r4/r5 evidence.)
+    "l6_simhash",
     "x109_ann_index_lifecycle", "x87_ann_index_merge",
+    "x112_triangle_count", "x113_dq_audit",
 )
 
 

@@ -2066,6 +2066,185 @@ GROUP BY 1, 2
 """
 
 
+def x112_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X112 (r7): TRIANGLE CENSUS of the co-purchase graph — nodes
+    are parts, an edge joins two parts that appear in the same order
+    (the x96 basket construction), and the one-row report is the
+    exact triangle count plus global transitivity: how clique-ish
+    the co-purchase structure is (random-graph baselines have
+    near-zero closure; real baskets close triangles).
+
+    Spark plan: ``operators/graph.py::triangle_count`` — degree-
+    ordered edge orientation (Suri & Vassilvitskii 2011) so the
+    wedge join's fan-out is bounded by O(sqrt(m)) per node even
+    under hub skew; three keyed equi-joins, no cartesian
+    (plan-gated), shared edge/degree subtrees eagerly
+    localCheckpointed so the lineitem scan happens once.
+
+    Oracle: the identical construction as a DuckDB CTE chain —
+    canonical edges, degrees, (deg, id)-orientation, wedge-edge
+    equi-join — bit-exact integer outputs end to end."""
+    from ..operators.graph import triangle_count
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct()
+    edges = (li.alias("x").join(li.alias("y"), "l_orderkey")
+             .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+             .select(F.col("x.l_partkey").alias("pa"),
+                     F.col("y.l_partkey").alias("pb")))
+    return triangle_count(edges, "pa", "pb")
+
+
+X112_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                     AND x.l_partkey < y.l_partkey),
+deg AS (
+  SELECT node, COUNT(*) AS dg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY 1),
+oe AS (
+  SELECT CASE WHEN du.dg < dv.dg
+               OR (du.dg = dv.dg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN du.dg < dv.dg
+               OR (du.dg = dv.dg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t
+  FROM e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM oe e1
+  JOIN oe e2 ON e2.s = e1.s AND e2.t <> e1.t
+  JOIN oe e3 ON e3.s = e1.t AND e3.t = e2.t),
+summary AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM(dg) // 2 AS BIGINT) AS n_edges,
+         CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT)
+       END AS transitivity_ppm
+FROM summary, tri
+"""
+
+
+def x113_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X113 (r7): DATA-QUALITY CONSTRAINT AUDIT (the Deequ/
+    dbt-test pattern) — one row per declared constraint over
+    ``lineitem``: primary-key uniqueness, completeness, accepted
+    values, numeric/date ranges, and referential integrity against
+    ``orders``; each row carries the exact violation count, the
+    rows checked, and the pass verdict.  The table a pipeline gates
+    a publish step on.
+
+    Spark plan: every single-table rule folds into ONE full-scan
+    aggregate (map-side-combinable sums of 0/1 indicators plus one
+    exact count-distinct for the PK rule — the scan's only real
+    shuffle, keyed by the PK hash); referential integrity is one
+    LEFT ANTI join against the orders key over a second, key-only
+    pruned scan (ReadSchema carries just ``l_orderkey`` — plan-
+    gated); the per-constraint rows are unpivoted from the two
+    1-row aggregates with ``stack``, never a re-scan per rule.
+
+    Oracle: the identical indicator algebra in DuckDB, UNION ALL of
+    the same constraint rows (SUMs cast BIGINT per the HUGEINT
+    twin-type discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+
+    def viol(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)) \
+                .cast("long").alias(name)
+
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1))
+         - F.count_distinct(F.struct("l_orderkey", "l_linenumber")))
+        .cast("long").alias("dup_pk"),
+        viol(F.col("l_quantity").isNull(), "null_quantity"),
+        viol(~F.col("l_returnflag").isin("A", "N", "R")
+             | F.col("l_returnflag").isNull(), "bad_returnflag"),
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+             "range_quantity"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+             "range_discount"),
+        viol(F.col("l_extendedprice") <= 0, "nonpositive_price"),
+        viol((F.col("l_shipdate") < F.lit("1992-01-01").cast("date"))
+             | (F.col("l_shipdate") > F.lit("1998-12-31").cast("date"))
+             | F.col("l_shipdate").isNull(), "shipdate_era"),
+    ).localCheckpoint(eager=True)  # 1 row, unpivoted 8 ways below
+    orphans = (li.select("l_orderkey")
+               .join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+               .agg(F.count(F.lit(1)).alias("ri_orderkey")))
+    stacked = agg.select(
+        F.expr(
+            "stack(7,"
+            " 'pk_unique', dup_pk,"
+            " 'null_quantity', null_quantity,"
+            " 'accepted_returnflag', bad_returnflag,"
+            " 'range_quantity', range_quantity,"
+            " 'range_discount', range_discount,"
+            " 'nonpositive_price', nonpositive_price,"
+            " 'shipdate_era', shipdate_era"
+            ") as (rule, violations)"),
+        F.col("n_rows").alias("checked_rows"))
+    ri = (orphans.crossJoin(agg.select("n_rows"))  # two 1-row frames
+          .select(F.lit("ri_orderkey").alias("rule"),
+                  F.col("ri_orderkey").cast("long").alias("violations"),
+                  F.col("n_rows").alias("checked_rows")))
+    return (stacked.unionByName(ri)
+            .withColumn("passed", F.col("violations") == 0))
+
+
+X113_SQL = """
+WITH agg AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+              AS BIGINT) AS dup_pk,
+         CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_quantity,
+         CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                        OR l_returnflag IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_returnflag,
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT) AS range_quantity,
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS range_discount,
+         CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nonpositive_price,
+         CAST(SUM(CASE WHEN l_shipdate < DATE '1992-01-01'
+                        OR l_shipdate > DATE '1998-12-31'
+                        OR l_shipdate IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_era
+  FROM lineitem),
+orphans AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ri_orderkey
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)),
+stacked AS (
+  SELECT 'pk_unique' AS rule, dup_pk AS violations,
+         n_rows AS checked_rows FROM agg
+  UNION ALL SELECT 'null_quantity', null_quantity, n_rows FROM agg
+  UNION ALL SELECT 'accepted_returnflag', bad_returnflag, n_rows
+  FROM agg
+  UNION ALL SELECT 'range_quantity', range_quantity, n_rows FROM agg
+  UNION ALL SELECT 'range_discount', range_discount, n_rows FROM agg
+  UNION ALL SELECT 'nonpositive_price', nonpositive_price, n_rows
+  FROM agg
+  UNION ALL SELECT 'shipdate_era', shipdate_era, n_rows FROM agg
+  UNION ALL SELECT 'ri_orderkey', ri_orderkey, n_rows
+  FROM orphans, agg)
+SELECT rule, violations, checked_rows,
+       violations = 0 AS passed
+FROM stacked
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "x25_funnel": (x25_funnel, X25_SQL),
     "j11_interval_overlap": (j11_interval_overlap, _j11_sql()),
@@ -2108,4 +2287,6 @@ QUERIES: dict[str, tuple] = {
                                        _x106_sql()),
     "x80_survival_table": (x80_survival_table, X80_SQL),
     "x73_table_profile": (x73_table_profile, X73_SQL),
+    "x112_triangle_count": (x112_triangle_count, X112_SQL),
+    "x113_dq_audit": (x113_dq_audit, X113_SQL),
 }

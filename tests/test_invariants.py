@@ -1047,3 +1047,40 @@ def test_lsh_default_bands_derived_and_certified(spark, sf_smoke):
     rows = {r["bands"]: r for r in
             x108_lsh_parameter_sweep(spark, sf_smoke).collect()}
     assert rows[N_BANDS]["recall_meets_bound"] is True
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """X112's oriented wedge-join census equals a brute-force
+    enumeration on adversarial little graphs: a clique (every wedge
+    closes), a path (none do), a hub star (orientation must stop the
+    hub from exploding the wedge join), duplicate/reversed input
+    edges (canonicalization), and a seeded random graph."""
+    import itertools
+    import random
+    from samplebatchprocessing_spark.operators.graph import triangle_count
+
+    def brute(edges):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        nodes = sorted({n for e in es for n in e})
+        deg = {n: sum(1 for e in es if n in e) for n in nodes}
+        tri = sum(1 for a, b, c in itertools.combinations(nodes, 3)
+                  if {(a, b), (a, c), (b, c)} <= es)
+        wed = sum(d * (d - 1) // 2 for d in deg.values())
+        return {"n_nodes": len(nodes), "n_edges": len(es),
+                "n_wedges": wed, "n_triangles": tri,
+                "transitivity_ppm":
+                    3 * tri * 1_000_000 // wed if wed else None}
+
+    rng = random.Random(7)
+    rand = [(rng.randrange(12), rng.randrange(12)) for _ in range(40)]
+    cases = [
+        [(a, b) for a, b in itertools.combinations(range(5), 2)],  # K5
+        [(i, i + 1) for i in range(6)],                    # path: 0 tri
+        [(0, i) for i in range(1, 9)] + [(1, 2)],          # hub star
+        [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (4, 4)],  # dups/rev/loop
+        [e for e in rand if e[0] != e[1]],
+    ]
+    for edges in cases:
+        edf = spark.createDataFrame(edges, "a bigint, b bigint")
+        got = triangle_count(edf).collect()[0].asDict()
+        assert got == brute(edges), edges

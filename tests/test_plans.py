@@ -836,3 +836,25 @@ def test_ivf_index_probe_prunes_cell_partitions(spark, sf_smoke):
     total = (spark.read.parquet(idx)
              .select(F.input_file_name()).distinct().count())
     assert 0 < touched < total
+
+
+def test_triangle_count_no_cartesian_keyed_joins(spark, sf_smoke):
+    """X112: wedge generation and closure are keyed equi-joins under
+    the degree orientation — never a cartesian; the only join-like
+    nested loop allowed is the final two-1-row-frame combine."""
+    from samplebatchprocessing_spark.queries.analytics import (
+        x112_triangle_count)
+    plan = plan_str(x112_triangle_count(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_audit_ri_scan_is_key_only(spark, sf_smoke):
+    """X113: after the single full-scan aggregate (checkpointed), the
+    only remaining lineitem scan is the referential-integrity LEFT
+    ANTI probe, pruned to just the key column."""
+    from samplebatchprocessing_spark.queries.analytics import x113_dq_audit
+    plan = plan_str(x113_dq_audit(spark, sf_smoke))
+    assert "LeftAnti" in plan
+    li_schemas = [ln.strip() for ln in plan.splitlines()
+                  if "ReadSchema" in ln and "l_orderkey" in ln]
+    assert li_schemas == ["ReadSchema: struct<l_orderkey:bigint>"]
