@@ -59,10 +59,15 @@ def mixture_weights(df: DataFrame, group_col: str = "source",
     of the corpus gets weight ∝ p_s^alpha (alpha<1 upsamples rare
     sources — the standard multilingual/multi-source trick), plus the
     resulting document budget per source.  One aggregation to
-    O(sources) rows, then a single tiny window for normalization."""
+    O(sources) rows, then a single tiny window for normalization
+    (bounded_part key: the frame is groups-sized, and the constant
+    non-foldable partition key keeps it an ordinary hash-partitioned
+    window instead of the warn-logging no-partition WindowExec)."""
     from pyspark.sql import Window as W
+
+    from ..exprs import bounded_part
     per = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
-    total = W.partitionBy()
+    total = W.partitionBy(bounded_part("n_docs"))
     frac = F.col("n_docs") / F.sum("n_docs").over(total)
     raw_w = F.pow(frac, F.lit(alpha))
     weight = raw_w / F.sum(raw_w).over(total)

@@ -178,7 +178,12 @@ def mixture_realize(df: DataFrame, weight: Column, tokens: Column,
     stats = (df.groupBy(by_col)
              .agg(F.sum(tokens).alias("t_tokens"),
                   F.max(w_int).alias("w")))
-    g = W.partitionBy()          # groups-sized frame: global window OK
+    # groups-sized frame: a global window is semantically right, but
+    # the non-foldable constant key keeps it hash-partitioned instead
+    # of the warn-logging no-partition WindowExec (bounded_part
+    # discipline, r7).
+    from ..exprs import bounded_part
+    g = W.partitionBy(bounded_part("w"))
     stats = (stats
              .withColumn("_total", F.sum("t_tokens").over(g))
              .withColumn("_W", F.sum("w").over(g))
