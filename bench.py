@@ -49,6 +49,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "m9_skipping_report",    # two layout writes + per-file min/max stats (round 6)
     "x103_prefix_filter_join",  # lossless AllPairs/PPJoin dedup path (round 7)
     "j15_multi_asof",        # one-shuffle multi-table as-of read (round 7)
+    "x112_triangle_count",   # degree-oriented triangle census (round 7)
+    "x113_dq_audit",         # single-scan DQ constraint audit (round 7)
 )
 
 
