@@ -804,6 +804,11 @@ def cc_two_phase(pairs: DataFrame, *, id_a: str = "doc_a",
     Returns the same (doc_id, cluster_id=component min) contract as
     :func:`dedup_clusters`, so the two implementations are mutual
     differentials and share the recursive-CTE oracle."""
+    if max_iter < 1:
+        # delta starts at 0, so a never-entered loop would skip the
+        # non-convergence guard below and silently emit cluster_ids
+        # computed from the raw, never-iterated edge set (r8 ADVICE).
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     nodes = (pairs.select(F.col(id_a).alias("n"))
              .unionByName(pairs.select(F.col(id_b).alias("n")))
              .distinct().localCheckpoint(eager=True))

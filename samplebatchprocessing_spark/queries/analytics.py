@@ -1870,6 +1870,17 @@ def x97_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent = 5).  The report is the segment-code census plus each
     code's exact monetary mass.
 
+    All three metrics are cut on EXACT INTEGER columns (r8, ADVICE
+    fix): recency_days and freq are already ints; monetary is
+    cents-scaled to BIGINT before the percentile, so the values
+    being compared against the interpolated boundary are exactly
+    representable and the cross-engine ulp gap in the boundary
+    itself cannot capture a data point (a double-cast decimal sum
+    could sit inside that gap; an integer cannot, short of the two
+    engines' boundaries straddling an integer — which identical
+    lo+frac*(hi-lo) arithmetic over identical integer inputs
+    doesn't produce).
+
     Scale: one customer-keyed aggregate, one 1-row percentile agg,
     one broadcast crossJoin, one census agg — fully parallel, no
     global window (the r6 verdict's single-partition fix; the
@@ -1887,14 +1898,15 @@ def x97_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.datediff("mx", "last_d").alias("recency_days"),
                    "freq",
                    "monetary",
-                   F.col("monetary").cast("double").alias("mon_d")))
+                   (F.col("monetary") * 100).cast("bigint")
+                   .alias("mon_cents")))
     qs = (0.2, 0.4, 0.6, 0.8)
     bounds = per.agg(*(
         [F.percentile(F.col("recency_days"), F.lit(q))
          .alias(f"rb{i}") for i, q in enumerate(qs, start=1)]
         + [F.percentile(F.col("freq"), F.lit(q)).alias(f"fb{i}")
            for i, q in enumerate(qs, start=1)]
-        + [F.percentile(F.col("mon_d"), F.lit(q)).alias(f"mb{i}")
+        + [F.percentile(F.col("mon_cents"), F.lit(q)).alias(f"mb{i}")
            for i, q in enumerate(qs, start=1)]))
     r = (F.lit(5)
          - sum((F.col("recency_days") > F.col(f"rb{i}")).cast("int")
@@ -1903,7 +1915,7 @@ def x97_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
           + sum((F.col("freq") > F.col(f"fb{i}")).cast("int")
                 for i in range(1, 5))).cast("int")
     m = (F.lit(1)
-         + sum((F.col("mon_d") > F.col(f"mb{i}")).cast("int")
+         + sum((F.col("mon_cents") > F.col(f"mb{i}")).cast("int")
                for i in range(1, 5))).cast("int")
     scored = (per.crossJoin(F.broadcast(bounds))
               .select("o_custkey", "monetary",
@@ -1922,7 +1934,7 @@ def _x97_sql() -> str:
     fb = ", ".join(f"QUANTILE_CONT(freq, {q}) AS fb{i}"
                    for i, q in enumerate((0.2, 0.4, 0.6, 0.8),
                                          start=1))
-    mb = ", ".join(f"QUANTILE_CONT(mon_d, {q}) AS mb{i}"
+    mb = ", ".join(f"QUANTILE_CONT(mon_cents, {q}) AS mb{i}"
                    for i, q in enumerate((0.2, 0.4, 0.6, 0.8),
                                          start=1))
     r_sum = " + ".join(
@@ -1932,7 +1944,7 @@ def _x97_sql() -> str:
         f"(CASE WHEN freq > fb{i} THEN 1 ELSE 0 END)"
         for i in range(1, 5))
     m_sum = " + ".join(
-        f"(CASE WHEN mon_d > mb{i} THEN 1 ELSE 0 END)"
+        f"(CASE WHEN mon_cents > mb{i} THEN 1 ELSE 0 END)"
         for i in range(1, 5))
     return f"""
 WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
@@ -1942,7 +1954,7 @@ per AS (
                    (SELECT mx FROM mx)) AS recency_days,
          COUNT(*) AS freq,
          {sql_dsum('o_totalprice')} AS monetary,
-         CAST({sql_dsum('o_totalprice')} AS DOUBLE) AS mon_d
+         CAST({sql_dsum('o_totalprice')} * 100 AS BIGINT) AS mon_cents
   FROM orders GROUP BY o_custkey),
 b AS (SELECT {rb}, {fb}, {mb} FROM per),
 scored AS (

@@ -1000,6 +1000,20 @@ def test_cc_two_phase_raises_on_nonconvergence(spark):
         dedup.cc_two_phase(path, max_iter=1)
 
 
+def test_cc_two_phase_rejects_nonpositive_max_iter(spark):
+    """r8 (ADVICE): max_iter < 1 skips the loop entirely, leaving
+    delta at its 0 sentinel — which would bypass the non-convergence
+    guard and silently label from the raw edge set.  Must raise up
+    front instead."""
+    import pytest
+    from samplebatchprocessing_spark.operators import dedup
+    pairs = spark.createDataFrame(
+        [(1, 2)], "doc_a long, doc_b long")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="max_iter"):
+            dedup.cc_two_phase(pairs, max_iter=bad)
+
+
 def test_multi_asof_rejects_left_column_collision(spark):
     """r7 (ADVICE): a right payload column whose name collides with a
     left column must be rejected — the union scaffolding would
