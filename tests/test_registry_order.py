@@ -117,21 +117,59 @@ R6_WINDOW = frozenset({
 })
 
 
+# The r7 driver window, frozen (went 50/50 green in CORRECTNESS_r07).
+R7_WINDOW = frozenset({
+    "p13_corrupt_csv", "q2_cast", "j14_asof_nearest",
+    "a16_conditional_aggs", "w10_interval_frames", "t6_pagination",
+    "u4_union_by_name", "f10_regex", "s11_stream_static_join",
+    "d9_map_in_arrow", "l12_embedding_neardup",
+    "x110_revenue_concentration", "x102_collocations",
+    "x96_market_basket", "x97_rfm", "j15_multi_asof",
+    "x104_cc_twophase", "x105_kmeans_elbow", "m8_time_travel",
+    "m10_vacuum", "x33_zipf_fit", "x80_survival_table",
+    "x83_waterfill_allocation", "x17_vocab_coverage",
+    "x42_bigram_perplexity", "x95_trigram_journeys",
+    "x111_fulfillment_lag", "v30_tpch_refresh", "m11_codec_report",
+    "x85_attribution", "x86_seasonal_outliers", "x88_hard_negatives",
+    "x89_tokenizer_fertility", "x90_padding_waste",
+    "x91_source_keywords", "x93_winsorize", "x94_path_pattern",
+    "x99_ngram_novelty", "x100_datasheet_cube", "x101_semdedup_eval",
+    "x106_quality_dedup_interaction", "x107_crawl_stitch",
+    "x108_lsh_parameter_sweep", "mm6_interleaved_assembly",
+    "s22_stream_seasonal_gate", "l6_simhash",
+    "x109_ann_index_lifecycle", "x87_ann_index_merge",
+    "x112_triangle_count", "x113_dq_audit",
+})
+
+
 def test_window_rotation_bounds_overlap_with_prior_rounds():
-    """Rotation policy (VERDICT r5 #3 / r6 #2): round-over-round
-    overlap <= 15 so the registry tail accrues driver evidence.  r6
-    went 50/50 green, so the r7 window re-certifies nothing — overlap
-    with both frozen prior windows is exactly zero."""
+    """Rotation policy (VERDICT r5 #3 / r6 #2 / r7 #1): round-over-
+    round overlap <= 15 so the registry tail accrues driver evidence.
+    r5–r7 all went 50/50 green, so the r8 window re-certifies nothing
+    — overlap with every frozen prior window is exactly zero."""
+    assert not R7_WINDOW & set(DRIVER_WINDOW)
     assert not R6_WINDOW & set(DRIVER_WINDOW)
     assert not R5_WINDOW & set(DRIVER_WINDOW)
 
 
-def test_window_contains_the_r7_rewrites():
-    """The four r7 single-partition rewrites must carry driver
-    evidence in the round they landed (VERDICT r6 #2)."""
-    for n in ("x110_revenue_concentration", "x102_collocations",
-              "x96_market_basket", "x97_rfm"):
-        assert n in DRIVER_WINDOW, n
+def test_window_targets_the_never_certified_backlog():
+    """VERDICT r7 #1: >= 35 window slots must come from the 120-entry
+    never-driver-sampled backlog, prioritizing the rows real pipelines
+    anchor on.  The named priority groups from the verdict must all be
+    present."""
+    must_have = {
+        "l7_topk_ivf", "l7_topk_lsh", "l7_topk_pq",
+        "l13_paragraph_dedup", "l14_incremental_dedup",
+        "l15_fuzzy_dedup_keep", "l16_dedup_keep_best",
+        "p14_python_datasource", "p17_python_stream_source",
+        "p18_python_stream_sink", "p19_arrow_datasource",
+        "v10_tpch_q10", "v12_tpch_q21", "v18_tpch_q19", "v20_tpch_q8",
+        "s13_stream_doc_scoring", "s14_stream_semantic_dedup",
+        "s15_stream_cluster_assign", "s18_stream_dsir_gate",
+        "s19_stream_bloom_gate", "mm4_phash_dedup", "mm5_audio_dedup",
+    }
+    missing = must_have - set(DRIVER_WINDOW)
+    assert not missing, f"verdict-priority entries not in window: {missing}"
 
 
 def test_readme_counts_match_registry(reg):
