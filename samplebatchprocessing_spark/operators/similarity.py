@@ -446,6 +446,110 @@ def ivf_topk(emb: DataFrame, query_pred, k: int = 5,
             .withColumn("cosine", F.round("cosine", 6)))
 
 
+def ivf_probe_cells_distributed(queries: DataFrame, cmat,
+                                n_probe: int) -> DataFrame:
+    """Distributed twin of :func:`ivf_probe_df`: one (query_id,
+    q_emb, cell) row per probed cell per query, computed WITHOUT
+    collecting the query vectors to the driver — the centroid matrix
+    (dim x n_cells floats, metadata-sized) is broadcast and each
+    query partition assigns its own probe cells in one Arrow pass.
+
+    The per-row arithmetic is the same numpy expression the collect
+    path runs driver-side (``argsort(-(q @ C.T))[:n_probe]``), and
+    probe-cell choice is row-local, so batching cannot change it —
+    the two paths emit the identical probe relation (differential-
+    tested in tests/test_operators.py and the x114 registry row)."""
+    b_cent = queries.sparkSession.sparkContext.broadcast(cmat)
+    out_schema = "query_id long, q_emb array<float>, cell int"
+
+    def _probe(batches):
+        import numpy as np
+        import pandas as pd
+        C = b_cent.value
+        npr = n_probe
+        for pdf in batches:
+            qm = np.array(list(pdf["embedding"]), dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+            cells = np.argsort(-(qm @ C.T), axis=1)[:, :npr]
+            n = len(pdf)
+            yield pd.DataFrame({
+                "query_id": pdf["vec_id"].to_numpy().repeat(npr),
+                "q_emb": [e for e in pdf["embedding"]
+                          for _ in range(npr)],
+                "cell": cells.reshape(n * npr).astype("int32"),
+            })
+
+    return (queries.select("vec_id", "embedding")
+            .mapInPandas(_probe, out_schema))
+
+
+def ivf_batch_topk(emb: DataFrame, query_pred, k: int = 5,
+                   n_cells: int = 16, n_probe: int = 4,
+                   quantizer: str = "kmeans",
+                   sample_cap: int = 4096) -> DataFrame:
+    """X114: IVF top-k where the QUERY SIDE STAYS A DATAFRAME end to
+    end — the batch-join form of :func:`ivf_topk` for the 10 M-query
+    regime where collecting query vectors to the driver (the
+    "small by contract" serving shape) stops being small.
+
+    Plan: the probe relation is computed per query partition against
+    broadcast centroids (:func:`ivf_probe_cells_distributed`), then
+    joined to the cell-assigned candidates on the cell id — a plain
+    equi-join that Catalyst/AQE sizes (broadcast when the probe side
+    is small, shuffle-hash on `cell` when it isn't; with a persisted
+    index both sides are already cell-partitioned).  Exact cosine
+    rescore + the per-query (cosine desc, vec_id) top-k window, whose
+    partition key is query_id, scale out with the query count.
+
+    Differential contract: with the same deterministic quantizer this
+    is row-identical to :func:`ivf_topk` (same probe cells, same
+    single-cell candidate membership, same order-fixed cosine fold) —
+    locked by the x114 registry row.  No driver collect of any
+    per-query data anywhere on this path."""
+    cmat = ivf_centroids(emb, n_cells, quantizer, sample_cap)
+    cands = ivf_assign(emb, cmat)
+    probe_df = ivf_probe_cells_distributed(emb.filter(query_pred),
+                                           cmat, n_probe)
+    pairs = (cands.join(probe_df, "cell")
+             .filter(F.col("vec_id") != F.col("query_id")))
+    cos = cosine_expr(F.col("q_emb"), F.col("embedding"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (pairs.select("query_id", "vec_id", cos.alias("cosine"))
+            .filter(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("cosine", F.round("cosine", 6)))
+
+
+def ivf_index_probe_distributed(spark, index_dir: str, cmat,
+                                queries: DataFrame, k: int = 5,
+                                n_probe: int = 4) -> DataFrame:
+    """Distributed-query variant of :func:`ivf_index_probe` against a
+    PERSISTED cell-partitioned index.  Queries are never collected;
+    the only driver materialization is the DISTINCT PROBED CELL LIST
+    (bounded by n_cells — metadata, not data), which is what lets the
+    cell filter land on the index scan's partition column so pruning
+    still happens with a DataFrame query side."""
+    probe_df = ivf_probe_cells_distributed(queries, cmat, n_probe)
+    probe_df = probe_df.localCheckpoint(eager=True)  # reused twice
+    cells = sorted(r["cell"] for r in
+                   probe_df.select("cell").distinct().collect())
+    index = (spark.read.parquet(index_dir)
+             .filter(F.col("cell").isin(cells)))
+    pairs = (index.join(probe_df, "cell")
+             .filter(F.col("vec_id") != F.col("query_id")))
+    cos = cosine_expr(F.col("q_emb"), F.col("embedding"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (pairs.select("query_id", "vec_id", cos.alias("cosine"))
+            .filter(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("cosine", F.round("cosine", 6)))
+
+
 def _pq_codebooks(sample_mat, m: int = 8, ksub: int = 16,
                   n_iter: int = 8, seed: int = 13):
     """Seeded per-subspace k-means codebooks for product quantization:

@@ -72,10 +72,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # multimodal
     "mm2_frame_sample", "mm3_audio_features", "mm4_phash_dedup",
     "mm5_audio_dedup",
-    # breadth fill from the never-sampled list
+    # breadth fill from the never-sampled list + the r8 debut
+    # (x114 distributed-query ANN probe gets driver evidence in its
+    # debut round, the x109/x112/x113 precedent; x67_url_dedup
+    # yielded its slot to the r9 backlog)
     "j8c_asof_tolerance", "w9_running_distinct", "x19_heavy_hitters",
     "x21_substring_dedup", "x29_pagerank", "x64_span_dedup",
-    "x67_url_dedup",
+    "x114_ann_batch_probe",
 )
 
 

@@ -3786,6 +3786,51 @@ FROM embeddings
 """
 
 
+def x114_ann_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X114 (r8, VERDICT r7 #3): DISTRIBUTED-QUERY IVF batch top-k —
+    the variant of the ANN probe where the query set stays a
+    DataFrame joined cell-wise, removing the one documented
+    driver-collect contract in the similarity family (queries were
+    "small by contract"; a 10 M-query batch join is not).
+
+    Both paths really run: the collect-probe :func:`ivf_topk` and the
+    distributed :func:`operators.similarity.ivf_batch_topk` share the
+    deterministic sampled-k-means quantizer, so the probe relation,
+    the single-cell candidate membership, and the order-fixed cosine
+    fold are identical — the declared output is the row count plus
+    per-(query, rank) booleans asserting IDENTICAL neighbor ids and
+    IDENTICAL rounded cosines (a full-outer join, so a row present in
+    only one path flips both booleans via the coalesce(False)).
+
+    Scale (100 TB): probe cells are assigned per query partition
+    against broadcast centroids (one Arrow pass); the candidate join
+    is a plain `cell` equi-join that AQE sizes, and the final top-k
+    window keys on query_id — every stage scales out with the query
+    count.  No driver collect of per-query data anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    collectp = similarity.ivf_topk(emb, pred, k=5).select(
+        "query_id", "rank", F.col("vec_id").alias("vid_c"),
+        F.col("cosine").alias("cos_c"))
+    dist = similarity.ivf_batch_topk(emb, pred, k=5).select(
+        "query_id", "rank", F.col("vec_id").alias("vid_d"),
+        F.col("cosine").alias("cos_d"))
+    j = collectp.join(dist, ["query_id", "rank"], "full")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bool_and(F.coalesce(F.col("vid_c") == F.col("vid_d"),
+                              F.lit(False))).alias("ids_identical"),
+        F.bool_and(F.coalesce(F.col("cos_c") == F.col("cos_d"),
+                              F.lit(False))).alias("cosine_identical"))
+
+
+X114_SQL = """
+SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS ids_identical, TRUE AS cosine_identical
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -3862,6 +3907,7 @@ QUERIES: dict[str, tuple] = {
     "x108_lsh_parameter_sweep": (x108_lsh_parameter_sweep, _x108_sql()),
     "x109_ann_index_lifecycle": (x109_ann_index_lifecycle, X109_SQL),
     "x87_ann_index_merge": (x87_ann_index_merge, X87_SQL),
+    "x114_ann_batch_probe": (x114_ann_batch_probe, X114_SQL),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),

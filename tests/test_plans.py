@@ -148,6 +148,21 @@ def test_ivf_probe_is_broadcast_equi_join(spark, sf_smoke):
     assert "SortMergeJoin" not in plan
 
 
+def test_ivf_batch_topk_no_cartesian_no_query_collect_shape(spark, sf_smoke):
+    """X114: the distributed-query IVF plan is a cell equi-join over
+    two mapInPandas stages — never a cartesian/nested-loop, and the
+    probe side is a FlatMapsInPandas subtree (the query DataFrame),
+    not a LocalTableScan of driver-collected rows (which is exactly
+    what the ivf_topk collect path plans as)."""
+    from samplebatchprocessing_spark.operators import similarity
+    emb = load_table(spark, sf_smoke, "embeddings")
+    df = similarity.ivf_batch_topk(emb, F.col("vec_id") % 50 == 0, k=5)
+    plan = plan_str(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LocalTableScan" not in plan
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_smoke):
     """Bucketed layout contract: a fact-fact join on the bucket key
     plans with NO shuffle on either side — the co-location survives
