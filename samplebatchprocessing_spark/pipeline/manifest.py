@@ -92,7 +92,8 @@ def run_pipeline(spark: SparkSession, manifest: DataFrame,
                  transform: Callable[[bytes], bytes] | None = None,
                  command: str | None = None,
                  ext: str = ".out",
-                 commit: str = "replace") -> DataFrame:
+                 commit: str = "replace",
+                 store: ObjectStoreClient | None = None) -> DataFrame:
     """GetJobs equivalent: dispatch manifest rows, transform each
     file's bytes, write results under the deterministic output key.
 
@@ -150,12 +151,53 @@ def run_pipeline(spark: SparkSession, manifest: DataFrame,
     return (joined
             .select("bucket", "in_prefix", "out_prefix", "file_name",
                     "content")
-            .mapInPandas(_file_processor(transform, ext, commit),
+            .mapInPandas(_file_processor(transform, ext, commit,
+                                         store=store),
                          LOG_SCHEMA))
 
 
 LOG_SCHEMA = ("file_name string, in_bytes long, out_bytes long, "
               "out_path string, ok boolean")
+
+
+def _split_scheme(uri: str) -> tuple[str, str]:
+    """('', path) for bare paths, (scheme, rest) for URIs."""
+    if "://" not in uri:
+        return "", uri
+    scheme, rest = uri.split("://", 1)
+    return scheme, rest
+
+
+class ObjectStoreClient:
+    """Worker-side commit contract for object-store schemes — the
+    three verbs the reference's S3 flow actually uses (public boto2
+    semantics: GetJobs.py:57-60 uploads the result via a single key
+    put; delete-on-success GetJobs.py:37-40):
+
+    - ``put(key, data)``: store ``data`` under ``key`` as ONE atomic
+      object — a reader sees the old object or the new one, never a
+      partial (S3 PUT semantics; this is what makes the direct-PUT
+      commit safe where POSIX needs write-then-rename).
+    - ``copy(src, dst)``: server-side copy — itself a single PUT of
+      the destination object.
+    - ``delete(key)``: remove the object.
+
+    Implementations must be PICKLABLE: the commit runs inside the
+    executor's Python worker, so the client ships through the task
+    closure (module state set on the driver does NOT reach workers).
+    The repo ships no network client (sandbox); the contract is
+    exercised by a recording file-backed double in
+    tests/test_pipeline.py, and a real s3 client slots in unchanged.
+    """
+
+    def put(self, key: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def copy(self, src: str, dst: str) -> None:
+        raise NotImplementedError
+
+    def delete(self, key: str) -> None:
+        raise NotImplementedError
 
 
 def _fs_local_path(uri: str) -> str:
@@ -164,48 +206,81 @@ def _fs_local_path(uri: str) -> str:
     ...), but the per-file commit runs in the Python worker against
     the filesystem client for that scheme.  Bare paths and
     ``file://`` URIs map to POSIX I/O (what this container can
-    execute — pinning the SCALE.md "Object-store commit" notes as
-    testable fact); an object-store scheme would dispatch to the
-    store's client (single-PUT copy for ``tempkey`` commit) and
-    raises explicitly here rather than writing a local directory
-    literally named ``s3a:``."""
-    if "://" not in uri:
+    execute); object-store schemes dispatch to the caller-supplied
+    :class:`ObjectStoreClient` (see ``_file_processor``) and raise
+    explicitly here when none is given, rather than writing a local
+    directory literally named ``s3a:``."""
+    scheme, rest = _split_scheme(uri)
+    if scheme == "":
         return uri
-    scheme, rest = uri.split("://", 1)
     if scheme == "file":
         return "/" + rest.lstrip("/")
     raise NotImplementedError(
-        f"scheme {scheme!r}: worker-side commit needs the object-store "
-        f"client (tempkey commit = single-PUT copy; see SCALE.md "
-        f"'Object-store commit')")
+        f"scheme {scheme!r}: worker-side commit needs an "
+        f"ObjectStoreClient (tempkey commit = single-PUT copy; see "
+        f"SCALE.md 'Object-store commit')")
 
 
 def _file_processor(transform: Callable[[bytes], bytes],
-                    ext: str, commit: str):
+                    ext: str, commit: str,
+                    store: ObjectStoreClient | None = None):
     """Arrow-batched per-file worker shared by the batch pipeline and
     the streaming watcher: transform bytes, commit to the
-    deterministic key, emit one log row per file."""
+    deterministic key, emit one log row per file.
+
+    Commit dispatch is by BUCKET SCHEME: bare paths and ``file://``
+    use POSIX I/O (write temp + ``os.replace`` / copy+delete); any
+    other scheme commits through ``store`` (an
+    :class:`ObjectStoreClient`, shipped via the task closure):
+    - ``tempkey``: put temp key -> server-side copy to the final key
+      (a single PUT, so a reader never observes a partial final
+      object) -> delete temp — the SCALE.md object-store recipe.
+    - ``replace``: one direct put of the final key — on an object
+      store the PUT itself is the atomic visibility switch, so the
+      POSIX temp/rename dance degenerates to a single call.
+    An object-store scheme with no ``store`` raises (never a local
+    directory named ``s3a:``)."""
     def _process(batches: Iterator) -> Iterator:
+        import posixpath
+
         import pandas as pd
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                out_dir = os.path.join(_fs_local_path(r.bucket),
-                                       r.out_prefix)
-                out_path = os.path.join(out_dir, r.file_name + ext)
+                scheme, rest = _split_scheme(r.bucket)
+                obj_store = scheme not in ("", "file")
+                if obj_store and store is not None:
+                    key = posixpath.join(rest, r.out_prefix,
+                                         r.file_name + ext)
+                    out_path = f"{scheme}://{key}"
+                else:
+                    out_dir = os.path.join(_fs_local_path(r.bucket),
+                                           r.out_prefix)
+                    out_path = os.path.join(out_dir, r.file_name + ext)
                 raw = bytes(r.content)
                 try:
                     result = transform(raw)
-                    os.makedirs(out_dir, exist_ok=True)
-                    tmp = out_path + ".inprogress"
-                    with open(tmp, "wb") as f:
-                        f.write(result)
-                    if commit == "replace":
-                        os.replace(tmp, out_path)   # atomic on POSIX
-                    else:                           # tempkey: copy+delete
-                        import shutil
-                        shutil.copyfile(tmp, out_path)
-                        os.remove(tmp)
+                    if obj_store and store is not None:
+                        if commit == "replace":
+                            store.put(key, result)
+                        else:                       # tempkey
+                            tmp_key = key + ".inprogress"
+                            store.put(tmp_key, result)
+                            store.copy(tmp_key, key)
+                            store.delete(tmp_key)
+                    else:
+                        out_dir = os.path.join(
+                            _fs_local_path(r.bucket), r.out_prefix)
+                        os.makedirs(out_dir, exist_ok=True)
+                        tmp = out_path + ".inprogress"
+                        with open(tmp, "wb") as f:
+                            f.write(result)
+                        if commit == "replace":
+                            os.replace(tmp, out_path)  # atomic on POSIX
+                        else:                       # tempkey: copy+delete
+                            import shutil
+                            shutil.copyfile(tmp, out_path)
+                            os.remove(tmp)
                     ok = True
                 except Exception:
                     # returncode gate (GetJobs.py:54-56): no upload,
@@ -225,7 +300,8 @@ def watch_prefix(spark: SparkSession, bucket_dir: str,
                  command: str | None = None,
                  ext: str = ".out",
                  commit: str = "replace",
-                 checkpoint: str | None = None) -> DataFrame:
+                 checkpoint: str | None = None,
+                 store: ObjectStoreClient | None = None) -> DataFrame:
     """The reference's LONG-POLL CONSUMER (GetJobs.py:21-23), made
     rigorous: watch ``bucket_dir/in_prefix`` as a binaryFile
     micro-batch stream; every newly discovered file is one job
@@ -251,7 +327,7 @@ def watch_prefix(spark: SparkSession, bucket_dir: str,
     """
     q = _start_watch_stream(spark, bucket_dir, in_prefix, out_prefix,
                             transform, command, ext, commit, checkpoint,
-                            trigger={"availableNow": True})
+                            trigger={"availableNow": True}, store=store)
     q.awaitTermination()
     return commit_log(spark, bucket_dir)
 
@@ -264,7 +340,8 @@ def watch_daemon(spark: SparkSession, bucket_dir: str,
                  ext: str = ".out",
                  commit: str = "replace",
                  checkpoint: str | None = None,
-                 poll_seconds: float = 5.0):
+                 poll_seconds: float = 5.0,
+                 store: ObjectStoreClient | None = None):
     """The reference's INFINITE long-poll loop (GetJobs.py:21-23
     ``while (True): get_messages(wait_time_seconds=20)``), as a
     continuously-running micro-batch stream: new files under
@@ -285,14 +362,16 @@ def watch_daemon(spark: SparkSession, bucket_dir: str,
     return _start_watch_stream(
         spark, bucket_dir, in_prefix, out_prefix, transform, command,
         ext, commit, checkpoint,
-        trigger={"processingTime": f"{poll_seconds} seconds"})
+        trigger={"processingTime": f"{poll_seconds} seconds"},
+        store=store)
 
 
 def _start_watch_stream(spark: SparkSession, bucket_dir: str,
                         in_prefix: str, out_prefix: str,
                         transform: Callable[[bytes], bytes] | None,
                         command: str | None, ext: str, commit: str,
-                        checkpoint: str | None, trigger: dict):
+                        checkpoint: str | None, trigger: dict,
+                        store: ObjectStoreClient | None = None):
     """Shared stream starter for watch_prefix (AvailableNow drain) and
     watch_daemon (ProcessingTime long-poll loop)."""
     from ..session import ship_package
@@ -311,7 +390,7 @@ def _start_watch_stream(spark: SparkSession, bucket_dir: str,
               "length long, content binary")
     sdf = (spark.readStream.format("binaryFile").schema(schema)
            .load(in_dir))
-    proc = _file_processor(transform, ext, commit)
+    proc = _file_processor(transform, ext, commit, store=store)
 
     import time
     # Monotone across runs (unlike the checkpointed batch id, which

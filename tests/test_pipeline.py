@@ -292,14 +292,143 @@ def test_pipeline_file_scheme_uri_end_to_end(spark, bucket):
 
 
 def test_pipeline_object_store_scheme_raises_not_silent():
-    """An s3a:// bucket must fail loudly in the worker commit (no
-    client in this container), never write a local dir named 's3a:'."""
+    """An s3a:// bucket with NO client must fail loudly in the worker
+    commit, never write a local dir named 's3a:'."""
     from samplebatchprocessing_spark.pipeline.manifest import (
         _fs_local_path)
     assert _fs_local_path("/tmp/x") == "/tmp/x"
     assert _fs_local_path("file:///tmp/x") == "/tmp/x"
     with pytest.raises(NotImplementedError, match="s3a"):
         _fs_local_path("s3a://bucket/prefix")
+
+
+def _recording_store(root: str):
+    """File-backed ObjectStoreClient double (VERDICT r7 #4): objects
+    live under <root>/objects/<key>; every put/copy/delete appends a
+    time-ordered journal entry, so the test can assert the exact
+    commit call sequence the reference's S3 flow would receive
+    (GetJobs.py:48-60 upload, :37-40 delete-on-success).  Defined
+    inside a factory so cloudpickle serializes the CLASS BY VALUE —
+    the commit runs in the executor's Python worker, which cannot
+    import the test module."""
+
+    class RecordingStore:
+        def __init__(self, root: str):
+            self.root = root
+
+        def _obj(self, key: str) -> str:
+            return os.path.join(self.root, "objects", key)
+
+        def _journal(self, line: str) -> None:
+            import time
+            import uuid
+            d = os.path.join(self.root, "journal")
+            os.makedirs(d, exist_ok=True)
+            name = f"{time.time_ns():020d}_{uuid.uuid4().hex[:8]}"
+            with open(os.path.join(d, name), "w") as f:
+                f.write(line)
+
+        def put(self, key: str, data: bytes) -> None:
+            p = self._obj(key)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as f:   # one call = one atomic object
+                f.write(data)
+            self._journal(f"PUT {key}")
+
+        def copy(self, src: str, dst: str) -> None:
+            with open(self._obj(src), "rb") as f:
+                data = f.read()
+            p = self._obj(dst)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as f:
+                f.write(data)
+            self._journal(f"COPY {src} -> {dst}")
+
+        def delete(self, key: str) -> None:
+            os.remove(self._obj(key))
+            self._journal(f"DELETE {key}")
+
+    return RecordingStore(root)
+
+
+def _store_ops(root: str) -> list[str]:
+    d = os.path.join(root, "journal")
+    return [open(p).read()
+            for p in sorted(glob.glob(os.path.join(d, "*")))]
+
+
+def _object_store_log(spark, store, commit, transform=None):
+    """Drive the SHARED worker (`_file_processor` — the same callable
+    run_pipeline and the streaming watcher map over Arrow batches)
+    against an object-store bucket URI with the recording double."""
+    from samplebatchprocessing_spark.pipeline.manifest import (
+        LOG_SCHEMA, _file_processor)
+    rows = [("s3a://contract-bucket/data", "input/", "output/",
+             f"f{i}.bin", bytes([i]) * (i + 1)) for i in range(3)]
+    frame = spark.createDataFrame(
+        rows, "bucket string, in_prefix string, out_prefix string, "
+              "file_name string, content binary")
+    proc = _file_processor(transform or (lambda b: b), ".out", commit,
+                           store=store)
+    return frame.mapInPandas(proc, LOG_SCHEMA).collect()
+
+
+def test_object_store_tempkey_commit_contract(spark, tmp_path):
+    """VERDICT r7 #4: the tempkey commit against an object-store
+    scheme is PUT temp key -> server-side COPY to the final key (a
+    single PUT, so a reader never observes a partial final object) ->
+    DELETE temp — per file, in that order, with no POSIX path ever
+    touched for the s3a bucket."""
+    store = _recording_store(str(tmp_path))
+    log = _object_store_log(spark, store, "tempkey",
+                            transform=lambda b: b + b"!")
+    assert len(log) == 3 and all(r["ok"] for r in log)
+    for i, r in enumerate(sorted(log, key=lambda r: r["file_name"])):
+        key = f"contract-bucket/data/output/f{i}.bin.out"
+        assert r["out_path"] == f"s3a://{key}"
+        with open(os.path.join(str(tmp_path), "objects", key),
+                  "rb") as f:
+            assert f.read() == bytes([i]) * (i + 1) + b"!"
+        tmp_key = key + ".inprogress"
+        assert not os.path.exists(
+            os.path.join(str(tmp_path), "objects", tmp_key))
+        ops = [o for o in _store_ops(str(tmp_path)) if key in o]
+        assert ops == [f"PUT {tmp_key}",
+                       f"COPY {tmp_key} -> {key}",
+                       f"DELETE {tmp_key}"]
+    # the fake bucket never materialized as a local directory
+    assert not os.path.exists("s3a:")
+
+
+def test_object_store_replace_commit_is_single_put(spark, tmp_path):
+    """On an object store the PUT itself is the atomic visibility
+    switch, so the 'replace' strategy degenerates to ONE direct put
+    of the final key — no temp object, no copy, no delete."""
+    store = _recording_store(str(tmp_path))
+    log = _object_store_log(spark, store, "replace")
+    assert len(log) == 3 and all(r["ok"] for r in log)
+    ops = _store_ops(str(tmp_path))
+    assert len(ops) == 3 and all(o.startswith("PUT ") for o in ops)
+    assert not any(".inprogress" in o for o in ops)
+
+
+def test_object_store_failed_transform_commits_nothing(spark, tmp_path):
+    """The returncode gate over an object store: a failing transform
+    must emit ok=False and touch the store with ZERO calls for that
+    file — no partial upload, no delete — so redelivery/task retry
+    re-runs it cleanly (the reference's skip-upload-and-redeliver,
+    GetJobs.py:54-56)."""
+    def _boom(b: bytes) -> bytes:
+        if b[:1] == bytes([1]):
+            raise RuntimeError("bad file")
+        return b
+
+    store = _recording_store(str(tmp_path))
+    log = _object_store_log(spark, store, "tempkey", transform=_boom)
+    by_name = {r["file_name"]: r for r in log}
+    assert not by_name["f1.bin"]["ok"]
+    assert by_name["f0.bin"]["ok"] and by_name["f2.bin"]["ok"]
+    assert not any("f1.bin" in o for o in _store_ops(str(tmp_path)))
 
 
 def test_pipeline_concurrent_runs_stay_byte_exact(spark, bucket):
