@@ -296,3 +296,128 @@ def test_differential(spark, sf_oracle, seed):
     ast = gen_ast(seed)
     report = compare(to_spark(ast, spark, sf_oracle), to_sql(ast), sf_oracle)
     assert report["ok"], f"seed={seed} ast={ast} report={report}"
+
+
+# ---------------------------------------------------------------------------
+# r8 (VERDICT r7 #7): generator coverage for the two newest nontrivial
+# operators — random token corpora with planted dups through the
+# lossless prefix-filter join, and random graphs (ER + planted cliques
+# + hub skew + dirty input) through the triangle census.  Both compare
+# against independent pure-Python truth, not the operator's own logic.
+# ---------------------------------------------------------------------------
+
+def _gen_corpus(seed: int):
+    """Random corpus + exact threshold: mixes the closed-vocab
+    (<= 63 tokens -> popcount branch) and open-vocab (> 63 -> array
+    branch) regimes, and plants exact/near dup clones so qualifying
+    pairs always exist."""
+    rng = random.Random(10_000 + seed)
+    vocab_size = rng.choice([20, 40, 63, 80, 120])
+    vocab = [f"tk{i:03d}" for i in range(vocab_size)]
+    num, den = rng.choice([(4, 5), (3, 4), (9, 10)])
+    rows = []
+    for i in range(rng.randint(20, 50)):
+        s = rng.randint(3, min(15, vocab_size))
+        rows.append((i, " ".join(rng.sample(vocab, s))))
+    next_id = 1000
+    for _ in range(rng.randint(3, 8)):       # planted dup clones
+        base_id, base_text = rng.choice(rows)
+        toks = base_text.split()
+        mode = rng.choice(["exact", "drop", "add"])
+        if mode == "drop" and len(toks) > 3:
+            toks = toks[:-1]
+        elif mode == "add":
+            extra = [t for t in vocab if t not in toks]
+            if extra:
+                toks = toks + [rng.choice(extra)]
+        rows.append((next_id, " ".join(toks)))
+        next_id += 1
+    return rows, num, den
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_differential_prefix_filter_join(spark, seed):
+    """x103 fuzz: the prefix-filtered pair relation — candidate
+    generation, PPJoin positional filter, and whichever verify branch
+    the vocabulary size dispatches to — must equal brute-force
+    all-pairs truth exactly, (inter, uni) included, on random corpora
+    with planted dups at random rational thresholds."""
+    import itertools
+
+    from samplebatchprocessing_spark.operators.dedup import (
+        prefix_filter_pairs)
+    rows, num, den = _gen_corpus(seed)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): (r["inter"], r["uni"])
+           for r in prefix_filter_pairs(
+               df, threshold_num=num, threshold_den=den).collect()}
+    sets = {i: set(t.split()) for i, t in rows}
+    truth = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if den * inter >= num * uni:
+            truth[(a, b)] = (inter, uni)
+    assert got == truth, f"seed={seed} num/den={num}/{den}"
+    assert truth, "planted clones must yield qualifying pairs"
+
+
+def _gen_graph(seed: int):
+    """Random dirty edge list: ER base, optional planted clique,
+    optional hub star (degree-orientation stress), plus duplicate,
+    reversed, and self-loop edges the operator must canonicalize
+    away.  Returns (dirty_edges, clean_edge_set)."""
+    rng = random.Random(20_000 + seed)
+    n = rng.randint(8, 40)
+    p = rng.uniform(0.05, 0.5)
+    clean = set()
+    for u in range(n):
+        for v in range(u + 1, n):
+            if rng.random() < p:
+                clean.add((u, v))
+    if rng.random() < 0.6:                    # planted clique
+        k = rng.sample(range(n), rng.randint(3, min(6, n)))
+        for u, v in ((a, b) for a in k for b in k if a < b):
+            clean.add((u, v))
+    if rng.random() < 0.5:                    # hub star
+        for v in range(1, n):
+            clean.add((0, v))
+    dirty = [list(e) for e in clean]
+    for u, v in rng.sample(sorted(clean), min(10, len(clean))):
+        dirty.append([v, u])                  # reversed copy
+        dirty.append([u, v])                  # duplicate
+    for _ in range(3):
+        w = rng.randrange(n)
+        dirty.append([w, w])                  # self-loop
+    rng.shuffle(dirty)
+    return dirty, clean
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_differential_triangle_census(spark, seed):
+    """x112 fuzz: the degree-oriented census must match pure-Python
+    truth on all five declared columns for random graphs with planted
+    cliques, hub skew, and dirty (duplicate/reversed/self-loop)
+    input."""
+    from samplebatchprocessing_spark.operators.graph import (
+        triangle_count)
+    dirty, clean = _gen_graph(seed)
+    if not clean:
+        pytest.skip("degenerate empty graph")
+    adj: dict[int, set[int]] = {}
+    for u, v in clean:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    n_nodes = len(adj)
+    n_edges = len(clean)
+    n_wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    n_tri = sum(1 for u, v in clean
+                for w in adj[u] & adj[v] if w > v)
+    ppm = (3 * n_tri * 1_000_000 // n_wedges) if n_wedges else None
+    df = spark.createDataFrame(dirty, "a long, b long")
+    row = triangle_count(df).first()
+    got = (row["n_nodes"], row["n_edges"], row["n_wedges"],
+           row["n_triangles"], row["transitivity_ppm"])
+    assert got == (n_nodes, n_edges, n_wedges, n_tri, ppm), \
+        f"seed={seed}: got {got}, want " \
+        f"{(n_nodes, n_edges, n_wedges, n_tri, ppm)}"
