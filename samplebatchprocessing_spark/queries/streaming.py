@@ -808,6 +808,84 @@ GROUP BY e.event_type
 """
 
 
+def s23_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S23 (r8): STREAMING ANN serving against the PERSISTED IVF
+    index — the x109 lifecycle's query half as a micro-batch stream,
+    closing the train-once/serve-forever loop for similarity search:
+    the index builds batch-side (one partitioned write), then query
+    vectors ARRIVE AS A STREAM, assign their own probe cells per
+    micro-batch against broadcast centroids (the x114 distributed
+    probe — ``ivf_probe_cells_distributed`` runs unchanged on a
+    streaming DataFrame), stream-static-join the cell-partitioned
+    index, and rescore with the exact cosine.
+
+    Ranking windows are illegal on streams, so the stream-legal
+    declared output is the per-query TOP-1 aggregate (max_by with the
+    (cosine desc, vec_id asc) tie-break encoded as a struct ordering)
+    plus the candidate count — full top-k stays the batch probe's
+    contract.  Correctness is declared the l7_topk_numpy way: the
+    batch ``ivf_index_probe`` (k=1) really runs too, and the output
+    row carries booleans asserting the streamed top-1 ids and rounded
+    cosines equal the batch path's exactly (full-outer join, coalesce
+    False).
+
+    Scale (100 TB): per micro-batch the work is one Arrow pass over
+    the batch's queries + one cell equi-join against the static index
+    + a per-query aggregate — no streaming state beyond the final
+    complete-mode aggregate, no driver collect of queries anywhere
+    (the cell-pruning list is the only driver materialization in the
+    batch twin; the stream side joins the full index frame and lets
+    the cell join prune).  The reference's closest shape is its
+    long-poll consumer serving job results from the S3 output prefix
+    (GetJobs.py:21-23, :57-60)."""
+    from ..catalog import load_table
+    from ..operators import similarity
+    from ..streaming.jobs import embeddings_stream, run_available_now
+    from .sources import _work_dir
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    idx = _work_dir(sf_dir, "s23_ivf")
+    cmat = similarity.ivf_index_write(emb, idx, n_cells=16)
+
+    sdf = embeddings_stream(spark, sf_dir, tag="annprobe").filter(pred)
+    probe = similarity.ivf_probe_cells_distributed(sdf, cmat, n_probe=4)
+    index = spark.read.parquet(idx)
+    pairs = (probe.join(index, "cell")
+             .filter(F.col("vec_id") != F.col("query_id")))
+    cos = similarity.cosine_expr(F.col("q_emb"), F.col("embedding"))
+    scored = (pairs.select("query_id", "vec_id", cos.alias("cosine"))
+              .filter(F.col("cosine").isNotNull() & ~F.isnan("cosine")))
+    tiebreak = F.struct(F.col("cosine"),
+                        (-F.col("vec_id")).alias("nv"))
+    agg = (scored.groupBy("query_id")
+           .agg(F.count(F.lit(1)).alias("n_cands"),
+                F.max_by(F.col("vec_id"), tiebreak).alias("s_vid"),
+                F.round(F.max("cosine"), 6).alias("s_cos")))
+    stream_top1 = run_available_now(agg, output_mode="complete")
+
+    batch_top1 = (similarity.ivf_index_probe(
+        spark, idx, cmat, emb, pred, k=1, n_probe=4)
+        .select("query_id", F.col("vec_id").alias("b_vid"),
+                F.col("cosine").alias("b_cos")))
+    j = stream_top1.join(batch_top1, "query_id", "full")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.bool_and(F.coalesce(F.col("s_vid") == F.col("b_vid"),
+                              F.lit(False))).alias("top1_ids_match"),
+        F.bool_and(F.coalesce(F.col("s_cos") == F.col("b_cos"),
+                              F.lit(False))).alias("top1_cos_match"),
+        F.bool_and(F.coalesce(F.col("n_cands") > 0,
+                              F.lit(False))).alias("all_have_candidates"))
+
+
+S23_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       TRUE AS top1_ids_match, TRUE AS top1_cos_match,
+       TRUE AS all_have_candidates
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "s1_stream_scan": (s1_stream_scan, S1_SQL),
     "s2_tumbling_window": (s2_tumbling_window, S2_SQL),
@@ -832,4 +910,5 @@ QUERIES: dict[str, tuple] = {
     "s19_stream_bloom_gate": (s19_stream_bloom_gate, S19_SQL),
     "s21_stream_incremental_mv": (s21_stream_incremental_mv, S21_SQL),
     "s22_stream_seasonal_gate": (s22_stream_seasonal_gate, S22_SQL),
+    "s23_stream_ann_probe": (s23_stream_ann_probe, S23_SQL),
 }
