@@ -3831,6 +3831,155 @@ FROM embeddings WHERE vec_id % 50 = 0
 """
 
 
+def x115_nb_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X115 (r8): CLASSIFIER-BASED quality filtering with a held-out
+    evaluation — the CCNet/GPT-3-style pipeline component (public:
+    Wenzek 2020 trains a model to separate a trusted corpus from raw
+    crawl; Brown 2020 §A filters CommonCrawl with such a classifier):
+    train a Naive Bayes text classifier to recognize the curated
+    slice (source='src0'), score the HELD-OUT docs, and report the
+    exact confusion matrix + precision/recall/accuracy.
+
+    Exactness discipline (the x65 fixed-point pattern): training is
+    pure counting (per-token per-class occurrence counts — exact
+    BIGINTs from one token-keyed shuffle); the per-token Laplace
+    log-likelihood ratio is FIXED-POINT (floor x 10^6 — ln of a
+    rational never lands on an integer, so the floor is stable
+    cross-engine), making every document score an exact INTEGER sum
+    (order-independent); metrics are exact ppm integer divisions.
+    Unseen test tokens get the Laplace-floor constant ratio
+    ln((N+V)/(P+V)) instead of being dropped.  Zero-token test docs
+    score prior-only via the left join + coalesce.
+
+    Split: train = doc_id % 3 != 0, test = doc_id % 3 == 0 — the
+    x6-style hash split, disjoint by construction.
+
+    Scale (100 TB): one tokenize-explode scan feeds both train
+    counting and test scoring; the trained model is a
+    VOCABULARY-sized (tok, weight) table — a broadcast artifact
+    (train once, score any corpus, the X42/X65 model discipline);
+    the only data-scale shuffles are the token-count groupBy and the
+    per-doc score groupBy.  Nothing iterative."""
+    doc = load_table(spark, sf_dir, "documents")
+    is_pos = (F.col("source") == "src0")
+    is_test = (F.col("doc_id") % 3 == 0)
+    base = doc.select("doc_id", is_pos.alias("is_pos"),
+                      is_test.alias("is_test"),
+                      F.explode(text.tokenize(F.col("text")))
+                      .alias("tok"))
+    cnt = (base.filter(~F.col("is_test")).groupBy("tok")
+           .agg(F.sum(F.col("is_pos").cast("long")).alias("pc"),
+                F.sum((~F.col("is_pos")).cast("long")).alias("nc")))
+    tot = cnt.agg(F.sum("pc").alias("p_tot"), F.sum("nc").alias("n_tot"),
+                  F.count(F.lit(1)).alias("v"))
+    w = (cnt.crossJoin(F.broadcast(tot))
+         .select("tok", F.floor(1e6 * (
+             F.log((F.col("pc") + 1) / (F.col("p_tot") + F.col("v")))
+             - F.log((F.col("nc") + 1)
+                     / (F.col("n_tot") + F.col("v")))))
+             .cast("long").alias("w")))
+    consts = (doc.select(is_pos.alias("is_pos"), is_test.alias("is_test"))
+              .filter(~F.col("is_test"))
+              .agg(F.sum(F.col("is_pos").cast("long")).alias("np"),
+                   F.sum((~F.col("is_pos")).cast("long")).alias("nn"))
+              .crossJoin(F.broadcast(tot))
+              .select(
+                  F.floor(1e6 * F.log((F.col("np") + 1)
+                                      / (F.col("nn") + 1)))
+                  .cast("long").alias("prior"),
+                  F.floor(1e6 * (
+                      F.log(1 / (F.col("p_tot") + F.col("v")))
+                      - F.log(1 / (F.col("n_tot") + F.col("v")))))
+                  .cast("long").alias("w_unseen")))
+    sums = (base.filter(F.col("is_test"))
+            .join(F.broadcast(w), "tok", "left")
+            .crossJoin(F.broadcast(consts))
+            .select("doc_id",
+                    F.coalesce("w", F.col("w_unseen")).alias("wt"))
+            .groupBy("doc_id").agg(F.sum("wt").alias("s")))
+    per_doc = (doc.select("doc_id", is_pos.alias("is_pos"))
+               .filter(is_test)
+               .join(sums, "doc_id", "left")
+               .crossJoin(F.broadcast(consts))
+               .select("is_pos",
+                       ((F.coalesce("s", F.lit(0)) + F.col("prior"))
+                        > 0).alias("pred")))
+    cm = per_doc.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum((F.col("pred") & F.col("is_pos")).cast("long")).alias("tp"),
+        F.sum((F.col("pred") & ~F.col("is_pos")).cast("long")).alias("fp"),
+        F.sum((~F.col("pred") & F.col("is_pos")).cast("long")).alias("fn"),
+        F.sum((~F.col("pred") & ~F.col("is_pos")).cast("long")).alias("tn"))
+    return cm.select(
+        "n_test", "tp", "fp", "fn", "tn",
+        F.expr("case when tp + fp > 0 then tp * 1000000 div (tp + fp) "
+               "end").alias("precision_ppm"),
+        F.expr("case when tp + fn > 0 then tp * 1000000 div (tp + fn) "
+               "end").alias("recall_ppm"),
+        F.expr("(tp + tn) * 1000000 div n_test").alias("accuracy_ppm"))
+
+
+def _x115_sql() -> str:
+    tk = text.tokenize_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source = 'src0' AS is_pos, doc_id % 3 = 0 AS is_test,
+         UNNEST({tk}) AS tok
+  FROM documents),
+cnt AS (
+  SELECT tok,
+         SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS pc,
+         SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS nc
+  FROM base WHERE NOT is_test GROUP BY tok),
+tot AS (SELECT SUM(pc) AS p_tot, SUM(nc) AS n_tot, COUNT(*) AS v
+        FROM cnt),
+w AS (
+  SELECT tok, CAST(FLOOR(1e6 * (
+           LN((pc + 1) / CAST(p_tot + v AS DOUBLE))
+           - LN((nc + 1) / CAST(n_tot + v AS DOUBLE)))) AS BIGINT) AS w
+  FROM cnt, tot),
+pri AS (
+  SELECT SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS nn
+  FROM documents WHERE doc_id % 3 <> 0),
+consts AS (
+  SELECT CAST(FLOOR(1e6 * LN((np + 1) / CAST(nn + 1 AS DOUBLE)))
+           AS BIGINT) AS prior,
+         CAST(FLOOR(1e6 * (
+           LN(1 / CAST(p_tot + v AS DOUBLE))
+           - LN(1 / CAST(n_tot + v AS DOUBLE))))
+           AS BIGINT) AS w_unseen
+  FROM pri, tot),
+sums AS (
+  SELECT base.doc_id, SUM(COALESCE(w.w, consts.w_unseen)) AS s
+  FROM base LEFT JOIN w USING (tok), consts
+  WHERE base.is_test GROUP BY base.doc_id),
+per_doc AS (
+  SELECT d.source = 'src0' AS is_pos,
+         (COALESCE(sums.s, 0) + consts.prior) > 0 AS pred
+  FROM documents d LEFT JOIN sums ON d.doc_id = sums.doc_id, consts
+  WHERE d.doc_id % 3 = 0),
+cm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN pred AND is_pos THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN pred AND NOT is_pos THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN NOT pred AND is_pos THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN NOT pred AND NOT is_pos THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn
+  FROM per_doc)
+SELECT n_test, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) END
+         AS precision_ppm,
+       CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END
+         AS recall_ppm,
+       (tp + tn) * 1000000 // n_test AS accuracy_ppm
+FROM cm
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "l1_exact_dedup": (l1_exact_dedup, dedup.EXACT_DEDUP_SQL),
     "l2_tokenize": (l2_tokenize, L2_SQL),
@@ -3908,6 +4057,7 @@ QUERIES: dict[str, tuple] = {
     "x109_ann_index_lifecycle": (x109_ann_index_lifecycle, X109_SQL),
     "x87_ann_index_merge": (x87_ann_index_merge, X87_SQL),
     "x114_ann_batch_probe": (x114_ann_batch_probe, X114_SQL),
+    "x115_nb_quality_eval": (x115_nb_quality_eval, _x115_sql()),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),
