@@ -148,6 +148,24 @@ def test_ivf_probe_is_broadcast_equi_join(spark, sf_smoke):
     assert "SortMergeJoin" not in plan
 
 
+def test_nb_quality_eval_model_join_is_broadcast(spark, sf_smoke):
+    """X115: the trained (tok, weight) model is a vocabulary-sized
+    broadcast artifact — the test-token scoring join must plan as a
+    BroadcastHashJoin on tok, and nothing in the plan may be a
+    cartesian (the 1-row consts/prior combines are broadcast
+    nested-loop by construction, which is the allowed two-tiny-frame
+    shape)."""
+    from samplebatchprocessing_spark.queries.llm import (
+        x115_nb_quality_eval)
+    df = x115_nb_quality_eval(spark, sf_smoke)
+    plan = plan_str(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the per-doc score join (test docs x doc-keyed sums) is
+    # data-scale on BOTH sides — a doc_id-keyed SortMergeJoin is the
+    # correct 100 TB plan there, so no no-SMJ assertion here.
+
+
 def test_ivf_batch_topk_no_cartesian_no_query_collect_shape(spark, sf_smoke):
     """X114: the distributed-query IVF plan is a cell equi-join over
     two mapInPandas stages — never a cartesian/nested-loop, and the
