@@ -45,14 +45,6 @@ def quantize_vec(col: str = "embedding") -> F.Column:
         f" * {QUANT_SCALE}) AS BIGINT))")
 
 
-def _pdiv(s: str, n: str) -> str:
-    """Portable floor division for a possibly-negative integer sum:
-    subtract the non-negative remainder first, so the quotient is an
-    EXACT division and truncating (Spark ``div``) and flooring
-    (DuckDB ``//``) integer division agree."""
-    return f"(({s}) - ((({s}) % ({n}) + ({n})) % ({n}))) div ({n})"
-
-
 def assign_best(cents: list[tuple[int, list[int]]],
                 qv_col: str = "qv") -> F.Column:
     """Row-local assignment against broadcast literal centroids:
@@ -84,18 +76,25 @@ def kmeans_train(df: DataFrame, k: int = 8, iters: int = 3,
     cents: list[tuple[int, list[int]]] = [
         (i, list(r["qv"]))
         for i, r in enumerate(pts.orderBy(id_col).limit(k).collect())]
+    dim = len(cents[0][1])
     for _ in range(iters - 1):
+        # Column-wise per-cluster sums (one F.sum per dim) instead of
+        # the posexplode + (cid, dim) shuffle: the explode inflated
+        # every vector 64x before shuffling 512 keys; this form
+        # partial-aggregates k rows x (1 + dim) longs map-side, so
+        # the exchange moves ~k rows per partition (r8, the x47
+        # watch-item).  Same integers: SUM per (cluster, dim) is
+        # order-independent, and Python's // IS floor division —
+        # exactly what the twin CTE chain's portable pdiv expression
+        # computes for the positive counts n.
         assigned = pts.withColumn("best", assign_best(cents))
-        upd = {(r["cid"], r["dim"]): r["m"]
-               for r in (assigned
-                         .select(F.col("best.cid").alias("cid"),
-                                 F.posexplode("qv").alias("dim", "v"))
-                         .groupBy("cid", "dim")
-                         .agg(F.sum("v").alias("s"),
-                              F.count(F.lit(1)).alias("n"))
-                         .select("cid", "dim",
-                                 F.expr(_pdiv("s", "n")).alias("m"))
-                         .collect())}
+        rows = (assigned.groupBy(F.col("best.cid").alias("cid"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(F.element_at("qv", d + 1)).alias(f"s{d}")
+                       for d in range(dim)])
+                .collect())
+        upd = {(int(r["cid"]), d): r[f"s{d}"] // r["n"]
+               for r in rows for d in range(dim)}
         cents = [(cid, [upd.get((cid, d), cv[d]) for d in range(len(cv))])
                  for cid, cv in cents]
     return cents
