@@ -1318,3 +1318,76 @@ SELECT COUNT(*) AS n_candidate_pairs,
          AS n_docs_contained
 FROM res
 """
+
+
+def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Lossless EDIT-DISTANCE self-join (Gravano et al. 2001,
+    "Approximate String Joins in a Database (Almost) for Free";
+    prefix idea per Ed-Join, Xiao et al. 2008 — both public): emit
+    every pair of documents with Levenshtein distance <= ``k``,
+    completing the dedup family's distance menu (x103 = set Jaccard,
+    L6/LSH = probabilistic Jaccard, this = character edit distance —
+    the near-dup notion OCR/crawl pipelines need, where token sets
+    barely move but characters do).
+
+    Filter stack, each step LOSSLESS on the declared domain
+    (len >= q*(k+1), i.e. at least q*k+1 positional q-grams):
+    - LENGTH filter: ed <= k forces |len_a - len_b| <= k (each edit
+      changes length by at most 1).
+    - Q-GRAM PREFIX filter: one edit alters at most ``q`` positional
+      q-gram occurrences, so k edits eliminate at most q*k gram
+      TYPES from a document's distinct-gram set:
+      |G(a) & G(b)| >= |G(a)| - q*k.  Under a global rarest-first
+      (df, gram) total order, a qualifying pair must therefore share
+      a gram inside BOTH documents' (q*k + 1)-gram prefixes — the
+      AllPairs prefix theorem with the constant required-overlap
+      deficit q*k.  Each document exposes only its q*k+1 RAREST
+      grams as join keys (~14% of a 300-char doc at the defaults),
+      and rarest-first buckets are small by construction (the same
+      skew-resistance argument as x103).
+    - EXACT verify: ``levenshtein(a, b) <= k`` — an integer both
+      engines compute identically, so the declared output
+      (doc_a, doc_b, ed) is bit-exact cross-engine.
+
+    Scale (100 TB): one gram-df shuffle (vocabulary-sized result),
+    one doc-keyed window to slice prefixes, one prefix-gram
+    equi-join + pair distinct, one verify join back to the text
+    frame.  The O(len^2) Levenshtein DP runs ONLY on surviving
+    candidates.  Documents shorter than q*(k+1) are outside the
+    declared domain (a short-string tier would pair them separately
+    — at real scale they are the cheap tier)."""
+    grams = F.array_distinct(F.expr(
+        f"transform(sequence(1, length({text_col}) - {q - 1}), "
+        f"i -> substring({text_col}, i, {q}))"))
+    base = (df.select(id_col, F.col(text_col).alias("__txt"),
+                      F.length(text_col).alias("len"),
+                      grams.alias("g"))
+            .filter(F.col("len") >= q * (k + 1))
+            .localCheckpoint(eager=True))   # feeds prefix + 2 verify branches
+    ex = base.select(id_col, "len", F.explode("g").alias("gram"))
+    dfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "gram")
+    prefix = (ex.join(dfreq, "gram")
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= k * q + 1)
+              .select(F.col(id_col).alias("pid"), "len", "gram"))
+    a = prefix.select(F.col("pid").alias("ida"),
+                      F.col("len").alias("la"), "gram")
+    b = prefix.select(F.col("pid").alias("idb"),
+                      F.col("len").alias("lb"), "gram")
+    cand = (a.join(b, "gram")
+            .filter((F.col("ida") < F.col("idb"))
+                    & (F.abs(F.col("la") - F.col("lb")) <= k))
+            .select("ida", "idb").distinct())
+    ta = base.select(F.col(id_col).alias("ida"),
+                     F.col("__txt").alias("__ta"))
+    tb = base.select(F.col(id_col).alias("idb"),
+                     F.col("__txt").alias("__tb"))
+    return (cand.join(ta, "ida").join(tb, "idb")
+            .select(F.col("ida").alias("doc_a"),
+                    F.col("idb").alias("doc_b"),
+                    F.levenshtein("__ta", "__tb").cast("long")
+                    .alias("ed"))
+            .filter(F.col("ed") <= k))

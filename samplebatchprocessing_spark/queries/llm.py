@@ -3831,6 +3831,30 @@ FROM embeddings WHERE vec_id % 50 = 0
 """
 
 
+def x116_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X116 (r8): lossless edit-distance near-dup join over the
+    documents table — every pair within Levenshtein distance 10
+    (``operators.dedup.qgram_edit_pairs``: length filter + q-gram
+    rarest-first prefix filter + exact verify, all lossless on the
+    declared len >= q*(k+1) domain).  The oracle is the BRUTE-FORCE
+    all-pairs Levenshtein in DuckDB — the twin shares no filter
+    logic, so a single missed pair (a broken prefix bound) or a
+    phantom pair hash-mismatches the gate."""
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup.qgram_edit_pairs(doc, k=10, q=4)
+
+
+X116_SQL = """
+WITH d AS (SELECT doc_id, text, LENGTH(text) AS len
+           FROM documents WHERE LENGTH(text) >= 44)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS ed
+FROM d a JOIN d b
+  ON a.doc_id < b.doc_id AND ABS(a.len - b.len) <= 10
+WHERE levenshtein(a.text, b.text) <= 10
+"""
+
+
 def x115_nb_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X115 (r8): CLASSIFIER-BASED quality filtering with a held-out
     evaluation — the CCNet/GPT-3-style pipeline component (public:
@@ -4058,6 +4082,7 @@ QUERIES: dict[str, tuple] = {
     "x87_ann_index_merge": (x87_ann_index_merge, X87_SQL),
     "x114_ann_batch_probe": (x114_ann_batch_probe, X114_SQL),
     "x115_nb_quality_eval": (x115_nb_quality_eval, _x115_sql()),
+    "x116_edit_distance_join": (x116_edit_distance_join, X116_SQL),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),

@@ -362,6 +362,76 @@ def test_differential_prefix_filter_join(spark, seed):
     assert truth, "planted clones must yield qualifying pairs"
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Plain DP — independent of both engines' implementations."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _gen_edit_corpus(seed: int):
+    """Random strings over a small alphabet with PLANTED <= k-edit
+    clones (substitutions, insertions, deletions) plus unrelated
+    strings — the k/q are fixed to the x116 defaults."""
+    rng = random.Random(30_000 + seed)
+    k, q = 10, 4
+    alpha = "abcdefgh "
+    rows = []
+    for i in range(rng.randint(15, 30)):
+        n = rng.randint(q * (k + 1), 200)    # inside the declared domain
+        rows.append((i, "".join(rng.choice(alpha) for _ in range(n))))
+    next_id = 500
+    for _ in range(rng.randint(3, 6)):       # planted clones
+        _bid, base = rng.choice(rows)
+        s = list(base)
+        for _ in range(rng.randint(0, k)):
+            op = rng.choice(["sub", "ins", "del"])
+            pos = rng.randrange(len(s))
+            if op == "sub":
+                s[pos] = rng.choice(alpha)
+            elif op == "ins":
+                s.insert(pos, rng.choice(alpha))
+            elif len(s) > q * (k + 1):
+                del s[pos]
+        rows.append((next_id, "".join(s)))
+        next_id += 1
+    return rows, k, q
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_differential_edit_distance_join(spark, seed):
+    """x116 fuzz: the q-gram prefix-filtered edit join must equal
+    brute-force all-pairs truth (pure-Python DP, independent of both
+    engines) on random corpora with planted <= k-edit clones — a
+    single missed pair means the prefix bound is broken."""
+    import itertools
+
+    from samplebatchprocessing_spark.operators.dedup import (
+        qgram_edit_pairs)
+    rows, k, q = _gen_edit_corpus(seed)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["ed"]
+           for r in qgram_edit_pairs(df, k=k, q=q).collect()}
+    texts = dict(rows)
+    truth = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        ta, tb = texts[a], texts[b]
+        if len(ta) < q * (k + 1) or len(tb) < q * (k + 1):
+            continue
+        if abs(len(ta) - len(tb)) > k:
+            continue
+        ed = _levenshtein(ta, tb)
+        if ed <= k:
+            truth[(a, b)] = ed
+    assert got == truth, f"seed={seed}"
+    assert truth, "planted clones must yield qualifying pairs"
+
+
 def _gen_graph(seed: int):
     """Random dirty edge list: ER base, optional planted clique,
     optional hub star (degree-orientation stress), plus duplicate,

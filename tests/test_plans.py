@@ -148,6 +148,19 @@ def test_ivf_probe_is_broadcast_equi_join(spark, sf_smoke):
     assert "SortMergeJoin" not in plan
 
 
+def test_edit_distance_join_no_cartesian(spark, sf_smoke):
+    """X116: candidate generation is a gram-keyed equi-join over the
+    rarest-first prefixes — never a cartesian; the Levenshtein DP
+    appears only above the candidate join, not in a nested loop."""
+    from samplebatchprocessing_spark.operators.dedup import (
+        qgram_edit_pairs)
+    doc = load_table(spark, sf_smoke, "documents")
+    plan = plan_str(qgram_edit_pairs(doc), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
 def test_nb_quality_eval_model_join_is_broadcast(spark, sf_smoke):
     """X115: the trained (tok, weight) model is a vocabulary-sized
     broadcast artifact — the test-token scoring join must plan as a
