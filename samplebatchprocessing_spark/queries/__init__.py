@@ -44,9 +44,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # verdict's enumeration: the l7 ANN variants, the l13–l16 dedup
     # materializations, the p14/p17–p19 Python data sources, TPC-H
     # v-rows, the s13–s21 serving twins, and mm2–mm5.  After this
-    # window lands green, 77 entries remain uncertified (~2 more
-    # rotations; the r8 debuts s23_stream_ann_probe and
-    # x115_nb_quality_eval head that r9 backlog, then the x1–x45
+    # window lands green, 78 entries remain uncertified (~2 more
+    # rotations; the r8 debuts s23_stream_ann_probe,
+    # x115_nb_quality_eval, and x116_edit_distance_join head that
+    # r9 backlog, then the x1–x45
     # text-curation block, the v1–v7 subquery/pivot block, the
     # remaining TPC-H v-rows, and the x26+ analytics tail).
     # tests/test_registry_order.py locks the overlap bound, the
