@@ -1382,10 +1382,23 @@ def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
                     & (F.abs(F.col("la") - F.col("lb")) <= k))
             .select("ida", "idb").distinct())
     ta = base.select(F.col(id_col).alias("ida"),
-                     F.col("__txt").alias("__ta"))
+                     F.col("__txt").alias("__ta"),
+                     F.col("g").alias("__ga"))
     tb = base.select(F.col(id_col).alias("idb"),
-                     F.col("__txt").alias("__tb"))
+                     F.col("__txt").alias("__tb"),
+                     F.col("g").alias("__gb"))
+    # COUNT filter (Gravano 2001) before the O(len^2) DP: a
+    # qualifying pair must share >= max(|G(a)|, |G(b)|) - q*k gram
+    # TYPES (k edits eliminate at most q*k types) — an O(|G|)
+    # hash-intersect per candidate instead of a ~len^2 Levenshtein.
+    # On tiny-vocabulary corpora (this fixture: 31 tokens), where
+    # every document shares most gram types and the prefix filter
+    # degrades, this is the prune that keeps the DP off the near-
+    # cross-product.
+    count_ok = (F.size(F.array_intersect("__ga", "__gb"))
+                >= F.greatest(F.size("__ga"), F.size("__gb")) - q * k)
     return (cand.join(ta, "ida").join(tb, "idb")
+            .filter(count_ok)
             .select(F.col("ida").alias("doc_a"),
                     F.col("idb").alias("doc_b"),
                     F.levenshtein("__ta", "__tb").cast("long")
