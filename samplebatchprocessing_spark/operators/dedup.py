@@ -1322,7 +1322,8 @@ FROM res
 
 def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     count_filter: str = "auto") -> DataFrame:
     """Lossless EDIT-DISTANCE self-join (Gravano et al. 2001,
     "Approximate String Joins in a Database (Almost) for Free";
     prefix idea per Ed-Join, Xiao et al. 2008 — both public): emit
@@ -1381,22 +1382,65 @@ def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
             .filter((F.col("ida") < F.col("idb"))
                     & (F.abs(F.col("la") - F.col("lb")) <= k))
             .select("ida", "idb").distinct())
-    ta = base.select(F.col(id_col).alias("ida"),
-                     F.col("__txt").alias("__ta"),
-                     F.col("g").alias("__ga"))
-    tb = base.select(F.col(id_col).alias("idb"),
-                     F.col("__txt").alias("__tb"),
-                     F.col("g").alias("__gb"))
     # COUNT filter (Gravano 2001) before the O(len^2) DP: a
     # qualifying pair must share >= max(|G(a)|, |G(b)|) - q*k gram
-    # TYPES (k edits eliminate at most q*k types) — an O(|G|)
-    # hash-intersect per candidate instead of a ~len^2 Levenshtein.
-    # On tiny-vocabulary corpora (this fixture: 31 tokens), where
-    # every document shares most gram types and the prefix filter
-    # degrades, this is the prune that keeps the DP off the near-
-    # cross-product.
-    count_ok = (F.size(F.array_intersect("__ga", "__gb"))
-                >= F.greatest(F.size("__ga"), F.size("__gb")) - q * k)
+    # TYPES (k edits eliminate at most q*k types).  On
+    # tiny-vocabulary corpora (this fixture: 31 tokens -> 985 char
+    # grams), where every document shares most gram types and the
+    # prefix filter degrades toward the cross product, this is the
+    # prune that keeps the DP off the candidates (measured at
+    # sf0.1: >500 s prefix-only, ~20 s with an array-intersect
+    # count filter, ~half that again with the bitmap form below).
+    #
+    # Branch on the PROBED gram-vocabulary size (the jaccard_pairs /
+    # x103 closed-vocab discipline):
+    # - <= 63*64 gram types: assign each gram a bit in the SAME
+    #   rarest-first (df, gram) order and give every doc a fixed
+    #   64-long mask array — the per-candidate count is then
+    #   popcount(AND) over 128 bytes instead of a hash-intersect of
+    #   two ~|G|-string arrays (12 KB+ per pair through the join).
+    # - open gram vocabulary: array_intersect on the gram arrays.
+    if count_filter not in ("auto", "array"):
+        raise ValueError(f"unknown count_filter {count_filter!r}")
+    n_grams = dfreq.count()           # vocabulary-sized driver scalar
+    if count_filter == "auto" and n_grams <= 63 * 64:
+        from ..exprs import bounded_part
+        n_words = (n_grams + 62) // 63
+        wb = Window.partitionBy(bounded_part("df")).orderBy("df", "gram")
+        bits = dfreq.withColumn(
+            "bit", (F.row_number().over(wb) - 1).cast("int"))
+        masks = (ex.join(bits, "gram")
+                 .groupBy(id_col)
+                 .agg(*[F.expr(
+                     f"bit_or(case when bit div 63 = {wi} then "
+                     f"shiftleft(1L, cast(bit % 63 as int)) "
+                     f"else 0L end)").alias(f"__m{wi}")
+                     for wi in range(n_words)]))
+        vb = (base.select(id_col, "__txt", F.size("g").alias("__n"))
+              .join(masks, id_col))
+        mcols = [f"__m{wi}" for wi in range(n_words)]
+        ta = vb.select(F.col(id_col).alias("ida"),
+                       F.col("__txt").alias("__ta"),
+                       F.col("__n").alias("__na"),
+                       *[F.col(m).alias("__a" + m) for m in mcols])
+        tb = vb.select(F.col(id_col).alias("idb"),
+                       F.col("__txt").alias("__tb"),
+                       F.col("__n").alias("__nb"),
+                       *[F.col(m).alias("__b" + m) for m in mcols])
+        shared = sum(F.bit_count(
+            F.col("__a" + m).bitwiseAND(F.col("__b" + m)))
+            for m in mcols)
+    else:
+        ta = base.select(F.col(id_col).alias("ida"),
+                         F.col("__txt").alias("__ta"),
+                         F.size("g").alias("__na"),
+                         F.col("g").alias("__ga"))
+        tb = base.select(F.col(id_col).alias("idb"),
+                         F.col("__txt").alias("__tb"),
+                         F.size("g").alias("__nb"),
+                         F.col("g").alias("__gb"))
+        shared = F.size(F.array_intersect("__ga", "__gb"))
+    count_ok = shared >= F.greatest("__na", "__nb") - q * k
     return (cand.join(ta, "ida").join(tb, "idb")
             .filter(count_ok)
             .select(F.col("ida").alias("doc_a"),

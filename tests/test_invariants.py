@@ -1000,6 +1000,23 @@ def test_cc_two_phase_raises_on_nonconvergence(spark):
         dedup.cc_two_phase(path, max_iter=1)
 
 
+def test_qgram_edit_join_bitmap_equals_array_path(spark, sf_smoke):
+    """X116: the closed-vocab bitmap count filter (popcount over
+    fixed 64-long masks, bits in the same rarest-first order the
+    prefixes use) must emit the IDENTICAL pair relation as the
+    open-vocab array_intersect form on the same corpus — the filter
+    is an implementation of the same sound bound, never a semantics
+    change."""
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.operators.dedup import (
+        qgram_edit_pairs)
+    doc = load_table(spark, sf_smoke, "documents")
+    fast = {tuple(r) for r in qgram_edit_pairs(doc).collect()}
+    slow = {tuple(r) for r in
+            qgram_edit_pairs(doc, count_filter="array").collect()}
+    assert fast == slow and fast
+
+
 def test_cc_two_phase_rejects_nonpositive_max_iter(spark):
     """r8 (ADVICE): max_iter < 1 skips the loop entirely, leaving
     delta at its 0 sentinel — which would bypass the non-convergence
