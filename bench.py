@@ -53,6 +53,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "x113_dq_audit",         # single-scan DQ constraint audit (round 7)
     "x109_ann_index_probe",  # persisted-IVF probe, read path only (round 8)
     "p10_watch_drain",       # streaming drain throughput, fresh backlog (round 8)
+    "x116_edit_distance_join",  # lossless q-gram edit join, bitmap count filter (round 8)
 )
 
 
