@@ -158,3 +158,71 @@ def triangle_count(edges: DataFrame, a: str = "a",
                            "cast(3 * n_triangles * 1000000 div n_wedges"
                            " as bigint) end")
                     .alias("transitivity_ppm")))
+
+
+def _peel_once(sym: DataFrame, k: int) -> DataFrame:
+    """One k-core peel round over a SYMMETRIZED edge list (u, v):
+    keep exactly the edges whose BOTH endpoints currently have
+    degree >= k.  Two keyed semi-joins against the node-sized
+    survivor set — no cartesian (plan-gated in tests/test_plans.py).
+    Factored out of :func:`kcore` so the per-round plan is gateable
+    without running the loop."""
+    keep = (sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .filter(F.col("dg") >= k)
+            .select("u"))
+    return (sym.join(keep, "u", "semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "semi")
+            .select("u", "v"))
+
+
+def kcore(edges: DataFrame, k: int, a: str = "a", b: str = "b",
+          max_iter: int = 40) -> DataFrame:
+    """K-CORE decomposition by iterative peeling (Matula & Beck 1983;
+    the distributed peel-all-at-once form per Montresor et al. 2013):
+    repeatedly delete every node of degree < ``k`` until the graph is
+    stable; the survivors are the (maximal) k-core.  Returns
+    (node, core_degree) — each surviving node with its WITHIN-CORE
+    degree, exact BIGINTs.
+
+    Each round deletes ALL current low-degree nodes simultaneously:
+    one node-sized degree aggregate plus two keyed semi-joins
+    (``_peel_once``).  Convergence is edge-count stability; because a
+    fixed point is stable under further rounds, early exit equals any
+    longer unrolling — which is what makes an UNROLLED fixed-round
+    SQL oracle exact as long as its round count covers convergence
+    (the x29/x47 unrolled-CTE discipline).
+
+    Guard rails (the cc_two_phase r7/r8 lesson): ``max_iter`` < 1 is
+    rejected up front, and running out of rounds RAISES instead of
+    returning the un-converged edge set as if it were the core.
+
+    Scale (100 TB graphs): per-round cost is one groupBy shuffle on
+    the current edge set plus two semi-joins keyed the same way —
+    map-side-combinable and skew-tolerant (degrees are counts, not
+    lists).  The edge set only shrinks; per-round
+    ``localCheckpoint`` truncates lineage so the plan stays
+    round-count-independent.  Worst-case round count is O(n) on
+    path-like graphs (each round only exposes the next layer) —
+    real co-occurrence graphs converge in O(log n)-ish rounds; the
+    guard makes the pathological case loud, not slow."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    fwd = (edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct())
+    cur = (fwd.unionByName(fwd.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+           .localCheckpoint(eager=True))
+    n_cur = cur.count()
+    for _ in range(max_iter):
+        nxt = _peel_once(cur, k).localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            return (cur.groupBy(F.col("u").alias("node"))
+                    .agg(F.count(F.lit(1)).alias("core_degree")))
+        cur, n_cur = nxt, n_nxt
+        if n_cur == 0:
+            return (cur.groupBy(F.col("u").alias("node"))
+                    .agg(F.count(F.lit(1)).alias("core_degree")))
+    raise RuntimeError(
+        f"kcore did not converge within max_iter={max_iter} rounds")

@@ -828,3 +828,72 @@ nt AS (
 SELECT s.doc_id, nt.n_tokens, s.nnz_dims, s.l2_sq, s.max_v, s.min_v
 FROM stats s JOIN nt ON s.doc_id = nt.doc_id
 """
+
+
+def postings_index_write(doc: DataFrame, index_dir: str,
+                         n_buckets: int = 32,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> None:
+    """Build and PERSIST an inverted (postings) index over the
+    corpus: one row per (term, doc) with the exact term frequency,
+    parquet-partitioned by ``bucket = pmod(xxhash64(term),
+    n_buckets)`` so a later query's term filter prunes whole bucket
+    directories at planning time (the m9/x109 data-skipping argument
+    applied to text serving).  Within each bucket the single output
+    file is sorted by (tok, doc_id), so parquet row-group min/max
+    stats on ``tok`` skip inside the bucket too, and per-term
+    postings come out doc_id-ordered — the layout real IR engines
+    gallop-intersect over.
+
+    Scale (100 TB): the build is ONE tokenize scan + ONE (term, doc)
+    shuffle; term-hash bucketing spreads the vocabulary evenly (a
+    stopword's postings list is large, but it stays one term inside
+    one bucket — probe cost is bounded by the df of the QUERY terms,
+    which is why serving stacks front rare terms first).  Rebuild
+    is corpus-priced; the x87 frozen-layout delta-append applies
+    verbatim (a delta batch's postings append into the same
+    buckets)."""
+    postings = (doc.select(F.col(id_col).alias("doc_id"),
+                           F.explode(tokenize(F.col(text_col)))
+                           .alias("tok"))
+                .groupBy("tok", "doc_id")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .withColumn("bucket",
+                            F.pmod(F.xxhash64("tok"),
+                                   F.lit(n_buckets)).cast("int")))
+    (postings.repartition("bucket")
+     .sortWithinPartitions("tok", "doc_id")
+     .write.mode("overwrite").partitionBy("bucket").parquet(index_dir))
+
+
+def postings_probe_and(spark, index_dir: str, terms: list[str],
+                       n_buckets: int = 32) -> DataFrame:
+    """Serve a CONJUNCTIVE (AND) query from the persisted postings
+    index: docs containing EVERY query term, with the summed tf over
+    the query terms.  Returns (doc_id, total_tf) — exact integers.
+
+    The probe reads at most ``len(terms)`` of the ``n_buckets``
+    partition directories: the terms' bucket ids are computed with
+    the same hash expression the writer used (a len(terms)-bounded
+    driver scalar, the x109 probe-cell discipline) and land in the
+    index scan's PartitionFilters (plan-gated in tests/test_plans).
+    Postings are distinct per (term, doc) by construction, so the
+    AND is COUNT(*) == n_terms after the term filter — one keyed
+    groupBy on doc_id over only the query terms' postings."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    tset = sorted(set(terms))
+    buckets = sorted({
+        r["b"] for r in
+        spark.createDataFrame([(t,) for t in tset], "tok string")
+        .select(F.pmod(F.xxhash64("tok"), F.lit(n_buckets))
+                .cast("int").alias("b")).collect()})
+    idx = spark.read.parquet(index_dir)
+    return (idx.filter(F.col("bucket").isin(buckets)
+                       & F.col("tok").isin(tset))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_terms"),
+                 F.sum("tf").alias("total_tf"))
+            .filter(F.col("n_terms") == len(tset))
+            .select("doc_id",
+                    F.col("total_tf").cast("long").alias("total_tf")))

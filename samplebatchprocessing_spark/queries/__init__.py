@@ -44,9 +44,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # verdict's enumeration: the l7 ANN variants, the l13–l16 dedup
     # materializations, the p14/p17–p19 Python data sources, TPC-H
     # v-rows, the s13–s21 serving twins, and mm2–mm5.  After this
-    # window lands green, 78 entries remain uncertified (~2 more
+    # window lands green, 80 entries remain uncertified (~2 more
     # rotations; the r8 debuts s23_stream_ann_probe,
-    # x115_nb_quality_eval, and x116_edit_distance_join head that
+    # x115_nb_quality_eval, x116_edit_distance_join,
+    # x117_inverted_index and x118_kcore head that
     # r9 backlog, then the x1–x45
     # text-curation block, the v1–v7 subquery/pivot block, the
     # remaining TPC-H v-rows, and the x26+ analytics tail).

@@ -2264,6 +2264,67 @@ FROM stacked
 """
 
 
+def x118_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X118 (r8): K-CORE decomposition of the x112 co-purchase graph
+    (parts co-ordered in >= 2 distinct orders) — iterative peeling
+    (``operators/graph.py::kcore``) to the maximal 3-core, returning
+    each surviving part with its exact within-core degree.  The
+    graph-density complement to x112's triangle census: triangles
+    say how clique-ish the closures are, the 3-core is the engaged
+    sub-network itself (every member co-purchased with >= 3 other
+    members that all themselves stay), the standard "dense nucleus"
+    cut used for influence and spam-cluster mining.
+
+    Spark plan: per round one map-side-combinable degree aggregate +
+    two keyed semi-joins (no cartesian, per-round plan gated via the
+    factored ``_peel_once``), per-round localCheckpoint so lineage
+    stays flat, loop guarded by a non-convergence RAISE rather than
+    a silent partial peel (the cc_two_phase discipline).
+
+    Oracle: the SAME peel unrolled as a fixed 24-round CTE chain —
+    a fixed point is stable under extra rounds, so the unroll is
+    exact as long as 24 covers convergence (measured: 11 rounds at
+    sf0.01, 1 at sf0.001; the Spark side would RAISE at 40 rounds
+    before the oracle bound went stale silently)."""
+    from ..operators.graph import kcore
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct()
+    edges = (li.alias("x").join(li.alias("y"), "l_orderkey")
+             .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+             .groupBy(F.col("x.l_partkey").alias("pa"),
+                      F.col("y.l_partkey").alias("pb"))
+             .agg(F.count(F.lit(1)).alias("n_orders"))
+             .filter(F.col("n_orders") >= 2)
+             .select("pa", "pb"))
+    return kcore(edges, k=3, a="pa", b="pb")
+
+
+def _x118_sql(k: int = 3, rounds: int = 24) -> str:
+    # Every e{i} is referenced three times by round i+1 — without
+    # AS MATERIALIZED, CTE inlining expands the chain toward 3^rounds
+    # scans of lineitem (measured: DuckDB exhausts file handles).
+    parts = ["""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT x.l_partkey AS u, y.l_partkey AS v
+  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                     AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e0 AS MATERIALIZED (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)"""]
+    for i in range(rounds):
+        parts.append(f""",
+k{i} AS MATERIALIZED (
+  SELECT u FROM e{i} GROUP BY u HAVING COUNT(*) >= {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT c.u, c.v FROM e{i} c
+  JOIN k{i} x ON c.u = x.u JOIN k{i} y ON c.v = y.u)""")
+    parts.append(f"""
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM e{rounds} GROUP BY u""")
+    return "".join(parts)
+
+
 QUERIES: dict[str, tuple] = {
     "x25_funnel": (x25_funnel, X25_SQL),
     "j11_interval_overlap": (j11_interval_overlap, _j11_sql()),
@@ -2308,4 +2369,5 @@ QUERIES: dict[str, tuple] = {
     "x73_table_profile": (x73_table_profile, X73_SQL),
     "x112_triangle_count": (x112_triangle_count, X112_SQL),
     "x113_dq_audit": (x113_dq_audit, X113_SQL),
+    "x118_kcore": (x118_kcore, _x118_sql()),
 }

@@ -3855,6 +3855,54 @@ WHERE levenshtein(a.text, b.text) <= 10
 """
 
 
+#: X117's conjunctive query: one RARE term ('dup' — df ~5% of docs,
+#: the injected-duplicate marker) plus two common vocab terms, so the
+#: AND is selective and the df-skew probe cost story is exercised.
+X117_TERMS = ("dup", "query", "scan")
+
+
+def x117_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X117 (r8): INVERTED-INDEX lifecycle — the text-serving twin of
+    x109's ANN index.  BUILD once (one tokenize scan + one
+    (term, doc) shuffle; parquet partitioned by term-hash bucket,
+    doc_id-sorted postings: ``operators.text.postings_index_write``),
+    then SERVE a conjunctive query from the PERSISTED index
+    (``postings_probe_and``): the query terms' bucket filter lands in
+    the index scan's PartitionFilters, so only <= n_terms of the 32
+    bucket directories are read (plan-gated in tests/test_plans.py).
+
+    The declared output is the served answer itself — every doc
+    containing ALL of ``X117_TERMS`` with the exact summed tf — and
+    the oracle computes the same AND query DIRECTLY from the
+    documents table, so the hash gate proves index-served ==
+    direct-scan (a dropped posting, a bucket-hash mismatch between
+    writer and prober, or a tf miscount all surface as a diff).
+
+    Scale (100 TB): queries price by the df of their terms, not the
+    corpus; the reference's closest shape is its compute-once/
+    read-many artifact flow (GetJobs.py:45-47)."""
+    from .sources import _work_dir
+    doc = load_table(spark, sf_dir, "documents")
+    idx_dir = _work_dir(sf_dir, "x117_postings")
+    text.postings_index_write(doc, idx_dir)
+    return text.postings_probe_and(spark, idx_dir, list(X117_TERMS))
+
+
+def _x117_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(X117_TERMS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({tokenize_sql('text')}) AS tok
+  FROM documents),
+p AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM toks WHERE tok IN ({terms}) GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf
+FROM p GROUP BY doc_id
+HAVING COUNT(*) = {len(set(X117_TERMS))}
+"""
+
+
 def x115_nb_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X115 (r8): CLASSIFIER-BASED quality filtering with a held-out
     evaluation — the CCNet/GPT-3-style pipeline component (public:
@@ -4083,6 +4131,7 @@ QUERIES: dict[str, tuple] = {
     "x114_ann_batch_probe": (x114_ann_batch_probe, X114_SQL),
     "x115_nb_quality_eval": (x115_nb_quality_eval, _x115_sql()),
     "x116_edit_distance_join": (x116_edit_distance_join, X116_SQL),
+    "x117_inverted_index": (x117_inverted_index, _x117_sql()),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),

@@ -824,3 +824,65 @@ def test_ivf_persisted_probe_equals_inflight(spark, sf_smoke):
                     emb, pred, k=5, n_cells=16, n_probe=4).collect()}
     assert persisted == inflight
     assert persisted, "probe should return rows"
+
+
+def test_kcore_path_graph_peels_to_empty(spark):
+    """2-core of a path is empty, and peeling exposes only one layer
+    per round (the documented worst case) — a 5-path needs multiple
+    rounds, so max_iter=1 must RAISE (non-convergence is loud, per
+    the cc_two_phase guard discipline), never return a partial peel."""
+    from samplebatchprocessing_spark.operators.graph import kcore
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "a long, b long")
+    assert kcore(path, k=2).count() == 0
+    with pytest.raises(RuntimeError, match="converge"):
+        kcore(path, k=2, max_iter=1).count()
+    with pytest.raises(ValueError, match="max_iter"):
+        kcore(path, k=2, max_iter=0)
+
+
+def test_kcore_lollipop_keeps_exactly_the_clique(spark):
+    """Lollipop (K4 + pendant 3-path): the 3-core is exactly the K4
+    with within-core degree 3 each — the tail peels away layer by
+    layer even though its nodes have degree 2."""
+    from samplebatchprocessing_spark.operators.graph import kcore
+    k4 = [(u, v) for u in range(4) for v in range(u + 1, 4)]
+    tail = [(3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(k4 + tail, "a long, b long")
+    got = {(r["node"], r["core_degree"])
+           for r in kcore(edges, k=3).collect()}
+    assert got == {(0, 3), (1, 3), (2, 3), (3, 3)}
+
+
+def test_kcore_ignores_self_loops_and_duplicate_edges(spark):
+    """Dirty edge lists (self-loops, repeated pairs) must not inflate
+    degrees: a triangle listed twice plus self-loops is still just a
+    2-core triangle."""
+    from samplebatchprocessing_spark.operators.graph import kcore
+    tri = [(1, 2), (2, 3), (1, 3)]
+    dirty = tri + tri + [(1, 1), (2, 2)]
+    got = {(r["node"], r["core_degree"])
+           for r in kcore(spark.createDataFrame(
+               dirty, "a long, b long"), k=2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_postings_probe_matches_direct_scan(spark, tmp_path):
+    """X117 writer/prober contract on a hand corpus: the index-served
+    AND equals the obvious direct answer, tf summed exactly; probing
+    a term absent from the corpus returns empty; empty term list is
+    rejected."""
+    from samplebatchprocessing_spark.operators import text as T
+    doc = spark.createDataFrame(
+        [(1, "big cat big dog"), (2, "big cat"), (3, "dog big"),
+         (4, "cat dog")], "doc_id long, text string")
+    idx = str(tmp_path / "postings")
+    T.postings_index_write(doc, idx, n_buckets=8)
+    got = {(r["doc_id"], r["total_tf"])
+           for r in T.postings_probe_and(
+               spark, idx, ["big", "cat"], n_buckets=8).collect()}
+    assert got == {(1, 3), (2, 2)}
+    assert T.postings_probe_and(
+        spark, idx, ["big", "unicorn"], n_buckets=8).count() == 0
+    with pytest.raises(ValueError, match="terms"):
+        T.postings_probe_and(spark, idx, [], n_buckets=8)

@@ -904,3 +904,44 @@ def test_dq_audit_ri_scan_is_key_only(spark, sf_smoke):
     li_schemas = [ln.strip() for ln in plan.splitlines()
                   if "ReadSchema" in ln and "l_orderkey" in ln]
     assert li_schemas == ["ReadSchema: struct<l_orderkey:bigint>"]
+
+
+def test_postings_probe_prunes_bucket_partitions(spark, sf_smoke):
+    """X117: serving a conjunctive query from the PERSISTED postings
+    index must prune at planning time — the query terms' bucket ids
+    land in the index scan's PartitionFilters, and the probe
+    physically reads fewer bucket files than exist (queries price by
+    the df of their terms, not the corpus)."""
+    import hashlib
+    from samplebatchprocessing_spark.operators import text as T
+    doc = load_table(spark, sf_smoke, "documents")
+    idx = ("/tmp/sbp_work/x117_plan_"
+           + hashlib.md5(sf_smoke.encode()).hexdigest()[:8])
+    T.postings_index_write(doc, idx)
+    probe = T.postings_probe_and(spark, idx, ["dup", "query"])
+    plan = plan_str(probe)
+    assert "PartitionFilters" in plan and "bucket" in plan
+    buckets = [r["b"] for r in spark.createDataFrame(
+        [("dup",), ("query",)], "tok string")
+        .select(F.pmod(F.xxhash64("tok"), F.lit(32))
+                .cast("int").alias("b")).collect()]
+    touched = (spark.read.parquet(idx)
+               .filter(F.col("bucket").isin(buckets))
+               .select(F.input_file_name()).distinct().count())
+    total = (spark.read.parquet(idx)
+             .select(F.input_file_name()).distinct().count())
+    assert 0 < touched < total
+
+
+def test_kcore_peel_round_is_keyed_semi_joins(spark):
+    """X118: one peel round is a degree aggregate plus two keyed
+    LeftSemi joins — no cartesian ever, independent of round count
+    (the loop only restacks this same plan on checkpointed input)."""
+    from samplebatchprocessing_spark.operators.graph import _peel_once
+    sym = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)],
+        "u long, v long")
+    plan = plan_str(_peel_once(sym, 2), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("LeftSemi") == 2
