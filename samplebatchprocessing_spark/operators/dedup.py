@@ -1354,9 +1354,10 @@ def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
 
     Scale (100 TB): one gram-df shuffle (vocabulary-sized result),
     one doc-keyed window to slice prefixes, one prefix-gram
-    equi-join + pair distinct, one verify join back to the text
-    frame.  The O(len^2) Levenshtein DP runs ONLY on surviving
-    candidates.  Documents shorter than q*(k+1) are outside the
+    equi-join (closed-vocab path: with the count filter pipelined
+    inside it, pre-distinct) + pair distinct, one candidate-sized
+    verify join back to the text frame.  The O(len^2) Levenshtein
+    DP runs ONLY on surviving candidates.  Documents shorter than q*(k+1) are outside the
     declared domain (a short-string tier would pair them separately
     — at real scale they are the cheap tier)."""
     grams = F.array_distinct(F.expr(
@@ -1374,14 +1375,6 @@ def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
               .withColumn("rn", F.row_number().over(w))
               .filter(F.col("rn") <= k * q + 1)
               .select(F.col(id_col).alias("pid"), "len", "gram"))
-    a = prefix.select(F.col("pid").alias("ida"),
-                      F.col("len").alias("la"), "gram")
-    b = prefix.select(F.col("pid").alias("idb"),
-                      F.col("len").alias("lb"), "gram")
-    cand = (a.join(b, "gram")
-            .filter((F.col("ida") < F.col("idb"))
-                    & (F.abs(F.col("la") - F.col("lb")) <= k))
-            .select("ida", "idb").distinct())
     # COUNT filter (Gravano 2001) before the O(len^2) DP: a
     # qualifying pair must share >= max(|G(a)|, |G(b)|) - q*k gram
     # TYPES (k edits eliminate at most q*k types).  On
@@ -1390,16 +1383,25 @@ def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
     # prefix filter degrades toward the cross product, this is the
     # prune that keeps the DP off the candidates (measured at
     # sf0.1: >500 s prefix-only, ~20 s with an array-intersect
-    # count filter, ~half that again with the bitmap form below).
+    # count filter, 8.5 s with post-distinct bitmaps, ~4 s with the
+    # pre-distinct bitmap form below).
     #
     # Branch on the PROBED gram-vocabulary size (the jaccard_pairs /
     # x103 closed-vocab discipline):
     # - <= 63*64 gram types: assign each gram a bit in the SAME
     #   rarest-first (df, gram) order and give every doc a fixed
-    #   64-long mask array — the per-candidate count is then
-    #   popcount(AND) over 128 bytes instead of a hash-intersect of
-    #   two ~|G|-string arrays (12 KB+ per pair through the join).
-    # - open gram vocabulary: array_intersect on the gram arrays.
+    #   64-long mask array, carried THROUGH the prefix join itself
+    #   (128 fixed bytes per prefix row), so the popcount(AND) count
+    #   filter runs PIPELINED inside the candidate-join stage —
+    #   BEFORE the pair distinct.  On the degraded tiny-vocab corpus
+    #   this collapses the distinct's input from every prefix-
+    #   sharing pair occurrence (1.7 M rows at sf0.1) to the few
+    #   hundred count-surviving ones, and the verify join back to
+    #   the text column is candidate-sized instead of 479 k pairs.
+    # - open gram vocabulary: the ~|G|-string gram arrays are far
+    #   too wide to carry through the prefix join (KBs per row vs
+    #   128 B) — distinct the id pairs first, then array_intersect
+    #   on the two arrays at the verify join.
     if count_filter not in ("auto", "array"):
         raise ValueError(f"unknown count_filter {count_filter!r}")
     n_grams = dfreq.count()           # vocabulary-sized driver scalar
@@ -1416,21 +1418,44 @@ def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
                      f"shiftleft(1L, cast(bit % 63 as int)) "
                      f"else 0L end)").alias(f"__m{wi}")
                      for wi in range(n_words)]))
-        vb = (base.select(id_col, "__txt", F.size("g").alias("__n"))
-              .join(masks, id_col))
         mcols = [f"__m{wi}" for wi in range(n_words)]
-        ta = vb.select(F.col(id_col).alias("ida"),
-                       F.col("__txt").alias("__ta"),
-                       F.col("__n").alias("__na"),
+        info = (base.select(id_col, F.size("g").alias("__n"))
+                .join(masks, id_col)
+                .withColumnRenamed(id_col, "pid"))
+        pm = prefix.join(info, "pid")
+        pa = pm.select(F.col("pid").alias("ida"),
+                       F.col("len").alias("la"),
+                       F.col("__n").alias("__na"), "gram",
                        *[F.col(m).alias("__a" + m) for m in mcols])
-        tb = vb.select(F.col(id_col).alias("idb"),
-                       F.col("__txt").alias("__tb"),
-                       F.col("__n").alias("__nb"),
+        pb = pm.select(F.col("pid").alias("idb"),
+                       F.col("len").alias("lb"),
+                       F.col("__n").alias("__nb"), "gram",
                        *[F.col(m).alias("__b" + m) for m in mcols])
         shared = sum(F.bit_count(
             F.col("__a" + m).bitwiseAND(F.col("__b" + m)))
             for m in mcols)
+        cand = (pa.join(pb, "gram")
+                .filter((F.col("ida") < F.col("idb"))
+                        & (F.abs(F.col("la") - F.col("lb")) <= k)
+                        & (shared >= F.greatest("__na", "__nb")
+                           - q * k))
+                .select("ida", "idb").distinct())
+        verified = (cand
+                    .join(base.select(F.col(id_col).alias("ida"),
+                                      F.col("__txt").alias("__ta")),
+                          "ida")
+                    .join(base.select(F.col(id_col).alias("idb"),
+                                      F.col("__txt").alias("__tb")),
+                          "idb"))
     else:
+        a = prefix.select(F.col("pid").alias("ida"),
+                          F.col("len").alias("la"), "gram")
+        b = prefix.select(F.col("pid").alias("idb"),
+                          F.col("len").alias("lb"), "gram")
+        cand = (a.join(b, "gram")
+                .filter((F.col("ida") < F.col("idb"))
+                        & (F.abs(F.col("la") - F.col("lb")) <= k))
+                .select("ida", "idb").distinct())
         ta = base.select(F.col(id_col).alias("ida"),
                          F.col("__txt").alias("__ta"),
                          F.size("g").alias("__na"),
@@ -1439,10 +1464,11 @@ def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
                          F.col("__txt").alias("__tb"),
                          F.size("g").alias("__nb"),
                          F.col("g").alias("__gb"))
-        shared = F.size(F.array_intersect("__ga", "__gb"))
-    count_ok = shared >= F.greatest("__na", "__nb") - q * k
-    return (cand.join(ta, "ida").join(tb, "idb")
-            .filter(count_ok)
+        count_ok = (F.size(F.array_intersect("__ga", "__gb"))
+                    >= F.greatest("__na", "__nb") - q * k)
+        verified = (cand.join(ta, "ida").join(tb, "idb")
+                    .filter(count_ok))
+    return (verified
             .select(F.col("ida").alias("doc_a"),
                     F.col("idb").alias("doc_b"),
                     F.levenshtein("__ta", "__tb").cast("long")
