@@ -54,6 +54,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "x109_ann_index_probe",  # persisted-IVF probe, read path only (round 8)
     "p10_watch_drain",       # streaming drain throughput, fresh backlog (round 8)
     "x116_edit_distance_join",  # lossless q-gram edit join, bitmap count filter (round 8)
+    "x117_postings_probe",   # persisted inverted-index AND probe, read path only (round 8)
 )
 
 
@@ -137,10 +138,31 @@ def main() -> None:
             shutil.copy(src, in_dir)
         return watch_prefix(spark, bucket)
 
+    # x117 bench = the postings PROBE (text-serving read path) alone,
+    # the x109 discipline verbatim: the index is built once outside
+    # the timed samples via the lazy cache; median-of-3 discards the
+    # build-bearing first sample.
+    _x117 = {}
+
+    def _x117_probe_raw(spark, sf_dir):
+        from samplebatchprocessing_spark.catalog import load_table
+        from samplebatchprocessing_spark.operators import text as T
+        from samplebatchprocessing_spark.queries.llm import X117_TERMS
+        if "idx" not in _x117:
+            import hashlib
+            idx = ("/tmp/sbp_bench_x117_"
+                   + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+            T.postings_index_write(
+                load_table(spark, sf_dir, "documents"), idx)
+            _x117["idx"] = idx
+        return T.postings_probe_and(spark, _x117["idx"],
+                                    list(X117_TERMS))
+
     overrides = {"l7_topk_numpy": _l7_numpy_raw,
                  "l5_ngram_lsh": _l5_ngram_lsh_raw,
                  "x109_ann_index_probe": _x109_probe_raw,
-                 "p10_watch_drain": _p10_watch_raw}
+                 "p10_watch_drain": _p10_watch_raw,
+                 "x117_postings_probe": _x117_probe_raw}
 
     # Warm-up (not timed): JVM/codegen on a cheap query, plus the
     # Python worker pool + numpy/pandas import for the Arrow paths —
@@ -188,7 +210,7 @@ def main() -> None:
               file=sys.stderr)
 
     import shutil
-    for d in _p10_dirs + list(_x109.values()):
+    for d in _p10_dirs + list(_x109.values()) + list(_x117.values()):
         if isinstance(d, str) and d.startswith("/tmp/sbp_bench_"):
             shutil.rmtree(d, ignore_errors=True)
 

@@ -38,7 +38,8 @@ def test_bench_queries_exist_in_registry():
     # drain) that the registry form deliberately does not expose;
     # each must have an override in bench.main (checked by name here,
     # exercised by the per-round bench run).
-    bench_only = {"x109_ann_index_probe", "p10_watch_drain"}
+    bench_only = {"x109_ann_index_probe", "p10_watch_drain",
+                  "x117_postings_probe"}
     from samplebatchprocessing_spark.queries import registry
     reg = registry()
     missing = [n for n in BENCH_QUERIES
