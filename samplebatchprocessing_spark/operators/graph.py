@@ -208,7 +208,13 @@ def kcore(edges: DataFrame, k: int, a: str = "a", b: str = "b",
     guard makes the pathological case loud, not slow."""
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    fwd = (edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # canonicalize BEFORE distinct (the triangle_count idiom): a
+    # reversed copy (v, u) of a listed edge (u, v) must collapse to
+    # one undirected edge, not survive distinct() and double-count
+    # both endpoints' degrees after symmetrization (caught by the
+    # random dirty-graph differential).
+    fwd = (edges.select(F.least(F.col(a), F.col(b)).alias("u"),
+                        F.greatest(F.col(a), F.col(b)).alias("v"))
            .filter(F.col("u") != F.col("v")).distinct())
     cur = (fwd.unionByName(fwd.select(F.col("v").alias("u"),
                                       F.col("u").alias("v")))

@@ -491,3 +491,35 @@ def test_differential_triangle_census(spark, seed):
     assert got == (n_nodes, n_edges, n_wedges, n_tri, ppm), \
         f"seed={seed}: got {got}, want " \
         f"{(n_nodes, n_edges, n_wedges, n_tri, ppm)}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_differential_kcore(spark, seed):
+    """x118 fuzz: peel-to-fixpoint must match a pure-Python peeler
+    (engine-independent truth) node-for-node WITH within-core
+    degrees, on the same random dirty graphs (planted cliques, hub
+    stars, duplicate/reversed/self-loop edges) the triangle census
+    fuzzes — across k=2..4, including k values that empty the
+    core."""
+    from samplebatchprocessing_spark.operators.graph import kcore
+    dirty, clean = _gen_graph(seed)
+    if not clean:
+        pytest.skip("degenerate empty graph")
+    df = spark.createDataFrame(dirty, "a long, b long")
+    for k in (2, 3, 4):
+        adj: dict[int, set[int]] = {}
+        for u, v in clean:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        while True:
+            drop = [u for u, s in adj.items() if len(s) < k]
+            if not drop:
+                break
+            for u in drop:
+                for v in adj.pop(u):
+                    if v in adj:
+                        adj[v].discard(u)
+        truth = {(u, len(s)) for u, s in adj.items()}
+        got = {(r["node"], r["core_degree"])
+               for r in kcore(df, k=k).collect()}
+        assert got == truth, f"seed={seed} k={k}"
