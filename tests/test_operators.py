@@ -886,3 +886,24 @@ def test_postings_probe_matches_direct_scan(spark, tmp_path):
         spark, idx, ["big", "unicorn"], n_buckets=8).count() == 0
     with pytest.raises(ValueError, match="terms"):
         T.postings_probe_and(spark, idx, [], n_buckets=8)
+
+
+def test_postings_index_bucket_count_invariance(spark, tmp_path):
+    """X117: the served relation is invariant to the bucket count —
+    n_buckets=1 (no pruning possible) and n_buckets=8 must answer
+    identically, so bucketing is pure layout, never semantics (a
+    writer/prober hash mismatch or a dropped bucket would break
+    this)."""
+    from samplebatchprocessing_spark.operators import text as T
+    doc = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{i % 3} shared") for i in range(30)],
+        "doc_id long, text string")
+    outs = []
+    for nb in (1, 8):
+        idx = str(tmp_path / f"postings_{nb}")
+        T.postings_index_write(doc, idx, n_buckets=nb)
+        outs.append({(r["doc_id"], r["total_tf"])
+                     for r in T.postings_probe_and(
+                         spark, idx, ["tok1", "shared"],
+                         n_buckets=nb).collect()})
+    assert outs[0] == outs[1] and outs[0]
