@@ -232,3 +232,62 @@ def kcore(edges: DataFrame, k: int, a: str = "a", b: str = "b",
                     .agg(F.count(F.lit(1)).alias("core_degree")))
     raise RuntimeError(
         f"kcore did not converge within max_iter={max_iter} rounds")
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4,
+                      a: str = "a", b: str = "b") -> DataFrame:
+    """X120: SYNCHRONOUS label propagation (Raghavan et al. 2007) over
+    an undirected edge list — the community-detection complement of
+    the density cuts (x118 k-core) and closure census (x112
+    triangles): every node starts as its own community and each round
+    adopts the most frequent label among its neighbors.
+
+    Determinism contract: classic LPA is notoriously run-dependent
+    (random visit order, random tie-breaks, and asynchronous updates
+    all change the partition).  This is the DECLARED-deterministic
+    form: updates are synchronous (round r+1 reads only round r),
+    the round count is FIXED (not run-to-convergence — synchronous
+    LPA can 2-cycle on bipartite structure, so a fixpoint loop would
+    need oscillation detection; a fixed horizon is the reproducible
+    choice and what makes a fixed unrolling exact), and ties break
+    on (count DESC, label ASC).  Every quantity is an integer, so
+    the result is bit-identical on any engine — the unrolled-CTE
+    oracle runs the same recurrence.
+
+    Plan: per round ONE edge-sized equi-join (neighbor label lookup
+    keyed on the node id) + one map-side-combinable (node, label)
+    count + one node-keyed argmax window; per-round eager
+    localCheckpoint keeps the plan round-count-independent (the
+    kcore/pagerank idiom).  Isolated nodes don't occur by
+    construction (the node universe is the endpoints of the
+    symmetrized edge set, so every node has >= 1 neighbor).
+
+    Scale (100 TB graphs): each round shuffles O(edges) label
+    lookups keyed by node — the same bound as one pagerank step;
+    hub nodes are counts, not lists, through the aggregate.  Round
+    count is a constant, so total cost is O(rounds x edges)."""
+    from pyspark.sql import Window
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    # canonicalize before distinct, then symmetrize (kcore idiom)
+    fwd = (edges.select(F.least(F.col(a), F.col(b)).alias("u"),
+                        F.greatest(F.col(a), F.col(b)).alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct())
+    sym = (fwd.unionByName(fwd.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+           .localCheckpoint(eager=True))
+    labels = sym.select(F.col("u").alias("node"),
+                        F.col("u").alias("lbl")).distinct()
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("lbl"))
+    for _ in range(rounds):
+        nbr = (sym.join(labels.withColumnRenamed("node", "v"), "v")
+               .select(F.col("u").alias("node"), "lbl"))
+        labels = (nbr.groupBy("node", "lbl")
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+                  .withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("node", "lbl")
+                  .localCheckpoint(eager=True))
+    return labels.select(F.col("node").cast("bigint"),
+                         F.col("lbl").cast("bigint").alias("community"))

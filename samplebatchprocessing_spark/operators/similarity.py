@@ -271,6 +271,96 @@ def brute_force_topk_numpy(emb: DataFrame, query_pred,
             .withColumn("cosine", F.round("cosine", 6)))
 
 
+def bnl_topk(emb: DataFrame, query_pred, k: int = 5,
+             q_block: int = 64, c_block: int = 1024) -> DataFrame:
+    """X119: EXACT brute-force top-k where BOTH sides stay DataFrames
+    end to end — the block nested-loop form of
+    :func:`brute_force_topk_numpy` for the regime where even the
+    QUERY BATCH is too large to collect/broadcast (the last
+    driver-collect contract in the similarity family; x114 removed
+    it for the IVF path, this removes it for the exact path).
+
+    Plan: queries are hash-packed into ~``q_block``-vector blocks and
+    the corpus into ~``c_block``-vector blocks (one collect_list
+    aggregate each — block rows are matrix tiles, metadata-free);
+    every (corpus-tile x query-tile) pair is ONE numpy dgemm task
+    emitting at most k rows per query in the tile, pruned again
+    per-partition before the single (query_id)-keyed merge exchange.
+
+    Scale (100 TB): exact brute force is inherently O(|C| x |Q|)
+    FLOPs — no plan changes that — but the BYTES are bounded: corpus
+    bytes are replicated exactly n_query_blocks times (the BNL lower
+    bound), each task is a (c_block x dim) @ (dim x q_block) matmul
+    sized to stay cache-resident, and no single node ever holds more
+    than one tile pair.  Catalyst sizes the tile-pair join itself
+    (broadcast while one side is metadata-small, cartesian-partitioned
+    when both are big).  Every stage scales out with both counts; the
+    driver never sees a vector.
+
+    Determinism contract: float64 normalize + matmul, NaN (zero-norm)
+    and self-pairs masked batch-side, (-cosine, vec_id) lexsort at
+    every prune — same invariants as the collect-query kernel, so the
+    two paths return the same neighbor ids on non-degenerate data
+    (locked by the x119 registry row + block-size invariance test).
+    Tiling CAN change dgemm accumulation order, so raw cosines agree
+    only to fp tolerance — same caveat as l7_topk_numpy's oracle."""
+    from math import ceil
+    n_q = emb.filter(query_pred).count()
+    if n_q == 0:
+        raise ValueError("query predicate selected no vectors")
+    n_c = emb.count()
+    n_qb = max(1, ceil(n_q / q_block))
+    n_cb = max(1, ceil(n_c / c_block))
+    q_g = (emb.filter(query_pred)
+           .select(F.col("vec_id").alias("query_id"), "embedding")
+           .groupBy(F.pmod(F.hash("query_id"), F.lit(n_qb)).alias("qb"))
+           .agg(F.collect_list(F.struct("query_id", "embedding"))
+                .alias("qs")))
+    c_g = (emb.select("vec_id", "embedding")
+           .groupBy(F.pmod(F.hash("vec_id"), F.lit(n_cb)).alias("cb"))
+           .agg(F.collect_list(F.struct("vec_id", "embedding"))
+                .alias("cs")))
+    blocks = c_g.crossJoin(q_g)
+
+    out_schema = "query_id long, vec_id long, cosine double"
+
+    def _tile(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            for crow, qrow in zip(pdf["cs"], pdf["qs"]):
+                c_ids = np.array([r["vec_id"] for r in crow])
+                c_mat = np.array([r["embedding"] for r in crow],
+                                 dtype=np.float64)
+                q_ids = np.array([r["query_id"] for r in qrow])
+                q_mat = np.array([r["embedding"] for r in qrow],
+                                 dtype=np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+                    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+                sims = c_mat @ q_mat.T             # (n_cand, n_query)
+                frames = []
+                for j in range(sims.shape[1]):
+                    col = sims[:, j]
+                    mask = (c_ids != q_ids[j]) & ~np.isnan(col)
+                    cid, cs_ = c_ids[mask], col[mask]
+                    if len(cid) > k:
+                        top = np.lexsort((cid, -cs_))[:k]
+                        cid, cs_ = cid[top], cs_[top]
+                    frames.append(pd.DataFrame(
+                        {"query_id": q_ids[j], "vec_id": cid,
+                         "cosine": cs_}))
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+    local = _partition_topk(blocks.mapInPandas(_tile, out_schema), k)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("cosine", F.round("cosine", 6)))
+
+
 def _kmeans_centroids(vecs, n_cells: int, n_iter: int = 8,
                       seed: int = 7):
     """Seeded spherical k-means on a driver-side SAMPLE (numpy).

@@ -2325,6 +2325,69 @@ FROM e{rounds} GROUP BY u""")
     return "".join(parts)
 
 
+def x120_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X120 (r8): LABEL-PROPAGATION community detection over the x112
+    co-purchase graph — the third graph-structure lens alongside
+    x112's triangle census (closure density) and x118's k-core
+    (dense nucleus): LPA partitions the WHOLE graph into communities
+    (Raghavan et al. 2007), the standard cheap pre-cut before
+    per-community processing (dup-cluster triage, mixture analysis,
+    spam-ring candidates).
+
+    Deterministic by declaration (``operators/graph.py::
+    label_propagation``): synchronous updates, FIXED 4 rounds, ties
+    broken (count DESC, label ASC), all-integer state — so the
+    DuckDB twin unrolls the SAME recurrence and the hash gate proves
+    every node's final community, not a summary.
+
+    Spark plan: per round one edge-keyed equi-join + one map-side-
+    combinable (node, label) count + one node-keyed argmax window,
+    eager localCheckpoint per round (the kcore/pagerank idiom) —
+    O(rounds x edges) total, no cartesian anywhere (plan-gated)."""
+    from ..operators.graph import label_propagation
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct()
+    edges = (li.alias("x").join(li.alias("y"), "l_orderkey")
+             .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+             .groupBy(F.col("x.l_partkey").alias("pa"),
+                      F.col("y.l_partkey").alias("pb"))
+             .agg(F.count(F.lit(1)).alias("n_orders"))
+             .filter(F.col("n_orders") >= 2)
+             .select("pa", "pb"))
+    return label_propagation(edges, rounds=4, a="pa", b="pb")
+
+
+def _x120_sql(rounds: int = 4) -> str:
+    # Each l{i} is referenced once per round but sym is referenced
+    # every round — MATERIALIZED throughout (the x118 lesson: CTE
+    # inlining otherwise re-expands the lineitem self-join per round).
+    parts = ["""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT x.l_partkey AS u, y.l_partkey AS v
+  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                     AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sym AS MATERIALIZED (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM sym)"""]
+    for i in range(rounds):
+        parts.append(f""",
+l{i + 1} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, lbl) AS rn
+    FROM (SELECT s.u AS node, p.lbl, COUNT(*) AS cnt
+          FROM sym s JOIN l{i} p ON p.node = s.v
+          GROUP BY 1, 2)) WHERE rn = 1)""")
+    parts.append(f"""
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(lbl AS BIGINT) AS community
+FROM l{rounds}""")
+    return "".join(parts)
+
+
 QUERIES: dict[str, tuple] = {
     "x25_funnel": (x25_funnel, X25_SQL),
     "j11_interval_overlap": (j11_interval_overlap, _j11_sql()),
@@ -2370,4 +2433,5 @@ QUERIES: dict[str, tuple] = {
     "x112_triangle_count": (x112_triangle_count, X112_SQL),
     "x113_dq_audit": (x113_dq_audit, X113_SQL),
     "x118_kcore": (x118_kcore, _x118_sql()),
+    "x120_label_propagation": (x120_label_propagation, _x120_sql()),
 }

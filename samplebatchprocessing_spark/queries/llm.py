@@ -3831,6 +3831,50 @@ FROM embeddings WHERE vec_id % 50 = 0
 """
 
 
+def x119_bnl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X119 (r8): BLOCK NESTED-LOOP exact top-k — the EXACT-path twin
+    of x114's distributed IVF probe, removing the similarity family's
+    LAST driver-collect contract: :func:`operators.similarity.
+    bnl_topk` keeps both the corpus AND the query batch as
+    DataFrames, tiling them into (corpus-block x query-block) dgemm
+    tasks, so a 10 M-query exact rescoring job scales out instead of
+    collecting the queries.
+
+    Both paths really run: the collect-query kernel
+    (``brute_force_topk_numpy``) and the tiled path share the float64
+    normalize/matmul/NaN-mask/(-cosine, vec_id)-lexsort invariants, so
+    neighbor ids and ranks are identical; tiling can change dgemm
+    accumulation order, so cosines are asserted to fp tolerance (the
+    l7_topk_numpy oracle discipline — measured bit-equal on the
+    fixture, declared to 2e-6 so a rounding-boundary ulp can't flip
+    the gate).  Block sizes are set small enough that sf0.01 already
+    exercises REAL multi-tile merges on both axes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    fast = similarity.brute_force_topk_numpy(emb, pred, k=5).select(
+        "query_id", "rank", F.col("vec_id").alias("vid_f"),
+        F.col("cosine").alias("cos_f"))
+    dist = similarity.bnl_topk(emb, pred, k=5,
+                               q_block=16, c_block=256).select(
+        "query_id", "rank", F.col("vec_id").alias("vid_d"),
+        F.col("cosine").alias("cos_d"))
+    j = fast.join(dist, ["query_id", "rank"], "full")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bool_and(F.coalesce(F.col("vid_f") == F.col("vid_d"),
+                              F.lit(False))).alias("ids_identical"),
+        F.bool_and(F.coalesce(
+            F.abs(F.col("cos_f") - F.col("cos_d")) < 2e-6,
+            F.lit(False))).alias("cosine_within_2e6"))
+
+
+X119_SQL = """
+SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS ids_identical, TRUE AS cosine_within_2e6
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
 def x116_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X116 (r8): lossless edit-distance near-dup join over the
     documents table — every pair within Levenshtein distance 10
@@ -4129,6 +4173,7 @@ QUERIES: dict[str, tuple] = {
     "x109_ann_index_lifecycle": (x109_ann_index_lifecycle, X109_SQL),
     "x87_ann_index_merge": (x87_ann_index_merge, X87_SQL),
     "x114_ann_batch_probe": (x114_ann_batch_probe, X114_SQL),
+    "x119_bnl_topk": (x119_bnl_topk, X119_SQL),
     "x115_nb_quality_eval": (x115_nb_quality_eval, _x115_sql()),
     "x116_edit_distance_join": (x116_edit_distance_join, X116_SQL),
     "x117_inverted_index": (x117_inverted_index, _x117_sql()),

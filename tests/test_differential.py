@@ -523,3 +523,89 @@ def test_differential_kcore(spark, seed):
         got = {(r["node"], r["core_degree"])
                for r in kcore(df, k=k).collect()}
         assert got == truth, f"seed={seed} k={k}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_differential_label_propagation(spark, seed):
+    """x120 fuzz: the fixed-round synchronous LPA must match a
+    pure-Python implementation of the SAME declared recurrence
+    (labels init = node id; each round every node takes the most
+    frequent neighbor label, ties -> smallest label) node-for-node on
+    the same random dirty graphs the census/k-core fuzz uses —
+    duplicate, reversed, and self-loop edges must not perturb the
+    neighbor multiset."""
+    from samplebatchprocessing_spark.operators.graph import (
+        label_propagation)
+    dirty, clean = _gen_graph(seed)
+    if not clean:
+        pytest.skip("degenerate empty graph")
+    rounds = 1 + seed % 4
+    adj: dict[int, set[int]] = {}
+    for u, v in clean:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lbl = {u: u for u in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for u, nbrs in adj.items():
+            cnt: dict[int, int] = {}
+            for v in nbrs:
+                cnt[lbl[v]] = cnt.get(lbl[v], 0) + 1
+            nxt[u] = min(cnt, key=lambda c: (-cnt[c], c))
+        lbl = nxt
+    df = spark.createDataFrame(dirty, "a long, b long")
+    got = {(r["node"], r["community"])
+           for r in label_propagation(df, rounds=rounds).collect()}
+    assert got == set(lbl.items()), f"seed={seed} rounds={rounds}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_bnl_topk(spark, seed):
+    """x119 fuzz: the block nested-loop top-k must return the same
+    (query_id, vec_id, rank) relation as a driver-side numpy truth
+    under RANDOM tile sizes (including degenerate 1-vector tiles and
+    single-tile runs), with cosines within fp tolerance.  Zero-norm
+    vectors are planted on both sides of the contract (as query:
+    emits nothing; as candidate: never matches)."""
+    import numpy as np
+
+    from samplebatchprocessing_spark.operators.similarity import (
+        bnl_topk)
+    rng = random.Random(31_000 + seed)
+    n, dim, k = rng.randint(30, 120), 8, rng.randint(1, 5)
+    rows = [(i, ([0.0] * dim if i == n - 1     # last vector zero-norm
+                 else [rng.uniform(-1, 1) for _ in range(dim)]))
+            for i in range(n)]
+    ids = np.array([r[0] for r in rows])
+    # truth must see the float32-rounded values Spark hands the
+    # kernel (embedding is array<float>), or near-tie orderings
+    # could legitimately differ between truth and operator
+    mat = np.array([r[1] for r in rows],
+                   dtype=np.float32).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    step = rng.choice((3, 7, 10))
+    truth = {}
+    for qi in range(n):
+        if ids[qi] % step or np.isnan(sims[qi]).all():
+            continue
+        col = sims[:, qi]
+        mask = (ids != ids[qi]) & ~np.isnan(col)
+        if np.isnan(sims[qi, qi]):            # zero-norm query
+            continue
+        cid, cs = ids[mask], col[mask]
+        top = np.lexsort((cid, -cs))[:k]
+        for rank, t in enumerate(top, 1):
+            truth[(ids[qi], rank)] = (cid[t], round(cs[t], 6))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qb, cb = rng.randint(1, n), rng.randint(1, n)
+    got = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+           for r in bnl_topk(emb, F.col("vec_id") % step == 0,
+                             k=k, q_block=qb, c_block=cb).collect()}
+    assert set(got) == set(truth), f"seed={seed} qb={qb} cb={cb}"
+    for key, (vid, cos) in truth.items():
+        gvid, gcos = got[key]
+        assert gvid == vid, f"seed={seed} {key}: {gvid} != {vid}"
+        assert abs(gcos - cos) < 2e-6, f"seed={seed} {key}"
+    assert truth, "generator must produce at least one query"

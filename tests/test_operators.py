@@ -907,3 +907,42 @@ def test_postings_index_bucket_count_invariance(spark, tmp_path):
                          spark, idx, ["tok1", "shared"],
                          n_buckets=nb).collect()})
     assert outs[0] == outs[1] and outs[0]
+
+
+def test_label_propagation_two_bridged_triangles(spark):
+    """Two triangles joined by one bridge edge resolve to TWO
+    communities under the declared 4-round synchronous recurrence —
+    the bridge is outvoted inside each triangle.  Exact per-node
+    labels, hand-traced: min-label tie-breaks pull each triangle to
+    its smallest member's ancestral label."""
+    from samplebatchprocessing_spark.operators.graph import (
+        label_propagation)
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    got = {(r["node"], r["community"])
+           for r in label_propagation(
+               spark.createDataFrame(edges, "a long, b long"),
+               rounds=4).collect()}
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 2), (4, 2), (5, 2)}
+
+
+def test_label_propagation_rejects_zero_rounds(spark):
+    """rounds < 1 would silently return the init labels as if they
+    were propagated — reject up front (the kcore/cc_two_phase
+    guard-rail discipline)."""
+    from samplebatchprocessing_spark.operators.graph import (
+        label_propagation)
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="rounds"):
+        label_propagation(df, rounds=0)
+
+
+def test_bnl_topk_rejects_empty_query_set(spark):
+    """Same contract as the collect-query kernel: an empty query
+    predicate is a caller bug, not an empty result."""
+    from samplebatchprocessing_spark.operators.similarity import (
+        bnl_topk)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no vectors"):
+        bnl_topk(emb, F.col("vec_id") < 0)

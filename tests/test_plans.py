@@ -945,3 +945,16 @@ def test_kcore_peel_round_is_keyed_semi_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("LeftSemi") == 2
+
+
+def test_label_propagation_round_no_cartesian(spark):
+    """X120: the whole fixed-round LPA plan is keyed equi-joins +
+    windows on checkpointed inputs — no cartesian/NLJ regardless of
+    round count."""
+    from samplebatchprocessing_spark.operators.graph import (
+        label_propagation)
+    sym = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long")
+    plan = plan_str(label_propagation(sym, rounds=2), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
