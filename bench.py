@@ -55,6 +55,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "p10_watch_drain",       # streaming drain throughput, fresh backlog (round 8)
     "x116_edit_distance_join",  # lossless q-gram edit join, bitmap count filter (round 8)
     "x117_postings_probe",   # persisted inverted-index AND probe, read path only (round 8)
+    "x119_bnl_topk",         # tiled block nested-loop exact top-k, both sides distributed (round 8)
+    "x120_label_propagation",  # fixed-round synchronous LPA communities (round 8)
 )
 
 

@@ -47,7 +47,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # window lands green, 80 entries remain uncertified (~2 more
     # rotations; the r8 debuts s23_stream_ann_probe,
     # x115_nb_quality_eval, x116_edit_distance_join,
-    # x117_inverted_index and x118_kcore head that
+    # x117_inverted_index, x118_kcore, x119_bnl_topk and
+    # x120_label_propagation head that
     # r9 backlog, then the x1–x45
     # text-curation block, the v1–v7 subquery/pivot block, the
     # remaining TPC-H v-rows, and the x26+ analytics tail).
