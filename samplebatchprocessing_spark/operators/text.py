@@ -853,17 +853,51 @@ def postings_index_write(doc: DataFrame, index_dir: str,
     is corpus-priced; the x87 frozen-layout delta-append applies
     verbatim (a delta batch's postings append into the same
     buckets)."""
-    postings = (doc.select(F.col(id_col).alias("doc_id"),
-                           F.explode(tokenize(F.col(text_col)))
-                           .alias("tok"))
-                .groupBy("tok", "doc_id")
-                .agg(F.count(F.lit(1)).alias("tf"))
-                .withColumn("bucket",
-                            F.pmod(F.xxhash64("tok"),
-                                   F.lit(n_buckets)).cast("int")))
-    (postings.repartition("bucket")
-     .sortWithinPartitions("tok", "doc_id")
+    (_postings(doc, text_col, id_col, n_buckets)
      .write.mode("overwrite").partitionBy("bucket").parquet(index_dir))
+
+
+def _postings(doc: DataFrame, text_col: str, id_col: str,
+              n_buckets: int) -> DataFrame:
+    """The (tok, doc_id, tf, bucket) postings relation, bucket-
+    repartitioned and (tok, doc_id)-sorted within partitions —
+    shared by the one-shot build and the delta append so writer and
+    appender can never disagree on the bucket hash or layout."""
+    return (doc.select(F.col(id_col).alias("doc_id"),
+                       F.explode(tokenize(F.col(text_col)))
+                       .alias("tok"))
+            .groupBy("tok", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("bucket",
+                        F.pmod(F.xxhash64("tok"),
+                               F.lit(n_buckets)).cast("int"))
+            .repartition("bucket")
+            .sortWithinPartitions("tok", "doc_id"))
+
+
+def postings_index_append(doc: DataFrame, index_dir: str,
+                          n_buckets: int = 32,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> None:
+    """X121: INCREMENTAL maintenance of the persisted postings index
+    — the x87 frozen-layout delta append applied to text serving.
+    The delta batch's postings are computed with the SAME shared
+    relation builder (:func:`_postings`), so they land in the same
+    term-hash buckets as new files; existing bucket files are never
+    rewritten, and ingest cost is one tokenize scan + one shuffle of
+    the DELTA only.
+
+    Layout note: each appended file is (tok, doc_id)-sorted within
+    itself, so row-group min/max skipping on ``tok`` still holds
+    per file; what a delta append gives up is the single-file
+    globally-merged posting order per bucket — probe correctness
+    never depended on it (the AND is a doc_id groupBy), and a
+    periodic compaction (p11 discipline) restores it.  The caller
+    must pass the SAME ``n_buckets`` as the build — a mismatch
+    scatters postings across inconsistent bucket layouts (guarded by
+    the x121 full-relation parity boolean)."""
+    (_postings(doc, text_col, id_col, n_buckets)
+     .write.mode("append").partitionBy("bucket").parquet(index_dir))
 
 
 def postings_probe_and(spark, index_dir: str, terms: list[str],

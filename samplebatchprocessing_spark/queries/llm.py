@@ -3947,6 +3947,63 @@ HAVING COUNT(*) = {len(set(X117_TERMS))}
 """
 
 
+def x121_postings_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X121 (r8): INCREMENTAL maintenance of the x117 postings index
+    — the x87 frozen-layout delta append applied to text serving,
+    completing the index-lifecycle symmetry (ANN: build x109 / merge
+    x87 / batch-probe x114 / stream-probe s23; text: build+probe
+    x117 / merge HERE).  Build the index from the base corpus
+    (doc_id % 7 != 3), APPEND the delta batch's postings into the
+    SAME term-hash buckets (``operators.text.
+    postings_index_append``: existing bucket files never rewritten,
+    ingest cost one tokenize scan + one shuffle of the DELTA only),
+    then SERVE the x117 conjunctive query from the MERGED index.
+
+    The declared output is the served answer itself, oracled against
+    a DIRECT full-corpus scan — base+delta docs are disjoint, so a
+    dropped delta posting, a bucket-hash drift between writer and
+    appender, or a double-counted tf all hash-mismatch the gate.
+    The probe only reads the query terms' buckets, so the
+    ``index_parity`` boolean additionally pins the WHOLE merged
+    relation (both exceptAll directions empty vs a from-scratch
+    rebuild over base+delta — exact because per-(tok, doc) postings
+    depend only on that doc's text, never on what else is in the
+    batch)."""
+    from .sources import _work_dir
+    doc = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 7 == 3
+    base, delta = doc.filter(~is_delta), doc.filter(is_delta)
+    idx = _work_dir(sf_dir, "x121_postings")
+    rebuild = _work_dir(sf_dir, "x121_postings_rebuild")
+    text.postings_index_write(base, idx)
+    text.postings_index_append(delta, idx)
+    text.postings_index_write(doc, rebuild)
+    cols = ["tok", "doc_id", "tf", "bucket"]
+    a = spark.read.parquet(idx).select(cols)
+    b = spark.read.parquet(rebuild).select(cols)
+    parity = (a.exceptAll(b).count() == 0
+              and b.exceptAll(a).count() == 0
+              and a.count() > 0)
+    return (text.postings_probe_and(spark, idx, list(X117_TERMS))
+            .withColumn("index_parity", F.lit(parity)))
+
+
+def _x121_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(X117_TERMS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({tokenize_sql('text')}) AS tok
+  FROM documents),
+p AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM toks WHERE tok IN ({terms}) GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf,
+       TRUE AS index_parity
+FROM p GROUP BY doc_id
+HAVING COUNT(*) = {len(set(X117_TERMS))}
+"""
+
+
 def x115_nb_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X115 (r8): CLASSIFIER-BASED quality filtering with a held-out
     evaluation — the CCNet/GPT-3-style pipeline component (public:
@@ -4177,6 +4234,7 @@ QUERIES: dict[str, tuple] = {
     "x115_nb_quality_eval": (x115_nb_quality_eval, _x115_sql()),
     "x116_edit_distance_join": (x116_edit_distance_join, X116_SQL),
     "x117_inverted_index": (x117_inverted_index, _x117_sql()),
+    "x121_postings_merge": (x121_postings_merge, _x121_sql()),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),

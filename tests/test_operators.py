@@ -946,3 +946,37 @@ def test_bnl_topk_rejects_empty_query_set(spark):
         "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="no vectors"):
         bnl_topk(emb, F.col("vec_id") < 0)
+
+
+def test_postings_append_merges_into_frozen_buckets(spark, tmp_path):
+    """X121 writer/appender contract on a hand corpus: after a delta
+    append, the merged index serves (a) terms spanning base and
+    delta docs, (b) a term that exists ONLY in delta docs, and (c)
+    the full postings relation equals a from-scratch rebuild —
+    including exact tf for a delta doc repeating a base-vocabulary
+    term."""
+    from samplebatchprocessing_spark.operators import text as T
+    base = spark.createDataFrame(
+        [(1, "big cat big dog"), (2, "big cat"), (3, "dog big")],
+        "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(4, "cat dog"), (5, "newt cat cat")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "merged")
+    reb = str(tmp_path / "rebuilt")
+    T.postings_index_write(base, idx, n_buckets=8)
+    T.postings_index_append(delta, idx, n_buckets=8)
+    T.postings_index_write(base.unionByName(delta), reb, n_buckets=8)
+    got = {(r["doc_id"], r["total_tf"])
+           for r in T.postings_probe_and(
+               spark, idx, ["cat", "dog"], n_buckets=8).collect()}
+    assert got == {(1, 2), (4, 2)}
+    only_delta = {(r["doc_id"], r["total_tf"])
+                  for r in T.postings_probe_and(
+                      spark, idx, ["newt"], n_buckets=8).collect()}
+    assert only_delta == {(5, 1)}
+    cols = ["tok", "doc_id", "tf", "bucket"]
+    a = spark.read.parquet(idx).select(cols)
+    b = spark.read.parquet(reb).select(cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
