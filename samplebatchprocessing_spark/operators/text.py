@@ -914,17 +914,29 @@ def postings_probe_and(spark, index_dir: str, terms: list[str],
     Postings are distinct per (term, doc) by construction, so the
     AND is COUNT(*) == n_terms after the term filter — one keyed
     groupBy on doc_id over only the query terms' postings."""
+    return postings_probe_and_df(spark.read.parquet(index_dir),
+                                 terms, n_buckets)
+
+
+def postings_probe_and_df(postings: DataFrame, terms: list[str],
+                          n_buckets: int = 32) -> DataFrame:
+    """:func:`postings_probe_and` over an already-assembled postings
+    relation — the serving form for a LAYERED index (S24: frozen
+    base buckets unioned with epoch-partitioned streamed deltas).
+    The bucket filter still lands as PartitionFilters on any input
+    layer whose ``bucket`` is a partition column and as row-group
+    skipping where it is a data column."""
     if not terms:
         raise ValueError("terms must be non-empty")
     tset = sorted(set(terms))
+    spark = postings.sparkSession
     buckets = sorted({
         r["b"] for r in
         spark.createDataFrame([(t,) for t in tset], "tok string")
         .select(F.pmod(F.xxhash64("tok"), F.lit(n_buckets))
                 .cast("int").alias("b")).collect()})
-    idx = spark.read.parquet(index_dir)
-    return (idx.filter(F.col("bucket").isin(buckets)
-                       & F.col("tok").isin(tset))
+    return (postings.filter(F.col("bucket").isin(buckets)
+                            & F.col("tok").isin(tset))
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_terms"),
                  F.sum("tf").alias("total_tf"))

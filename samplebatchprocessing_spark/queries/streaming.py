@@ -886,6 +886,82 @@ FROM embeddings WHERE vec_id % 50 = 0
 """
 
 
+def s24_stream_postings_merge(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """S24 (r8): STREAMING ingest into the x117 postings index — the
+    x121 delta append as a micro-batch loop, closing the text-index
+    lifecycle the way s23 closed the ANN one (build batch-side,
+    ingest forever after).  The index builds from the base slice
+    (doc_id % 7 != 3); the DELTA docs then ARRIVE AS A STREAM and
+    each micro-batch's postings land via foreachBatch as an
+    idempotent per-epoch overwrite (the s8 commit discipline:
+    restart replays overwrite their own epoch directory, never
+    duplicate postings — which is exactly what keeps the probe's
+    COUNT(*)==n_terms AND semantics sound, since it relies on
+    postings being distinct per (tok, doc)).
+
+    Serving reads the LAYERED index — frozen base buckets unioned
+    with the epoch-partitioned delta layer
+    (``operators.text.postings_probe_and_df``); the declared output
+    is the x117 conjunctive query served from that union, oracled
+    against a DIRECT scan of the full corpus, so a dropped
+    micro-batch, a bucket-hash drift in the streamed layer, or a
+    replayed-epoch duplicate all hash-mismatch the gate.
+
+    Scale (100 TB): per micro-batch cost is one tokenize pass + one
+    delta-sized shuffle; the base index is never rewritten.  The
+    delta layer accrues one directory per epoch — periodic
+    compaction (the x121 batch merge / p11 discipline) folds it
+    into the frozen buckets to restore the one-file-per-bucket
+    serving layout.  The reference's closest shape is its long-poll
+    consumer appending results to the output prefix
+    (GetJobs.py:57-60)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..catalog import load_table
+    from ..operators import text
+    from ..streaming.jobs import documents_stream
+    from .sources import _work_dir
+
+    doc = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 7 == 3
+    idx = _work_dir(sf_dir, "s24_postings")
+    text.postings_index_write(doc.filter(~is_delta), idx)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    delta_dir = f"/tmp/sbp_stream/s24_delta_{tag}"
+    ckpt = f"/tmp/sbp_stream/s24_ckpt_{tag}"
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    sdf = (documents_stream(spark, sf_dir, tag="postings")
+           .filter(is_delta))
+
+    def append_batch(df: DataFrame, batch_id: int) -> None:
+        (text._postings(df, "text", "doc_id", 32)
+         .write.mode("overwrite")
+         .parquet(os.path.join(delta_dir, f"epoch={batch_id}")))
+
+    q = (sdf.writeStream.foreachBatch(append_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    cols = ["tok", "doc_id", "tf", "bucket"]
+    layered = (spark.read.parquet(idx).select(cols)
+               .unionByName(spark.read.parquet(f"{delta_dir}/epoch=*")
+                            .select(cols)))
+    from .llm import X117_TERMS
+    return text.postings_probe_and_df(layered, list(X117_TERMS))
+
+
+def _s24_sql() -> str:
+    from .llm import _x117_sql
+    return _x117_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "s1_stream_scan": (s1_stream_scan, S1_SQL),
     "s2_tumbling_window": (s2_tumbling_window, S2_SQL),
@@ -911,4 +987,5 @@ QUERIES: dict[str, tuple] = {
     "s21_stream_incremental_mv": (s21_stream_incremental_mv, S21_SQL),
     "s22_stream_seasonal_gate": (s22_stream_seasonal_gate, S22_SQL),
     "s23_stream_ann_probe": (s23_stream_ann_probe, S23_SQL),
+    "s24_stream_postings_merge": (s24_stream_postings_merge, _s24_sql()),
 }

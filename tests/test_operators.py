@@ -909,6 +909,40 @@ def test_postings_index_bucket_count_invariance(spark, tmp_path):
     assert outs[0] == outs[1] and outs[0]
 
 
+def test_postings_probe_layered_union(spark, tmp_path):
+    """S24 serving contract: probing the LAYERED index (frozen base
+    buckets UNION a delta layer built by the same relation builder)
+    answers identically to a single index built over the full corpus
+    — cross-layer ANDs included (doc 3's 'cat' lives only in the
+    delta layer; doc 4 exists only there)."""
+    from samplebatchprocessing_spark.operators import text as T
+    base = spark.createDataFrame(
+        [(1, "big cat big dog"), (2, "big cat"), (3, "dog big")],
+        "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(3, "cat cat"), (4, "big cat")], "doc_id long, text string")
+    idx = str(tmp_path / "base")
+    T.postings_index_write(base, idx, n_buckets=8)
+    cols = ["tok", "doc_id", "tf", "bucket"]
+    layered = (spark.read.parquet(idx).select(cols)
+               .unionByName(T._postings(delta, "text", "doc_id", 8)
+                            .select(cols)))
+    got = {(r["doc_id"], r["total_tf"])
+           for r in T.postings_probe_and_df(
+               layered, ["big", "cat"], n_buckets=8).collect()}
+    full = base.filter("doc_id != 3").unionByName(delta).unionByName(
+        base.filter("doc_id = 3"))
+    # doc 3 holds 'big dog' in base + 'cat cat' in delta: the AND is
+    # satisfied only across layers; total_tf sums both layers' tf.
+    assert got == {(1, 3), (2, 2), (3, 3), (4, 2)}
+    idx_full = str(tmp_path / "full")
+    T.postings_index_write(full, idx_full, n_buckets=8)
+    ref = {(r["doc_id"], r["total_tf"])
+           for r in T.postings_probe_and(
+               spark, idx_full, ["big", "cat"], n_buckets=8).collect()}
+    assert got == ref
+
+
 def test_label_propagation_two_bridged_triangles(spark):
     """Two triangles joined by one bridge edge resolve to TWO
     communities under the declared 4-round synchronous recurrence —
