@@ -4004,6 +4004,60 @@ HAVING COUNT(*) = {len(set(X117_TERMS))}
 """
 
 
+def x122_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X122 (r8): SEQUENCE PACKING for pretraining — the
+    concat-and-chunk layout every GPT-style data loader uses
+    (public: Brown 2020 §2.3 "documents are packed into sequences";
+    Touvron 2023): the corpus's token streams are concatenated in
+    doc_id order and cut every 128 tokens into training sequences.
+    Per document: its global token ``start_off``, the
+    ``[first_seq, last_seq]`` sequence span it occupies, and
+    ``n_seqs`` (0 for empty docs).  This is the offset manifest a
+    packed-sequence writer shards by — computing it is the only
+    genuinely GLOBAL-ORDER operation in the pipeline, which is why
+    it is the repo's distributed prefix-sum showcase
+    (``operators.curation.pack_offsets``): two-phase range-partition
+    + pid-keyed running sums + an n_parts-row metadata cumulation,
+    never a SinglePartition window (plan-gated).
+
+    Complements x51 (whole-document shard assignment per source):
+    here the order is GLOBAL and the unit is the TOKEN — a document
+    may straddle sequences, and the span arithmetic is part of the
+    declared output.
+
+    Oracle: DuckDB computes the same offsets with its global window
+    — the single-node semantics the distributed split must
+    reproduce exactly, including every boundary-straddling span."""
+    doc = load_table(spark, sf_dir, "documents")
+    n = doc.select("doc_id",
+                   F.size(text.tokenize(F.col("text")))
+                   .cast("bigint").alias("n_tok"))
+    return (curation.pack_offsets(n, "n_tok", "doc_id", seq_len=128)
+            .select("doc_id", "n_tok", "start_off",
+                    "first_seq", "last_seq", "n_seqs"))
+
+
+X122_SQL = f"""
+WITH n AS (
+  SELECT doc_id,
+         CAST(LEN({tokenize_sql('text')}) AS BIGINT) AS n_tok
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_off
+  FROM n)
+SELECT doc_id, n_tok, start_off,
+       start_off // 128 AS first_seq,
+       (start_off + GREATEST(n_tok, 1) - 1) // 128 AS last_seq,
+       CASE WHEN n_tok = 0 THEN 0
+            ELSE (start_off + GREATEST(n_tok, 1) - 1) // 128
+                 - start_off // 128 + 1 END AS n_seqs
+FROM o
+"""
+
+
 def x115_nb_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X115 (r8): CLASSIFIER-BASED quality filtering with a held-out
     evaluation — the CCNet/GPT-3-style pipeline component (public:
@@ -4235,6 +4289,7 @@ QUERIES: dict[str, tuple] = {
     "x116_edit_distance_join": (x116_edit_distance_join, X116_SQL),
     "x117_inverted_index": (x117_inverted_index, _x117_sql()),
     "x121_postings_merge": (x121_postings_merge, _x121_sql()),
+    "x122_sequence_pack": (x122_sequence_pack, X122_SQL),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),

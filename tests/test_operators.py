@@ -1014,3 +1014,58 @@ def test_postings_append_merges_into_frozen_buckets(spark, tmp_path):
     b = spark.read.parquet(reb).select(cols)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_pack_offsets_hand_case(spark):
+    """X122 packing arithmetic on a hand-traced corpus (seq_len=4):
+    offsets are the exclusive prefix sum in id order; a doc may
+    straddle sequences; an empty doc keeps its offset but owns no
+    sequence."""
+    from samplebatchprocessing_spark.operators.curation import pack_offsets
+    df = spark.createDataFrame(
+        [(1, 3), (2, 6), (3, 0), (4, 1)], "doc_id long, n_tok long")
+    got = {r["doc_id"]: (r["start_off"], r["first_seq"],
+                         r["last_seq"], r["n_seqs"])
+           for r in pack_offsets(df, seq_len=4, n_parts=3).collect()}
+    assert got == {
+        1: (0, 0, 0, 1),     # tokens 0-2: seq 0
+        2: (3, 0, 2, 3),     # tokens 3-8: straddles seqs 0,1,2
+        3: (9, 2, 2, 0),     # empty: offset kept, no sequences
+        4: (9, 2, 2, 1),     # token 9: seq 2
+    }
+
+
+def test_pack_offsets_n_parts_invariance(spark):
+    """X122: the distributed split is pure mechanics — n_parts=1
+    (degenerate single range) and n_parts=8 must answer identically
+    on ids arriving in shuffled order."""
+    from samplebatchprocessing_spark.operators.curation import pack_offsets
+    import random
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 9)) for i in range(200)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    outs = [sorted(tuple(r) for r in
+                   pack_offsets(df, seq_len=16, n_parts=p).collect())
+            for p in (1, 8)]
+    assert outs[0] == outs[1]
+    # differential vs the obvious sequential cumsum
+    exp, off = {}, 0
+    for i, n in sorted(rows):
+        first = off // 16
+        last = (off + max(n, 1) - 1) // 16
+        exp[i] = (n, off, first, last, 0 if n == 0 else last - first + 1)
+        off += n
+    got = {r["doc_id"]: (r["n_tok"], r["start_off"], r["first_seq"],
+                         r["last_seq"], r["n_seqs"])
+          for r in pack_offsets(df, seq_len=16, n_parts=8).collect()}
+    assert got == exp
+
+
+def test_pack_offsets_rejects_bad_params(spark):
+    from samplebatchprocessing_spark.operators.curation import pack_offsets
+    df = spark.createDataFrame([(1, 2)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_offsets(df, seq_len=0)
+    with pytest.raises(ValueError, match="n_parts"):
+        pack_offsets(df, n_parts=0)

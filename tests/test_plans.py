@@ -958,3 +958,15 @@ def test_label_propagation_round_no_cartesian(spark):
     plan = plan_str(label_propagation(sym, rounds=2), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_pack_no_global_window(spark, sf_smoke):
+    """x122: the global token prefix sum must run as the two-phase
+    split — a pid-keyed window after the range exchange plus a
+    broadcast of the n_parts-row offsets frame — never the textbook
+    single-partition ORDER BY doc_id window."""
+    from samplebatchprocessing_spark.queries.llm import x122_sequence_pack
+    plan = plan_str(x122_sequence_pack(spark, sf_smoke))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(_pid" in plan
+    assert "BroadcastHashJoin" in plan
