@@ -609,3 +609,78 @@ def test_differential_bnl_topk(spark, seed):
         assert gvid == vid, f"seed={seed} {key}: {gvid} != {vid}"
         assert abs(gcos - cos) < 2e-6, f"seed={seed} {key}"
     assert truth, "generator must produce at least one query"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_layered_postings(spark, seed, tmp_path):
+    """s24/x121 fuzz: a random corpus split into a base index plus
+    1-3 epoch delta layers must answer every conjunctive probe
+    identically to (a) a from-scratch index over the full corpus and
+    (b) pure-python truth — including probes whose AND is satisfied
+    only ACROSS layers and terms absent from the corpus."""
+    from samplebatchprocessing_spark.operators import text as T
+    rng = random.Random(41_000 + seed)
+    vocab = [f"w{i:02d}" for i in range(rng.randint(8, 20))]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randint(1, 12))))
+            for i in range(rng.randint(15, 40))]
+    n_epochs = rng.randint(1, 3)
+    splits = [rng.randrange(n_epochs + 1) for _ in rows]  # 0 = base
+    base = [r for r, s in zip(rows, splits) if s == 0]
+    nb = rng.choice([1, 4, 8])
+    idx = str(tmp_path / "base")
+    T.postings_index_write(
+        spark.createDataFrame(base or [(999, "filler")],
+                              "doc_id long, text string"), idx,
+        n_buckets=nb)
+    cols = ["tok", "doc_id", "tf", "bucket"]
+    layered = spark.read.parquet(idx).select(cols)
+    for ep in range(1, n_epochs + 1):
+        delta = [r for r, s in zip(rows, splits) if s == ep]
+        if not delta:
+            continue
+        layered = layered.unionByName(
+            T._postings(spark.createDataFrame(
+                delta, "doc_id long, text string"),
+                "text", "doc_id", nb).select(cols))
+    corpus = (base or [(999, "filler")]) + [
+        r for r, s in zip(rows, splits) if s > 0]
+    toks = {i: t.split() for i, t in corpus}
+    for _ in range(3):
+        q = sorted(set(rng.sample(vocab, rng.randint(1, 3))
+                       + (["zz_absent"] if rng.random() < 0.3 else [])))
+        got = {(r["doc_id"], r["total_tf"])
+               for r in T.postings_probe_and_df(
+                   layered, q, n_buckets=nb).collect()}
+        truth = {(i, sum(ts.count(t) for t in q))
+                 for i, ts in toks.items()
+                 if all(t in ts for t in q)}
+        assert got == truth, f"seed={seed} q={q} nb={nb}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_differential_pack_offsets(spark, seed):
+    """x122 fuzz: the two-phase distributed prefix sum equals the
+    sequential cumsum truth for random token counts (zeros included),
+    random seq_len, random n_parts, ids arriving shuffled."""
+    from samplebatchprocessing_spark.operators.curation import (
+        pack_offsets)
+    rng = random.Random(42_000 + seed)
+    n = rng.randint(1, 120)
+    stride = rng.choice([1, 3, 1000])        # sparse vs dense id space
+    rows = [(i * stride + 7,
+             rng.choice([0, 1, 2, 5, 17, 64, 200]))
+            for i in range(n)]
+    rng.shuffle(rows)
+    seq_len = rng.choice([1, 4, 16, 100])
+    n_parts = rng.choice([1, 2, 8, 32])
+    exp, off = {}, 0
+    for i, t in sorted(rows):
+        first, last = off // seq_len, (off + max(t, 1) - 1) // seq_len
+        exp[i] = (t, off, first, last, 0 if t == 0 else last - first + 1)
+        off += t
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {r["doc_id"]: (r["n_tok"], r["start_off"], r["first_seq"],
+                         r["last_seq"], r["n_seqs"])
+           for r in pack_offsets(df, seq_len=seq_len,
+                                 n_parts=n_parts).collect()}
+    assert got == exp, f"seed={seed} seq_len={seq_len} n_parts={n_parts}"
