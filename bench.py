@@ -57,6 +57,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "x117_postings_probe",   # persisted inverted-index AND probe, read path only (round 8)
     "x119_bnl_topk",         # tiled block nested-loop exact top-k, both sides distributed (round 8)
     "x120_label_propagation",  # fixed-round synchronous LPA communities (round 8)
+    "x122_sequence_pack",    # global two-phase prefix-sum packing manifest (round 8)
 )
 
 

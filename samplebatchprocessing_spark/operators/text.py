@@ -943,3 +943,36 @@ def postings_probe_and_df(postings: DataFrame, terms: list[str],
             .filter(F.col("n_terms") == len(tset))
             .select("doc_id",
                     F.col("total_tf").cast("long").alias("total_tf")))
+
+
+def postings_index_compact(spark, layers: list[str],
+                           out_dir: str) -> None:
+    """X123: COMPACTION of a layered postings index — the
+    maintenance pass that folds delta layers (x121 appended files,
+    s24 streamed epoch directories) back into the one-file-per-
+    bucket, (tok, doc_id)-sorted serving layout the one-shot build
+    produces.  Reads every layer's postings relation, re-partitions
+    on the EXISTING bucket column (no re-hash: bucket assignment is
+    frozen at build time, so compaction never moves a posting across
+    buckets and composes with in-flight probes on the old layout),
+    and overwrites ``out_dir`` with the canonical layout.
+
+    Layers must be doc-disjoint per term — the append/stream
+    invariant (each doc's postings live in exactly one layer); the
+    registry entry's direct-scan oracle and the full-relation parity
+    boolean catch a violation.  Scale (100 TB): compaction is one
+    bucket-keyed shuffle of the index RELATION (ids + tfs, never
+    document text), amortized over a cadence — probes between
+    compactions stay correct on the layered form, merely reading
+    more, smaller files."""
+    cols = ["tok", "doc_id", "tf", "bucket"]
+    rel = None
+    for layer in layers:
+        part = spark.read.parquet(layer).select(cols)
+        rel = part if rel is None else rel.unionByName(part)
+    if rel is None:
+        raise ValueError("layers must be non-empty")
+    (rel.repartition("bucket")
+        .sortWithinPartitions("tok", "doc_id")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(out_dir))

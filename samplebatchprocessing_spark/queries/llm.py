@@ -4004,6 +4004,57 @@ HAVING COUNT(*) = {len(set(X117_TERMS))}
 """
 
 
+def x123_postings_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X123 (r8): postings-index COMPACTION — the maintenance pass
+    the x121/s24 delta layers rely on ("periodic compaction restores
+    the serving layout"), made executable.  Build the index from the
+    base slice, APPEND the delta slice (x121 path — extra files in
+    the same frozen buckets), then COMPACT the layered index into a
+    fresh one-file-per-bucket canonical layout and SERVE the x117
+    conjunctive query from the COMPACTED index.
+
+    The declared output is the served answer (oracled against a
+    direct full-corpus scan) plus ``compact_parity``: both exceptAll
+    directions empty between the layered and compacted postings
+    relations — compaction must be a pure LAYOUT change, moving no
+    posting across buckets and dropping/duplicating nothing.  The
+    one-file-per-bucket layout restoration itself is pinned by the
+    operator test (file census before/after)."""
+    from .sources import _work_dir
+    doc = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 7 == 3
+    idx = _work_dir(sf_dir, "x123_layered")
+    compacted = _work_dir(sf_dir, "x123_compacted")
+    text.postings_index_write(doc.filter(~is_delta), idx)
+    text.postings_index_append(doc.filter(is_delta), idx)
+    text.postings_index_compact(spark, [idx], compacted)
+    cols = ["tok", "doc_id", "tf", "bucket"]
+    a = spark.read.parquet(idx).select(cols)
+    b = spark.read.parquet(compacted).select(cols)
+    parity = (a.exceptAll(b).count() == 0
+              and b.exceptAll(a).count() == 0
+              and b.count() > 0)
+    return (text.postings_probe_and(spark, compacted,
+                                    list(X117_TERMS))
+            .withColumn("compact_parity", F.lit(parity)))
+
+
+def _x123_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(X117_TERMS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({tokenize_sql('text')}) AS tok
+  FROM documents),
+p AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM toks WHERE tok IN ({terms}) GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf,
+       TRUE AS compact_parity
+FROM p GROUP BY doc_id
+HAVING COUNT(*) = {len(set(X117_TERMS))}
+"""
+
+
 def x122_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X122 (r8): SEQUENCE PACKING for pretraining — the
     concat-and-chunk layout every GPT-style data loader uses
@@ -4290,6 +4341,7 @@ QUERIES: dict[str, tuple] = {
     "x117_inverted_index": (x117_inverted_index, _x117_sql()),
     "x121_postings_merge": (x121_postings_merge, _x121_sql()),
     "x122_sequence_pack": (x122_sequence_pack, X122_SQL),
+    "x123_postings_compact": (x123_postings_compact, _x123_sql()),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),

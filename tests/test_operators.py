@@ -1069,3 +1069,45 @@ def test_pack_offsets_rejects_bad_params(spark):
         pack_offsets(df, seq_len=0)
     with pytest.raises(ValueError, match="n_parts"):
         pack_offsets(df, n_parts=0)
+
+
+def test_postings_compact_restores_layout(spark, tmp_path):
+    """X123: after a build + two delta appends the layered index has
+    multiple files per touched bucket; compaction restores exactly
+    one data file per bucket directory, answers the probe
+    identically, and preserves the full relation bit-for-bit."""
+    import glob
+    import os
+
+    from samplebatchprocessing_spark.operators import text as T
+
+    def files_per_bucket(d):
+        out = {}
+        for b in glob.glob(os.path.join(d, "bucket=*")):
+            out[os.path.basename(b)] = len(
+                glob.glob(os.path.join(b, "*.parquet")))
+        return out
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string")
+    idx = str(tmp_path / "layered")
+    T.postings_index_write(
+        mk([(1, "big cat big dog"), (2, "big cat")]), idx, n_buckets=4)
+    T.postings_index_append(mk([(3, "dog big")]), idx, n_buckets=4)
+    T.postings_index_append(mk([(4, "cat dog big")]), idx, n_buckets=4)
+    assert max(files_per_bucket(idx).values()) >= 2
+    out = str(tmp_path / "compacted")
+    T.postings_index_compact(spark, [idx], out)
+    assert set(files_per_bucket(out).values()) == {1}
+    probe = lambda d: {(r["doc_id"], r["total_tf"])
+                       for r in T.postings_probe_and(
+                           spark, d, ["big", "cat"],
+                           n_buckets=4).collect()}
+    assert probe(out) == probe(idx) == {(1, 3), (2, 2), (4, 2)}
+    cols = ["tok", "doc_id", "tf", "bucket"]
+    a = spark.read.parquet(idx).select(cols)
+    b = spark.read.parquet(out).select(cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    with pytest.raises(ValueError, match="layers"):
+        T.postings_index_compact(spark, [], str(tmp_path / "x"))
