@@ -4004,6 +4004,71 @@ HAVING COUNT(*) = {len(set(X117_TERMS))}
 """
 
 
+def x124_sequence_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X124 (r8): PER-SEQUENCE composition census — the inverse view
+    of x122's per-document manifest, the table an attention-mask /
+    dataloader builder actually indexes: for every 128-token training
+    sequence, how many documents contribute (``n_docs``), how many
+    START inside it (``n_starts``), and the exact token fill
+    (``n_tokens`` — 128 everywhere except the final partial
+    sequence).  Built by exploding each document's [first_seq,
+    last_seq] span from the x122 offsets and summing the exact
+    per-(doc, seq) overlap ``min(end, (s+1)*128) - max(start,
+    s*128)``; empty documents own no sequence and are excluded.
+
+    Scale: the explode fan-out is n_seqs per document (its token
+    count / 128) — a giant document's rows land on DISTINCT seq_id
+    keys, so the census groupBy is skew-free by construction; cost
+    is the x122 manifest + one seq_id-keyed aggregate."""
+    doc = load_table(spark, sf_dir, "documents")
+    n = doc.select("doc_id",
+                   F.size(text.tokenize(F.col("text")))
+                   .cast("bigint").alias("n_tok"))
+    packed = (curation.pack_offsets(n, "n_tok", "doc_id", seq_len=128)
+              .filter(F.col("n_seqs") > 0)
+              .withColumn("end_off",
+                          F.col("start_off") + F.col("n_tok")))
+    ex = packed.select(
+        "doc_id", "start_off", "end_off", "first_seq",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"))
+    lo = F.greatest(F.col("start_off"), F.col("seq_id") * 128)
+    hi = F.least(F.col("end_off"), (F.col("seq_id") + 1) * 128)
+    return (ex.withColumn("overlap", (hi - lo).cast("bigint"))
+            .groupBy("seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("first_seq") == F.col("seq_id"))
+                       .cast("bigint")).alias("n_starts"),
+                 F.sum("overlap").alias("n_tokens")))
+
+
+X124_SQL = f"""
+WITH n AS (
+  SELECT doc_id,
+         CAST(LEN({tokenize_sql('text')}) AS BIGINT) AS n_tok
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_off
+  FROM n WHERE n_tok > 0),
+ex AS (
+  SELECT doc_id, start_off, start_off + n_tok AS end_off,
+         start_off // 128 AS first_seq,
+         UNNEST(GENERATE_SERIES(start_off // 128,
+                                (start_off + n_tok - 1) // 128))
+           AS seq_id
+  FROM o)
+SELECT seq_id, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN first_seq = seq_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_starts,
+       CAST(SUM(LEAST(end_off, (seq_id + 1) * 128)
+                - GREATEST(start_off, seq_id * 128)) AS BIGINT)
+         AS n_tokens
+FROM ex GROUP BY seq_id
+"""
+
+
 def x123_postings_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X123 (r8): postings-index COMPACTION — the maintenance pass
     the x121/s24 delta layers rely on ("periodic compaction restores
@@ -4342,6 +4407,7 @@ QUERIES: dict[str, tuple] = {
     "x121_postings_merge": (x121_postings_merge, _x121_sql()),
     "x122_sequence_pack": (x122_sequence_pack, X122_SQL),
     "x123_postings_compact": (x123_postings_compact, _x123_sql()),
+    "x124_sequence_census": (x124_sequence_census, X124_SQL),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),

@@ -1115,3 +1115,29 @@ def test_triangle_count_matches_brute_force(spark):
         edf = spark.createDataFrame(edges, "a bigint, b bigint")
         got = triangle_count(edf).collect()[0].asDict()
         assert got == brute(edges), edges
+
+
+def test_sequence_census_conservation(spark, sf_smoke):
+    """x124 conservation laws against the x122 manifest and the raw
+    corpus: token mass is conserved (sum of per-sequence fills ==
+    total corpus tokens), every non-empty doc starts in exactly one
+    sequence, every interior sequence is exactly full, and seq_ids
+    are the gap-free range [0, total_tokens/128]."""
+    from samplebatchprocessing_spark.operators.text import tokenize
+    from samplebatchprocessing_spark.queries.llm import (
+        x124_sequence_census)
+    doc = load_table(spark, sf_smoke, "documents")
+    totals = doc.select(
+        F.sum(F.size(tokenize(F.col("text")))).alias("toks"),
+        F.sum((F.size(tokenize(F.col("text"))) > 0).cast("long"))
+        .alias("nonempty")).first()
+    rows = sorted((r["seq_id"], r["n_docs"], r["n_starts"],
+                   r["n_tokens"])
+                  for r in x124_sequence_census(spark, sf_smoke)
+                  .collect())
+    assert sum(r[3] for r in rows) == totals["toks"]
+    assert sum(r[2] for r in rows) == totals["nonempty"]
+    assert [r[0] for r in rows] == list(range(len(rows)))
+    assert all(r[3] == 128 for r in rows[:-1])
+    assert 0 < rows[-1][3] <= 128
+    assert all(r[1] >= r[2] for r in rows)
