@@ -544,7 +544,7 @@ FROM r GROUP BY source
 
 def pack_offsets(df: DataFrame, n_tok_col: str = "n_tok",
                  id_col: str = "doc_id", seq_len: int = 128,
-                 n_parts: int = 32) -> DataFrame:
+                 n_parts: int = 32, base_off: int = 0) -> DataFrame:
     """Concat-and-chunk sequence packing — the GPT-2/LLaMA
     pretraining layout: every document's tokens are concatenated in
     one fixed global order (``id_col``) and the stream is cut every
@@ -573,19 +573,28 @@ def pack_offsets(df: DataFrame, n_tok_col: str = "n_tok",
     At 100 TB this is one range shuffle + one pid-keyed window pass
     + one metadata aggregate; no task ever sees more than one
     partition's rows.  ``id_col`` must be unique (ties would make
-    the within-partition running sum order-ambiguous)."""
+    the within-partition running sum order-ambiguous).
+
+    ``base_off`` starts the stream at a nonzero global offset — the
+    INCREMENTAL maintenance hook (x125): a delta snapshot whose ids
+    all sort after the packed corpus extends the manifest by packing
+    only the delta with ``base_off`` = the previous token total,
+    never touching existing rows (the x87/x121 frozen-prefix
+    discipline applied to the packing manifest)."""
     from pyspark.sql import Window as W
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     if n_parts < 1:
         raise ValueError(f"n_parts must be >= 1, got {n_parts}")
+    if base_off < 0:
+        raise ValueError(f"base_off must be >= 0, got {base_off}")
     d = (df.repartitionByRange(n_parts, F.col(id_col))
            .withColumn("_pid", F.spark_partition_id())
            .localCheckpoint(eager=True))   # totals + main pass both read it
     totals = {r["_pid"]: r["_tot"] for r in
               d.groupBy("_pid")
                .agg(F.sum(n_tok_col).alias("_tot")).collect()}
-    base, offs = 0, []
+    base, offs = base_off, []
     for pid in sorted(totals):
         offs.append((pid, base))
         base += int(totals[pid])

@@ -4069,6 +4069,76 @@ FROM ex GROUP BY seq_id
 """
 
 
+def x125_incremental_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X125 (r8): INCREMENTAL maintenance of the x122 packing
+    manifest — the x87/x121 frozen-prefix discipline applied to
+    sequence packing.  A delta snapshot whose doc_ids all sort after
+    the packed corpus (the append-only id discipline real crawl
+    snapshots follow) extends the manifest by packing ONLY the delta
+    with ``base_off`` = the previous token total (one 1-row
+    aggregate — the manifest's entire maintenance state): existing
+    rows are never recomputed, ingest cost is delta-priced, and the
+    packed corpus stays byte-stable (training jobs already consuming
+    sequences [0, N) are unaffected — the delta only appends
+    sequences at the tail, sharing at most the one partial boundary
+    sequence).
+
+    Split: delta = the top eighth of the id range (deterministic
+    integer pivot from the 1-row min/max aggregate).  The declared
+    output is the incremental delta manifest plus
+    ``rebuild_parity``: both exceptAll directions empty vs a
+    from-scratch full-corpus pack restricted to the delta — exact
+    because concat-and-chunk offsets depend only on the prefix
+    TOTAL, never on how the prefix was packed."""
+    doc = load_table(spark, sf_dir, "documents")
+    n = doc.select("doc_id",
+                   F.size(text.tokenize(F.col("text")))
+                   .cast("bigint").alias("n_tok"))
+    mm = n.agg(F.min("doc_id").alias("mn"),
+               F.max("doc_id").alias("mx")).first()
+    pivot = int(mm["mn"]) + ((int(mm["mx"]) - int(mm["mn"])) * 7) // 8
+    base, delta = (n.filter(F.col("doc_id") <= pivot),
+                   n.filter(F.col("doc_id") > pivot))
+    total = base.agg(F.sum("n_tok")).first()[0] or 0
+    inc = (curation.pack_offsets(delta, "n_tok", "doc_id",
+                                 seq_len=128, base_off=int(total))
+           .select("doc_id", "n_tok", "start_off",
+                   "first_seq", "last_seq", "n_seqs"))
+    full = (curation.pack_offsets(n, "n_tok", "doc_id", seq_len=128)
+            .filter(F.col("doc_id") > pivot)
+            .select("doc_id", "n_tok", "start_off",
+                    "first_seq", "last_seq", "n_seqs"))
+    parity = (inc.exceptAll(full).count() == 0
+              and full.exceptAll(inc).count() == 0
+              and inc.count() > 0)
+    return inc.withColumn("rebuild_parity", F.lit(parity))
+
+
+X125_SQL = f"""
+WITH n AS (
+  SELECT doc_id,
+         CAST(LEN({tokenize_sql('text')}) AS BIGINT) AS n_tok
+  FROM documents),
+piv AS (
+  SELECT MIN(doc_id) + ((MAX(doc_id) - MIN(doc_id)) * 7) // 8 AS p
+  FROM n),
+o AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_off
+  FROM n)
+SELECT doc_id, n_tok, start_off,
+       start_off // 128 AS first_seq,
+       (start_off + GREATEST(n_tok, 1) - 1) // 128 AS last_seq,
+       CASE WHEN n_tok = 0 THEN 0
+            ELSE (start_off + GREATEST(n_tok, 1) - 1) // 128
+                 - start_off // 128 + 1 END AS n_seqs,
+       TRUE AS rebuild_parity
+FROM o WHERE doc_id > (SELECT p FROM piv)
+"""
+
+
 def x123_postings_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X123 (r8): postings-index COMPACTION — the maintenance pass
     the x121/s24 delta layers rely on ("periodic compaction restores
@@ -4408,6 +4478,7 @@ QUERIES: dict[str, tuple] = {
     "x122_sequence_pack": (x122_sequence_pack, X122_SQL),
     "x123_postings_compact": (x123_postings_compact, _x123_sql()),
     "x124_sequence_census": (x124_sequence_census, X124_SQL),
+    "x125_incremental_pack": (x125_incremental_pack, X125_SQL),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),

@@ -1111,3 +1111,25 @@ def test_postings_compact_restores_layout(spark, tmp_path):
     assert b.exceptAll(a).count() == 0
     with pytest.raises(ValueError, match="layers"):
         T.postings_index_compact(spark, [], str(tmp_path / "x"))
+
+
+def test_pack_offsets_base_off_extends_frozen_prefix(spark):
+    """x125 contract: packing a delta at base_off == the prior total
+    equals the full rebuild restricted to the delta, for a split
+    point that straddles a sequence boundary; base_off < 0 rejected."""
+    from samplebatchprocessing_spark.operators.curation import (
+        pack_offsets)
+    rows = [(i, t) for i, t in enumerate([5, 9, 3, 0, 7, 2, 11])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    full = {r["doc_id"]: (r["start_off"], r["first_seq"],
+                          r["last_seq"], r["n_seqs"])
+            for r in pack_offsets(df, seq_len=8, n_parts=3).collect()}
+    total = sum(t for i, t in rows if i <= 3)
+    inc = {r["doc_id"]: (r["start_off"], r["first_seq"],
+                         r["last_seq"], r["n_seqs"])
+           for r in pack_offsets(
+               df.filter("doc_id > 3"), seq_len=8, n_parts=3,
+               base_off=total).collect()}
+    assert inc == {i: full[i] for i in full if i > 3}
+    with pytest.raises(ValueError, match="base_off"):
+        pack_offsets(df, base_off=-1)
