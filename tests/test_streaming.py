@@ -176,3 +176,36 @@ def test_transform_with_state_totals(spark, sf_smoke):
     e = {(r["user_id"], r["n_events"], r["value_sum_x100"])
          for r in exp.collect()}
     assert g == e
+
+
+def test_s24_epoch_replay_is_idempotent(spark, tmp_path):
+    """S24's commit discipline: a restart REPLAYS a micro-batch into
+    the same epoch directory as an overwrite — replaying must not
+    duplicate postings (the COUNT(*)==n_terms AND probe depends on
+    per-(tok, doc) distinctness), and the layered probe answers
+    identically before and after the replay."""
+    import os
+
+    from samplebatchprocessing_spark.operators import text as T
+    delta = spark.createDataFrame(
+        [(3, "big cat"), (4, "cat dog big")], "doc_id long, text string")
+    epoch_dir = str(tmp_path / "delta")
+
+    def append_batch(df, batch_id):
+        (T._postings(df, "text", "doc_id", 4)
+         .write.mode("overwrite")
+         .parquet(os.path.join(epoch_dir, f"epoch={batch_id}")))
+
+    append_batch(delta, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(
+        f"{epoch_dir}/epoch=*").collect())
+    append_batch(delta, 0)          # the restart replay
+    twice = sorted(tuple(r) for r in spark.read.parquet(
+        f"{epoch_dir}/epoch=*").collect())
+    assert once == twice
+    got = {(r["doc_id"], r["total_tf"])
+           for r in T.postings_probe_and_df(
+               spark.read.parquet(f"{epoch_dir}/epoch=*")
+               .select("tok", "doc_id", "tf", "bucket"),
+               ["big", "cat"], n_buckets=4).collect()}
+    assert got == {(3, 2), (4, 2)}
