@@ -4069,6 +4069,15 @@ FROM ex GROUP BY seq_id
 """
 
 
+def x125_pivot(n: DataFrame) -> int:
+    """x125/s25's deterministic delta split point: delta = the top
+    eighth of the id range (integer arithmetic on the 1-row min/max
+    aggregate — identical in Spark and the SQL twin)."""
+    mm = n.agg(F.min("doc_id").alias("mn"),
+               F.max("doc_id").alias("mx")).first()
+    return int(mm["mn"]) + ((int(mm["mx"]) - int(mm["mn"])) * 7) // 8
+
+
 def x125_incremental_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X125 (r8): INCREMENTAL maintenance of the x122 packing
     manifest — the x87/x121 frozen-prefix discipline applied to
@@ -4094,9 +4103,7 @@ def x125_incremental_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = doc.select("doc_id",
                    F.size(text.tokenize(F.col("text")))
                    .cast("bigint").alias("n_tok"))
-    mm = n.agg(F.min("doc_id").alias("mn"),
-               F.max("doc_id").alias("mx")).first()
-    pivot = int(mm["mn"]) + ((int(mm["mx"]) - int(mm["mn"])) * 7) // 8
+    pivot = x125_pivot(n)
     base, delta = (n.filter(F.col("doc_id") <= pivot),
                    n.filter(F.col("doc_id") > pivot))
     total = base.agg(F.sum("n_tok")).first()[0] or 0

@@ -962,6 +962,138 @@ def _s24_sql() -> str:
     return _x117_sql()
 
 
+
+
+def s25_stream_incremental_pack(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """S25 (r8): STREAMING maintenance of the x122 packing manifest —
+    the x125 frozen-prefix extension as a micro-batch loop.  Delta
+    documents (the top eighth of the id range, x125's split) arrive
+    as THREE ordered micro-batches (ascending id ranges, one file per
+    trigger); each batch packs at ``base_off`` = the running token
+    total carried in a tiny per-epoch STATE FILE (the manifest's
+    entire maintenance state is one integer), writes its manifest
+    slice as an idempotent per-epoch overwrite (the S8/S24 commit
+    discipline — a restart replay re-reads epoch N-1's state and
+    rewrites epoch N byte-identically), and advances the state.
+
+    The declared output is the streamed manifest itself, oracled
+    against the batch window twin (X125_SQL), plus ``batch_parity``:
+    both exceptAll directions empty vs a one-shot
+    ``pack_offsets(delta, base_off=total)`` — so a dropped batch, a
+    stale base_off, or an out-of-order epoch all hash-mismatch.
+
+    Scale (100 TB): per micro-batch cost is one delta-sized range
+    shuffle; nothing ever re-reads packed history — the cross-batch
+    coupling is the one integer in the state file.  The ordered-
+    arrival requirement is real and declared: concat-and-chunk is
+    order-defined, so the deployment contract is ordered ingest
+    (snapshot directories, kafka partitions by id range) — unordered
+    sources need the batch x125 pass per snapshot instead."""
+    import json
+    import os
+    import shutil
+    import time
+
+    from ..catalog import load_table as _lt
+    from ..operators import curation
+    from ..operators import text as T
+    from .llm import x125_pivot
+    from .sources import _work_dir
+
+    doc = _lt(spark, sf_dir, "documents")
+    n = doc.select("doc_id",
+                   F.size(T.tokenize(F.col("text")))
+                   .cast("bigint").alias("n_tok"))
+    pivot = x125_pivot(n)
+    base, delta = (n.filter(F.col("doc_id") <= pivot),
+                   n.filter(F.col("doc_id") > pivot))
+    total = int(base.agg(F.sum("n_tok")).first()[0] or 0)
+
+    # stage the delta as 3 ascending-id-range files, mtimes ascending
+    stream_dir = _work_dir(sf_dir, "s25_stream")
+    out_dir = _work_dir(sf_dir, "s25_manifest")
+    state_dir = _work_dir(sf_dir, "s25_state")
+    ckpt = _work_dir(sf_dir, "s25_ckpt")
+    for d in (stream_dir, out_dir, state_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(stream_dir)
+    ids = sorted(r["doc_id"] for r in delta.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    dd = doc.filter(F.col("doc_id") > pivot).select("doc_id", "text")
+    slices = [dd.filter(F.col("doc_id") <= cuts[0]),
+              dd.filter((F.col("doc_id") > cuts[0])
+                        & (F.col("doc_id") <= cuts[1])),
+              dd.filter(F.col("doc_id") > cuts[1])]
+    now = time.time()
+    for k, sl in enumerate(slices):
+        tmp = os.path.join(stream_dir, f"_tmp{k}")
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp)
+                    if f.endswith(".parquet"))
+        dst = os.path.join(stream_dir, f"epoch_{k:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now + k, now + k))
+
+    def _state_base(batch_id: int) -> int:
+        best = -1, total
+        for f in os.listdir(state_dir) if os.path.isdir(state_dir) else []:
+            ep = int(f.split("=")[1].split(".")[0])
+            if ep < batch_id and ep > best[0]:
+                with open(os.path.join(state_dir, f)) as fh:
+                    best = ep, json.load(fh)["end_total"]
+        return best[1]
+
+    def pack_batch(df: DataFrame, batch_id: int) -> None:
+        base_off = _state_base(batch_id)
+        m = curation.pack_offsets(
+            df.select("doc_id",
+                      F.size(T.tokenize(F.col("text")))
+                      .cast("bigint").alias("n_tok")),
+            "n_tok", "doc_id", seq_len=128, base_off=base_off)
+        (m.select("doc_id", "n_tok", "start_off", "first_seq",
+                  "last_seq", "n_seqs")
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"epoch={batch_id}")))
+        end = base_off + int(
+            df.select(F.sum(F.size(T.tokenize(F.col("text"))))
+                      .cast("bigint")).first()[0] or 0)
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = os.path.join(state_dir, f".epoch={batch_id}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"end_total": end}, fh)
+        os.replace(tmp, os.path.join(state_dir, f"epoch={batch_id}.json"))
+
+    raw_schema = spark.read.parquet(stream_dir).schema
+    sdf = (spark.readStream.schema(raw_schema)
+           .option("pathGlobFilter", "*.parquet")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(stream_dir))
+    q = (sdf.writeStream.foreachBatch(pack_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(f"{out_dir}/epoch=*").select(
+        "doc_id", "n_tok", "start_off", "first_seq", "last_seq",
+        "n_seqs")
+    oneshot = (curation.pack_offsets(delta, "n_tok", "doc_id",
+                                     seq_len=128, base_off=total)
+               .select("doc_id", "n_tok", "start_off", "first_seq",
+                       "last_seq", "n_seqs"))
+    parity = (streamed.exceptAll(oneshot).count() == 0
+              and oneshot.exceptAll(streamed).count() == 0
+              and streamed.count() > 0)
+    return streamed.withColumn("batch_parity", F.lit(parity))
+
+
+def _s25_sql() -> str:
+    from .llm import X125_SQL
+    return X125_SQL.replace("TRUE AS rebuild_parity",
+                            "TRUE AS batch_parity")
+
+
 QUERIES: dict[str, tuple] = {
     "s1_stream_scan": (s1_stream_scan, S1_SQL),
     "s2_tumbling_window": (s2_tumbling_window, S2_SQL),
@@ -988,4 +1120,6 @@ QUERIES: dict[str, tuple] = {
     "s22_stream_seasonal_gate": (s22_stream_seasonal_gate, S22_SQL),
     "s23_stream_ann_probe": (s23_stream_ann_probe, S23_SQL),
     "s24_stream_postings_merge": (s24_stream_postings_merge, _s24_sql()),
+    "s25_stream_incremental_pack": (s25_stream_incremental_pack,
+                                    _s25_sql()),
 }
