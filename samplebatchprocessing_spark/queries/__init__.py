@@ -47,8 +47,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # window lands green, 80 entries remain uncertified (~2 more
     # rotations; the r8 debuts s23_stream_ann_probe,
     # x115_nb_quality_eval, x116_edit_distance_join,
-    # x117_inverted_index, x118_kcore, x119_bnl_topk and
-    # x120_label_propagation head that
+    # x117_inverted_index, x118_kcore, x119_bnl_topk,
+    # x120_label_propagation, x121_postings_merge, x122_sequence_pack,
+    # x123_postings_compact, x124_sequence_census,
+    # x125_incremental_pack, s24_stream_postings_merge and
+    # s25_stream_incremental_pack head that
     # r9 backlog, then the x1–x45
     # text-curation block, the v1–v7 subquery/pivot block, the
     # remaining TPC-H v-rows, and the x26+ analytics tail).
