@@ -990,7 +990,6 @@ def s25_stream_incremental_pack(spark: SparkSession,
     order-defined, so the deployment contract is ordered ingest
     (snapshot directories, kafka partitions by id range) — unordered
     sources need the batch x125 pass per snapshot instead."""
-    import json
     import os
     import shutil
     import time
@@ -1036,34 +1035,10 @@ def s25_stream_incremental_pack(spark: SparkSession,
         shutil.rmtree(tmp)
         os.utime(dst, (now + k, now + k))
 
-    def _state_base(batch_id: int) -> int:
-        best = -1, total
-        for f in os.listdir(state_dir) if os.path.isdir(state_dir) else []:
-            ep = int(f.split("=")[1].split(".")[0])
-            if ep < batch_id and ep > best[0]:
-                with open(os.path.join(state_dir, f)) as fh:
-                    best = ep, json.load(fh)["end_total"]
-        return best[1]
+    from ..streaming.jobs import pack_manifest_batch
 
     def pack_batch(df: DataFrame, batch_id: int) -> None:
-        base_off = _state_base(batch_id)
-        m = curation.pack_offsets(
-            df.select("doc_id",
-                      F.size(T.tokenize(F.col("text")))
-                      .cast("bigint").alias("n_tok")),
-            "n_tok", "doc_id", seq_len=128, base_off=base_off)
-        (m.select("doc_id", "n_tok", "start_off", "first_seq",
-                  "last_seq", "n_seqs")
-         .write.mode("overwrite")
-         .parquet(os.path.join(out_dir, f"epoch={batch_id}")))
-        end = base_off + int(
-            df.select(F.sum(F.size(T.tokenize(F.col("text"))))
-                      .cast("bigint")).first()[0] or 0)
-        os.makedirs(state_dir, exist_ok=True)
-        tmp = os.path.join(state_dir, f".epoch={batch_id}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump({"end_total": end}, fh)
-        os.replace(tmp, os.path.join(state_dir, f"epoch={batch_id}.json"))
+        pack_manifest_batch(df, batch_id, out_dir, state_dir, total)
 
     raw_schema = spark.read.parquet(stream_dir).schema
     sdf = (spark.readStream.schema(raw_schema)

@@ -252,3 +252,52 @@ def tws_user_totals(sdf: DataFrame) -> DataFrame:
                                         outputStructType=out_schema,
                                         outputMode="Update",
                                         timeMode="None"))
+
+
+def pack_manifest_batch(df, batch_id: int, out_dir: str,
+                        state_dir: str, start_total: int,
+                        seq_len: int = 128) -> None:
+    """S25's per-micro-batch packing step, module-level so the
+    restart-replay semantics are testable in isolation: pack the
+    batch's docs at ``base_off`` = the latest prior epoch's recorded
+    end total (``start_total`` when none exists), write the manifest
+    slice as an idempotent per-epoch overwrite, then atomically
+    record this epoch's end total.  Replaying a batch after a crash
+    re-reads the SAME prior-epoch state (its own state write is
+    keyed by epoch and simply overwritten), so the rewrite is
+    byte-identical — the S8 commit discipline with one integer of
+    cross-batch state."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators import curation
+    from ..operators.text import tokenize
+
+    best = (-1, start_total)
+    if os.path.isdir(state_dir):
+        for f in os.listdir(state_dir):
+            if not f.endswith(".json"):
+                continue
+            ep = int(f.split("=")[1].split(".")[0])
+            if best[0] < ep < batch_id:
+                with open(os.path.join(state_dir, f)) as fh:
+                    best = ep, json.load(fh)["end_total"]
+    base_off = best[1]
+    n = df.select("doc_id",
+                  F.size(tokenize(F.col("text")))
+                  .cast("bigint").alias("n_tok"))
+    m = curation.pack_offsets(n, "n_tok", "doc_id",
+                              seq_len=seq_len, base_off=base_off)
+    (m.select("doc_id", "n_tok", "start_off", "first_seq",
+              "last_seq", "n_seqs")
+     .write.mode("overwrite")
+     .parquet(os.path.join(out_dir, f"epoch={batch_id}")))
+    end = base_off + int(
+        n.agg(F.sum("n_tok")).first()[0] or 0)
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = os.path.join(state_dir, f".epoch={batch_id}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"end_total": end}, fh)
+    os.replace(tmp, os.path.join(state_dir, f"epoch={batch_id}.json"))

@@ -202,7 +202,11 @@ def test_watch_daemon_two_drops_and_stop(spark, bucket, sf_smoke):
 
     q = watch_daemon(spark, bucket, poll_seconds=0.5)
     try:
-        deadline = time.time() + 90
+        # generous: under full-suite load with concurrent Spark apps
+        # the 0.5 s poll loop's micro-batches can each take seconds
+        # (a 90 s deadline expired once under a 4-session box);
+        # polling means a healthy run never waits this long
+        deadline = time.time() + 240
         while n_out() < 4 and time.time() < deadline:
             time.sleep(0.2)
         assert n_out() == 4, "startup backlog not drained"
@@ -218,6 +222,7 @@ def test_watch_daemon_two_drops_and_stop(spark, bucket, sf_smoke):
         shutil.copy(extra, tmp)
         os.rename(tmp,
                   os.path.join(bucket, "input", "late_arrival.bin"))
+        deadline = time.time() + 240   # fresh budget for the live drop
         while n_out() < 5 and time.time() < deadline:
             time.sleep(0.2)
         assert n_out() == 5, "live drop not picked up by the poll loop"

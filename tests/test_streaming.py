@@ -209,3 +209,42 @@ def test_s24_epoch_replay_is_idempotent(spark, tmp_path):
                .select("tok", "doc_id", "tf", "bucket"),
                ["big", "cat"], n_buckets=4).collect()}
     assert got == {(3, 2), (4, 2)}
+
+
+def test_s25_batch_replay_rewrites_byte_identical(spark, tmp_path):
+    """S25's restart contract end-to-end on the extracted per-batch
+    step: epochs 0 and 1 run, then epoch 1 REPLAYS (a restart after
+    its state write) and epoch 0 replays too (a restart after a
+    checkpoint rollback) — every replay must rewrite its manifest
+    slice byte-identically from the prior epoch's state, and the
+    union manifest must equal the one-shot pack of all docs."""
+    from samplebatchprocessing_spark.operators.curation import (
+        pack_offsets)
+    from samplebatchprocessing_spark.streaming.jobs import (
+        pack_manifest_batch)
+    out, state = str(tmp_path / "m"), str(tmp_path / "st")
+    b0 = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(3, "f g h i j"), (4, "k")], "doc_id long, text string")
+
+    def manifest():
+        return sorted(tuple(r) for r in
+                      spark.read.parquet(f"{out}/epoch=*").collect())
+
+    pack_manifest_batch(b0, 0, out, state, start_total=100, seq_len=4)
+    pack_manifest_batch(b1, 1, out, state, start_total=100, seq_len=4)
+    first = manifest()
+    pack_manifest_batch(b1, 1, out, state, start_total=100, seq_len=4)
+    assert manifest() == first
+    pack_manifest_batch(b0, 0, out, state, start_total=100, seq_len=4)
+    assert manifest() == first
+    both = b0.unionByName(b1).selectExpr(
+        "doc_id",
+        "cast(size(split(text, ' ')) as bigint) as n_tok")
+    oneshot = sorted(
+        tuple(r) for r in
+        pack_offsets(both, seq_len=4, base_off=100)
+        .select("doc_id", "n_tok", "start_off", "first_seq",
+                "last_seq", "n_seqs").collect())
+    assert first == oneshot
