@@ -684,3 +684,76 @@ def test_differential_pack_offsets(spark, seed):
            for r in pack_offsets(df, seq_len=seq_len,
                                  n_parts=n_parts).collect()}
     assert got == exp, f"seed={seed} seq_len={seq_len} n_parts={n_parts}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_nb_quality_eval(spark, seed, tmp_path):
+    """x115 fuzz: the whole query (fixed-point NB train + score +
+    exact confusion matrix) replayed on RANDOM synthetic documents
+    fixtures against an independent pure-python reimplementation —
+    counts, Laplace floors, unseen-token constant, prior-only empty
+    docs, and the ppm metrics all exact."""
+    import math
+    import os
+
+    from samplebatchprocessing_spark.queries.llm import (
+        x115_nb_quality_eval)
+    rng = random.Random(43_000 + seed)
+    vocab = [f"w{i:02d}" for i in range(rng.randint(6, 15))]
+    rows = []
+    for i in range(rng.randint(20, 60)):
+        src = rng.choice(["src0", "src0", "src1", "src2"])
+        # bias src0 toward the low-index half so the classifier has
+        # signal; allow empty docs (prior-only path)
+        pool = vocab[:len(vocab) // 2] if src == "src0" else vocab
+        k = rng.choice([0, 1, 2, 5, 9])
+        txt = " ".join(rng.choices(pool, k=k))
+        rows.append((i, txt, "en", src, len(txt)))
+    sf = str(tmp_path / "fix")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long").write.parquet(os.path.join(
+            sf, "documents.parquet"))
+    row = x115_nb_quality_eval(spark, sf).collect()[0]
+    got = {k: row[k] for k in ("n_test", "tp", "fp", "tn", "fn",
+                               "precision_ppm", "recall_ppm",
+                               "accuracy_ppm")}
+
+    toks = {i: t.split() if t else [] for i, t, *_ in rows}
+    pos = {i for i, _, _, s, _ in rows if s == "src0"}
+    train = [i for i, *_ in rows if i % 3 != 0]
+    test = [i for i, *_ in rows if i % 3 == 0]
+    pc, nc = {}, {}
+    for i in train:
+        for t in toks[i]:
+            (pc if i in pos else nc)[t] = (
+                (pc if i in pos else nc).get(t, 0) + 1)
+    seen = set(pc) | set(nc)
+    ptot, ntot, v = sum(pc.values()), sum(nc.values()), len(seen)
+    w = {t: math.floor(1e6 * (
+        math.log((pc.get(t, 0) + 1) / (ptot + v))
+        - math.log((nc.get(t, 0) + 1) / (ntot + v)))) for t in seen}
+    npos = sum(1 for i in train if i in pos)
+    nneg = len(train) - npos
+    prior = math.floor(1e6 * math.log((npos + 1) / (nneg + 1)))
+    w_unseen = math.floor(1e6 * (math.log(1 / (ptot + v))
+                                 - math.log(1 / (ntot + v))))
+    tp = fp = tn = fn = 0
+    for i in test:
+        score = prior + sum(w.get(t, w_unseen) for t in toks[i])
+        pred, actual = score > 0, i in pos
+        tp += pred and actual
+        fp += pred and not actual
+        tn += not pred and not actual
+        fn += not pred and actual
+    exp = {"n_test": len(test), "tp": tp, "fp": fp, "tn": tn,
+           "fn": fn,
+           "precision_ppm": tp * 1_000_000 // (tp + fp)
+           if tp + fp else None,
+           "recall_ppm": tp * 1_000_000 // (tp + fn)
+           if tp + fn else None,
+           "accuracy_ppm": (tp + tn) * 1_000_000 // len(test)}
+    for k_, v_ in exp.items():
+        assert got.get(k_) == v_, (
+            f"seed={seed} {k_}: got {got.get(k_)} want {v_}")
