@@ -1141,3 +1141,75 @@ def test_sequence_census_conservation(spark, sf_smoke):
     assert all(r[3] == 128 for r in rows[:-1])
     assert 0 < rows[-1][3] <= 128
     assert all(r[1] >= r[2] for r in rows)
+
+
+def test_dq_audit_counts_planted_violations_exactly(spark, sf_smoke,
+                                                    tmp_path):
+    """x113 sensitivity: the audit must COUNT violations, not just
+    flag them.  Plant a known number of each violation class into a
+    copy of the fixture (2 duplicated PKs, 3 orphan FKs via one
+    repeated unknown key, 1 of each range/era/accepted-values
+    breach) and require the per-rule counts to move by exactly the
+    planted deltas relative to the clean audit."""
+    import os
+
+    from samplebatchprocessing_spark.queries.analytics import (
+        x113_dq_audit)
+
+    def audit(sf):
+        return {r["rule"]: (r["violations"], r["passed"])
+                for r in x113_dq_audit(spark, sf).collect()}
+
+    clean = audit(sf_smoke)
+    li = load_table(spark, sf_smoke, "lineitem")
+    o = load_table(spark, sf_smoke, "orders")
+    # one deterministic row, MATERIALIZED (limit(1) re-evaluates per
+    # union branch and can pick different rows)
+    one = spark.createDataFrame(
+        li.orderBy("l_orderkey", "l_linenumber").limit(1).collect(),
+        li.schema)
+    orphan = one.withColumn(
+        "l_orderkey", F.lit(999_999_999).cast(
+            li.schema["l_orderkey"].dataType))
+    bad = (
+        one.unionByName(one)                     # 2 extra PK copies
+        .unionByName(orphan).unionByName(orphan)  # 3 orphans, one
+        .unionByName(orphan)                      # new key
+        .unionByName(one.withColumn(             # range_quantity
+            "l_quantity", F.lit(500.0).cast(
+                li.schema["l_quantity"].dataType)))
+        .unionByName(one.withColumn(             # range_discount
+            "l_discount", F.lit(0.9).cast(
+                li.schema["l_discount"].dataType)))
+        .unionByName(one.withColumn(             # accepted values
+            "l_returnflag", F.lit("Z")))
+        .unionByName(one.withColumn(             # shipdate era
+            "l_shipdate", F.lit("1970-01-01").cast(
+                li.schema["l_shipdate"].dataType)))
+        .unionByName(one.withColumn(             # nonpositive price
+            "l_extendedprice", F.lit(-1.0).cast(
+                li.schema["l_extendedprice"].dataType))))
+    sf = str(tmp_path / "dirty")
+    os.makedirs(sf)
+    li.unionByName(bad).coalesce(4).write.parquet(
+        os.path.join(sf, "lineitem.parquet"))
+    o.write.parquet(os.path.join(sf, "orders.parquet"))
+    dirty = audit(sf)
+    # dup_pk counts EXTRA copies beyond the distinct key set; every
+    # other planted row reuses row 1's PK, adding to dup_pk too.
+    planted_extra_rows = 10  # 2 copies + 3 orphans + 5 singles
+    non_pk_new_keys = 1      # the orphan key is new (counted once)
+    assert (dirty["pk_unique"][0] - clean["pk_unique"][0]
+            == planted_extra_rows - non_pk_new_keys)
+    assert dirty["ri_orderkey"][0] - clean["ri_orderkey"][0] == 3
+    for rule in ("range_quantity", "range_discount",
+                 "accepted_returnflag", "shipdate_era",
+                 "nonpositive_price"):
+        assert dirty[rule][0] - clean[rule][0] == 1, rule
+    assert not dirty["pk_unique"][1] and not dirty["ri_orderkey"][1]
+    rows = {r["rule"]: r["checked_rows"]
+            for r in x113_dq_audit(spark, sf).collect()}
+    base_rows = {r["rule"]: r["checked_rows"]
+                 for r in x113_dq_audit(spark, sf_smoke).collect()}
+    assert all(rows[k] == base_rows[k] + planted_extra_rows
+               for k in rows)
