@@ -970,3 +970,17 @@ def test_sequence_pack_no_global_window(spark, sf_smoke):
     assert "SinglePartition" not in plan
     assert "hashpartitioning(_pid" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_sequence_census_and_incremental_pack_no_global_window(
+        spark, sf_smoke):
+    """x124/x125 compose pack_offsets — the two-phase split must
+    survive the composition (explode/groupBy on top, delta
+    restriction + parity join on the side): no SinglePartition
+    window, no cartesian, anywhere in either plan."""
+    from samplebatchprocessing_spark.queries.llm import (
+        x124_sequence_census, x125_incremental_pack)
+    for fn in (x124_sequence_census, x125_incremental_pack):
+        plan = plan_str(fn(spark, sf_smoke))
+        assert "SinglePartition" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
