@@ -4069,6 +4069,82 @@ FROM ex GROUP BY seq_id
 """
 
 
+def x126_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X126 (r8): IVF n_probe SWEEP — x108's measured-design-point
+    discipline applied to the ANN serving default: one quantizer +
+    one assignment pass, then every n_probe in {1, 2, 4, 8, 16}
+    scored against the EXACT cosine top-5 truth, one row per config
+    with the recall floor it must clear and the exact candidate
+    count (the cost axis: scanned grows ~n_probe/n_cells).
+
+    Declared cross-engine columns are the sound ones (the x108
+    rule): n_queries is exact on both engines; the measured recalls
+    are engine-side, exported as FLOOR BOOLEANS (fixture-measured
+    s-curve at sf0.01: 0.32 / 0.48 / 0.68 / 0.90 / 1.00 — uniform-
+    random vectors, the documented worst case for any quantizer;
+    floors set at roughly half the measured values so the gate
+    catches a broken probe, not sample noise).  Two of the booleans
+    are THEOREMS, not tunings: probing all 16 of 16 cells IS exact
+    search (recall == 1 exactly), and its candidate set is every
+    (query, non-self corpus vector) pair — n_queries x (N - 1),
+    which the oracle recomputes from the table.  This table is the
+    recorded basis for the x109/x114 n_probe=4 default."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    truth = {(r["query_id"], r["vec_id"])
+             for r in similarity.cosine_topk(emb, pred, k=5).collect()}
+    cmat = similarity.ivf_centroids(emb, 16, "kmeans")
+    cands = (similarity.ivf_assign(emb, cmat)
+             .localCheckpoint(eager=True))
+    n_corpus = cands.count()
+    n_queries = emb.filter(pred).count()
+    floors = {1: 0.02, 2: 0.10, 4: 0.30, 8: 0.45, 16: 1.0}
+    from ..operators.similarity import cosine_expr
+    rows, recalls = [], {}
+    for np_ in (1, 2, 4, 8, 16):
+        probe = similarity.ivf_probe_df(emb, pred, cmat, np_)
+        pairs = (cands.join(F.broadcast(probe), "cell")
+                 .filter(F.col("vec_id") != F.col("query_id"))
+                 .localCheckpoint(eager=True))
+        scanned = pairs.count()
+        w_ = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id"))
+        got = {(r["query_id"], r["vec_id"]) for r in
+               pairs.select("query_id", "vec_id",
+                            cosine_expr(F.col("q_emb"),
+                                        F.col("embedding"))
+                            .alias("cosine"))
+               .filter(F.col("cosine").isNotNull()
+                       & ~F.isnan("cosine"))
+               .withColumn("rank", F.row_number().over(w_))
+               .filter(F.col("rank") <= 5).collect()}
+        recalls[np_] = len(truth & got) / len(truth)
+        rows.append((np_, n_queries,
+                     recalls[np_] >= floors[np_],
+                     np_ != 16 or scanned == n_queries
+                     * (n_corpus - 1)))
+    mono = all(recalls[a] <= recalls[b]
+               for a, b in ((1, 2), (2, 4), (4, 8), (8, 16)))
+    return (spark.createDataFrame(
+        rows, "n_probe int, n_queries bigint,"
+        " recall_meets_floor boolean, full_probe_scans_all boolean")
+        .withColumn("recall_monotone", F.lit(mono))
+        .withColumn("full_probe_exact",
+                    F.lit(recalls[16] == 1.0)))
+
+
+X126_SQL = """
+WITH q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+           FROM embeddings WHERE vec_id % 50 = 0)
+SELECT n_probe, n_queries,
+       TRUE AS recall_meets_floor,
+       TRUE AS full_probe_scans_all,
+       TRUE AS recall_monotone,
+       TRUE AS full_probe_exact
+FROM (VALUES (1), (2), (4), (8), (16)) AS t(n_probe), q
+"""
+
+
 def x125_pivot(n: DataFrame) -> int:
     """x125/s25's deterministic delta split point: delta = the top
     eighth of the id range (integer arithmetic on the 1-row min/max
@@ -4486,6 +4562,7 @@ QUERIES: dict[str, tuple] = {
     "x123_postings_compact": (x123_postings_compact, _x123_sql()),
     "x124_sequence_census": (x124_sequence_census, X124_SQL),
     "x125_incremental_pack": (x125_incremental_pack, X125_SQL),
+    "x126_ivf_probe_sweep": (x126_ivf_probe_sweep, X126_SQL),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),
