@@ -4069,6 +4069,81 @@ FROM ex GROUP BY seq_id
 """
 
 
+def x127_incremental_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X127 (r8): INCREMENTAL maintenance of the L4 statistical
+    artifact — the frozen-artifact + delta discipline (x87/x121/
+    x125) applied to a MODEL whose statistics are MERGEABLE: the
+    document-frequency table and n_docs are keyed integer sums, so a
+    delta snapshot updates the model with one delta-sized tokenize
+    pass + one vocabulary-keyed merge (full-outer coalesce-sum) —
+    the base corpus is never re-read.  Unlike the index merges,
+    updating df DOES shift already-served scores (idf drifts as the
+    corpus grows) — the honest contract is versioned model epochs,
+    which is why the served slice here is the delta at the merged
+    epoch.
+
+    Declared output: TF-IDF for the DELTA docs served from the
+    MERGED stats, plus ``merge_parity``: exceptAll-equal in both
+    directions to the from-scratch L4 over base+delta restricted to
+    the delta — exact because scores depend only on the integer
+    (tf, df, N), and merged df == full-corpus df when base/delta
+    partition the corpus.  Oracle: the L4 SQL itself, delta-
+    restricted — so the merge arithmetic is hash-gated, not just
+    boolean-gated."""
+    doc = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 7 == 3
+    base, delta = doc.filter(~is_delta), doc.filter(is_delta)
+
+    def df_table(d):
+        return (d.select("doc_id",
+                         F.explode(text.tokenize(F.col("text")))
+                         .alias("token"))
+                .groupBy("token")
+                .agg(F.count_distinct("doc_id").alias("df")))
+
+    merged = (df_table(base).withColumnRenamed("df", "df_b")
+              .join(df_table(delta).withColumnRenamed("df", "df_d"),
+                    "token", "full_outer")
+              .select("token",
+                      (F.coalesce("df_b", F.lit(0))
+                       + F.coalesce("df_d", F.lit(0))).alias("df")))
+    n_docs = base.count() + delta.count()
+    tf = (delta.select("doc_id",
+                       F.explode(text.tokenize(F.col("text")))
+                       .alias("token"))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    served = (tf.join(merged, "token")
+              .select("doc_id", "token", "tf", "df",
+                      F.round(F.col("tf")
+                              * (F.log((F.lit(n_docs) + 1)
+                                       / (F.col("df") + 1)) + 1),
+                              6).alias("tf_idf")))
+    rebuild = (text.tfidf(doc)
+               .join(delta.select("doc_id"), "doc_id")
+               .select("doc_id", "token", "tf", "df", "tf_idf"))
+    cols = ["doc_id", "token", "tf", "df", "tf_idf"]
+    a, b = served.select(cols), rebuild.select(cols)
+    parity = (a.exceptAll(b).count() == 0
+              and b.exceptAll(a).count() == 0 and a.count() > 0)
+    return served.withColumn("merge_parity", F.lit(parity))
+
+
+X127_SQL = f"""
+WITH toks AS (SELECT doc_id, UNNEST({tokenize_sql('text')}) AS token
+              FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+       WHERE doc_id % 7 = 3 GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+          GROUP BY token),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT doc_id, tf.token, tf, df,
+       ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1), 6) AS tf_idf,
+       TRUE AS merge_parity
+FROM tf JOIN dfreq ON tf.token = dfreq.token, n
+"""
+
+
 def x126_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X126 (r8): IVF n_probe SWEEP — x108's measured-design-point
     discipline applied to the ANN serving default: one quantizer +
@@ -4563,6 +4638,7 @@ QUERIES: dict[str, tuple] = {
     "x124_sequence_census": (x124_sequence_census, X124_SQL),
     "x125_incremental_pack": (x125_incremental_pack, X125_SQL),
     "x126_ivf_probe_sweep": (x126_ivf_probe_sweep, X126_SQL),
+    "x127_incremental_tfidf": (x127_incremental_tfidf, X127_SQL),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),
