@@ -4069,6 +4069,56 @@ FROM ex GROUP BY seq_id
 """
 
 
+def x128_incremental_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X128 (r8): INCREMENTAL maintenance of the x115 quality
+    classifier — the x127 mergeable-statistics argument applied to
+    the NB model: the trained artifact is nothing but integer count
+    tables (per-token per-class occurrences + class priors), and
+    integer counts over disjoint slices MERGE by keyed sum.  A new
+    labeled batch therefore updates the classifier with one
+    delta-sized tokenize pass + one vocabulary-keyed full-outer
+    coalesce-sum — no base re-read, and (unlike SGD-trained models)
+    merge == retrain EXACTLY, which is the whole reason to prefer
+    count-based quality classifiers in a continuously-ingesting
+    pipeline.
+
+    The train slice splits into base (doc_id % 7 != 3) and delta
+    batches; the merged counts feed the SAME scoring/eval path as
+    x115 (shared ``_nb_score_eval`` — the two paths cannot drift),
+    so the declared output is x115's exact confusion-matrix row
+    scored from the MERGED model, hash-gated by the identical
+    direct-training oracle."""
+    doc = load_table(spark, sf_dir, "documents")
+    is_pos = (F.col("source") == "src0")
+    is_test = (F.col("doc_id") % 3 == 0)
+    is_delta = (F.col("doc_id") % 7 == 3)
+    base = doc.select("doc_id", is_pos.alias("is_pos"),
+                      is_test.alias("is_test"),
+                      is_delta.alias("is_delta"),
+                      F.explode(text.tokenize(F.col("text")))
+                      .alias("tok"))
+
+    def counts(pred):
+        return (base.filter(~F.col("is_test") & pred).groupBy("tok")
+                .agg(F.sum(F.col("is_pos").cast("long")).alias("pc"),
+                     F.sum((~F.col("is_pos")).cast("long"))
+                     .alias("nc")))
+
+    cnt = (counts(~F.col("is_delta"))
+           .withColumnRenamed("pc", "pc_b").withColumnRenamed(
+               "nc", "nc_b")
+           .join(counts(F.col("is_delta"))
+                 .withColumnRenamed("pc", "pc_d")
+                 .withColumnRenamed("nc", "nc_d"),
+                 "tok", "full_outer")
+           .select("tok",
+                   (F.coalesce("pc_b", F.lit(0))
+                    + F.coalesce("pc_d", F.lit(0))).alias("pc"),
+                   (F.coalesce("nc_b", F.lit(0))
+                    + F.coalesce("nc_d", F.lit(0))).alias("nc")))
+    return _nb_score_eval(doc, base.drop("is_delta"), cnt)
+
+
 def x127_incremental_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X127 (r8): INCREMENTAL maintenance of the L4 statistical
     artifact — the frozen-artifact + delta discipline (x87/x121/
@@ -4441,6 +4491,19 @@ def x115_nb_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = (base.filter(~F.col("is_test")).groupBy("tok")
            .agg(F.sum(F.col("is_pos").cast("long")).alias("pc"),
                 F.sum((~F.col("is_pos")).cast("long")).alias("nc")))
+    return _nb_score_eval(doc, base, cnt)
+
+
+def _nb_score_eval(doc: DataFrame, base: DataFrame,
+                   cnt: DataFrame) -> DataFrame:
+    """x115's scoring + held-out evaluation given an arbitrary NB
+    count table ``cnt`` (tok, pc, nc) — shared by the direct trainer
+    (x115) and the incremental merge (x128) so the two paths cannot
+    drift: same fixed-point LLR floors, same Laplace-unseen
+    constant, same prior-only empty-doc handling, same exact ppm
+    metrics.  ``doc``/``base`` carry the is_pos/is_test splits."""
+    is_pos = (F.col("source") == "src0")
+    is_test = (F.col("doc_id") % 3 == 0)
     tot = cnt.agg(F.sum("pc").alias("p_tot"), F.sum("nc").alias("n_tot"),
                   F.count(F.lit(1)).alias("v"))
     w = (cnt.crossJoin(F.broadcast(tot))
@@ -4639,6 +4702,7 @@ QUERIES: dict[str, tuple] = {
     "x125_incremental_pack": (x125_incremental_pack, X125_SQL),
     "x126_ivf_probe_sweep": (x126_ivf_probe_sweep, X126_SQL),
     "x127_incremental_tfidf": (x127_incremental_tfidf, X127_SQL),
+    "x128_incremental_nb": (x128_incremental_nb, _x115_sql()),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),

@@ -716,6 +716,13 @@ def test_differential_nb_quality_eval(spark, seed, tmp_path):
         " n_chars long").write.parquet(os.path.join(
             sf, "documents.parquet"))
     row = x115_nb_quality_eval(spark, sf).collect()[0]
+    # x128: the merged-count model must equal direct training on the
+    # same random fixture — merge == retrain exactly for count-based
+    # models, fuzzed alongside the python truth
+    from samplebatchprocessing_spark.queries.llm import (
+        x128_incremental_nb)
+    assert (sorted(map(tuple, x128_incremental_nb(spark, sf).collect()))
+            == [tuple(row)])
     got = {k: row[k] for k in ("n_test", "tp", "fp", "tn", "fn",
                                "precision_ppm", "recall_ppm",
                                "accuracy_ppm")}
