@@ -50,7 +50,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # x117_inverted_index, x118_kcore, x119_bnl_topk,
     # x120_label_propagation, x121_postings_merge, x122_sequence_pack,
     # x123_postings_compact, x124_sequence_census,
-    # x125_incremental_pack, s24_stream_postings_merge and
+    # x125_incremental_pack, x126_ivf_probe_sweep,
+    # x127_incremental_tfidf, x128_incremental_nb,
+    # s24_stream_postings_merge and
     # s25_stream_incremental_pack head that
     # r9 backlog, then the x1–x45
     # text-curation block, the v1–v7 subquery/pivot block, the

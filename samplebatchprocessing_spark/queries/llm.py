@@ -4119,6 +4119,95 @@ def x128_incremental_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nb_score_eval(doc, base.drop("is_delta"), cnt)
 
 
+def x129_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X129 (r8): CALIBRATION TABLE for the x115 quality classifier —
+    the eval artifact a thresholding decision actually reads: held-
+    out docs bucketed by their exact integer LLR score (fixed-width
+    buckets FLOOR(score / 2e6), clamped to [-5, 5]), one row per
+    occupied bucket with the exact doc count, positive count, and
+    empirical positive rate in ppm.  A well-calibrated classifier
+    shows pos_rate rising monotonically with the bucket — the table
+    that justifies (or indicts) using score>0 as the x115 publish
+    gate, the same measured-design-point discipline as x108/x126.
+
+    Exactness: scores are the x115 integer LLR sums (shared
+    ``_nb_score_eval(return_scores=True)`` path — calibration and
+    eval cannot drift); the bucket floor runs on an exact integer /
+    2e6 double quotient (boundary multiples divide exactly, interior
+    points sit >= 1/2e6 from an integer — no cross-engine floor
+    flip); counts and ppm rates are exact integers."""
+    doc = load_table(spark, sf_dir, "documents")
+    is_pos = (F.col("source") == "src0")
+    is_test = (F.col("doc_id") % 3 == 0)
+    base = doc.select("doc_id", is_pos.alias("is_pos"),
+                      is_test.alias("is_test"),
+                      F.explode(text.tokenize(F.col("text")))
+                      .alias("tok"))
+    cnt = (base.filter(~F.col("is_test")).groupBy("tok")
+           .agg(F.sum(F.col("is_pos").cast("long")).alias("pc"),
+                F.sum((~F.col("is_pos")).cast("long")).alias("nc")))
+    scored = _nb_score_eval(doc, base, cnt, return_scores=True)
+    bucket = F.greatest(F.lit(-5), F.least(F.lit(5), F.floor(
+        F.col("score") / F.lit(2_000_000.0)))).cast("int")
+    return (scored.select(bucket.alias("bucket"), "is_pos")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("is_pos").cast("long")).alias("n_pos"))
+            .withColumn("pos_rate_ppm",
+                        F.expr("n_pos * 1000000 div n_docs")))
+
+
+def _x129_sql() -> str:
+    tk = text.tokenize_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source = 'src0' AS is_pos, doc_id % 3 = 0 AS is_test,
+         UNNEST({tk}) AS tok
+  FROM documents),
+cnt AS (
+  SELECT tok,
+         SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS pc,
+         SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS nc
+  FROM base WHERE NOT is_test GROUP BY tok),
+tot AS (SELECT SUM(pc) AS p_tot, SUM(nc) AS n_tot, COUNT(*) AS v
+        FROM cnt),
+w AS (
+  SELECT tok, CAST(FLOOR(1e6 * (
+           LN((pc + 1) / CAST(p_tot + v AS DOUBLE))
+           - LN((nc + 1) / CAST(n_tot + v AS DOUBLE)))) AS BIGINT) AS w
+  FROM cnt, tot),
+pri AS (
+  SELECT SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS nn
+  FROM documents WHERE doc_id % 3 <> 0),
+consts AS (
+  SELECT CAST(FLOOR(1e6 * LN((np + 1) / CAST(nn + 1 AS DOUBLE)))
+           AS BIGINT) AS prior,
+         CAST(FLOOR(1e6 * (
+           LN(1 / CAST(p_tot + v AS DOUBLE))
+           - LN(1 / CAST(n_tot + v AS DOUBLE))))
+           AS BIGINT) AS w_unseen
+  FROM pri, tot),
+sums AS (
+  SELECT base.doc_id, SUM(COALESCE(w.w, consts.w_unseen)) AS s
+  FROM base LEFT JOIN w USING (tok), consts
+  WHERE base.is_test GROUP BY base.doc_id),
+scored AS (
+  SELECT d.source = 'src0' AS is_pos,
+         COALESCE(sums.s, 0) + consts.prior AS score
+  FROM documents d LEFT JOIN sums ON d.doc_id = sums.doc_id, consts
+  WHERE d.doc_id % 3 = 0)
+SELECT CAST(GREATEST(-5, LEAST(5,
+         FLOOR(score / 2000000.0))) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos,
+       CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS pos_rate_ppm
+FROM scored GROUP BY 1
+"""
+
+
 def x127_incremental_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X127 (r8): INCREMENTAL maintenance of the L4 statistical
     artifact — the frozen-artifact + delta discipline (x87/x121/
@@ -4495,7 +4584,8 @@ def x115_nb_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _nb_score_eval(doc: DataFrame, base: DataFrame,
-                   cnt: DataFrame) -> DataFrame:
+                   cnt: DataFrame,
+                   return_scores: bool = False) -> DataFrame:
     """x115's scoring + held-out evaluation given an arbitrary NB
     count table ``cnt`` (tok, pc, nc) — shared by the direct trainer
     (x115) and the incremental merge (x128) so the two paths cannot
@@ -4531,13 +4621,17 @@ def _nb_score_eval(doc: DataFrame, base: DataFrame,
             .select("doc_id",
                     F.coalesce("w", F.col("w_unseen")).alias("wt"))
             .groupBy("doc_id").agg(F.sum("wt").alias("s")))
-    per_doc = (doc.select("doc_id", is_pos.alias("is_pos"))
-               .filter(is_test)
-               .join(sums, "doc_id", "left")
-               .crossJoin(F.broadcast(consts))
-               .select("is_pos",
-                       ((F.coalesce("s", F.lit(0)) + F.col("prior"))
-                        > 0).alias("pred")))
+    scored = (doc.select("doc_id", is_pos.alias("is_pos"))
+              .filter(is_test)
+              .join(sums, "doc_id", "left")
+              .crossJoin(F.broadcast(consts))
+              .select("doc_id", "is_pos",
+                      (F.coalesce("s", F.lit(0)) + F.col("prior"))
+                      .alias("score")))
+    if return_scores:
+        return scored
+    per_doc = scored.select("is_pos",
+                            (F.col("score") > 0).alias("pred"))
     cm = per_doc.agg(
         F.count(F.lit(1)).alias("n_test"),
         F.sum((F.col("pred") & F.col("is_pos")).cast("long")).alias("tp"),
@@ -4703,6 +4797,7 @@ QUERIES: dict[str, tuple] = {
     "x126_ivf_probe_sweep": (x126_ivf_probe_sweep, X126_SQL),
     "x127_incremental_tfidf": (x127_incremental_tfidf, X127_SQL),
     "x128_incremental_nb": (x128_incremental_nb, _x115_sql()),
+    "x129_nb_calibration": (x129_nb_calibration, _x129_sql()),
     "x81_entity_resolution": (x81_entity_resolution, _x81_sql()),
     "x55_decontaminate": (x55_decontaminate, X55_SQL),
     "x56_dedup_threshold_curve": (x56_dedup_threshold_curve, X56_SQL),
