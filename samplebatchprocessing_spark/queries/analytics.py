@@ -2388,6 +2388,70 @@ FROM l{rounds}""")
     return "".join(parts)
 
 
+
+
+#: x130's canonical row rendering: bigint keys and category strings
+#: as-is, dates as ISO strings, doubles scaled to exact integer
+#: grids with an explicit FLOOR (both engines floor the SAME IEEE
+#: double product, and cast-to-bigint semantics differ — Spark
+#: truncates, DuckDB rounds — so the floor must be spelled out).
+_X130_COLS = (
+    "CAST(l_orderkey AS STRING)",
+    "CAST(l_linenumber AS STRING)",
+    "l_returnflag", "l_linestatus",
+    "CAST(l_shipdate AS STRING)",
+    "CAST(FLOOR(l_extendedprice * 100) AS STRING)",
+    "CAST(FLOOR(l_quantity * 100) AS STRING)",
+    "CAST(FLOOR(l_discount * 1000) AS STRING)",
+)
+
+
+def x130_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X130 (r8): ORDER-INDEPENDENT table checksum — the 100 TB
+    equality primitive: comparing two snapshots with exceptAll is a
+    full shuffle of both tables, while a content checksum is ONE
+    map-side-combinable scan each and a driver-sized compare.  Per
+    row: md5 of the canonical '|'-joined rendering, the top 15 hex
+    chars as an integer (< 2^60 — portable via CONV on Spark and
+    CAST('0x..' AS BIGINT) on DuckDB); per l_returnflag group: the
+    exact row count and SUM(h) mod 1e9+7 (decimal(38) accumulation,
+    so the reduction is exact integer arithmetic on both engines).
+    Addition is commutative — the checksum is invariant to row
+    order and partitioning, which is precisely what makes it usable
+    across engines, layouts, and AQE re-plans; any single-cell
+    change in a hashed column moves its group's sum with probability
+    1 - 2^-60-ish (planted-mutation sensitivity is test-pinned).
+    Complements x41 (row-level snapshot diff — the drill-down you
+    run AFTER a checksum mismatch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", *[F.expr(c) for c in _X130_COLS])), 1, 15), 16, 10)         .cast("decimal(38,0)")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 (F.sum(h) % 1_000_000_007).cast("bigint")
+                 .alias("checksum")))
+
+
+_X130_SQL_COLS = " || '|' || ".join((
+    "CAST(l_orderkey AS VARCHAR)",
+    "CAST(l_linenumber AS VARCHAR)",
+    "l_returnflag", "l_linestatus",
+    "CAST(l_shipdate AS VARCHAR)",
+    "CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS VARCHAR)",
+    "CAST(CAST(FLOOR(l_quantity * 100) AS BIGINT) AS VARCHAR)",
+    "CAST(CAST(FLOOR(l_discount * 1000) AS BIGINT) AS VARCHAR)",
+))
+
+X130_SQL = f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST('0x' || SUBSTR(MD5({_X130_SQL_COLS}), 1, 15)
+                AS BIGINT) AS DECIMAL(38,0))) % 1000000007 AS BIGINT)
+         AS checksum
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "x25_funnel": (x25_funnel, X25_SQL),
     "j11_interval_overlap": (j11_interval_overlap, _j11_sql()),
@@ -2434,4 +2498,5 @@ QUERIES: dict[str, tuple] = {
     "x113_dq_audit": (x113_dq_audit, X113_SQL),
     "x118_kcore": (x118_kcore, _x118_sql()),
     "x120_label_propagation": (x120_label_propagation, _x120_sql()),
+    "x130_table_checksum": (x130_table_checksum, X130_SQL),
 }

@@ -1213,3 +1213,49 @@ def test_dq_audit_counts_planted_violations_exactly(spark, sf_smoke,
                  for r in x113_dq_audit(spark, sf_smoke).collect()}
     assert all(rows[k] == base_rows[k] + planted_extra_rows
                for k in rows)
+
+
+def test_table_checksum_order_invariant_and_sensitive(spark, sf_smoke,
+                                                      tmp_path):
+    """x130 contract: the checksum is invariant to row order and
+    partitioning (same fixture rewritten shuffled across 7
+    partitions -> identical output) and sensitive to a single-cell
+    change (one mutated l_quantity -> exactly that group's checksum
+    moves, counts unchanged)."""
+    import os
+
+    from samplebatchprocessing_spark.queries.analytics import (
+        x130_table_checksum)
+
+    def run(sf):
+        return {r["l_returnflag"]: (r["n_rows"], r["checksum"])
+                for r in x130_table_checksum(spark, sf).collect()}
+
+    clean = run(sf_smoke)
+    li = load_table(spark, sf_smoke, "lineitem")
+
+    shuffled = str(tmp_path / "shuffled")
+    os.makedirs(shuffled)
+    (li.orderBy(F.xxhash64("l_orderkey", "l_linenumber", "l_partkey"))
+       .repartition(7)
+       .write.parquet(os.path.join(shuffled, "lineitem.parquet")))
+    assert run(shuffled) == clean
+
+    flag = li.orderBy("l_orderkey", "l_linenumber").first()
+    mutated = str(tmp_path / "mutated")
+    os.makedirs(mutated)
+    key = ((F.col("l_orderkey") == flag["l_orderkey"])
+           & (F.col("l_linenumber") == flag["l_linenumber"]))
+    # mutate l_quantity on every copy of the first PK (dup-tolerant)
+    li.withColumn("l_quantity",
+                  F.when(key, F.col("l_quantity") + 1)
+                  .otherwise(F.col("l_quantity"))) \
+      .write.parquet(os.path.join(mutated, "lineitem.parquet"))
+    dirty = run(mutated)
+    assert dirty.keys() == clean.keys()
+    moved = [g for g in clean
+             if dirty[g][1] != clean[g][1]]
+    assert moved == [flag["l_returnflag"]] or (
+        # the first PK's copies could span several returnflags
+        flag["l_returnflag"] in moved)
+    assert all(dirty[g][0] == clean[g][0] for g in clean)
