@@ -53,6 +53,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # x125_incremental_pack, x126_ivf_probe_sweep,
     # x127_incremental_tfidf, x128_incremental_nb,
     # x129_nb_calibration, x130_table_checksum,
+    # x131_incremental_checksum,
     # s24_stream_postings_merge and
     # s25_stream_incremental_pack head that
     # r9 backlog, then the x1–x45

@@ -2452,6 +2452,64 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+
+
+def x131_incremental_checksum(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """X131 (r8): INCREMENTAL maintenance of the x130 checksum — the
+    mergeable-statistics family's smallest member: per-group row
+    counts add, and modular sums add mod p, so a delta batch updates
+    the published checksum table with one delta-sized scan and a
+    group-keyed merge of two tiny summaries; merge == recompute
+    EXACTLY (modular addition is associative and commutative).  This
+    is what makes the checksum usable as a CONTINUOUS integrity
+    monitor over an append-only 100 TB corpus: the full-table scan
+    happens once, every sync after that is delta-priced, and a
+    divergence between the maintained value and a periodic
+    from-scratch audit localizes corruption to a (group, window).
+
+    Split: delta = l_orderkey % 11 == 7 (disjoint slices of
+    lineitem).  Declared output: the MERGED per-group table,
+    hash-gated by the full-table oracle (X130's SQL), plus a
+    merge==recompute exceptAll parity boolean."""
+    li = load_table(spark, sf_dir, "lineitem")
+    is_delta = F.col("l_orderkey") % 11 == 7
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", *[F.expr(c) for c in _X130_COLS])), 1, 15), 16, 10) \
+        .cast("decimal(38,0)")
+
+    def summarize(d):
+        return (d.groupBy("l_returnflag")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     (F.sum(h) % 1_000_000_007).alias("c")))
+
+    merged = (summarize(li.filter(~is_delta))
+              .withColumnRenamed("n", "n_b").withColumnRenamed("c", "c_b")
+              .join(summarize(li.filter(is_delta))
+                    .withColumnRenamed("n", "n_d")
+                    .withColumnRenamed("c", "c_d"),
+                    "l_returnflag", "full_outer")
+              .select("l_returnflag",
+                      (F.coalesce("n_b", F.lit(0))
+                       + F.coalesce("n_d", F.lit(0))).alias("n_rows"),
+                      ((F.coalesce("c_b", F.lit(0))
+                        + F.coalesce("c_d", F.lit(0)))
+                       % 1_000_000_007).cast("bigint")
+                      .alias("checksum")))
+    full = x130_table_checksum(spark, sf_dir)
+    parity = (merged.exceptAll(full).count() == 0
+              and full.exceptAll(merged).count() == 0
+              and merged.count() > 0)
+    return merged.withColumn("merge_parity", F.lit(parity))
+
+
+X131_SQL = X130_SQL.replace(
+    "AS checksum",
+    "AS checksum, TRUE AS merge_parity").replace(
+    "CAST(COUNT(*) AS BIGINT) AS n_rows,",
+    "CAST(COUNT(*) AS BIGINT) AS n_rows,")
+
+
 QUERIES: dict[str, tuple] = {
     "x25_funnel": (x25_funnel, X25_SQL),
     "j11_interval_overlap": (j11_interval_overlap, _j11_sql()),
@@ -2499,4 +2557,5 @@ QUERIES: dict[str, tuple] = {
     "x118_kcore": (x118_kcore, _x118_sql()),
     "x120_label_propagation": (x120_label_propagation, _x120_sql()),
     "x130_table_checksum": (x130_table_checksum, X130_SQL),
+    "x131_incremental_checksum": (x131_incremental_checksum, X131_SQL),
 }
