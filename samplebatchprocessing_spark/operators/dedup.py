@@ -1404,7 +1404,10 @@ def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
     #   on the two arrays at the verify join.
     if count_filter not in ("auto", "array"):
         raise ValueError(f"unknown count_filter {count_filter!r}")
-    n_grams = dfreq.count()           # vocabulary-sized driver scalar
+    # vocabulary-sized driver scalar — only the bitmap branch needs
+    # it, so the explicit array path skips the extra Spark job (r9,
+    # ADVICE)
+    n_grams = dfreq.count() if count_filter == "auto" else 0
     if count_filter == "auto" and n_grams <= 63 * 64:
         from ..exprs import bounded_part
         n_words = (n_grams + 62) // 63

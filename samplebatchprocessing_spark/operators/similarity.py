@@ -328,7 +328,11 @@ def bnl_topk(emb: DataFrame, query_pred, k: int = 5,
         import numpy as np
         import pandas as pd
         for pdf in batches:
+            if not len(pdf):          # empty Arrow batch (r9, ADVICE)
+                continue
             for crow, qrow in zip(pdf["cs"], pdf["qs"]):
+                if not len(crow) or not len(qrow):
+                    continue
                 c_ids = np.array([r["vec_id"] for r in crow])
                 c_mat = np.array([r["embedding"] for r in crow],
                                  dtype=np.float64)
@@ -558,6 +562,8 @@ def ivf_probe_cells_distributed(queries: DataFrame, cmat,
         C = b_cent.value
         npr = n_probe
         for pdf in batches:
+            if not len(pdf):          # empty Arrow batch (r9, ADVICE)
+                continue
             qm = np.array(list(pdf["embedding"]), dtype=np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
                 qm /= np.linalg.norm(qm, axis=1, keepdims=True)

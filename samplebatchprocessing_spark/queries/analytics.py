@@ -2395,14 +2395,22 @@ FROM l{rounds}""")
 #: grids with an explicit FLOOR (both engines floor the SAME IEEE
 #: double product, and cast-to-bigint semantics differ — Spark
 #: truncates, DuckDB rounds — so the floor must be spelled out).
+#: NULL canonicalization (r9, ADVICE): every hashed column is
+#: COALESCEd to a sentinel AFTER the string cast, on BOTH engines.
+#: Without it the engines silently diverge on any NULL: Spark's
+#: concat_ws SKIPS nulls while DuckDB's '||' NULL-PROPAGATES (md5 of
+#: NULL is NULL, dropping the row from SUM while COUNT keeps it).
+#: The fixture is NULL-free, but the checksum claims to be a GENERAL
+#: table-equality primitive, so the contract must hold beyond it.
 _X130_COLS = (
-    "CAST(l_orderkey AS STRING)",
-    "CAST(l_linenumber AS STRING)",
-    "l_returnflag", "l_linestatus",
-    "CAST(l_shipdate AS STRING)",
-    "CAST(FLOOR(l_extendedprice * 100) AS STRING)",
-    "CAST(FLOOR(l_quantity * 100) AS STRING)",
-    "CAST(FLOOR(l_discount * 1000) AS STRING)",
+    "COALESCE(CAST(l_orderkey AS STRING), '<NULL>')",
+    "COALESCE(CAST(l_linenumber AS STRING), '<NULL>')",
+    "COALESCE(l_returnflag, '<NULL>')",
+    "COALESCE(l_linestatus, '<NULL>')",
+    "COALESCE(CAST(l_shipdate AS STRING), '<NULL>')",
+    "COALESCE(CAST(FLOOR(l_extendedprice * 100) AS STRING), '<NULL>')",
+    "COALESCE(CAST(FLOOR(l_quantity * 100) AS STRING), '<NULL>')",
+    "COALESCE(CAST(FLOOR(l_discount * 1000) AS STRING), '<NULL>')",
 )
 
 
@@ -2433,13 +2441,17 @@ def x130_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _X130_SQL_COLS = " || '|' || ".join((
-    "CAST(l_orderkey AS VARCHAR)",
-    "CAST(l_linenumber AS VARCHAR)",
-    "l_returnflag", "l_linestatus",
-    "CAST(l_shipdate AS VARCHAR)",
-    "CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS VARCHAR)",
-    "CAST(CAST(FLOOR(l_quantity * 100) AS BIGINT) AS VARCHAR)",
-    "CAST(CAST(FLOOR(l_discount * 1000) AS BIGINT) AS VARCHAR)",
+    "COALESCE(CAST(l_orderkey AS VARCHAR), '<NULL>')",
+    "COALESCE(CAST(l_linenumber AS VARCHAR), '<NULL>')",
+    "COALESCE(l_returnflag, '<NULL>')",
+    "COALESCE(l_linestatus, '<NULL>')",
+    "COALESCE(CAST(l_shipdate AS VARCHAR), '<NULL>')",
+    "COALESCE(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"
+    " AS VARCHAR), '<NULL>')",
+    "COALESCE(CAST(CAST(FLOOR(l_quantity * 100) AS BIGINT)"
+    " AS VARCHAR), '<NULL>')",
+    "COALESCE(CAST(CAST(FLOOR(l_discount * 1000) AS BIGINT)"
+    " AS VARCHAR), '<NULL>')",
 ))
 
 X130_SQL = f"""
@@ -2505,9 +2517,7 @@ def x131_incremental_checksum(spark: SparkSession,
 
 X131_SQL = X130_SQL.replace(
     "AS checksum",
-    "AS checksum, TRUE AS merge_parity").replace(
-    "CAST(COUNT(*) AS BIGINT) AS n_rows,",
-    "CAST(COUNT(*) AS BIGINT) AS n_rows,")
+    "AS checksum, TRUE AS merge_parity")
 
 
 QUERIES: dict[str, tuple] = {

@@ -1259,3 +1259,58 @@ def test_table_checksum_order_invariant_and_sensitive(spark, sf_smoke,
         # the first PK's copies could span several returnflags
         flag["l_returnflag"] in moved)
     assert all(dirty[g][0] == clean[g][0] for g in clean)
+
+
+def test_table_checksum_null_canonicalization(spark, sf_smoke, tmp_path):
+    """x130/x131 NULL contract (r9, ADVICE): Spark's concat_ws SKIPS
+    NULLs while DuckDB's '||' NULL-propagates (md5(NULL) = NULL drops
+    the row from SUM while COUNT keeps it) — so without explicit
+    canonicalization the cross-engine checksum silently diverges on
+    the first NULL.  Both twins now COALESCE every hashed column to
+    '<NULL>'; this test plants NULLs in four hashed columns (date,
+    double, string, and the int PK itself) and asserts the two
+    engines still produce the identical (group, n_rows, checksum)
+    relation — n_rows == full fixture count on BOTH sides."""
+    import os
+
+    import duckdb
+
+    from samplebatchprocessing_spark.oracle import rows_to_multiset
+    from samplebatchprocessing_spark.queries.analytics import (
+        X130_SQL, x130_table_checksum)
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    total = li.count()
+    k = F.col("l_orderkey")
+    nulled = (
+        li.withColumn("l_shipdate",
+                      F.when(k % 7 == 3, None).otherwise(F.col("l_shipdate")))
+          .withColumn("l_quantity",
+                      F.when(k % 7 == 4, None).otherwise(F.col("l_quantity")))
+          .withColumn("l_linestatus",
+                      F.when(k % 7 == 5, None)
+                      .otherwise(F.col("l_linestatus")))
+          .withColumn("l_linenumber",
+                      F.when(k % 7 == 6, None)
+                      .otherwise(F.col("l_linenumber"))))
+    path = str(tmp_path / "nulled")
+    os.makedirs(path)
+    pq = os.path.join(path, "lineitem.parquet")
+    nulled.write.parquet(pq)
+
+    s_df = x130_table_checksum(spark, path)
+    s_rows = [tuple(r) for r in s_df.collect()]
+    assert sum(r[1] for r in s_rows) == total  # no row silently dropped
+
+    conn = duckdb.connect()
+    try:
+        conn.execute(f"CREATE VIEW lineitem AS "
+                     f"SELECT * FROM read_parquet('{pq}/*.parquet')")
+        cur = conn.execute(X130_SQL)
+        d_cols = [d[0] for d in cur.description]
+        d_rows = cur.fetchall()
+    finally:
+        conn.close()
+    assert sum(r[d_cols.index("n_rows")] for r in d_rows) == total
+    assert (rows_to_multiset(s_df.columns, s_rows)
+            == rows_to_multiset(d_cols, d_rows))
