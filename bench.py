@@ -58,6 +58,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     "x119_bnl_topk",         # tiled block nested-loop exact top-k, both sides distributed (round 8)
     "x120_label_propagation",  # fixed-round synchronous LPA communities (round 8)
     "x122_sequence_pack",    # global two-phase prefix-sum packing manifest (round 8)
+    "l7_ivf_dist_probe",     # persisted IVF x DataFrame queries, probe only (round 9)
+    "x130_table_checksum",   # full-table checksum rebuild — the x131 pricing baseline (round 9)
+    "x131_delta_merge",      # delta-sized checksum maintenance, merge path only (round 9)
 )
 
 
@@ -161,11 +164,81 @@ def main() -> None:
         return T.postings_probe_and(spark, _x117["idx"],
                                     list(X117_TERMS))
 
+    # x119's registry row deliberately times the collect-path kernel
+    # PLUS the tiled operator PLUS a full-outer parity join (~2x the
+    # operator under test — VERDICT r8 noted the BENCH row measured
+    # the harness).  The headline number is the tiled operator alone.
+    def _x119_bnl_raw(spark, sf_dir):
+        from pyspark.sql import functions as F
+        from samplebatchprocessing_spark.catalog import load_table
+        from samplebatchprocessing_spark.operators import similarity
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.bnl_topk(emb, F.col("vec_id") % 50 == 0,
+                                   k=5, q_block=16, c_block=256)
+
+    # l7_ivf_dist bench = the DISTRIBUTED-QUERY probe against the
+    # persisted index (the true 100 TB serving read path, VERDICT r8
+    # #3), x109 discipline: build once outside the timed samples via
+    # the lazy cache; median-of-3 discards the build-bearing sample.
+    _l7d = {}
+
+    def _l7d_probe_raw(spark, sf_dir):
+        from pyspark.sql import functions as F
+        from samplebatchprocessing_spark.catalog import load_table
+        from samplebatchprocessing_spark.operators import similarity
+        emb = load_table(spark, sf_dir, "embeddings")
+        if "cmat" not in _l7d:
+            import hashlib
+            idx = ("/tmp/sbp_bench_l7d_"
+                   + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+            _l7d["idx"] = idx
+            _l7d["cmat"] = similarity.ivf_index_write(
+                emb, idx, n_cells=16)
+        return similarity.ivf_index_probe_distributed(
+            spark, _l7d["idx"], _l7d["cmat"],
+            emb.filter(F.col("vec_id") % 50 == 0), k=5, n_probe=4)
+
+    # x131 bench = the MAINTENANCE path alone (VERDICT r8 #8): one
+    # delta-sized scan + a group-keyed merge of two tiny summaries.
+    # The published base summary is computed once outside the timed
+    # samples (lazy cache + eager localCheckpoint); compare with the
+    # x130_table_checksum row — the from-scratch rebuild — for the
+    # recorded delta-vs-rebuild pricing.
+    _x131 = {}
+
+    def _x131_delta_raw(spark, sf_dir):
+        from pyspark.sql import functions as F
+        from samplebatchprocessing_spark.catalog import load_table
+        from samplebatchprocessing_spark.queries.analytics import (
+            x130_summary)
+        li = load_table(spark, sf_dir, "lineitem")
+        is_delta = F.col("l_orderkey") % 11 == 7
+        if "base" not in _x131:
+            _x131["base"] = (
+                x130_summary(li.filter(~is_delta))
+                .withColumnRenamed("n", "n_b")
+                .withColumnRenamed("c", "c_b")
+                .localCheckpoint(eager=True))
+        delta = (x130_summary(li.filter(is_delta))
+                 .withColumnRenamed("n", "n_d")
+                 .withColumnRenamed("c", "c_d"))
+        return (_x131["base"].join(delta, "l_returnflag", "full_outer")
+                .select("l_returnflag",
+                        (F.coalesce("n_b", F.lit(0))
+                         + F.coalesce("n_d", F.lit(0))).alias("n_rows"),
+                        ((F.coalesce("c_b", F.lit(0))
+                          + F.coalesce("c_d", F.lit(0)))
+                         % 1_000_000_007).cast("bigint")
+                        .alias("checksum")))
+
     overrides = {"l7_topk_numpy": _l7_numpy_raw,
                  "l5_ngram_lsh": _l5_ngram_lsh_raw,
                  "x109_ann_index_probe": _x109_probe_raw,
                  "p10_watch_drain": _p10_watch_raw,
-                 "x117_postings_probe": _x117_probe_raw}
+                 "x117_postings_probe": _x117_probe_raw,
+                 "x119_bnl_topk": _x119_bnl_raw,
+                 "l7_ivf_dist_probe": _l7d_probe_raw,
+                 "x131_delta_merge": _x131_delta_raw}
 
     # Warm-up (not timed): JVM/codegen on a cheap query, plus the
     # Python worker pool + numpy/pandas import for the Arrow paths —
@@ -181,6 +254,42 @@ def main() -> None:
 
     (spark.range(int(cpus) * 4).repartition(int(cpus))
      .mapInPandas(_noop, "id long").count())
+
+    # CONTAMINATION SENTINEL (VERDICT r8 #2): BENCH_r07/r08 both
+    # recorded multi-x breaches that quiet-box reruns proved were
+    # concurrent box load, not code (x88 read 9.05x from load alone).
+    # Time a fixed control (the warmed a1 scan+agg) immediately
+    # before and after the suite; if the pair disagrees >1.5x, the
+    # box was loaded mid-run and the JSON says so, so the perf gate
+    # reads honestly instead of grading noise.
+    def _control_once() -> float:
+        t0 = time.monotonic()
+        reg["a1_pricing_summary"][0](spark, sf_dir).count()
+        return time.monotonic() - t0
+
+    # min-of-3: load inflates every sample including the min, while
+    # one scheduler blip inflates only the max — min detects load
+    # without false-flagging blips.
+    def _sentinel() -> float:
+        return round(min(_control_once() for _ in range(3)), 3)
+
+    # The control must sit at its JIT PLATEAU before the pre reading,
+    # or the suite's own C2-tier warmup reads as a 1.5-2x pre/post
+    # drift (the false positive measured when this sentinel landed —
+    # a consecutive-pair 15% check was NOT enough, the drift is
+    # gradual): keep running the control until the best-seen time
+    # stops improving for 3 straight runs (cap 15).
+    best, stale = _control_once(), 0
+    for _ in range(15):
+        cur = _control_once()
+        if cur < best * 0.95:
+            best, stale = cur, 0
+        else:
+            stale += 1
+            if stale >= 3:
+                break
+
+    sentinel_pre = _sentinel()
 
     # Median of 3 full plan+execute runs per query (BASELINE.md
     # protocol) — this box carries variable background load and a
@@ -212,12 +321,22 @@ def main() -> None:
               f"{[round(s, 3) for s in samples]} ({n} rows)",
               file=sys.stderr)
 
+    sentinel_post = _sentinel()
+
     import shutil
-    for d in _p10_dirs + list(_x109.values()) + list(_x117.values()):
+    for d in (_p10_dirs + list(_x109.values()) + list(_x117.values())
+              + list(_l7d.values())):
         if isinstance(d, str) and d.startswith("/tmp/sbp_bench_"):
             shutil.rmtree(d, ignore_errors=True)
 
-    print(json.dumps(summarize(timings, errors, sf_dir)))
+    out = summarize(timings, errors, sf_dir)
+    ratio = (round(max(sentinel_pre, sentinel_post)
+                   / min(sentinel_pre, sentinel_post), 3)
+             if min(sentinel_pre, sentinel_post) > 0 else None)
+    out["sentinel"] = {"pre_sec": sentinel_pre, "post_sec": sentinel_post,
+                       "ratio": ratio}
+    out["contaminated"] = bool(ratio is not None and ratio > 1.5)
+    print(json.dumps(out))
 
 
 def summarize(timings: dict, errors: dict, sf_dir: str) -> dict:

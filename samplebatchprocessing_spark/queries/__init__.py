@@ -33,66 +33,53 @@ Entry = tuple[SparkFn, str | None]
 # 50 names, all present in the registry, all 11 §2B families covered —
 # is locked by tests/test_registry_order.py.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r8 ROTATION (VERDICT r7 #1): r7 went 50/50 green, so nothing
-    # needs re-certification.  46 of the 50 slots come straight from
-    # the 120-entry never-driver-sampled list (computed from
-    # CORRECTNESS_r01–r07); the other 4 are the Q/T/U/F anchors —
-    # those families have no uncertified member left, so the anchors
-    # re-use r1–r4-era certified entries that appeared in NONE of the
-    # r5/r6/r7 windows (q3/t4/u3/f7 -> overlap with all three frozen
-    # prior windows is exactly 0).  Slot priorities follow the r7
-    # verdict's enumeration: the l7 ANN variants, the l13–l16 dedup
-    # materializations, the p14/p17–p19 Python data sources, TPC-H
-    # v-rows, the s13–s21 serving twins, and mm2–mm5.  After this
-    # window lands green, 80 entries remain uncertified (~2 more
-    # rotations; the r8 debuts s23_stream_ann_probe,
-    # x115_nb_quality_eval, x116_edit_distance_join,
-    # x117_inverted_index, x118_kcore, x119_bnl_topk,
-    # x120_label_propagation, x121_postings_merge, x122_sequence_pack,
-    # x123_postings_compact, x124_sequence_census,
-    # x125_incremental_pack, x126_ivf_probe_sweep,
-    # x127_incremental_tfidf, x128_incremental_nb,
-    # x129_nb_calibration, x130_table_checksum,
-    # x131_incremental_checksum,
-    # s24_stream_postings_merge and
-    # s25_stream_incremental_pack head that
-    # r9 backlog, then the x1–x45
-    # text-curation block, the v1–v7 subquery/pivot block, the
-    # remaining TPC-H v-rows, and the x26+ analytics tail).
-    # tests/test_registry_order.py locks the overlap bound, the
+    # r9 ROTATION (VERDICT r8 #1): r8 went 50/50 green, so nothing
+    # needs re-certification.  45 of the 50 slots are fresh (never
+    # driver-sampled): 42 from the 95-entry backlog computed from
+    # CORRECTNESS_r01–r08, plus the 3 r9 debuts (p20 poison
+    # quarantine = verdict #5, l7_topk_ivf_dist = verdict #3's
+    # registry-wired persisted+distributed ANN probe, d10 cogrouped
+    # applyInPandas — debut-in-window is the x109/x112/x113/x114
+    # precedent).  The other 5 slots are the Q/W/T/U/F anchors: those
+    # families have no uncertified member left, so they re-use
+    # r1–r4-era certified entries outside every later window
+    # (q4/w2/t1/f2; U is fully window-covered, so u1 re-uses an r5
+    # slot — the only overlap with ANY frozen window, 1 <= 15).
+    # Slot priorities follow the r8 verdict's enumeration: ALL the r8
+    # debuts (x115–x131, s23–s25), the TPC-H shapes v14–v28, m4/m5/
+    # m9, j11/j13/a14, then the head of the x1–x24 curation wave.
+    # After this window lands green, 53 backlog entries remain
+    # (the x7–x24 curation tail, v1–v7 subquery/pivot, x26+
+    # analytics, x34–x84 misc) — r10 takes ~45, r11 mops up.
+    # tests/test_registry_order.py locks the overlap bounds, the
     # 50-name shape, and the family anchors.
     #
     # one anchor per §2B family: P Q J A W T U F S D L
-    "p14_python_datasource", "q3_filter", "j8b_asof_forward",
-    "a17_mode", "w8_debounce", "t4_topk_per_group",
-    "u3_except", "f7_json", "s13_stream_doc_scoring",
-    "d8_arrow_udf", "l7_topk_ivf",
-    # L depth: ANN variants + dedup materializations (verdict #1 list)
-    "l5_ngram_jaccard", "l7_topk_numpy", "l7_topk_lsh", "l7_topk_pq",
-    "l13_paragraph_dedup", "l14_incremental_dedup",
-    "l15_fuzzy_dedup_keep", "l16_dedup_keep_best",
-    "x38_incremental_fuzzy_dedup",
-    # P depth: Python/Arrow data sources + maintenance readers
-    "p10_watch_prefix", "p11_compaction", "p12_schema_merge",
-    "p16_corrupt_json", "p17_python_stream_source",
-    "p18_python_stream_sink", "p19_arrow_datasource",
+    "p20_poison_quarantine", "q4_distinct", "j13_temporal_join",
+    "a14_regression", "w2_lag_lead", "t1_multi_sort",
+    "u1_union", "f2_datetime", "s23_stream_ann_probe",
+    "d10_cogrouped_pandas", "l7_topk_ivf_dist",
+    # the complete r8 debut block (verdict #1's first priority)
+    "x115_nb_quality_eval", "x116_edit_distance_join",
+    "x117_inverted_index", "x118_kcore", "x119_bnl_topk",
+    "x120_label_propagation", "x121_postings_merge",
+    "x122_sequence_pack", "x123_postings_compact",
+    "x124_sequence_census", "x125_incremental_pack",
+    "x126_ivf_probe_sweep", "x127_incremental_tfidf",
+    "x128_incremental_nb", "x129_nb_calibration",
+    "x130_table_checksum", "x131_incremental_checksum",
+    "s24_stream_postings_merge", "s25_stream_incremental_pack",
     # TPC-H shapes never driver-sampled
-    "v10_tpch_q10", "v11_tpch_q18", "v12_tpch_q21", "v13_tpch_q7",
-    "v18_tpch_q19", "v20_tpch_q8",
-    # S depth: serving twins
-    "s4_session_batch", "s14_stream_semantic_dedup",
-    "s15_stream_cluster_assign", "s18_stream_dsir_gate",
-    "s19_stream_bloom_gate", "s21_stream_incremental_mv",
-    # multimodal
-    "mm2_frame_sample", "mm3_audio_features", "mm4_phash_dedup",
-    "mm5_audio_dedup",
-    # breadth fill from the never-sampled list + the r8 debut
-    # (x114 distributed-query ANN probe gets driver evidence in its
-    # debut round, the x109/x112/x113 precedent; x67_url_dedup
-    # yielded its slot to the r9 backlog)
-    "j8c_asof_tolerance", "w9_running_distinct", "x19_heavy_hitters",
-    "x21_substring_dedup", "x29_pagerank", "x64_span_dedup",
-    "x114_ann_batch_probe",
+    "v14_tpch_q20", "v15_tpch_q17", "v16_tpch_q15", "v17_tpch_q13",
+    "v19_tpch_q22", "v21_tpch_q14", "v22_tpch_q4",
+    "v24_tpch_q9_shape", "v26_tpch_q2_shape", "v27_tpch_q11_shape",
+    "v28_tpch_q16_shape",
+    # maintenance + join stragglers
+    "m4_bucketed_join", "m5_purge", "m9_skipping_report",
+    "j11_interval_overlap",
+    # head of the x1–x24 curation wave
+    "x1_lang_id", "x2_quality_score", "x3_fingerprint",
+    "x4_text_distance", "x5_bpe_token_counts",
 )
 
 

@@ -2414,6 +2414,25 @@ _X130_COLS = (
 )
 
 
+def x130_hash_col():
+    """The per-row checksum term shared by x130/x131 (and bench.py's
+    delta-maintenance probe): md5 of the canonical NULL-coalesced
+    '|'-joined rendering, top 15 hex chars as decimal(38,0)."""
+    return F.conv(F.substring(F.md5(F.concat_ws(
+        "|", *[F.expr(c) for c in _X130_COLS])), 1, 15), 16, 10) \
+        .cast("decimal(38,0)")
+
+
+def x130_summary(df: DataFrame) -> DataFrame:
+    """Per-group mergeable checksum summary: exact row count + modular
+    hash sum.  Merging two disjoint slices' summaries (counts add,
+    sums add mod p) equals summarizing their union — the x131
+    delta-maintenance identity."""
+    return (df.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(x130_hash_col()) % 1_000_000_007).alias("c")))
+
+
 def x130_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X130 (r8): ORDER-INDEPENDENT table checksum — the 100 TB
     equality primitive: comparing two snapshots with exceptAll is a
@@ -2432,12 +2451,9 @@ def x130_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements x41 (row-level snapshot diff — the drill-down you
     run AFTER a checksum mismatch)."""
     li = load_table(spark, sf_dir, "lineitem")
-    h = F.conv(F.substring(F.md5(F.concat_ws(
-        "|", *[F.expr(c) for c in _X130_COLS])), 1, 15), 16, 10)         .cast("decimal(38,0)")
-    return (li.groupBy("l_returnflag")
-            .agg(F.count(F.lit(1)).alias("n_rows"),
-                 (F.sum(h) % 1_000_000_007).cast("bigint")
-                 .alias("checksum")))
+    return x130_summary(li).select(
+        "l_returnflag", F.col("n").alias("n_rows"),
+        F.col("c").cast("bigint").alias("checksum"))
 
 
 _X130_SQL_COLS = " || '|' || ".join((
@@ -2486,14 +2502,7 @@ def x131_incremental_checksum(spark: SparkSession,
     merge==recompute exceptAll parity boolean."""
     li = load_table(spark, sf_dir, "lineitem")
     is_delta = F.col("l_orderkey") % 11 == 7
-    h = F.conv(F.substring(F.md5(F.concat_ws(
-        "|", *[F.expr(c) for c in _X130_COLS])), 1, 15), 16, 10) \
-        .cast("decimal(38,0)")
-
-    def summarize(d):
-        return (d.groupBy("l_returnflag")
-                .agg(F.count(F.lit(1)).alias("n"),
-                     (F.sum(h) % 1_000_000_007).alias("c")))
+    summarize = x130_summary
 
     merged = (summarize(li.filter(~is_delta))
               .withColumnRenamed("n", "n_b").withColumnRenamed("c", "c_b")

@@ -413,6 +413,62 @@ FROM embeddings WHERE vec_id % 50 = 0
 """
 
 
+def l7_topk_ivf_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 ANN variant 5 (r9, VERDICT r8 #3): the TRUE 100 TB serving
+    read path — DISTRIBUTED queries against the PERSISTED
+    cell-partitioned IVF index (``operators.similarity.
+    ivf_index_probe_distributed``).  x109 certified the persisted
+    index with collect-path queries and x114 the distributed query
+    side against an in-flight index; this row closes the quadrant
+    both left open: queries stay DataFrames end to end AND the
+    candidate side is the on-disk index, pruned to the probed cell
+    directories (the only driver materialization is the distinct
+    probed-cell LIST, bounded by n_cells — metadata, not data).
+
+    Both paths really run against the SAME persisted index: the
+    collect-probe :func:`operators.similarity.ivf_index_probe` and
+    the distributed form share the frozen centroid matrix and the
+    row-local probe arithmetic, so the probe relation, candidate
+    membership, and order-fixed cosine fold are identical — the
+    declared output is the row count plus per-(query, rank) booleans
+    asserting IDENTICAL neighbor ids and IDENTICAL rounded cosines
+    (full-outer join; a row present on only one side flips both
+    booleans through the coalesce(False)).
+
+    Scale (100 TB): the index is built once at ingest (x109), delta
+    batches append per-cell (x87); every query batch then reads
+    ~n_probe/n_cells of the index bytes with queries partitioned
+    across the cluster — no stage holds per-query data on the
+    driver."""
+    from .sources import _work_dir
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    idx_dir = _work_dir(sf_dir, "l7d_ivf")
+    cmat = similarity.ivf_index_write(emb, idx_dir, n_cells=16)
+    coll = similarity.ivf_index_probe(
+        spark, idx_dir, cmat, emb, pred, k=5, n_probe=4).select(
+        "query_id", "rank", F.col("vec_id").alias("vid_c"),
+        F.col("cosine").alias("cos_c"))
+    dist = similarity.ivf_index_probe_distributed(
+        spark, idx_dir, cmat, emb.filter(pred), k=5, n_probe=4).select(
+        "query_id", "rank", F.col("vec_id").alias("vid_d"),
+        F.col("cosine").alias("cos_d"))
+    j = coll.join(dist, ["query_id", "rank"], "full")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bool_and(F.coalesce(F.col("vid_c") == F.col("vid_d"),
+                              F.lit(False))).alias("ids_identical"),
+        F.bool_and(F.coalesce(F.col("cos_c") == F.col("cos_d"),
+                              F.lit(False))).alias("cosine_identical"))
+
+
+L7_IVF_DIST_SQL = """
+SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS ids_identical, TRUE AS cosine_identical
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
 def l12_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (north-star dedup family),
     blocked by label.  Threshold 0.4 is calibrated to the fixture
@@ -4811,6 +4867,7 @@ QUERIES: dict[str, tuple] = {
     "x24_source_overlap": (x24_source_overlap, X24_SQL),
     "l7_topk_ivf": (l7_topk_ivf, L7_IVF_SQL),
     "l7_topk_pq": (l7_topk_pq, L7_PQ_SQL),
+    "l7_topk_ivf_dist": (l7_topk_ivf_dist, L7_IVF_DIST_SQL),
     "l12_embedding_neardup": (l12_embedding_neardup, L12_SQL),
     "x43_semantic_dedup": (x43_semantic_dedup, X43_SQL),
     "x5_bpe_token_counts": (x5_bpe_token_counts, text.BPE_COUNTS_SQL),

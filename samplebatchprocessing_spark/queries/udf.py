@@ -322,6 +322,75 @@ FROM b GROUP BY 1
 """
 
 
+def d10_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 (r9): COGROUPED grouped-map — the one Pandas-UDF API shape
+    D1–D9 left uncovered (``groupBy().cogroup().applyInPandas``,
+    public PySpark API): per-user LAST-TOUCH ATTRIBUTION, pairing
+    each purchase event with the user's most recent click at or
+    before it (``pd.merge_asof`` per cogroup — the canonical use:
+    both sides of a keyed pair arrive as aligned pandas frames
+    WITHOUT a pre-join).
+
+    Determinism: clicks are sorted (ts, event_id) so the backward
+    as-of tie-break on equal ts is max event_id; the lag is exact
+    integer microseconds.  Purchases with no prior click are dropped
+    (inner as-of), keeping every output column scalar non-null.
+
+    Scale (100 TB): cogroup shuffles BOTH sides once on user_id and
+    streams each key's pair of Arrow batches; no all-pairs join, no
+    driver materialization.  The j8-family as-of joins express the
+    same semantics relationally — this row certifies the cogroup
+    PLUMBING (schema, dual-frame signature, empty-side behavior)
+    against that relational truth."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+
+    def last_touch(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = ["purchase_id", "user_id", "click_id", "lag_us"]
+        if not len(left) or not len(right):
+            return pd.DataFrame(columns=cols)
+        left = left.sort_values(["ts", "event_id"])
+        # merge_asof CONSUMES the on-column, so carry the click ts
+        # under its own name for the lag arithmetic
+        right = (right.sort_values(["ts", "event_id"])
+                 .assign(cts=lambda r: r["ts"]))
+        m = pd.merge_asof(left, right, on="ts", direction="backward",
+                          suffixes=("", "_c"))
+        m = m[m["event_id_c"].notna()]
+        out = pd.DataFrame({
+            "purchase_id": m["event_id"],
+            "user_id": m["user_id"],
+            "click_id": m["event_id_c"].astype("int64"),
+            "lag_us": ((m["ts"] - m["cts"]).astype("int64") // 1000),
+        })
+        return out[cols]
+
+    return (purch.groupBy("user_id")
+            .cogroup(clicks.groupBy("user_id"))
+            .applyInPandas(last_touch,
+                           "purchase_id long, user_id long, "
+                           "click_id long, lag_us long"))
+
+
+D10_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+     j AS (SELECT p.event_id AS purchase_id, p.user_id,
+                  c.event_id AS click_id,
+                  CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT)
+                    AS lag_us,
+                  ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                     ORDER BY c.ts DESC, c.event_id DESC)
+                    AS rn
+           FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+SELECT purchase_id, user_id, click_id, lag_us FROM j WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "d1_scalar_udf": (d1_scalar_udf, D1_SQL),
     "d2_pandas_udf": (d2_pandas_udf, D2_SQL),
@@ -332,4 +401,5 @@ QUERIES: dict[str, tuple] = {
     "d7_udtf_table_arg": (d7_udtf_table_arg, D7_SQL),
     "d8_arrow_udf": (d8_arrow_udf, D8_SQL),
     "d9_map_in_arrow": (d9_map_in_arrow, D9_SQL),
+    "d10_cogrouped_pandas": (d10_cogrouped_pandas, D10_SQL),
 }

@@ -39,7 +39,8 @@ def test_bench_queries_exist_in_registry():
     # each must have an override in bench.main (checked by name here,
     # exercised by the per-round bench run).
     bench_only = {"x109_ann_index_probe", "p10_watch_drain",
-                  "x117_postings_probe"}
+                  "x117_postings_probe", "l7_ivf_dist_probe",
+                  "x131_delta_merge"}
     from samplebatchprocessing_spark.queries import registry
     reg = registry()
     missing = [n for n in BENCH_QUERIES

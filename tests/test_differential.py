@@ -764,3 +764,126 @@ def test_differential_nb_quality_eval(spark, seed, tmp_path):
     for k_, v_ in exp.items():
         assert got.get(k_) == v_, (
             f"seed={seed} {k_}: got {got.get(k_)} want {v_}")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_postings_lifecycle(spark, seed, tmp_path):
+    """VERDICT r8 #7: the PERSISTED serving lifecycle composed end to
+    end — build -> delta-append(s) -> compact -> append-after-compact
+    — probing vs incrementally-maintained pure-python truth after
+    EVERY mutation step (the r8 fuzz covered the layered relation in
+    memory; this drives the on-disk verbs x117/x121/x123 compose)."""
+    from samplebatchprocessing_spark.operators import text as T
+    rng = random.Random(43_000 + seed)
+    vocab = [f"w{i:02d}" for i in range(rng.randint(8, 18))]
+    nb = rng.choice([1, 4, 8])
+    next_id = 0
+
+    def batch(lo_docs, hi_docs):
+        nonlocal next_id
+        out = []
+        for _ in range(rng.randint(lo_docs, hi_docs)):
+            out.append((next_id,
+                        " ".join(rng.choices(vocab,
+                                             k=rng.randint(1, 12)))))
+            next_id += 1
+        return out
+
+    toks: dict[int, list[str]] = {}
+
+    def ingest(rows):
+        toks.update({i: t.split() for i, t in rows})
+
+    def probe_all(idx):
+        for _ in range(2):
+            q = sorted(set(rng.sample(vocab, rng.randint(1, 3))
+                           + (["zz_absent"] if rng.random() < 0.3
+                              else [])))
+            got = {(r["doc_id"], r["total_tf"])
+                   for r in T.postings_probe_and(
+                       spark, idx, q, n_buckets=nb).collect()}
+            truth = {(i, sum(ts.count(t) for t in q))
+                     for i, ts in toks.items()
+                     if all(t in ts for t in q)}
+            assert got == truth, f"seed={seed} q={q} nb={nb}"
+
+    idx = str(tmp_path / "idx")
+    base = batch(3, 10)
+    ingest(base)
+    T.postings_index_write(
+        spark.createDataFrame(base, "doc_id long, text string"),
+        idx, n_buckets=nb)
+    probe_all(idx)
+
+    for _ in range(rng.randint(1, 3)):            # delta epochs
+        delta = batch(1, 6)
+        ingest(delta)
+        T.postings_index_append(
+            spark.createDataFrame(delta, "doc_id long, text string"),
+            idx, n_buckets=nb)
+        probe_all(idx)
+
+    compacted = str(tmp_path / "compacted")       # fold the layers
+    T.postings_index_compact(spark, [idx], compacted)
+    probe_all(compacted)
+
+    late = batch(1, 5)                            # append AFTER compact
+    ingest(late)
+    T.postings_index_append(
+        spark.createDataFrame(late, "doc_id long, text string"),
+        compacted, n_buckets=nb)
+    probe_all(compacted)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_pack_extend_chain(spark, seed):
+    """VERDICT r8 #7: x122 -> x125 composed as a CHAIN of extensions
+    (pack a base, then extend 2-3 times, each delta's base_off = the
+    running token total) — the union of the incremental manifests
+    must equal both the from-scratch full pack and sequential
+    pure-python truth."""
+    from samplebatchprocessing_spark.operators.curation import (
+        pack_offsets)
+    rng = random.Random(44_000 + seed)
+    n = rng.randint(6, 60)
+    rows = [(i * rng.choice([1, 5]) + 3,
+             rng.choice([0, 1, 2, 5, 17, 64]))
+            for i in range(n)]
+    rows.sort()
+    seq_len = rng.choice([1, 4, 16])
+    n_parts = rng.choice([1, 2, 8])
+    # python truth over the full ordered corpus
+    exp, off = {}, 0
+    for i, t in rows:
+        first, last = off // seq_len, (off + max(t, 1) - 1) // seq_len
+        exp[i] = (t, off, first, last, 0 if t == 0 else last - first + 1)
+        off += t
+    # split into 3-4 ordered chunks, pack chunk 0, extend with the rest
+    n_chunks = rng.randint(3, 4)
+    cuts = sorted(rng.sample(range(1, n), n_chunks - 1)) \
+        if n > n_chunks else [1] * (n_chunks - 1)
+    chunks, lo = [], 0
+    for c in cuts + [n]:
+        chunks.append(rows[lo:c])
+        lo = c
+    got: dict[int, tuple] = {}
+    total = 0
+    for chunk in chunks:
+        if not chunk:
+            continue
+        df = spark.createDataFrame(chunk, "doc_id long, n_tok long")
+        inc = pack_offsets(df, seq_len=seq_len, n_parts=n_parts,
+                           base_off=total)
+        got.update({r["doc_id"]: (r["n_tok"], r["start_off"],
+                                  r["first_seq"], r["last_seq"],
+                                  r["n_seqs"])
+                    for r in inc.collect()})
+        total += sum(t for _, t in chunk)
+    assert got == exp, f"seed={seed} seq_len={seq_len} n_parts={n_parts}"
+    # and the chain equals the from-scratch pack
+    full = {r["doc_id"]: (r["n_tok"], r["start_off"], r["first_seq"],
+                          r["last_seq"], r["n_seqs"])
+            for r in pack_offsets(
+                spark.createDataFrame(rows, "doc_id long, n_tok long"),
+                seq_len=seq_len, n_parts=n_parts).collect()}
+    assert got == full, f"seed={seed}"

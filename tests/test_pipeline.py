@@ -468,3 +468,81 @@ def test_pipeline_concurrent_runs_stay_byte_exact(spark, bucket):
             assert (hashlib.md5(a.read()).hexdigest()
                     == hashlib.md5(b.read()).hexdigest())
     assert not glob.glob(os.path.join(bucket, "output", "*.inprogress"))
+
+
+def test_quarantine_sweep_drains_poison_file(spark, bucket):
+    """VERDICT r8 #5: a permanently-failing input loops forever in
+    the reference (GetJobs.py:54-56, no DLQ); quarantine_sweep breaks
+    the loop after max_attempts — the poison file moves out of the
+    watched prefix, lands in the ledger, and the post-sweep drain
+    adds zero new failure rows.  A second sweep appends nothing."""
+    import os
+
+    from samplebatchprocessing_spark.pipeline.manifest import (
+        quarantine_sweep, watch_prefix)
+
+    with open(os.path.join(bucket, "input", "poison.bin"), "wb") as f:
+        f.write(b"POISON")
+
+    def guard(raw: bytes) -> bytes:
+        if raw[:6] == b"POISON":
+            raise ValueError("poison input")
+        return raw
+
+    for i in (1, 2, 3):
+        watch_prefix(spark, bucket, transform=guard,
+                     checkpoint=os.path.join(bucket, f"_ckpt{i}"))
+
+    ledger = quarantine_sweep(spark, bucket, max_attempts=3)
+    rows = ledger.collect()
+    assert [(r["file_name"], r["n_failures"]) for r in rows] \
+        == [("poison.bin", 3)]
+    assert not os.path.exists(
+        os.path.join(bucket, "input", "poison.bin"))
+    assert os.path.exists(
+        os.path.join(bucket, "quarantine", "poison.bin"))
+
+    log_dir = os.path.join(bucket, "_commit_log")
+    fails_before = spark.read.parquet(log_dir).filter(~F.col("ok")).count()
+    watch_prefix(spark, bucket, transform=guard,
+                 checkpoint=os.path.join(bucket, "_ckpt4"))
+    fails_after = spark.read.parquet(log_dir).filter(~F.col("ok")).count()
+    assert fails_after == fails_before, "post-sweep drain must not re-fail"
+    assert quarantine_sweep(spark, bucket, max_attempts=3).count() == 1
+
+
+def test_quarantine_never_touches_recovered_files(spark, bucket):
+    """A file that failed repeatedly but SUCCEEDED on its newest
+    delivery (the input was fixed in place) must never be swept,
+    however many failures its history holds."""
+    import os
+
+    from samplebatchprocessing_spark.pipeline.manifest import (
+        quarantine_sweep, watch_prefix)
+
+    flaky = os.path.join(bucket, "input", "flaky.bin")
+    with open(flaky, "wb") as f:
+        f.write(b"POISON")
+
+    def guard(raw: bytes) -> bytes:
+        if raw[:6] == b"POISON":
+            raise ValueError("poison input")
+        return raw
+
+    for i in (1, 2):
+        watch_prefix(spark, bucket, transform=guard,
+                     checkpoint=os.path.join(bucket, f"_ckpt{i}"))
+    with open(flaky, "wb") as f:                 # operator fixed it
+        f.write(b"now fine")
+    watch_prefix(spark, bucket, transform=guard,
+                 checkpoint=os.path.join(bucket, "_ckpt3"))
+
+    assert quarantine_sweep(spark, bucket, max_attempts=2).count() == 0
+    assert os.path.exists(flaky), "recovered file must stay in input"
+
+
+def test_quarantine_sweep_rejects_bad_max_attempts(spark, bucket):
+    from samplebatchprocessing_spark.pipeline.manifest import (
+        quarantine_sweep)
+    with pytest.raises(ValueError, match="max_attempts"):
+        quarantine_sweep(spark, bucket, max_attempts=0)

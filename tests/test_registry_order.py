@@ -142,34 +142,75 @@ R7_WINDOW = frozenset({
 })
 
 
+# The r8 driver window, frozen (went 50/50 green in CORRECTNESS_r08).
+R8_WINDOW = frozenset({
+    "p14_python_datasource", "q3_filter", "j8b_asof_forward",
+    "a17_mode", "w8_debounce", "t4_topk_per_group",
+    "u3_except", "f7_json", "s13_stream_doc_scoring",
+    "d8_arrow_udf", "l7_topk_ivf",
+    "l5_ngram_jaccard", "l7_topk_numpy", "l7_topk_lsh", "l7_topk_pq",
+    "l13_paragraph_dedup", "l14_incremental_dedup",
+    "l15_fuzzy_dedup_keep", "l16_dedup_keep_best",
+    "x38_incremental_fuzzy_dedup",
+    "p10_watch_prefix", "p11_compaction", "p12_schema_merge",
+    "p16_corrupt_json", "p17_python_stream_source",
+    "p18_python_stream_sink", "p19_arrow_datasource",
+    "v10_tpch_q10", "v11_tpch_q18", "v12_tpch_q21", "v13_tpch_q7",
+    "v18_tpch_q19", "v20_tpch_q8",
+    "s4_session_batch", "s14_stream_semantic_dedup",
+    "s15_stream_cluster_assign", "s18_stream_dsir_gate",
+    "s19_stream_bloom_gate", "s21_stream_incremental_mv",
+    "mm2_frame_sample", "mm3_audio_features", "mm4_phash_dedup",
+    "mm5_audio_dedup",
+    "j8c_asof_tolerance", "w9_running_distinct", "x19_heavy_hitters",
+    "x21_substring_dedup", "x29_pagerank", "x64_span_dedup",
+    "x114_ann_batch_probe",
+})
+
+
 def test_window_rotation_bounds_overlap_with_prior_rounds():
-    """Rotation policy (VERDICT r5 #3 / r6 #2 / r7 #1): round-over-
-    round overlap <= 15 so the registry tail accrues driver evidence.
-    r5–r7 all went 50/50 green, so the r8 window re-certifies nothing
-    — overlap with every frozen prior window is exactly zero."""
+    """Rotation policy (VERDICT r5 #3 / r6 #2 / r7 #1 / r8 #1):
+    round-over-round overlap <= 15 so the registry tail accrues
+    driver evidence.  r5–r8 all went 50/50 green, so the r9 window
+    re-certifies nothing: overlap with r8/r7/r6 is exactly zero; the
+    U family is fully covered by frozen windows, so its anchor u1
+    re-uses an r5 slot — the single permitted overlap."""
+    assert not R8_WINDOW & set(DRIVER_WINDOW)
     assert not R7_WINDOW & set(DRIVER_WINDOW)
     assert not R6_WINDOW & set(DRIVER_WINDOW)
-    assert not R5_WINDOW & set(DRIVER_WINDOW)
+    assert R5_WINDOW & set(DRIVER_WINDOW) == {"u1_union"}
 
 
 def test_window_targets_the_never_certified_backlog():
-    """VERDICT r7 #1: >= 35 window slots must come from the 120-entry
-    never-driver-sampled backlog, prioritizing the rows real pipelines
-    anchor on.  The named priority groups from the verdict must all be
-    present."""
+    """VERDICT r8 #1: >= 45 fresh (never-driver-sampled) slots,
+    prioritizing the complete r8 debut block (x115–x131, s23–s25),
+    the TPC-H shapes, m4/m5/m9, and the head of the x1–x24 curation
+    wave; plus the r9 debuts p20 (verdict #5 quarantine),
+    l7_topk_ivf_dist (verdict #3 registry-wiring), and d10."""
     must_have = {
-        "l7_topk_ivf", "l7_topk_lsh", "l7_topk_pq",
-        "l13_paragraph_dedup", "l14_incremental_dedup",
-        "l15_fuzzy_dedup_keep", "l16_dedup_keep_best",
-        "p14_python_datasource", "p17_python_stream_source",
-        "p18_python_stream_sink", "p19_arrow_datasource",
-        "v10_tpch_q10", "v12_tpch_q21", "v18_tpch_q19", "v20_tpch_q8",
-        "s13_stream_doc_scoring", "s14_stream_semantic_dedup",
-        "s15_stream_cluster_assign", "s18_stream_dsir_gate",
-        "s19_stream_bloom_gate", "mm4_phash_dedup", "mm5_audio_dedup",
+        "x115_nb_quality_eval", "x116_edit_distance_join",
+        "x117_inverted_index", "x118_kcore", "x119_bnl_topk",
+        "x120_label_propagation", "x121_postings_merge",
+        "x122_sequence_pack", "x123_postings_compact",
+        "x124_sequence_census", "x125_incremental_pack",
+        "x126_ivf_probe_sweep", "x127_incremental_tfidf",
+        "x128_incremental_nb", "x129_nb_calibration",
+        "x130_table_checksum", "x131_incremental_checksum",
+        "s23_stream_ann_probe", "s24_stream_postings_merge",
+        "s25_stream_incremental_pack",
+        "v24_tpch_q9_shape", "v26_tpch_q2_shape",
+        "v27_tpch_q11_shape", "v28_tpch_q16_shape",
+        "m4_bucketed_join", "m5_purge", "m9_skipping_report",
+        "j11_interval_overlap", "j13_temporal_join", "a14_regression",
+        "p20_poison_quarantine", "l7_topk_ivf_dist",
+        "d10_cogrouped_pandas",
     }
     missing = must_have - set(DRIVER_WINDOW)
     assert not missing, f"verdict-priority entries not in window: {missing}"
+    # >= 45 fresh: only the 5 reused Q/W/T/U/F anchors are non-fresh
+    reused = {"q4_distinct", "w2_lag_lead", "t1_multi_sort",
+              "u1_union", "f2_datetime"}
+    assert len(set(DRIVER_WINDOW) - reused) == 45
 
 
 def test_readme_counts_match_registry(reg):
