@@ -887,3 +887,100 @@ def test_differential_pack_extend_chain(spark, seed):
                 spark.createDataFrame(rows, "doc_id long, n_tok long"),
                 seq_len=seq_len, n_parts=n_parts).collect()}
     assert got == full, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_cogrouped_last_touch(spark, seed):
+    """d10 fuzz: the cogrouped merge_asof attribution replayed on
+    random event sets against pure-python truth — empty sides, equal
+    timestamps (max-event_id tie-break), purchases before any click,
+    multi-user interleaving."""
+    import datetime as dt
+
+    from samplebatchprocessing_spark.queries.udf import (
+        d10_cogrouped_pandas)
+    rng = random.Random(45_000 + seed)
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for user in range(rng.randint(1, 6)):
+        for _ in range(rng.randint(0, 12)):
+            ts = base + dt.timedelta(
+                seconds=rng.randint(0, 50),
+                microseconds=rng.choice([0, 0, 123456]))
+            etype = rng.choice(["purchase", "click", "view"])
+            rows.append((eid, ts, user, etype, 0.0, "{}"))
+            eid += 1
+    if not rows:
+        rows = [(0, base, 0, "view", 0.0, "{}")]
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {r["purchase_id"]: (r["user_id"], r["click_id"],
+                                  r["lag_us"])
+               for r in d10_cogrouped_pandas(spark, d).collect()}
+    exp = {}
+    for pid, pts, pu, pt, _, _ in rows:
+        if pt != "purchase":
+            continue
+        cands = [(cts, cid) for cid, cts, cu, ct, _, _ in rows
+                 if ct == "click" and cu == pu and cts <= pts]
+        if not cands:
+            continue
+        cts, cid = max(cands)        # (ts, event_id) lexmax == tie-break
+        exp[pid] = (pu, cid,
+                    (pts - cts) // dt.timedelta(microseconds=1))
+    assert got == exp, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_differential_quarantine_policy(spark, seed, tmp_path):
+    """p20 fuzz: random per-file fail/recover patterns over random
+    drain counts — quarantine_sweep must move EXACTLY the files whose
+    newest delivery failed with >= max_attempts total failures, and
+    the ledger failure counts must equal the python-simulated
+    history."""
+    import os
+
+    from samplebatchprocessing_spark.pipeline.manifest import (
+        quarantine_sweep, watch_prefix)
+    rng = random.Random(46_000 + seed)
+    bucket = str(tmp_path / "bucket")
+    in_dir = os.path.join(bucket, "input")
+    os.makedirs(in_dir)
+    n_files = rng.randint(2, 5)
+    n_drains = rng.randint(1, 4)
+    max_attempts = rng.randint(1, 3)
+    # schedule[f][d] = True -> file f fails on drain d
+    schedule = {f"f{i}.bin": [rng.random() < 0.5
+                              for _ in range(n_drains)]
+                for i in range(n_files)}
+
+    def content(name, drain):
+        return (b"POISON " if schedule[name][drain]
+                else b"ok ") + name.encode()
+
+    def guard(raw: bytes) -> bytes:
+        if raw[:6] == b"POISON":
+            raise ValueError("poison input")
+        return raw
+
+    for d in range(n_drains):
+        for name in schedule:
+            with open(os.path.join(in_dir, name), "wb") as f:
+                f.write(content(name, d))
+        watch_prefix(spark, bucket, transform=guard,
+                     checkpoint=os.path.join(bucket, f"_ckpt{d}"))
+    ledger = quarantine_sweep(spark, bucket,
+                              max_attempts=max_attempts)
+    got = {(r["file_name"], r["n_failures"]) for r in ledger.collect()}
+    exp = {(name, sum(fails))
+           for name, fails in schedule.items()
+           if fails[-1] and sum(fails) >= max_attempts}
+    assert got == exp, f"seed={seed} sched={schedule} ma={max_attempts}"
+    for name, fails in schedule.items():
+        present = os.path.exists(os.path.join(in_dir, name))
+        assert present == ((name, sum(fails)) not in exp), name
