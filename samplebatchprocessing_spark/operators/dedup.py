@@ -636,6 +636,108 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.select("doc_id", token_set(F.col(text_col)).alias("toks")))
 
 
+def lsh_band_relation(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      n_bands: int = N_BANDS,
+                      n_buckets: int = 32) -> DataFrame:
+    """The (did, band_idx, band_hash, bucket) LSH band relation —
+    shared by the index writer, the delta appender, and the prober
+    (the ``_postings`` discipline: one relation builder so the hash
+    family, banding, and bucket assignment can never drift between
+    build and probe).  All built-ins (xxhash64 / transform /
+    array_min / hash), fully JVM-side: signature + bands are
+    row-local, no shuffle until the caller's layout step."""
+    rpb = N_HASHES // n_bands
+    sets = df.select(F.col(id_col).alias("did"),
+                     token_set(F.col(text_col)).alias("toks"))
+    sigs = (sets.withColumn("_hs", _h31_expr(F.col("toks")))
+            .select("did", _sig_from_hashes(F.col("_hs")).alias("sig")))
+    bands = sigs.select(
+        "did",
+        F.posexplode(F.array(*[
+            F.hash(*[F.col("sig")[i] for i in
+                     range(b * rpb, (b + 1) * rpb)])
+            for b in range(n_bands)
+        ])).alias("band_idx", "band_hash"))
+    return bands.withColumn(
+        "bucket", F.pmod(F.xxhash64("band_idx", "band_hash"),
+                         F.lit(n_buckets)).cast("int"))
+
+
+def lsh_index_write(df: DataFrame, index_dir: str,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_bands: int = N_BANDS,
+                    n_buckets: int = 32) -> None:
+    """X132: build and PERSIST the MinHash-LSH band index — the
+    dedup family's missing index-lifecycle quadrant (ANN has
+    x109/x87/x114, text serving has x117/x121/x123; x38's scale note
+    'the corpus side becomes a persisted band+signature index'
+    becomes executable here).  One row per (doc, band), parquet-
+    partitioned by ``bucket = pmod(xxhash64(band_idx, band_hash),
+    n_buckets)`` and (band_idx, band_hash)-sorted within each
+    bucket file, so a probe batch's band keys prune bucket
+    directories at planning time and row-group min/max stats skip
+    inside them.
+
+    Scale (100 TB): built ONCE per corpus snapshot (one tokenize
+    scan + one bucket shuffle of the fixed-width band relation —
+    n_bands x 12 bytes per doc, never text); every later crawl-shard
+    ingest probes this index instead of re-tokenizing the corpus."""
+    (lsh_band_relation(df, text_col, id_col, n_bands, n_buckets)
+     .repartition("bucket")
+     .sortWithinPartitions("band_idx", "band_hash")
+     .write.mode("overwrite").partitionBy("bucket").parquet(index_dir))
+
+
+def lsh_index_append(df: DataFrame, index_dir: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n_bands: int = N_BANDS,
+                     n_buckets: int = 32) -> None:
+    """X132 delta append — the x87/x121 frozen-layout discipline for
+    the LSH index: the delta batch's band rows are computed with the
+    SAME shared relation builder (hash family and banding are module
+    constants, frozen by construction) and land in the same buckets
+    as new files; existing bucket files are never rewritten, ingest
+    cost is one tokenize scan + one shuffle of the DELTA only.
+    append == rebuild EXACTLY because a (doc, band) row depends only
+    on that doc's text (x132 registry parity boolean)."""
+    (lsh_band_relation(df, text_col, id_col, n_bands, n_buckets)
+     .repartition("bucket")
+     .sortWithinPartitions("band_idx", "band_hash")
+     .write.mode("append").partitionBy("bucket").parquet(index_dir))
+
+
+def lsh_index_probe(spark, index_dir: str, batch: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_bands: int = N_BANDS,
+                    n_buckets: int = 32) -> DataFrame:
+    """X132 probe — near-dup CANDIDATES for an incoming batch against
+    the persisted corpus index: (batch_id, corpus_id) pairs that
+    collide in >= 1 LSH band, distinct.  This is the incremental-
+    dedup serving read path: the batch is banded with the shared
+    relation builder (row-local, JVM-side), its DISTINCT BUCKET LIST
+    (bounded by n_buckets — metadata, not data) lands the bucket
+    filter on the index scan's partition column, and candidates come
+    from one (band_idx, band_hash) equi-join.  A small shard probe
+    reads only its buckets; exact verification (token-set Jaccard on
+    the candidate pairs only) stays with the caller, as in L5/L6.
+
+    Identity contract: with the same frozen hash family this is
+    row-identical to banding the corpus in memory and equi-joining
+    (the in-flight L6 path) — locked by the x132 registry row."""
+    q = lsh_band_relation(batch, text_col, id_col, n_bands, n_buckets)
+    q = q.localCheckpoint(eager=True)   # reused: bucket list + join
+    buckets = sorted(r["bucket"] for r in
+                     q.select("bucket").distinct().collect())
+    idx = (spark.read.parquet(index_dir)
+           .filter(F.col("bucket").isin(buckets)))
+    return (idx.withColumnRenamed("did", "corpus_id")
+            .join(q.withColumnRenamed("did", "batch_id"),
+                  ["bucket", "band_idx", "band_hash"])
+            .filter(F.col("batch_id") != F.col("corpus_id"))
+            .select("batch_id", "corpus_id").distinct())
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             bits: int = 64) -> DataFrame:
     """SimHash: 64-bit locality-sensitive fingerprint, fully

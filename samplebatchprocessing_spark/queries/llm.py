@@ -1226,6 +1226,90 @@ def x38_incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_fuzzy_dedup(batch, corpus, threshold=0.8)
 
 
+def x132_lsh_index_lifecycle(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """X132 (r9): the PERSISTED MinHash-LSH band index — the dedup
+    family's missing index-lifecycle quadrant (ANN: x109 build / x87
+    merge / x114+l7_topk_ivf_dist distributed probe; text: x117 /
+    x121 / x123; dedup until now only had the in-flight x38 path
+    whose docstring promised 'the corpus side becomes a persisted
+    band+signature index at real scale').  BUILD the index from the
+    base corpus (``operators.dedup.lsh_index_write``: one tokenize
+    scan + one bucket shuffle of the fixed-width band relation),
+    APPEND a delta snapshot against the frozen hash family
+    (``lsh_index_append``: new files in existing buckets, delta-
+    priced), then PROBE an incoming batch
+    (``lsh_index_probe``: batch banded row-locally, bucket-pruned
+    index scan, one (band_idx, band_hash) equi-join).
+
+    All three lifecycle claims are verified in-flight and declared
+    as booleans alongside the oracle-checkable split counts:
+    - ``index_complete``: persisted rows == (n_base + n_delta) x
+      N_BANDS (every doc contributes exactly its band rows);
+    - ``append_equals_rebuild``: probing the appended index ==
+      probing a from-scratch rebuild over base+delta (both exceptAll
+      directions empty — the x87 parity discipline; holds exactly
+      because a (doc, band) row depends only on that doc's text);
+    - ``probe_equals_inflight``: the persisted-index candidates ==
+      banding the corpus in memory and equi-joining (the l6 path) —
+      the persisted form changes WHERE corpus band rows come from,
+      never WHAT they are.
+
+    Scale (100 TB): each crawl-shard ingest shuffles only the shard
+    against its bucket subset; the corpus is tokenized once per
+    snapshot, at build.  Exact Jaccard verification of the candidate
+    pairs stays with the caller (L5/L6 contract)."""
+    doc = load_table(spark, sf_dir, "documents")
+    from .sources import _work_dir
+    base = doc.filter(~F.col("source").isin("src1", "src2"))
+    delta = doc.filter(F.col("source") == "src1")
+    batch = doc.filter(F.col("source") == "src2")
+    idx = _work_dir(sf_dir, "x132_lsh")
+    rebuild = _work_dir(sf_dir, "x132_lsh_rebuild")
+    dedup.lsh_index_write(base, idx)
+    dedup.lsh_index_append(delta, idx)
+    dedup.lsh_index_write(base.unionByName(delta), rebuild)
+    probed = dedup.lsh_index_probe(spark, idx, batch)
+    probed = probed.localCheckpoint(eager=True)   # reused 3x below
+    re_probed = dedup.lsh_index_probe(spark, rebuild, batch)
+    append_parity = (probed.exceptAll(re_probed).count() == 0
+                     and re_probed.exceptAll(probed).count() == 0)
+    corpus_bands = (dedup.lsh_band_relation(base.unionByName(delta))
+                    .withColumnRenamed("did", "corpus_id"))
+    q = (dedup.lsh_band_relation(batch)
+         .withColumnRenamed("did", "batch_id"))
+    inflight = (corpus_bands
+                .join(q, ["bucket", "band_idx", "band_hash"])
+                .filter(F.col("batch_id") != F.col("corpus_id"))
+                .select("batch_id", "corpus_id").distinct())
+    inflight_parity = (probed.exceptAll(inflight).count() == 0
+                       and inflight.exceptAll(probed).count() == 0
+                       and probed.count() > 0)
+    n_base, n_delta, n_batch = (base.count(), delta.count(),
+                                batch.count())
+    n_index = spark.read.parquet(idx).count()
+    complete = n_index == (n_base + n_delta) * dedup.N_BANDS
+    return spark.createDataFrame(
+        [(n_base, n_delta, n_batch, complete, append_parity,
+          inflight_parity)],
+        "n_base long, n_delta long, n_batch long, "
+        "index_complete boolean, append_equals_rebuild boolean, "
+        "probe_equals_inflight boolean")
+
+
+X132_SQL = """
+SELECT CAST(SUM(CASE WHEN source NOT IN ('src1', 'src2')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_delta,
+       CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_batch,
+       TRUE AS index_complete, TRUE AS append_equals_rebuild,
+       TRUE AS probe_equals_inflight
+FROM documents
+"""
+
+
 X38_SQL = f"""
 WITH s AS (SELECT doc_id, source, {token_set_sql('text')} AS toks
            FROM documents),
@@ -4784,6 +4868,7 @@ QUERIES: dict[str, tuple] = {
     "l13_paragraph_dedup": (l13_paragraph_dedup, L13_SQL),
     "l14_incremental_dedup": (l14_incremental_dedup, L14_SQL),
     "x38_incremental_fuzzy_dedup": (x38_incremental_fuzzy_dedup, X38_SQL),
+    "x132_lsh_index_lifecycle": (x132_lsh_index_lifecycle, X132_SQL),
     "l15_fuzzy_dedup_keep": (l15_fuzzy_dedup_keep, L15_SQL),
     "l16_dedup_keep_best": (l16_dedup_keep_best, L16_SQL),
     "x33_zipf_fit": (x33_zipf_fit, X33_SQL),

@@ -1069,6 +1069,83 @@ def _s25_sql() -> str:
                             "TRUE AS batch_parity")
 
 
+def s26_stream_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S26 (r9): STREAMING near-dup candidate serving against the
+    PERSISTED x132 LSH band index — the dedup lifecycle's query half
+    as a micro-batch stream, completing the family's symmetry with
+    s23 (ANN) and s24 (text): the index builds batch-side from the
+    corpus, then crawl shards ARRIVE AS A STREAM and each micro-batch
+    is probed via the REAL serving read path
+    (``operators.dedup.lsh_index_probe`` runs unchanged inside
+    foreachBatch — bucket-pruned scan, band-key equi-join, bounded
+    bucket-list collect), writing its candidate pairs as an
+    idempotent per-epoch overwrite (the s8/s24 commit discipline).
+
+    The declared output carries ``stream_equals_batch``: the union
+    of the streamed epochs' candidates must equal the one-shot batch
+    probe of the full shard set (both exceptAll directions empty) —
+    exact because a candidate pair depends only on the two docs'
+    texts, never on micro-batch boundaries.  A dropped epoch, a
+    replayed-epoch duplicate, or hash drift in the streamed banding
+    all flip the boolean.
+
+    Scale (100 TB): per micro-batch cost is one row-local banding
+    pass over the shard + a bucket-pruned index join; the corpus is
+    tokenized exactly once, at build.  The reference's closest shape
+    is its long-poll consumer processing arrivals against persisted
+    state (GetJobs.py:21-23)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..catalog import load_table
+    from ..operators import dedup
+    from ..streaming.jobs import documents_stream
+    from .sources import _work_dir
+
+    doc = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("source") == "src2"
+    idx = _work_dir(sf_dir, "s26_lsh")
+    dedup.lsh_index_write(doc.filter(~is_batch), idx)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/sbp_stream/s26_cand_{tag}"
+    ckpt = f"/tmp/sbp_stream/s26_ckpt_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    sdf = (documents_stream(spark, sf_dir, tag="lshprobe")
+           .filter(is_batch))
+
+    def probe_batch(df: DataFrame, batch_id: int) -> None:
+        (dedup.lsh_index_probe(spark, idx, df)
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"epoch={batch_id}")))
+
+    q = (sdf.writeStream.foreachBatch(probe_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    streamed = (spark.read.parquet(f"{out_dir}/epoch=*")
+                .select("batch_id", "corpus_id"))
+    oneshot = dedup.lsh_index_probe(spark, idx, doc.filter(is_batch))
+    parity = (streamed.exceptAll(oneshot).count() == 0
+              and oneshot.exceptAll(streamed).count() == 0
+              and streamed.count() > 0)
+    return (doc.filter(is_batch)
+            .agg(F.count(F.lit(1)).alias("n_shard_docs"))
+            .withColumn("stream_equals_batch", F.lit(parity)))
+
+
+S26_SQL = """
+SELECT CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shard_docs,
+       TRUE AS stream_equals_batch
+FROM documents
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "s1_stream_scan": (s1_stream_scan, S1_SQL),
     "s2_tumbling_window": (s2_tumbling_window, S2_SQL),
@@ -1095,6 +1172,7 @@ QUERIES: dict[str, tuple] = {
     "s22_stream_seasonal_gate": (s22_stream_seasonal_gate, S22_SQL),
     "s23_stream_ann_probe": (s23_stream_ann_probe, S23_SQL),
     "s24_stream_postings_merge": (s24_stream_postings_merge, _s24_sql()),
+    "s26_stream_lsh_probe": (s26_stream_lsh_probe, S26_SQL),
     "s25_stream_incremental_pack": (s25_stream_incremental_pack,
                                     _s25_sql()),
 }

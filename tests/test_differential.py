@@ -984,3 +984,58 @@ def test_differential_quarantine_policy(spark, seed, tmp_path):
     for name, fails in schedule.items():
         present = os.path.exists(os.path.join(in_dir, name))
         assert present == ((name, sum(fails)) not in exp), name
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_differential_lsh_index_lifecycle(spark, seed, tmp_path):
+    """x132 fuzz: build -> append -> probe on random corpora must
+    equal the in-flight banding twin exactly (identity contract:
+    the persisted form changes WHERE corpus band rows come from,
+    never WHAT they are), appended index == from-scratch rebuild,
+    and an exact copy planted in the batch MUST surface as a
+    candidate (identical text -> identical signature -> all bands
+    collide)."""
+    import os
+
+    from samplebatchprocessing_spark.operators import dedup as D
+    rng = random.Random(47_000 + seed)
+    vocab = [f"w{i:02d}" for i in range(rng.randint(6, 15))]
+
+    def doc():
+        return " ".join(rng.choices(vocab, k=rng.randint(3, 15)))
+
+    base = [(i, doc()) for i in range(rng.randint(4, 15))]
+    delta = [(100 + i, doc()) for i in range(rng.randint(0, 6))]
+    batch = [(200 + i, doc()) for i in range(rng.randint(1, 8))]
+    planted_src = rng.choice(base + delta if delta else base)
+    batch.append((299, planted_src[1]))          # exact copy
+    nb = rng.choice([1, 4, 16])
+    schema = "doc_id long, text string"
+    b_df = spark.createDataFrame(base, schema)
+    d_df = spark.createDataFrame(delta or [(999, "zz_filler")], schema)
+    q_df = spark.createDataFrame(batch, schema)
+
+    idx = str(tmp_path / "idx")
+    D.lsh_index_write(b_df, idx, n_buckets=nb)
+    D.lsh_index_append(d_df, idx, n_buckets=nb)
+    got = {(r["batch_id"], r["corpus_id"]) for r in
+           D.lsh_index_probe(spark, idx, q_df, n_buckets=nb).collect()}
+
+    corpus = b_df.unionByName(d_df)
+    inflight = {(r["batch_id"], r["corpus_id"]) for r in
+                (D.lsh_band_relation(corpus, n_buckets=nb)
+                 .withColumnRenamed("did", "corpus_id")
+                 .join(D.lsh_band_relation(q_df, n_buckets=nb)
+                       .withColumnRenamed("did", "batch_id"),
+                       ["bucket", "band_idx", "band_hash"])
+                 .filter(F.col("batch_id") != F.col("corpus_id"))
+                 .select("batch_id", "corpus_id").distinct().collect())}
+    assert got == inflight, f"seed={seed} nb={nb}"
+    assert (299, planted_src[0]) in got, f"seed={seed}: planted copy missed"
+
+    rebuild = str(tmp_path / "rebuild")
+    D.lsh_index_write(corpus, rebuild, n_buckets=nb)
+    re_got = {(r["batch_id"], r["corpus_id"]) for r in
+              D.lsh_index_probe(spark, rebuild, q_df,
+                                n_buckets=nb).collect()}
+    assert got == re_got, f"seed={seed}: append != rebuild"

@@ -1023,3 +1023,30 @@ def test_cogrouped_pandas_is_two_shuffles_no_join(spark, sf_smoke):
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                 "CartesianProduct"):
         assert bad not in plan
+
+
+def test_lsh_index_probe_prunes_bucket_partitions(spark, sf_smoke):
+    """X132: probing the persisted LSH band index with a SMALL batch
+    must prune at planning time — the batch's band-key buckets land
+    in the index scan's PartitionFilters and the probe physically
+    reads fewer bucket files than exist (the crawl-shard-vs-corpus
+    serving shape)."""
+    import hashlib
+    from samplebatchprocessing_spark.operators import dedup as D
+    doc = load_table(spark, sf_smoke, "documents")
+    idx = ("/tmp/sbp_work/x132_plan_"
+           + hashlib.md5(sf_smoke.encode()).hexdigest()[:8])
+    D.lsh_index_write(doc.filter(F.col("doc_id") >= 10), idx)
+    small = doc.filter(F.col("doc_id") < 2)      # 2-doc probe shard
+    probe = D.lsh_index_probe(spark, idx, small)
+    plan = plan_str(probe)
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "CartesianProduct" not in plan
+    buckets = [r["bucket"] for r in D.lsh_band_relation(small)
+               .select("bucket").distinct().collect()]
+    touched = (spark.read.parquet(idx)
+               .filter(F.col("bucket").isin(buckets))
+               .select(F.input_file_name()).distinct().count())
+    total = (spark.read.parquet(idx)
+             .select(F.input_file_name()).distinct().count())
+    assert 0 < touched < total
