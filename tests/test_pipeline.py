@@ -546,3 +546,78 @@ def test_quarantine_sweep_rejects_bad_max_attempts(spark, bucket):
         quarantine_sweep)
     with pytest.raises(ValueError, match="max_attempts"):
         quarantine_sweep(spark, bucket, max_attempts=0)
+
+
+def test_watch_daemon_with_quarantine_sweep(spark, bucket):
+    """Operational composition: the CONTINUOUS daemon form + the
+    quarantine sweep — poison arrives mid-stream, fails its delivery,
+    and after the daemon stops the sweep drains it so the NEXT daemon
+    session's discovery has nothing poisonous to pick up."""
+    import os
+    import time
+
+    from samplebatchprocessing_spark.pipeline.manifest import (
+        commit_log, quarantine_sweep, watch_daemon)
+
+    def guard(raw: bytes) -> bytes:
+        if raw[:6] == b"POISON":
+            raise ValueError("poison input")
+        return raw
+
+    def n_out() -> int:
+        import glob as _g
+        return len(_g.glob(os.path.join(bucket, "output", "*.out")))
+
+    def n_log_files() -> int:
+        import glob as _g
+        return len(_g.glob(os.path.join(bucket, "_commit_log",
+                                        "*.parquet")))
+
+    q = watch_daemon(spark, bucket, transform=guard, poll_seconds=0.5,
+                     checkpoint=os.path.join(bucket, "_ckpt_d1"))
+    try:
+        deadline = time.time() + 240
+        while n_out() < 4 and time.time() < deadline:
+            time.sleep(0.2)
+        assert n_out() == 4, "startup backlog not drained"
+
+        logs_before = n_log_files()
+        # atomic drop (tmp dotfile + rename): a plain write races the
+        # 0.5 s poll — the two_drops test's measured discipline
+        tmp = os.path.join(bucket, "input", ".poison.bin.tmp")
+        with open(tmp, "wb") as f:
+            f.write(b"POISON")
+        os.rename(tmp, os.path.join(bucket, "input", "poison.bin"))
+        # poison produces NO output file; its delivery is visible as
+        # new commit-log parquet files (fs-level poll only — a Spark
+        # read of _commit_log would race the daemon's own appends)
+        deadline = time.time() + 240
+        while n_log_files() <= logs_before and time.time() < deadline:
+            time.sleep(0.2)
+        assert n_log_files() > logs_before, "poison drop never delivered"
+        time.sleep(2)       # let the in-flight trigger commit fully
+    finally:
+        q.stop()
+    try:
+        q.awaitTermination()
+    except Exception:
+        # stop() may cancel an idle trigger mid-write; the poison
+        # batch's log row was durable before the sleep above, and the
+        # assertions below are the ground truth
+        pass
+
+    rows = {r["file_name"]: r["ok"]
+            for r in commit_log(spark, bucket).collect()}
+    assert rows.get("poison.bin") is False and len(rows) == 5
+
+    ledger = quarantine_sweep(spark, bucket, max_attempts=1)
+    assert [r["file_name"] for r in ledger.collect()] == ["poison.bin"]
+    assert not os.path.exists(os.path.join(bucket, "input", "poison.bin"))
+    # next session's drain sees a clean prefix: no new failure rows
+    from samplebatchprocessing_spark.pipeline.manifest import watch_prefix
+    log_dir = os.path.join(bucket, "_commit_log")
+    before = spark.read.parquet(log_dir).filter(~F.col("ok")).count()
+    watch_prefix(spark, bucket, transform=guard,
+                 checkpoint=os.path.join(bucket, "_ckpt_d2"))
+    after = spark.read.parquet(log_dir).filter(~F.col("ok")).count()
+    assert after == before
