@@ -471,10 +471,14 @@ def quarantine_sweep(spark: SparkSession, bucket_dir: str,
     The candidate set is computed as one Spark aggregation over the
     log; only the resulting POISON LIST (bounded by the number of
     forever-failing files — operational metadata, not data) is
-    collected for the driver-side moves.  Local/file:// buckets move
-    via ``os.replace``; object-store buckets take the same
-    copy+delete verbs through :class:`ObjectStoreClient` when one is
-    passed to the caller (the watch path's commit dispatch).
+    collected for the driver-side moves.  Local and ``file://``
+    buckets move via ``os.replace``; an object-store bucket raises in
+    ``_fs_local_path`` rather than mangling paths — sweeping there
+    needs an existence/list verb that the 3-verb
+    :class:`ObjectStoreClient` contract (put/copy/delete — the verbs
+    the reference's S3 flow actually uses) deliberately does not
+    carry, so the object-store sweep is out of scope until a real
+    client (with its own listing) slots in.
 
     Returns the cumulative ledger (LEDGER_SCHEMA).  Idempotent: a
     swept file's input object is gone, so a second sweep finds no
