@@ -1156,6 +1156,42 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def j16_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16 (r9): CORRELATED LATERAL JOIN via the Spark 4 DataFrame
+    API (``DataFrame.lateralJoin`` + ``Column.outer()`` — public,
+    SPARK-46794 family): per customer, the 2 most recent orders
+    (o_orderdate desc, o_orderkey total-order tie-break).  The
+    per-key-top-k-by-subquery shape T4 expresses with a window,
+    expressed the lateral way — Catalyst decorrelates the outer
+    reference into a ranked join rather than re-running the inner
+    query per row, which is what makes the construct usable at
+    100 TB (plan shows a window/join decorrelation, never an
+    N-times-rescanned inner).
+
+    Oracle: DuckDB's native LATERAL with the identical inner
+    ORDER BY/LIMIT — a decorrelation bug (wrong per-key cut, lost
+    correlation filter) hash-mismatches row-for-row."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders")
+    top2 = (orders
+            .where(F.col("o_custkey") == F.col("c_custkey").outer())
+            .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey"))
+            .limit(2)
+            .select("o_orderkey", "o_totalprice"))
+    return cust.lateralJoin(top2).select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+
+
+J16_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o.o_orderdate DESC, o.o_orderkey LIMIT 2) t
+"""
+
+
 def j9_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: TPC-H Q5-style 6-way star join, with the region predicate
     pushed to the FRONT of the join tree: region is filtered first,
@@ -1872,6 +1908,7 @@ QUERIES: dict[str, tuple] = {
     "j8c_asof_tolerance": (j8c_asof_tolerance, J8C_SQL),
     "j14_asof_nearest": (j14_asof_nearest, J14_SQL),
     "j15_multi_asof": (j15_multi_asof, J15_SQL),
+    "j16_lateral_topk": (j16_lateral_topk, J16_SQL),
     "j9_star_join": (j9_star_join, J9_SQL),
     "j10_fuzzy_join": (j10_fuzzy_join, J10_SQL),
     "x35_quality_audit": (x35_quality_audit, X35_SQL),

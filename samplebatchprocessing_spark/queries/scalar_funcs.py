@@ -254,6 +254,46 @@ FROM events GROUP BY event_type
 """
 
 
+def f11_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 (r9): the Spark 4 VARIANT type (``parse_json`` /
+    ``variant_get`` / ``schema_of_variant`` — public, the
+    semi-structured flagship of Spark 4.0): parse events.props ONCE
+    into the binary variant encoding, then do typed extraction and
+    schema inspection on the variant value — distinct from F7, which
+    re-parses the JSON STRING per path via get_json_object.  At
+    100 TB the difference is real: variant parses each value once at
+    ingest/scan and every later ``variant_get`` is a binary-offset
+    read, where string-path extraction re-tokenizes the JSON for
+    every path touched.
+
+    Declared output: per event_type counts/sums over
+    ``variant_get($.k, 'int')`` plus the inferred variant schema
+    string (a constant on this fixture — evidence the variant
+    inference really ran).  Oracle: DuckDB JSON extraction computes
+    identical values; the schema string is a literal."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    return (v.select(
+        "event_type",
+        F.variant_get("v", "$.k", "int").alias("k"),
+        F.schema_of_variant(F.col("v")).alias("sch"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("k").cast("bigint").alias("k_sum"),
+             F.max("k").alias("k_max"),
+             F.max("sch").alias("variant_schema")))
+
+
+F11_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT))
+            AS BIGINT) AS k_sum,
+       MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS k_max,
+       'OBJECT<k: BIGINT>' AS variant_schema
+FROM events GROUP BY event_type
+"""
+
+
 def f8_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8: cryptographic hashes (hex, lowercase in both engines)."""
     doc = load_table(spark, sf_dir, "documents")
@@ -389,4 +429,5 @@ QUERIES: dict[str, tuple] = {
     "f8_hash": (f8_hash, F8_SQL),
     "f9_bitwise": (f9_bitwise, F9_SQL),
     "f10_regex": (f10_regex, F10_SQL),
+    "f11_variant": (f11_variant, F11_SQL),
 }

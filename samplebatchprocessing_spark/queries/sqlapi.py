@@ -1431,6 +1431,52 @@ FROM lineitem
 """
 
 
+def m12_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 (r9): PIGGYBACKED DATA-QUALITY METRICS via the Spark 4
+    ``Observation`` / ``DataFrame.observe`` API (public): row count
+    and exact decimal total collected as CollectMetrics on the SAME
+    single pass that computes the per-status aggregate — the 100 TB
+    observability contract, where a separate "count the input" DQ
+    job would double the scan bill.  The plan gate
+    (tests/test_plans.py) pins exactly ONE orders scan with a
+    CollectMetrics node on it.
+
+    Declared output: the per-status aggregate joined with the
+    observed metrics as columns, plus ``metrics_consistent`` — the
+    observed row count must equal the sum of the grouped counts (a
+    divergence means the metrics read a different pass than the
+    result, the bug class observe exists to rule out)."""
+    from pyspark.sql import Observation
+
+    ord_ = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = ord_.observe(
+        obs, F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice", "total"))
+    res = (observed.groupBy("o_orderstatus")
+           .agg(F.count(F.lit(1)).alias("n"),
+                dsum("o_totalprice", "status_total")))
+    rows = res.collect()               # the action that fills obs
+    metrics = obs.get
+    consistent = metrics["n_rows"] == sum(r["n"] for r in rows)
+    return (spark.createDataFrame(rows, res.schema)
+            .withColumn("observed_rows",
+                        F.lit(metrics["n_rows"]).cast("bigint"))
+            .withColumn("observed_total",
+                        F.lit(float(metrics["total"])))
+            .withColumn("metrics_consistent", F.lit(bool(consistent))))
+
+
+M12_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n,
+       {sql_dsum('o_totalprice')} AS status_total,
+       (SELECT COUNT(*) FROM orders) AS observed_rows,
+       (SELECT {sql_dsum('o_totalprice')} FROM orders) AS observed_total,
+       TRUE AS metrics_consistent
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def v30_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V30 (r6): the TPC-H REFRESH stream (RF1 insert / RF2 delete) —
     the half of the benchmark read-only ports skip: a deterministic
@@ -1549,6 +1595,7 @@ QUERIES: dict[str, tuple] = {
     "m9_skipping_report": (m9_skipping_report, M9_SQL),
     "m10_vacuum": (m10_vacuum, M10_SQL),
     "m11_codec_report": (m11_codec_report, M11_SQL),
+    "m12_observed_metrics": (m12_observed_metrics, M12_SQL),
     "v30_tpch_refresh": (v30_tpch_refresh, V30_SQL),
     "w10_interval_frames": (w10_interval_frames, W10_SQL),
 }

@@ -1050,3 +1050,34 @@ def test_lsh_index_probe_prunes_bucket_partitions(spark, sf_smoke):
     total = (spark.read.parquet(idx)
              .select(F.input_file_name()).distinct().count())
     assert 0 < touched < total
+
+
+def test_lateral_topk_decorrelates_to_ranked_join(spark, sf_smoke):
+    """J16: Catalyst must decorrelate the lateral ORDER BY/LIMIT
+    subquery into a rank-pushed window (WindowGroupLimit) + an
+    equi-join — never a per-outer-row rescan of the inner (no
+    cartesian, exactly one orders scan)."""
+    from samplebatchprocessing_spark.queries.relational import (
+        j16_lateral_topk)
+    plan = plan_str(j16_lateral_topk(spark, sf_smoke))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("orders.parquet") == 1
+
+
+def test_observed_metrics_piggyback_single_scan(spark, sf_smoke):
+    """M12: the DQ metrics ride the SAME pass as the aggregate — the
+    plan carries a CollectMetrics node and exactly ONE orders scan
+    (a second scan would mean the metrics are a separate DQ job,
+    the double-billing observe exists to avoid)."""
+    from pyspark.sql import Observation
+    from samplebatchprocessing_spark.exprs import dsum
+    ord_ = load_table(spark, sf_smoke, "orders")
+    obs = Observation("dq_plan")
+    observed = ord_.observe(obs, F.count(F.lit(1)).alias("n_rows"),
+                            dsum("o_totalprice", "total"))
+    res = (observed.groupBy("o_orderstatus")
+           .agg(F.count(F.lit(1)).alias("n")))
+    plan = plan_str(res)
+    assert "CollectMetrics" in plan
+    assert plan.count("orders.parquet") == 1
