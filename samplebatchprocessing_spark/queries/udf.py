@@ -342,10 +342,18 @@ def d10_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     same semantics relationally — this row certifies the cogroup
     PLUMBING (schema, dual-frame signature, empty-side behavior)
     against that relational truth."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "event_type")
-    purch = ev.filter(F.col("event_type") == "purchase")
-    clicks = ev.filter(F.col("event_type") == "click")
+    # Each cogroup side gets its OWN load_table lineage: self-cogroup
+    # of two filters over ONE DataFrame hits a Spark analyzer
+    # attribute-dedup hazard when the source carries a derived column
+    # (the nanos-fixture ts normalization) — the right side arrives in
+    # the Python worker pruned to just the grouping key (observed at
+    # sf0.1; tests/test_invariants.py locks the fix at that scale).
+    purch = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type").filter(
+        F.col("event_type") == "purchase")
+    clicks = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type").filter(
+        F.col("event_type") == "click")
 
     def last_touch(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         cols = ["purchase_id", "user_id", "click_id", "lag_us"]

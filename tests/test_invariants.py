@@ -1314,3 +1314,25 @@ def test_table_checksum_null_canonicalization(spark, sf_smoke, tmp_path):
     assert sum(r[d_cols.index("n_rows")] for r in d_rows) == total
     assert (rows_to_multiset(s_df.columns, s_rows)
             == rows_to_multiset(d_cols, d_rows))
+
+
+def test_cogrouped_pandas_survives_nanos_fixture_scale(spark):
+    """d10 regression (r9): self-cogroup of two filters over ONE
+    DataFrame lineage hit a Spark analyzer attribute-dedup hazard on
+    the sf0.1 NANOS-timestamp events fixture — the right cogroup side
+    reached the Python worker pruned to just the grouping key
+    (KeyError 'ts').  d10 now builds each side from its own
+    load_table lineage; this locks the fix at the scale that
+    triggered it."""
+    import os
+
+    from samplebatchprocessing_spark.queries.udf import (
+        d10_cogrouped_pandas)
+    sf = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf):
+        import pytest as _pytest
+        _pytest.skip("sf0.1 fixtures not present")
+    df = d10_cogrouped_pandas(spark, sf)
+    assert df.columns == ["purchase_id", "user_id", "click_id",
+                          "lag_us"]
+    assert df.count() > 0
