@@ -1504,13 +1504,27 @@ def x36_dupgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge build keyed on the shared middle vertex, then a closing
     equi-join on the (lo, hi) endpoint pair; both are plain shuffles
     on small keys, never a cross join.  The a<b orientation counts
-    each triangle exactly once.  At whale-node scale you'd orient
-    edges by (degree, id) instead of raw id to bound wedge fan-out —
-    same two joins.
+    each triangle exactly once.
+
+    Orientation choice, MEASURED (r9): the sf0.1 dup graph is dense
+    and near-UNIFORM (2.2 M edges over 5 k docs, 1.16 B triangles —
+    template-family density, avg degree ~890 with no hubs).  The
+    x112 degree-oriented kernel (Suri & Vassilvitskii — the hub-skew
+    tool) was tried here and measured 247 s vs 78 s for this raw-id
+    plan at sf0.1/local[32]: with uniform degrees the orientation
+    cannot shrink wedge fan-out but still pays the degree join +
+    re-orientation passes.  Identical outputs both ways (triangle
+    counts are orientation-invariant).  Use graph.triangle_count
+    when the graph is hub-skewed; raw-id when it is dense-uniform.
     """
     doc = load_table(spark, sf_dir, "documents")
+    # eager localCheckpoint, not persist: the pair list is referenced
+    # THREE times, and a lazy persist lets the broadcast-build thread
+    # re-execute the whole banded-jaccard subtree inside the driver's
+    # broadcast memory budget (OOM observed at sf0.1 under a 1g
+    # LOCAL-mode JVM — the x65/x92 shared-subtree discipline).
     p = (dedup.jaccard_pairs(doc, threshold=0.8, open_vocab="signature")
-         .select("doc_a", "doc_b").persist())
+         .select("doc_a", "doc_b").localCheckpoint(eager=True))
     e1, e2, e3 = p.alias("e1"), p.alias("e2"), p.alias("e3")
     tri = (e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
            .join(e3, (F.col("e3.doc_a") == F.col("e1.doc_a"))
