@@ -48,9 +48,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Slot priorities follow the r8 verdict's enumeration: ALL the r8
     # debuts (x115–x131, s23–s25), the TPC-H shapes v14–v28, m4/m5/
     # m9, j11/j13/a14, then the head of the x1–x24 curation wave.
-    # After this window lands green, 53 backlog entries remain
-    # (the x7–x24 curation tail, v1–v7 subquery/pivot, x26+
-    # analytics, x34–x84 misc) — r10 takes ~45, r11 mops up.
+    # After this window lands green, 58 backlog entries remain:
+    # 53 pre-r9 (the x7–x24 curation tail, v1–v7 subquery/pivot,
+    # x26+ analytics, x34–x84 misc) plus the 5 later r9 debuts that
+    # postdate this window (x132, s26, j16, f11, m12) — r10 takes
+    # ~45, r11 mops up.
     # tests/test_registry_order.py locks the overlap bounds, the
     # 50-name shape, and the family anchors.
     #
