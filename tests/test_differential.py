@@ -1039,3 +1039,50 @@ def test_differential_lsh_index_lifecycle(spark, seed, tmp_path):
               D.lsh_index_probe(spark, rebuild, q_df,
                                 n_buckets=nb).collect()}
     assert got == re_got, f"seed={seed}: append != rebuild"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_lateral_topk(spark, seed, tmp_path):
+    """j16 fuzz: the decorrelated lateralJoin must equal pure-python
+    per-key top-2 on random data — customers with zero orders drop
+    (inner lateral), duplicate order dates stress the o_orderkey
+    tie-break, and single-order customers emit one row."""
+    import datetime as dt
+    import os
+
+    from samplebatchprocessing_spark.queries.relational import (
+        j16_lateral_topk)
+    rng = random.Random(48_000 + seed)
+    custs = [(i, rng.choice(["A", "B"])) for i in range(rng.randint(2, 8))]
+    orders, ok = [], 0
+    for c, _ in custs:
+        for _ in range(rng.randint(0, 5)):
+            d = dt.datetime(2020, 1, 1) + dt.timedelta(
+                days=rng.randint(0, 3))       # few days -> many ties
+            orders.append((ok, c, "O", float(rng.randint(1, 9) * 100),
+                           d, "1-URGENT"))
+            ok += 1
+    if not orders:
+        orders = [(0, custs[0][0], "O", 100.0,
+                   dt.datetime(2020, 1, 1), "1-URGENT")]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(c, f"c{c}", 0, 0.0, m) for c, m in custs],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string").write.parquet(
+        os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string").write.parquet(
+        os.path.join(d, "orders.parquet"))
+    got = {(r["c_custkey"], r["o_orderkey"], r["o_totalprice"])
+           for r in j16_lateral_topk(spark, d).collect()}
+    exp = set()
+    for c, _ in custs:
+        mine = sorted(((o[4], o[0]) for o in orders if o[1] == c),
+                      key=lambda t: (-t[0].timestamp(), t[1]))[:2]
+        for _, okey in mine:
+            price = next(o[3] for o in orders if o[0] == okey)
+            exp.add((c, okey, price))
+    assert got == exp, f"seed={seed}"
