@@ -364,21 +364,26 @@ def main() -> None:
             shutil.rmtree(d, ignore_errors=True)
 
     out = summarize(timings, errors, sf_dir)
-    ratio = (round(sentinel_post / sentinel_pre, 3)
-             if sentinel_pre > 0 else None)
-    out["sentinel"] = {"pre_sec": sentinel_pre, "post_sec": sentinel_post,
-                       "post_over_pre": ratio}
-    # Direction-aware: residual JIT warmup always makes post FASTER
-    # than pre (measured 0.63-0.86x across quiet runs), so only a
-    # post SLOWER than pre — load ramping during the suite — reads
-    # as contamination.  A magnitude-only |pre/post| > 1.5 rule
-    # false-positived on the warmup drift twice during development;
-    # unstable_queries stays informational (clean and loaded spreads
-    # overlap at the per-query level).
+    out.update(sentinel_verdict(sentinel_pre, sentinel_post))
     if unstable:
         out["unstable_queries"] = unstable
-    out["contaminated"] = bool(ratio is not None and ratio > 1.5)
     print(json.dumps(out))
+
+
+def sentinel_verdict(pre: float, post: float) -> dict:
+    """Direction-aware contamination verdict from the pre/post
+    control pair.  Residual C2-tier JIT warmup keeps making the
+    control FASTER through the whole suite (post/pre measured
+    0.51-0.86 on every quiet run), so only a post SLOWER than pre —
+    load ramping during the suite — reads as contamination; a
+    magnitude-only |ratio| > 1.5 rule false-positived on the warmup
+    drift three times during development."""
+    ratio = round(post / pre, 3) if pre > 0 else None
+    return {
+        "sentinel": {"pre_sec": pre, "post_sec": post,
+                     "post_over_pre": ratio},
+        "contaminated": bool(ratio is not None and ratio > 1.5),
+    }
 
 
 def summarize(timings: dict, errors: dict, sf_dir: str) -> dict:

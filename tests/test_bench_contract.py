@@ -46,3 +46,22 @@ def test_bench_queries_exist_in_registry():
     missing = [n for n in BENCH_QUERIES
                if n not in reg and n not in bench_only]
     assert not missing, missing
+
+
+def test_sentinel_verdict_direction_aware():
+    """The contamination flag is direction-aware: JIT warmup (post
+    faster than pre, measured 0.51-0.86x on every quiet run) must
+    NOT flag; load ramping during the suite (post slower) must."""
+    from bench import sentinel_verdict
+    warm = sentinel_verdict(0.468, 0.238)      # measured quiet run
+    assert warm["contaminated"] is False
+    assert warm["sentinel"]["post_over_pre"] == 0.509
+    loaded = sentinel_verdict(0.30, 0.95)      # box loaded mid-suite
+    assert loaded["contaminated"] is True
+    flat = sentinel_verdict(0.30, 0.33)        # within noise
+    assert flat["contaminated"] is False
+    degenerate = sentinel_verdict(0.0, 0.5)    # guard: no div-by-zero
+    assert degenerate["contaminated"] is False
+    assert degenerate["sentinel"]["post_over_pre"] is None
+    import json
+    json.dumps(warm)
