@@ -605,13 +605,29 @@ def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", _sig_expr(token_set(F.col(text_col))).alias("sig"))
 
 
+def _check_bands(n_bands: int) -> int:
+    """Validate a band count against the frozen hash family (r10,
+    ADVICE): ``N_HASHES // n_bands`` with a non-dividing ``n_bands``
+    would SILENTLY drop the trailing signature hashes (weakening the
+    LSH recall contract), and ``n_bands > N_HASHES`` would make
+    rows-per-band zero so ``F.hash()`` gets zero columns and fails
+    with an opaque analyzer error.  Fail loudly instead; returns the
+    exact rows-per-band."""
+    if not (isinstance(n_bands, int) and 1 <= n_bands <= N_HASHES
+            and N_HASHES % n_bands == 0):
+        raise ValueError(
+            f"n_bands must be an integer divisor of N_HASHES="
+            f"{N_HASHES} in [1, {N_HASHES}], got {n_bands!r}")
+    return N_HASHES // n_bands
+
+
 def _lsh_pairs_from_sets(sets_df: DataFrame,
                          n_bands: int = N_BANDS) -> DataFrame:
     """Banded-LSH candidate pairs from a (doc_id, toks) frame.
     Signature -> ``n_bands`` band hashes (rows-per-band =
     N_HASHES/n_bands; more bands -> lower s-curve threshold) ->
     explode -> equi-join on (band_idx, band_hash)."""
-    rpb = N_HASHES // n_bands
+    rpb = _check_bands(n_bands)
     sigs = (sets_df.withColumn("_hs", _h31_expr(F.col("toks")))
             .select("doc_id", _sig_from_hashes(F.col("_hs")).alias("sig")))
     bands = sigs.select(
@@ -647,7 +663,7 @@ def lsh_band_relation(df: DataFrame, text_col: str = "text",
     build and probe).  All built-ins (xxhash64 / transform /
     array_min / hash), fully JVM-side: signature + bands are
     row-local, no shuffle until the caller's layout step."""
-    rpb = N_HASHES // n_bands
+    rpb = _check_bands(n_bands)
     sets = df.select(F.col(id_col).alias("did"),
                      token_set(F.col(text_col)).alias("toks"))
     sigs = (sets.withColumn("_hs", _h31_expr(F.col("toks")))

@@ -2390,34 +2390,55 @@ FROM l{rounds}""")
 
 
 
+def _netstring(base: str) -> str:
+    """x130's per-column rendering, made COLLISION-PROOF (r10,
+    ADVICE): a non-null value is length-prefixed (netstring style,
+    ``LENGTH(v) || ':' || v``) and a NULL renders as the bare token
+    ``'n'``.  The prefix makes every rendered column self-delimiting,
+    so the '|' join separator can never be forged by a value that
+    CONTAINS '|' ("a|b","c" vs "a","b|c" now render differently),
+    and NULL can never collide with any literal string (every
+    non-null rendering starts with a digit).  Shared verbatim by
+    both engines: the template is ANSI CASE/LENGTH/|| and DuckDB
+    accepts STRING as a VARCHAR alias."""
+    return (f"CASE WHEN ({base}) IS NULL THEN 'n' "
+            f"ELSE CAST(LENGTH({base}) AS STRING) || ':' || ({base}) "
+            f"END")
+
+
 #: x130's canonical row rendering: bigint keys and category strings
 #: as-is, dates as ISO strings, doubles scaled to exact integer
 #: grids with an explicit FLOOR (both engines floor the SAME IEEE
 #: double product, and cast-to-bigint semantics differ — Spark
 #: truncates, DuckDB rounds — so the floor must be spelled out).
-#: NULL canonicalization (r9, ADVICE): every hashed column is
-#: COALESCEd to a sentinel AFTER the string cast, on BOTH engines.
-#: Without it the engines silently diverge on any NULL: Spark's
-#: concat_ws SKIPS nulls while DuckDB's '||' NULL-PROPAGATES (md5 of
-#: NULL is NULL, dropping the row from SUM while COUNT keeps it).
-#: The fixture is NULL-free, but the checksum claims to be a GENERAL
-#: table-equality primitive, so the contract must hold beyond it.
-_X130_COLS = (
-    "COALESCE(CAST(l_orderkey AS STRING), '<NULL>')",
-    "COALESCE(CAST(l_linenumber AS STRING), '<NULL>')",
-    "COALESCE(l_returnflag, '<NULL>')",
-    "COALESCE(l_linestatus, '<NULL>')",
-    "COALESCE(CAST(l_shipdate AS STRING), '<NULL>')",
-    "COALESCE(CAST(FLOOR(l_extendedprice * 100) AS STRING), '<NULL>')",
-    "COALESCE(CAST(FLOOR(l_quantity * 100) AS STRING), '<NULL>')",
-    "COALESCE(CAST(FLOOR(l_discount * 1000) AS STRING), '<NULL>')",
-)
+#: NULL canonicalization (r9 ADVICE) + netstring length prefix (r10
+#: ADVICE): every hashed column renders through :func:`_netstring`
+#: on BOTH engines.  Without NULL handling the engines silently
+#: diverge on any NULL (Spark's concat_ws SKIPS nulls while DuckDB's
+#: '||' NULL-PROPAGATES — md5 of NULL is NULL, dropping the row from
+#: SUM while COUNT keeps it); without the length prefix a NULL was
+#: indistinguishable from a literal sentinel string and '|' inside a
+#: value could forge a neighboring column.  The fixture is NULL-free
+#: and '|'-free, but the checksum claims to be a GENERAL
+#: table-equality primitive, so the contract must hold beyond it
+#: (collision classes are test-pinned in tests/test_invariants.py).
+_X130_COLS = tuple(_netstring(b) for b in (
+    "CAST(l_orderkey AS STRING)",
+    "CAST(l_linenumber AS STRING)",
+    "l_returnflag",
+    "l_linestatus",
+    "CAST(l_shipdate AS STRING)",
+    "CAST(FLOOR(l_extendedprice * 100) AS STRING)",
+    "CAST(FLOOR(l_quantity * 100) AS STRING)",
+    "CAST(FLOOR(l_discount * 1000) AS STRING)",
+))
 
 
 def x130_hash_col():
     """The per-row checksum term shared by x130/x131 (and bench.py's
-    delta-maintenance probe): md5 of the canonical NULL-coalesced
-    '|'-joined rendering, top 15 hex chars as decimal(38,0)."""
+    delta-maintenance probe): md5 of the canonical '|'-joined
+    netstring rendering (length-prefixed values, NULL -> 'n'; see
+    :func:`_netstring`), top 15 hex chars as decimal(38,0)."""
     return F.conv(F.substring(F.md5(F.concat_ws(
         "|", *[F.expr(c) for c in _X130_COLS])), 1, 15), 16, 10) \
         .cast("decimal(38,0)")
@@ -2456,18 +2477,15 @@ def x130_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("checksum"))
 
 
-_X130_SQL_COLS = " || '|' || ".join((
-    "COALESCE(CAST(l_orderkey AS VARCHAR), '<NULL>')",
-    "COALESCE(CAST(l_linenumber AS VARCHAR), '<NULL>')",
-    "COALESCE(l_returnflag, '<NULL>')",
-    "COALESCE(l_linestatus, '<NULL>')",
-    "COALESCE(CAST(l_shipdate AS VARCHAR), '<NULL>')",
-    "COALESCE(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"
-    " AS VARCHAR), '<NULL>')",
-    "COALESCE(CAST(CAST(FLOOR(l_quantity * 100) AS BIGINT)"
-    " AS VARCHAR), '<NULL>')",
-    "COALESCE(CAST(CAST(FLOOR(l_discount * 1000) AS BIGINT)"
-    " AS VARCHAR), '<NULL>')",
+_X130_SQL_COLS = " || '|' || ".join(_netstring(b) for b in (
+    "CAST(l_orderkey AS VARCHAR)",
+    "CAST(l_linenumber AS VARCHAR)",
+    "l_returnflag",
+    "l_linestatus",
+    "CAST(l_shipdate AS VARCHAR)",
+    "CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS VARCHAR)",
+    "CAST(CAST(FLOOR(l_quantity * 100) AS BIGINT) AS VARCHAR)",
+    "CAST(CAST(FLOOR(l_discount * 1000) AS BIGINT) AS VARCHAR)",
 ))
 
 X130_SQL = f"""

@@ -371,7 +371,11 @@ def d10_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id": m["event_id"],
             "user_id": m["user_id"],
             "click_id": m["event_id_c"].astype("int64"),
-            "lag_us": ((m["ts"] - m["cts"]).astype("int64") // 1000),
+            # unit-explicit (r10, ADVICE): dividing by a Timedelta is
+            # exact microseconds at ANY Arrow timestamp resolution,
+            # where .astype('int64')//1000 silently assumed ns
+            "lag_us": ((m["ts"] - m["cts"])
+                       // pd.Timedelta(microseconds=1)).astype("int64"),
         })
         return out[cols]
 

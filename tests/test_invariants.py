@@ -1266,8 +1266,9 @@ def test_table_checksum_null_canonicalization(spark, sf_smoke, tmp_path):
     NULLs while DuckDB's '||' NULL-propagates (md5(NULL) = NULL drops
     the row from SUM while COUNT keeps it) — so without explicit
     canonicalization the cross-engine checksum silently diverges on
-    the first NULL.  Both twins now COALESCE every hashed column to
-    '<NULL>'; this test plants NULLs in four hashed columns (date,
+    the first NULL.  Both twins now render every hashed column
+    through the shared netstring template (NULL -> the prefix-free
+    token 'n'); this test plants NULLs in four hashed columns (date,
     double, string, and the int PK itself) and asserts the two
     engines still produce the identical (group, n_rows, checksum)
     relation — n_rows == full fixture count on BOTH sides."""
@@ -1314,6 +1315,53 @@ def test_table_checksum_null_canonicalization(spark, sf_smoke, tmp_path):
     assert sum(r[d_cols.index("n_rows")] for r in d_rows) == total
     assert (rows_to_multiset(s_df.columns, s_rows)
             == rows_to_multiset(d_cols, d_rows))
+
+
+def test_table_checksum_collision_classes(spark, sf_smoke, tmp_path):
+    """x130 netstring contract (r10, ADVICE): the old rendering had
+    two documented collision classes — a NULL was indistinguishable
+    from the literal sentinel string, and a value CONTAINING the '|'
+    join separator could forge a neighboring column.  The
+    length-prefixed rendering (``_netstring``) kills both; this test
+    plants each collision pair and asserts the checksums now
+    DISAGREE (under the old rendering both pairs hashed equal)."""
+    import os
+
+    from samplebatchprocessing_spark.queries.analytics import (
+        x130_table_checksum)
+
+    li = load_table(spark, sf_smoke, "lineitem").localCheckpoint()
+    k = F.col("l_orderkey")
+
+    def run(df, name):
+        path = str(tmp_path / name)
+        os.makedirs(path)
+        df.write.parquet(os.path.join(path, "lineitem.parquet"))
+        return {r["l_returnflag"]: (r["n_rows"], r["checksum"])
+                for r in x130_table_checksum(spark, path).collect()}
+
+    # class 1: NULL vs the literal NULL token in a hashed string col
+    a = li.withColumn("l_linestatus",
+                      F.when(k % 7 == 5, None)
+                      .otherwise(F.col("l_linestatus")))
+    b = li.withColumn("l_linestatus",
+                      F.when(k % 7 == 5, F.lit("n"))
+                      .otherwise(F.col("l_linestatus")))
+    assert run(a, "null_a") != run(b, "null_b")
+
+    # class 2: '|' inside a value forging the adjacent column — the
+    # rendering itself must be injective on the column TUPLE.  Under
+    # the old '|'-concat, ("a|b","c") and ("a","b|c") both rendered
+    # "a|b|c" and (NULL,"x") == ("<NULL>","x"); netstring renders all
+    # four distinctly ("3:a|b|1:c", "1:a|3:b|c", "n|1:x", "1:n|1:x").
+    from samplebatchprocessing_spark.queries.analytics import _netstring
+    pairs = spark.createDataFrame(
+        [("a|b", "c"), ("a", "b|c"), (None, "x"), ("n", "x")],
+        "u string, v string")
+    rendered = [r["r"] for r in pairs.select(
+        F.concat_ws("|", F.expr(_netstring("u")),
+                    F.expr(_netstring("v"))).alias("r")).collect()]
+    assert len(set(rendered)) == 4, rendered
 
 
 def test_cogrouped_pandas_survives_nanos_fixture_scale(spark):

@@ -25,6 +25,24 @@ def test_minhash_lsh_recall_vs_jaccard(spark, sf_smoke):
     assert recall >= 0.95, f"LSH recall {recall:.3f} < 0.95"
 
 
+def test_lsh_band_count_guard(spark, sf_smoke):
+    """r10 ADVICE: a band count that doesn't divide N_HASHES would
+    SILENTLY truncate the signature (weakening the recall contract),
+    and n_bands > N_HASHES would call F.hash() with zero columns.
+    Both band-relation builders must fail loudly instead."""
+    doc = load_table(spark, sf_smoke, "documents").limit(4)
+    for bad in (0, 5, dedup.N_HASHES + 1, -4, 3):
+        with pytest.raises(ValueError, match="divisor"):
+            dedup.lsh_band_relation(doc, n_bands=bad)
+        with pytest.raises(ValueError, match="divisor"):
+            dedup._lsh_pairs_from_sets(
+                doc.select("doc_id", F.array().alias("toks")),
+                n_bands=bad)
+    # every legal divisor still builds
+    for ok in (1, 2, 4, 8, 16, 32):
+        dedup.lsh_band_relation(doc, n_bands=ok)
+
+
 def test_simhash_near_dups_have_small_hamming(spark, sf_smoke):
     """Near-identical token sets must land within a small Hamming
     distance; random pairs should average much larger."""
