@@ -466,12 +466,16 @@ def _start_watch_stream(spark: SparkSession, bucket_dir: str,
             .trigger(**trigger).start())
 
 
-def commit_log(spark: SparkSession, bucket_dir: str) -> DataFrame:
+def commit_log(spark: SparkSession, bucket_dir: str,
+               log_dir: str | None = None) -> DataFrame:
     """Cumulative per-file commit log for a watched bucket, deduped to
     the NEWEST row per file (a file that failed under an old
     checkpoint and succeeded after a fresh one must not surface both
-    its ok=false and ok=true rows).  The on-disk log keeps history."""
-    log_dir = os.path.join(bucket_dir, "_commit_log")
+    its ok=false and ok=true rows).  The on-disk log keeps history.
+    ``log_dir`` overrides the default location (same seam as
+    :func:`quarantine_ledger`: an object-store bucket keeps its
+    Spark-written control tables on a Spark-readable filesystem)."""
+    log_dir = log_dir or os.path.join(bucket_dir, "_commit_log")
     if not os.path.exists(log_dir):     # nothing ever processed
         return spark.createDataFrame([], LOG_SCHEMA)
     full = spark.read.parquet(log_dir)
