@@ -1310,6 +1310,81 @@ FROM documents
 """
 
 
+def l17_lsh_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L17 (r10, VERDICT r9 #2): COMPACTION of the persisted
+    MinHash-LSH band index — x132's last missing maintenance
+    quadrant, mirroring what x123 does for the postings index:
+    ``lsh_index_append`` adds files per bucket forever, so the
+    sorted-within-bucket layout that enables row-group skipping
+    decays at crawl cadence; the compaction pass folds the layers
+    back into the canonical one-file-per-bucket sorted layout
+    (``operators.dedup.lsh_index_compact`` — repartition on the
+    EXISTING frozen bucket column, never a re-hash).
+
+    Build from the base slice, APPEND the delta slice (multi-file
+    buckets — the decayed layout), COMPACT, and declare:
+    - ``compact_parity``: layered band relation == compacted (both
+      exceptAll directions empty, nonempty) — compaction is a pure
+      LAYOUT change, moving no row across buckets, dropping and
+      duplicating nothing;
+    - ``probe_parity``: probing the compacted index == probing the
+      layered one for the same incoming batch (in-flight serving
+      equivalence — probes may run against either layout);
+    - ``layout_restored``: the compacted index is back to ONE data
+      file per bucket while the layered one had more (file census —
+      bounded driver-side metadata, the x123 discipline)."""
+    doc = load_table(spark, sf_dir, "documents")
+    from .sources import _work_dir
+    base = doc.filter(~F.col("source").isin("src1", "src2"))
+    delta = doc.filter(F.col("source") == "src1")
+    batch = doc.filter(F.col("source") == "src2")
+    idx = _work_dir(sf_dir, "l17_layered")
+    cmp_dir = _work_dir(sf_dir, "l17_compacted")
+    dedup.lsh_index_write(base, idx)
+    dedup.lsh_index_append(delta, idx)
+    dedup.lsh_index_compact(spark, [idx], cmp_dir)
+
+    cols = ["did", "band_idx", "band_hash", "bucket"]
+    a = spark.read.parquet(idx).select(cols)
+    b = spark.read.parquet(cmp_dir).select(cols)
+    compact_parity = (a.exceptAll(b).count() == 0
+                      and b.exceptAll(a).count() == 0
+                      and b.count() > 0)
+    p1 = dedup.lsh_index_probe(spark, idx, batch)
+    p2 = dedup.lsh_index_probe(spark, cmp_dir, batch)
+    probe_parity = (p1.exceptAll(p2).count() == 0
+                    and p2.exceptAll(p1).count() == 0
+                    and p1.count() > 0)
+
+    def census(d: str) -> dict[str, int]:
+        import glob
+        import os
+        return {os.path.basename(bk):
+                len(glob.glob(os.path.join(bk, "*.parquet")))
+                for bk in glob.glob(os.path.join(d, "bucket=*"))}
+
+    before, after = census(idx), census(cmp_dir)
+    layout_restored = (set(before) == set(after)
+                       and all(v == 1 for v in after.values())
+                       and sum(before.values()) > sum(after.values()))
+    return spark.createDataFrame(
+        [(base.count(), delta.count(), compact_parity, probe_parity,
+          layout_restored)],
+        "n_base long, n_delta long, compact_parity boolean, "
+        "probe_parity boolean, layout_restored boolean")
+
+
+L17_SQL = """
+SELECT CAST(SUM(CASE WHEN source NOT IN ('src1', 'src2')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_delta,
+       TRUE AS compact_parity, TRUE AS probe_parity,
+       TRUE AS layout_restored
+FROM documents
+"""
+
+
 X38_SQL = f"""
 WITH s AS (SELECT doc_id, source, {token_set_sql('text')} AS toks
            FROM documents),
@@ -4883,6 +4958,7 @@ QUERIES: dict[str, tuple] = {
     "l14_incremental_dedup": (l14_incremental_dedup, L14_SQL),
     "x38_incremental_fuzzy_dedup": (x38_incremental_fuzzy_dedup, X38_SQL),
     "x132_lsh_index_lifecycle": (x132_lsh_index_lifecycle, X132_SQL),
+    "l17_lsh_index_compact": (l17_lsh_index_compact, L17_SQL),
     "l15_fuzzy_dedup_keep": (l15_fuzzy_dedup_keep, L15_SQL),
     "l16_dedup_keep_best": (l16_dedup_keep_best, L16_SQL),
     "x33_zipf_fit": (x33_zipf_fit, X33_SQL),

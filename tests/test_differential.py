@@ -1040,6 +1040,20 @@ def test_differential_lsh_index_lifecycle(spark, seed, tmp_path):
                                 n_buckets=nb).collect()}
     assert got == re_got, f"seed={seed}: append != rebuild"
 
+    # l17 (r10): compaction is a pure LAYOUT change under ANY split —
+    # full band relation identical, probe identical, buckets frozen
+    compacted = str(tmp_path / "compacted")
+    D.lsh_index_compact(spark, [idx], compacted)
+    cols = ["did", "band_idx", "band_hash", "bucket"]
+    lay = spark.read.parquet(idx).select(cols)
+    cmp_ = spark.read.parquet(compacted).select(cols)
+    assert lay.exceptAll(cmp_).count() == 0, f"seed={seed}: lost rows"
+    assert cmp_.exceptAll(lay).count() == 0, f"seed={seed}: dup rows"
+    c_got = {(r["batch_id"], r["corpus_id"]) for r in
+             D.lsh_index_probe(spark, compacted, q_df,
+                               n_buckets=nb).collect()}
+    assert got == c_got, f"seed={seed}: compact != layered probe"
+
 
 @pytest.mark.parametrize("seed", range(4))
 def test_differential_lateral_topk(spark, seed, tmp_path):
