@@ -403,6 +403,60 @@ SELECT purchase_id, user_id, click_id, lag_us FROM j WHERE rn = 1
 """
 
 
+def d11_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 (r10): GROUPED-MAP Arrow — ``groupBy().applyInArrow``
+    (public PySpark 4 API), the last uncovered cell of the
+    UDF-surface matrix: D3 is the grouped map through pandas, D9 the
+    ungrouped map through raw Arrow; this is the grouped map with NO
+    pandas materialization — each group arrives as one
+    ``pyarrow.Table`` and the kernel answers with a Table, all
+    arithmetic in ``pyarrow.compute`` vector ops (the surface for
+    handing whole groups to Arrow-native C++/Rust kernels).
+
+    Per (l_returnflag, l_linestatus) group: exact integer stats —
+    row count, quantity scaled to a cent grid and summed as int64
+    (both engines floor the same IEEE product), max order key.
+    Declared as an API-certification row (the d10 discipline): the
+    same aggregate is expressible relationally, so the oracle pins
+    the Arrow plumbing — group batching, Table signature, schema
+    mapping — not new semantics.  Scale: at 100 TB you'd write this
+    aggregation with built-ins (map-side combine beats shipping
+    groups to Python); the grouped-Arrow surface is for kernels
+    built-ins CAN'T express, and those inherit exactly this shuffle
+    shape (one hash partition on the group key, each group streamed
+    once)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")
+
+    def gstats(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        cents = pc.cast(pc.floor(pc.multiply(
+            table.column("l_quantity"), pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+            "l_linestatus": [table.column("l_linestatus")[0].as_py()],
+            "n": pa.array([table.num_rows], pa.int64()),
+            "qty_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+            "max_orderkey": pa.array(
+                [pc.max(table.column("l_orderkey")).as_py()], pa.int64()),
+        })
+
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .applyInArrow(gstats,
+                          "l_returnflag string, l_linestatus string, "
+                          "n long, qty_cents long, max_orderkey long"))
+
+
+D11_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS qty_cents,
+       MAX(l_orderkey) AS max_orderkey
+FROM lineitem GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "d1_scalar_udf": (d1_scalar_udf, D1_SQL),
     "d2_pandas_udf": (d2_pandas_udf, D2_SQL),
@@ -414,4 +468,5 @@ QUERIES: dict[str, tuple] = {
     "d8_arrow_udf": (d8_arrow_udf, D8_SQL),
     "d9_map_in_arrow": (d9_map_in_arrow, D9_SQL),
     "d10_cogrouped_pandas": (d10_cogrouped_pandas, D10_SQL),
+    "d11_apply_in_arrow": (d11_apply_in_arrow, D11_SQL),
 }
