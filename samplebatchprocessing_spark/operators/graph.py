@@ -89,46 +89,41 @@ def pagerank_fixedpoint(edges: DataFrame, iterations: int = 3,
     return ranks
 
 
-def triangle_count(edges: DataFrame, a: str = "a",
-                   b: str = "b") -> DataFrame:
-    """Exact triangle census over an undirected edge list, via
-    degree-ordered edge orientation (the distributed-triangle
-    standard: Suri & Vassilvitskii 2011, "Counting Triangles and the
-    Curse of the Last Reducer").  Returns ONE row:
-    (n_nodes, n_edges, n_wedges, n_triangles, transitivity_ppm).
+def _canon_edges(edges: DataFrame, a: str, b: str) -> DataFrame:
+    """Canonical undirected edge list: {x, y} -> one (u < v) row,
+    self-loops and duplicates/reversals dropped; eagerly
+    localCheckpointed (the x65/x92 shared-subtree discipline — every
+    triangle kernel re-reads it several times)."""
+    return (edges
+            .select(F.least(F.col(a), F.col(b)).alias("u"),
+                    F.greatest(F.col(a), F.col(b)).alias("v"))
+            .filter(F.col("u") < F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True))
 
-    Algorithm: canonicalize each undirected edge {x, y} once, orient
-    every edge from its lower-(degree, id) endpoint to the higher
-    one, join oriented wedges (s->t1, s->t2) back against the
-    oriented edge (t1->t2).  Each triangle matches EXACTLY once:
-    its minimum-(degree, id) vertex is the wedge center, and of the
-    two ordered (t1, t2) pairs only the one agreeing with the third
-    edge's orientation survives the equi-join.
 
-    Scale: the orientation bounds every out-neighborhood by
-    O(sqrt(m)) regardless of raw degree skew — the wedge join's
-    fan-out is sum(d_out^2) = O(m^1.5) worst-case instead of the
-    hub-dominated sum(deg^2) of a naive wedge join; all three joins
-    are keyed equi-joins (plan-gated: no cartesian).  ``deg`` is
-    node-sized and re-read three times, ``oe`` edge-sized and
-    re-read three times — both eagerly localCheckpointed (the
-    x65/x92 shared-subtree discipline) so the corpus-derived edge
-    list is scanned once.
+def _degrees(e: DataFrame) -> DataFrame:
+    """(node, dg) over a canonical edge list, eagerly checkpointed
+    (node-sized, re-read by orientation + census)."""
+    return (e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .localCheckpoint(eager=True))
 
-    transitivity = 3 * triangles / wedges (closed over open+closed
-    wedges), kept exact as parts-per-million floor division.
-    """
-    e = (edges
-         .select(F.least(F.col(a), F.col(b)).alias("u"),
-                 F.greatest(F.col(a), F.col(b)).alias("v"))
-         .filter(F.col("u") < F.col("v"))
-         .distinct()
-         .localCheckpoint(eager=True))
-    deg = (e.select(F.col("u").alias("node"))
-           .unionByName(e.select(F.col("v").alias("node")))
-           .groupBy("node")
-           .agg(F.count(F.lit(1)).alias("dg"))
-           .localCheckpoint(eager=True))
+
+def _tri_degree_oriented(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """1-row n_triangles via degree-ordered orientation (Suri &
+    Vassilvitskii 2011): orient every edge from its lower-(degree,
+    id) endpoint to the higher one, join oriented wedges (s->t1,
+    s->t2) back against the oriented edge (t1->t2).  Each triangle
+    matches EXACTLY once: its minimum-(degree, id) vertex is the
+    wedge center, and of the two ordered (t1, t2) pairs only the one
+    agreeing with the third edge's orientation survives the
+    equi-join.  The orientation bounds every out-neighborhood by
+    O(sqrt(m)) regardless of raw degree skew — wedge fan-out is
+    sum(d_out^2) = O(m^1.5) worst-case instead of the hub-dominated
+    sum(deg^2) of a naive wedge join."""
     du = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("dg").alias("dv"))
     u_first = ((F.col("du") < F.col("dv"))
@@ -143,14 +138,41 @@ def triangle_count(edges: DataFrame, a: str = "a",
     e1 = oe.select(F.col("s"), F.col("t").alias("t1"))
     e2 = oe.select(F.col("s"), F.col("t").alias("t2"))
     e3 = oe.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
-    tri = (e1.join(e2, "s")
-           .filter(F.col("t1") != F.col("t2"))
-           .join(e3, ["t1", "t2"])
-           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    return (e1.join(e2, "s")
+            .filter(F.col("t1") != F.col("t2"))
+            .join(e3, ["t1", "t2"])
+            .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def _tri_rawid_oriented(e: DataFrame) -> DataFrame:
+    """1-row n_triangles via RAW-ID orientation (x36's measured
+    plan): the canonical (u < v) edges are already an acyclic
+    orientation, so a triangle a<b<c closes as path (a,b)+(b,c)
+    joined against (a,c) — two equi-joins, NO degree computation and
+    NO re-orientation pass.  On a near-uniform-degree graph this is
+    the faster kernel (measured r9: 78 s vs 247 s at sf0.1 on the
+    dense dup graph — orientation cannot shrink fan-out when there
+    are no hubs, but still pays its two extra passes); on a
+    hub-skewed graph the max-id hub center makes it blow up, which
+    is what :func:`triangle_count_auto`'s probe protects against."""
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+            .join(e3, (F.col("e3.u") == F.col("e1.u"))
+                  & (F.col("e3.v") == F.col("e2.v")))
+            .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def _census(deg: DataFrame, tri: DataFrame) -> DataFrame:
+    """Assemble the declared 1-row census from the node-degree frame
+    and a 1-row triangle count.  transitivity = 3 * triangles /
+    wedges, kept exact as parts-per-million floor division."""
     summary = (deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.expr("cast(sum(dg) div 2 as bigint)").alias("n_edges"),
-        F.expr("cast(sum(dg * (dg - 1) div 2) as bigint)")
+        # coalesce: SUM over an EMPTY degree frame is NULL, but the
+        # empty graph's census is all-zeros, not all-NULL
+        F.expr("cast(coalesce(sum(dg), 0) div 2 as bigint)")
+        .alias("n_edges"),
+        F.expr("cast(coalesce(sum(dg * (dg - 1) div 2), 0) as bigint)")
         .alias("n_wedges")))
     return (summary.crossJoin(tri)  # two 1-row frames
             .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
@@ -158,6 +180,89 @@ def triangle_count(edges: DataFrame, a: str = "a",
                            "cast(3 * n_triangles * 1000000 div n_wedges"
                            " as bigint) end")
                     .alias("transitivity_ppm")))
+
+
+def triangle_count(edges: DataFrame, a: str = "a",
+                   b: str = "b") -> DataFrame:
+    """Exact triangle census over an undirected edge list, via
+    degree-ordered edge orientation (the distributed-triangle
+    standard: Suri & Vassilvitskii 2011, "Counting Triangles and the
+    Curse of the Last Reducer").  Returns ONE row:
+    (n_nodes, n_edges, n_wedges, n_triangles, transitivity_ppm).
+
+    All joins are keyed equi-joins (plan-gated: no cartesian); the
+    canonical edge list and the node-degree frame are each computed
+    once and eagerly localCheckpointed.  See
+    :func:`_tri_degree_oriented` for the orientation argument and
+    :func:`triangle_count_auto` for the measured kernel-choice rule.
+    """
+    e = _canon_edges(edges, a, b)
+    deg = _degrees(e)
+    return _census(deg, _tri_degree_oriented(e, deg))
+
+
+def triangle_count_rawid(edges: DataFrame, a: str = "a",
+                         b: str = "b") -> DataFrame:
+    """The same exact census through the RAW-ID-oriented kernel —
+    the dense-uniform-graph tool (see :func:`_tri_rawid_oriented`).
+    Output-identical to :func:`triangle_count` on every input
+    (triangle counts are orientation-invariant; differential-tested
+    kernel-vs-kernel)."""
+    e = _canon_edges(edges, a, b)
+    return _census(_degrees(e), _tri_rawid_oriented(e))
+
+
+def orientation_is_skewed(max_deg: int, n_nodes: int, sum_deg: int,
+                          skew_threshold: int = 8) -> bool:
+    """:func:`triangle_count_auto`'s decision predicate, exact
+    integer arithmetic (no float division): hub-skewed iff
+    max_degree / mean_degree >= skew_threshold, i.e.
+    ``max_deg * n_nodes >= skew_threshold * sum_deg``.  Pure
+    function so the rule itself is unit-testable apart from the
+    kernels it steers (the bench.py ``sentinel_verdict`` precedent).
+    """
+    return max_deg * n_nodes >= skew_threshold * sum_deg
+
+
+def triangle_count_auto(edges: DataFrame, a: str = "a",
+                        b: str = "b",
+                        skew_threshold: int = 8) -> DataFrame:
+    """Kernel-choosing triangle census (r10, VERDICT r9 #4): encode
+    the measured x36/x112 orientation decision as an operator
+    instead of a per-callsite human choice.
+
+    Probe: ONE aggregate over the node-sized degree frame —
+    ``max(dg) * n_nodes >= skew_threshold * sum(dg)`` (exact integer
+    compare of max/mean degree ratio, a 1-row driver scalar).
+    Hub-skewed -> degree-oriented kernel (orientation bounds wedge
+    fan-out by O(sqrt m) — a hub star's raw-id plan is quadratic in
+    the hub degree); near-uniform -> raw-id kernel (orientation
+    cannot shrink fan-out without hubs but still pays the degree
+    join + two re-orientation passes; measured r9 at sf0.1: 78 s
+    raw-id vs 247 s degree-oriented on the dense dup graph).  The
+    default threshold 8 sits between the fixture regimes: the dense
+    dup graph probes ~2-3x, a hub star probes ~n/2.
+
+    Both kernels share the canonical edge list and the degree frame
+    (already needed for the census), so the probe's marginal cost is
+    one node-sized aggregate — o(graph) against the wedge join it
+    steers.  Output is identical either way (orientation-invariant;
+    differential-tested against both fixed kernels)."""
+    if skew_threshold < 1:
+        raise ValueError(
+            f"skew_threshold must be >= 1, got {skew_threshold}")
+    e = _canon_edges(edges, a, b)
+    deg = _degrees(e)
+    probe = deg.agg(F.max("dg").alias("mx"),
+                    F.sum("dg").alias("sm"),
+                    F.count(F.lit(1)).alias("n")).first()
+    if probe["n"] == 0:                 # empty graph: either kernel
+        return _census(deg, _tri_rawid_oriented(e))
+    skewed = orientation_is_skewed(probe["mx"], probe["n"],
+                                   probe["sm"], skew_threshold)
+    tri = (_tri_degree_oriented(e, deg) if skewed
+           else _tri_rawid_oriented(e))
+    return _census(deg, tri)
 
 
 def _peel_once(sym: DataFrame, k: int) -> DataFrame:

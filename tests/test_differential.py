@@ -465,12 +465,15 @@ def _gen_graph(seed: int):
 
 @pytest.mark.parametrize("seed", range(8))
 def test_differential_triangle_census(spark, seed):
-    """x112 fuzz: the degree-oriented census must match pure-Python
-    truth on all five declared columns for random graphs with planted
-    cliques, hub skew, and dirty (duplicate/reversed/self-loop)
-    input."""
+    """x112 fuzz: ALL THREE triangle kernels (degree-oriented,
+    raw-id-oriented, and the r10 auto chooser) must match
+    pure-Python truth on all five declared columns for random graphs
+    with planted cliques, hub skew, and dirty
+    (duplicate/reversed/self-loop) input — triangle counts are
+    orientation-invariant, so the kernels are interchangeable by
+    contract and the auto probe may pick either."""
     from samplebatchprocessing_spark.operators.graph import (
-        triangle_count)
+        triangle_count, triangle_count_auto, triangle_count_rawid)
     dirty, clean = _gen_graph(seed)
     if not clean:
         pytest.skip("degenerate empty graph")
@@ -485,12 +488,14 @@ def test_differential_triangle_census(spark, seed):
                 for w in adj[u] & adj[v] if w > v)
     ppm = (3 * n_tri * 1_000_000 // n_wedges) if n_wedges else None
     df = spark.createDataFrame(dirty, "a long, b long")
-    row = triangle_count(df).first()
-    got = (row["n_nodes"], row["n_edges"], row["n_wedges"],
-           row["n_triangles"], row["transitivity_ppm"])
-    assert got == (n_nodes, n_edges, n_wedges, n_tri, ppm), \
-        f"seed={seed}: got {got}, want " \
-        f"{(n_nodes, n_edges, n_wedges, n_tri, ppm)}"
+    for kernel in (triangle_count, triangle_count_rawid,
+                   triangle_count_auto):
+        row = kernel(df).first()
+        got = (row["n_nodes"], row["n_edges"], row["n_wedges"],
+               row["n_triangles"], row["transitivity_ppm"])
+        assert got == (n_nodes, n_edges, n_wedges, n_tri, ppm), \
+            f"seed={seed} kernel={kernel.__name__}: got {got}, want " \
+            f"{(n_nodes, n_edges, n_wedges, n_tri, ppm)}"
 
 
 @pytest.mark.parametrize("seed", range(8))

@@ -961,6 +961,40 @@ def test_postings_probe_layered_union(spark, tmp_path):
     assert got == ref
 
 
+def test_triangle_orientation_decision_rule(spark):
+    """r10 (VERDICT r9 #4): the auto kernel's decision predicate,
+    pinned against the regimes that motivated it.  Hub star of
+    degree d over d+1 nodes: skewed once d+1 >= 2*threshold (a
+    100-leaf star MUST take the degree-oriented kernel — the raw-id
+    plan is quadratic in the hub degree there).  Uniform graphs
+    (clique: every degree equal, ratio exactly 1) and the measured
+    sf0.1 dup-graph shape (max~1200, avg~890 over 5k nodes, ratio
+    ~1.35) must take the raw-id kernel (78 s vs 247 s measured)."""
+    from samplebatchprocessing_spark.operators.graph import (
+        orientation_is_skewed, triangle_count_auto)
+
+    # hub star, mid-id hub: max=100 over n=101, sum=200 -> ratio 50.5
+    assert orientation_is_skewed(100, 101, 200)
+    # K5 clique: every degree 4 -> ratio exactly 1
+    assert not orientation_is_skewed(4, 5, 20)
+    # the measured dense-uniform dup graph's shape
+    assert not orientation_is_skewed(1200, 5000, 4_450_000)
+    # threshold boundary: ratio == threshold counts as skewed
+    assert orientation_is_skewed(8, 10, 10, skew_threshold=8)
+    assert not orientation_is_skewed(8, 10, 11, skew_threshold=8)
+
+    with pytest.raises(ValueError, match="skew_threshold"):
+        triangle_count_auto(
+            spark.createDataFrame([(1, 2)], "a long, b long"),
+            skew_threshold=0)
+    # empty edge list: census of zeros, either kernel
+    empty = spark.createDataFrame([], "a long, b long")
+    row = triangle_count_auto(empty).first()
+    assert (row["n_nodes"], row["n_edges"], row["n_wedges"],
+            row["n_triangles"], row["transitivity_ppm"]) \
+        == (0, 0, 0, 0, None)
+
+
 def test_label_propagation_two_bridged_triangles(spark):
     """Two triangles joined by one bridge edge resolve to TWO
     communities under the declared 4-round synchronous recurrence —

@@ -894,6 +894,20 @@ def test_triangle_count_no_cartesian_keyed_joins(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
+def test_triangle_rawid_and_auto_no_cartesian(spark):
+    """r10 (VERDICT r9 #4): the raw-id kernel and the auto chooser
+    close wedges with keyed equi-joins exactly like the
+    degree-oriented kernel — never a cartesian (the only nested loop
+    allowed is the final two-1-row-frame census combine)."""
+    from samplebatchprocessing_spark.operators.graph import (
+        triangle_count_auto, triangle_count_rawid)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long")
+    for fn in (triangle_count_rawid, triangle_count_auto):
+        plan = plan_str(fn(edges))
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
 def test_dq_audit_ri_scan_is_key_only(spark, sf_smoke):
     """X113: after the single full-scan aggregate (checkpointed), the
     only remaining lineitem scan is the referential-integrity LEFT
