@@ -33,55 +33,55 @@ Entry = tuple[SparkFn, str | None]
 # 50 names, all present in the registry, all 11 §2B families covered —
 # is locked by tests/test_registry_order.py.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r9 ROTATION (VERDICT r8 #1): r8 went 50/50 green, so nothing
+    # r10 ROTATION (VERDICT r9 #1): r9 went 50/50 green, so nothing
     # needs re-certification.  45 of the 50 slots are fresh (never
-    # driver-sampled): 42 from the 95-entry backlog computed from
-    # CORRECTNESS_r01–r08, plus the 3 r9 debuts (p20 poison
-    # quarantine = verdict #5, l7_topk_ivf_dist = verdict #3's
-    # registry-wired persisted+distributed ANN probe, d10 cogrouped
-    # applyInPandas — debut-in-window is the x109/x112/x113/x114
-    # precedent).  The other 5 slots are the Q/W/T/U/F anchors: those
-    # families have no uncertified member left, so they re-use
-    # r1–r4-era certified entries outside every later window
-    # (q4/w2/t1/f2; U is fully window-covered, so u1 re-uses an r5
-    # slot — the only overlap with ANY frozen window, 1 <= 15).
-    # Slot priorities follow the r8 verdict's enumeration: ALL the r8
-    # debuts (x115–x131, s23–s25), the TPC-H shapes v14–v28, m4/m5/
-    # m9, j11/j13/a14, then the head of the x1–x24 curation wave.
-    # After this window lands green, 58 backlog entries remain:
-    # 53 pre-r9 (the x7–x24 curation tail, v1–v7 subquery/pivot,
-    # x26+ analytics, x34–x84 misc) plus the 5 later r9 debuts that
-    # postdate this window (x132, s26, j16, f11, m12) — r10 takes
-    # ~45, r11 mops up.
+    # driver-sampled): 42 from the 58-entry backlog computed from
+    # CORRECTNESS_r01–r09 (ALL 5 post-window r9 debuts first —
+    # f11/j16/m12/s26/x132, the verdict's priority — then v1–v7,
+    # then the x7–x84 wave), plus the 3 r10 debuts (p21 = verdict
+    # #3's object-store sweep, l17 = verdict #2's LSH compaction,
+    # d11 grouped-Arrow — debut-in-window is the p20/x132
+    # precedent).  The other 5 slots are the Q/A/W/T/U anchors:
+    # those families have no uncertified member left; A and W re-use
+    # r4-era certified entries outside every frozen window (a2/w3 —
+    # zero overlap anywhere), while Q/T/U are FULLY window-covered,
+    # so q1/t3 re-use r5 slots and u2 an r6 slot (the u1-in-r9
+    # precedent; overlap with any single frozen window <= 2, with
+    # the immediately-prior r9 window exactly 0 <= 15).
+    # After this window lands green, 16 backlog entries remain (the
+    # generic-analytics tail: x26–x32, x49, x60, x69–x76, x84) —
+    # r11 mops up and closes the certification debt.
     # tests/test_registry_order.py locks the overlap bounds, the
     # 50-name shape, and the family anchors.
     #
     # one anchor per §2B family: P Q J A W T U F S D L
-    "p20_poison_quarantine", "q4_distinct", "j13_temporal_join",
-    "a14_regression", "w2_lag_lead", "t1_multi_sort",
-    "u1_union", "f2_datetime", "s23_stream_ann_probe",
-    "d10_cogrouped_pandas", "l7_topk_ivf_dist",
-    # the complete r8 debut block (verdict #1's first priority)
-    "x115_nb_quality_eval", "x116_edit_distance_join",
-    "x117_inverted_index", "x118_kcore", "x119_bnl_topk",
-    "x120_label_propagation", "x121_postings_merge",
-    "x122_sequence_pack", "x123_postings_compact",
-    "x124_sequence_census", "x125_incremental_pack",
-    "x126_ivf_probe_sweep", "x127_incremental_tfidf",
-    "x128_incremental_nb", "x129_nb_calibration",
-    "x130_table_checksum", "x131_incremental_checksum",
-    "s24_stream_postings_merge", "s25_stream_incremental_pack",
-    # TPC-H shapes never driver-sampled
-    "v14_tpch_q20", "v15_tpch_q17", "v16_tpch_q15", "v17_tpch_q13",
-    "v19_tpch_q22", "v21_tpch_q14", "v22_tpch_q4",
-    "v24_tpch_q9_shape", "v26_tpch_q2_shape", "v27_tpch_q11_shape",
-    "v28_tpch_q16_shape",
-    # maintenance + join stragglers
-    "m4_bucketed_join", "m5_purge", "m9_skipping_report",
-    "j11_interval_overlap",
-    # head of the x1–x24 curation wave
-    "x1_lang_id", "x2_quality_score", "x3_fingerprint",
-    "x4_text_distance", "x5_bpe_token_counts",
+    "p21_object_store_quarantine", "q1_project_compute",
+    "j16_lateral_topk", "a2_global_agg", "w3_running_frames",
+    "t3_global_topk", "u2_intersect", "f11_variant",
+    "s26_stream_lsh_probe", "d11_apply_in_arrow",
+    "l17_lsh_index_compact",
+    # remaining post-window r9 debuts (verdict #1's first priority)
+    "x132_lsh_index_lifecycle", "m12_observed_metrics",
+    # the v1–v7 subquery/pivot SQL-pattern wave
+    "v1_pivot", "v2_unpivot", "v3_exists_subquery", "v4_in_subquery",
+    "v5_scalar_subquery", "v7_correlated_scalar",
+    # the x7–x24 curation-wave tail
+    "x7_stratified_sample", "x8_pack_sequences", "x10_pii_redaction",
+    "x11_markup_strip", "x12_mixture_weights",
+    "x14_repetition_filter", "x15_chunk_tokens",
+    "x16_corpus_freq_score", "x18_quota_sample",
+    "x22_bpe_pair_counts", "x23_deterministic_shuffle",
+    "x24_source_overlap",
+    # the x34–x84 curation/dedup/eval wave (generic-analytics tail
+    # deferred to r11)
+    "x34_source_drift", "x36_dupgraph_triangles",
+    "x39_weighted_sample", "x41_snapshot_diff", "x44_bpe_train",
+    "x45_feature_hash_embed", "x54_ngram_diversity",
+    "x58_cluster_size_histogram", "x59_label_centroid_matrix",
+    "x61_countmin_sketch", "x63_chat_validation",
+    "x66_containment_neardup", "x67_url_dedup", "x68_bloom_prefilter",
+    "x74_rrf_fusion", "x77_embedding_diversity", "x78_token_gini",
+    "x81_entity_resolution", "x82_dedup_eval",
 )
 
 

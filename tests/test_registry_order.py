@@ -168,48 +168,76 @@ R8_WINDOW = frozenset({
 })
 
 
+# The r9 driver window, frozen (went 50/50 green in CORRECTNESS_r09).
+R9_WINDOW = frozenset({
+    "p20_poison_quarantine", "q4_distinct", "j13_temporal_join",
+    "a14_regression", "w2_lag_lead", "t1_multi_sort",
+    "u1_union", "f2_datetime", "s23_stream_ann_probe",
+    "d10_cogrouped_pandas", "l7_topk_ivf_dist",
+    "x115_nb_quality_eval", "x116_edit_distance_join",
+    "x117_inverted_index", "x118_kcore", "x119_bnl_topk",
+    "x120_label_propagation", "x121_postings_merge",
+    "x122_sequence_pack", "x123_postings_compact",
+    "x124_sequence_census", "x125_incremental_pack",
+    "x126_ivf_probe_sweep", "x127_incremental_tfidf",
+    "x128_incremental_nb", "x129_nb_calibration",
+    "x130_table_checksum", "x131_incremental_checksum",
+    "s24_stream_postings_merge", "s25_stream_incremental_pack",
+    "v14_tpch_q20", "v15_tpch_q17", "v16_tpch_q15", "v17_tpch_q13",
+    "v19_tpch_q22", "v21_tpch_q14", "v22_tpch_q4",
+    "v24_tpch_q9_shape", "v26_tpch_q2_shape", "v27_tpch_q11_shape",
+    "v28_tpch_q16_shape",
+    "m4_bucketed_join", "m5_purge", "m9_skipping_report",
+    "j11_interval_overlap",
+    "x1_lang_id", "x2_quality_score", "x3_fingerprint",
+    "x4_text_distance", "x5_bpe_token_counts",
+})
+
+
 def test_window_rotation_bounds_overlap_with_prior_rounds():
-    """Rotation policy (VERDICT r5 #3 / r6 #2 / r7 #1 / r8 #1):
-    round-over-round overlap <= 15 so the registry tail accrues
-    driver evidence.  r5–r8 all went 50/50 green, so the r9 window
-    re-certifies nothing: overlap with r8/r7/r6 is exactly zero; the
-    U family is fully covered by frozen windows, so its anchor u1
-    re-uses an r5 slot — the single permitted overlap."""
+    """Rotation policy (VERDICT r5 #3 ... r9 #1): round-over-round
+    overlap <= 15 so the registry tail accrues driver evidence.
+    r5–r9 all went 50/50 green, so the r10 window re-certifies
+    nothing: overlap with the immediately-prior r9 window (and with
+    r8/r7) is exactly zero; Q/T/U are FULLY covered by frozen
+    windows, so their anchors re-use the oldest slots available —
+    q1/t3 from r5 and u2 from r6 (the u1-in-r9 precedent; per-window
+    overlap <= 2 <= 15)."""
+    assert not R9_WINDOW & set(DRIVER_WINDOW)
     assert not R8_WINDOW & set(DRIVER_WINDOW)
     assert not R7_WINDOW & set(DRIVER_WINDOW)
-    assert not R6_WINDOW & set(DRIVER_WINDOW)
-    assert R5_WINDOW & set(DRIVER_WINDOW) == {"u1_union"}
+    assert R6_WINDOW & set(DRIVER_WINDOW) == {"u2_intersect"}
+    assert R5_WINDOW & set(DRIVER_WINDOW) == {"q1_project_compute",
+                                              "t3_global_topk"}
 
 
 def test_window_targets_the_never_certified_backlog():
-    """VERDICT r8 #1: >= 45 fresh (never-driver-sampled) slots,
-    prioritizing the complete r8 debut block (x115–x131, s23–s25),
-    the TPC-H shapes, m4/m5/m9, and the head of the x1–x24 curation
-    wave; plus the r9 debuts p20 (verdict #5 quarantine),
-    l7_topk_ivf_dist (verdict #3 registry-wiring), and d10."""
+    """VERDICT r9 #1: >= 45 fresh (never-driver-sampled) slots,
+    prioritizing ALL 5 post-window r9 debuts (f11/j16/m12/s26/x132),
+    then v1–v7, then the x7–x84 wave; plus the 3 r10 debuts (p21 =
+    verdict #3 object-store sweep, l17 = verdict #2 LSH compaction,
+    d11 grouped-Arrow).  After this window: 16 backlog entries left
+    (the generic-analytics tail), r11 closes the debt."""
     must_have = {
-        "x115_nb_quality_eval", "x116_edit_distance_join",
-        "x117_inverted_index", "x118_kcore", "x119_bnl_topk",
-        "x120_label_propagation", "x121_postings_merge",
-        "x122_sequence_pack", "x123_postings_compact",
-        "x124_sequence_census", "x125_incremental_pack",
-        "x126_ivf_probe_sweep", "x127_incremental_tfidf",
-        "x128_incremental_nb", "x129_nb_calibration",
-        "x130_table_checksum", "x131_incremental_checksum",
-        "s23_stream_ann_probe", "s24_stream_postings_merge",
-        "s25_stream_incremental_pack",
-        "v24_tpch_q9_shape", "v26_tpch_q2_shape",
-        "v27_tpch_q11_shape", "v28_tpch_q16_shape",
-        "m4_bucketed_join", "m5_purge", "m9_skipping_report",
-        "j11_interval_overlap", "j13_temporal_join", "a14_regression",
-        "p20_poison_quarantine", "l7_topk_ivf_dist",
-        "d10_cogrouped_pandas",
+        # all 5 post-window r9 debuts
+        "f11_variant", "j16_lateral_topk", "m12_observed_metrics",
+        "s26_stream_lsh_probe", "x132_lsh_index_lifecycle",
+        # the v1–v7 wave (v6 was certified in r6)
+        "v1_pivot", "v2_unpivot", "v3_exists_subquery",
+        "v4_in_subquery", "v5_scalar_subquery", "v7_correlated_scalar",
+        # r10 debuts
+        "p21_object_store_quarantine", "l17_lsh_index_compact",
+        "d11_apply_in_arrow",
+        # head of the x7–x24 curation wave
+        "x7_stratified_sample", "x8_pack_sequences",
+        "x10_pii_redaction", "x11_markup_strip", "x12_mixture_weights",
+        "x14_repetition_filter", "x15_chunk_tokens",
     }
     missing = must_have - set(DRIVER_WINDOW)
     assert not missing, f"verdict-priority entries not in window: {missing}"
-    # >= 45 fresh: only the 5 reused Q/W/T/U/F anchors are non-fresh
-    reused = {"q4_distinct", "w2_lag_lead", "t1_multi_sort",
-              "u1_union", "f2_datetime"}
+    # >= 45 fresh: only the 5 reused Q/A/W/T/U anchors are non-fresh
+    reused = {"q1_project_compute", "a2_global_agg",
+              "w3_running_frames", "t3_global_topk", "u2_intersect"}
     assert len(set(DRIVER_WINDOW) - reused) == 45
 
 
