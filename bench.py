@@ -62,6 +62,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "x132_lsh_probe",        # persisted LSH dedup index, shard probe only (round 9)
     "x130_table_checksum",   # full-table checksum rebuild — the x131 pricing baseline (round 9)
     "x131_delta_merge",      # delta-sized checksum maintenance, merge path only (round 9)
+    "s26_epoch_probe",       # steady-state per-epoch streamed LSH probe latency (round 10)
 )
 
 
@@ -253,6 +254,42 @@ def main() -> None:
                          % 1_000_000_007).cast("bigint")
                         .alias("checksum")))
 
+    # s26 bench = STEADY-STATE per-epoch probe latency (VERDICT r9
+    # stretch #8 — completes the serving-latency story x109/x117/
+    # x132 already have): the marginal cost of ONE micro-batch
+    # through the s26 loop — band the epoch's shard row-locally,
+    # bucket-pruned index join, idempotent epoch-overwrite parquet
+    # write, count the epoch's candidates — i.e. exactly the body
+    # foreachBatch runs per epoch at steady state.  Stream STARTUP
+    # (checkpoint init, source listing) is excluded: it amortizes
+    # over the daemon's lifetime.  The corpus index builds once
+    # outside the timed samples (lazy cache); compare with
+    # x132_lsh_probe — the same probe without the epoch write —
+    # for the write's marginal price.
+    _s26 = {}
+
+    def _s26_epoch_probe_raw(spark, sf_dir):
+        import hashlib
+        import os
+
+        from pyspark.sql import functions as F
+        from samplebatchprocessing_spark.catalog import load_table
+        from samplebatchprocessing_spark.operators import dedup
+        doc = load_table(spark, sf_dir, "documents")
+        if "idx" not in _s26:
+            tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+            _s26["idx"] = f"/tmp/sbp_bench_s26_{tag}"
+            _s26["out"] = f"/tmp/sbp_bench_s26out_{tag}"
+            _s26["epoch"] = 0
+            dedup.lsh_index_write(
+                doc.filter(F.col("source") != "src2"), _s26["idx"])
+        _s26["epoch"] += 1
+        out = os.path.join(_s26["out"], f"epoch={_s26['epoch']}")
+        (dedup.lsh_index_probe(spark, _s26["idx"],
+                               doc.filter(F.col("source") == "src2"))
+         .write.mode("overwrite").parquet(out))
+        return spark.read.parquet(out).select("batch_id", "corpus_id")
+
     overrides = {"l7_topk_numpy": _l7_numpy_raw,
                  "l5_ngram_lsh": _l5_ngram_lsh_raw,
                  "x109_ann_index_probe": _x109_probe_raw,
@@ -261,7 +298,8 @@ def main() -> None:
                  "x119_bnl_topk": _x119_bnl_raw,
                  "l7_ivf_dist_probe": _l7d_probe_raw,
                  "x132_lsh_probe": _x132_probe_raw,
-                 "x131_delta_merge": _x131_delta_raw}
+                 "x131_delta_merge": _x131_delta_raw,
+                 "s26_epoch_probe": _s26_epoch_probe_raw}
 
     # Warm-up (not timed): JVM/codegen on a cheap query, plus the
     # Python worker pool + numpy/pandas import for the Arrow paths —
@@ -359,7 +397,8 @@ def main() -> None:
 
     import shutil
     for d in (_p10_dirs + list(_x109.values()) + list(_x117.values())
-              + list(_l7d.values()) + list(_x132.values())):
+              + list(_l7d.values()) + list(_x132.values())
+              + list(_s26.values())):
         if isinstance(d, str) and d.startswith("/tmp/sbp_bench_"):
             shutil.rmtree(d, ignore_errors=True)
 
