@@ -40,7 +40,8 @@ def test_bench_queries_exist_in_registry():
     # exercised by the per-round bench run).
     bench_only = {"x109_ann_index_probe", "p10_watch_drain",
                   "x117_postings_probe", "l7_ivf_dist_probe",
-                  "x132_lsh_probe", "x131_delta_merge"}
+                  "x132_lsh_probe", "x131_delta_merge",
+                  "s26_epoch_probe"}
     from samplebatchprocessing_spark.queries import registry
     reg = registry()
     missing = [n for n in BENCH_QUERIES

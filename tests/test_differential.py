@@ -992,6 +992,78 @@ def test_differential_quarantine_policy(spark, seed, tmp_path):
 
 
 @pytest.mark.parametrize("seed", range(3))
+def test_differential_quarantine_store_reconcile(spark, seed, tmp_path):
+    """p21 fuzz (r10): the object-store sweep under random
+    crash-interruption states.  Each poison candidate starts in one
+    of three states — still in ``input/``, already moved to
+    ``quarantine/`` AND ledgered (a completed earlier sweep), or
+    moved but NOT ledgered (a sweep that died between the move and
+    the ledger append) — alongside recovered files that must never
+    be touched.  One sweep must converge every state: every
+    candidate ends in quarantine with EXACTLY ONE ledger row
+    carrying the python-simulated failure count; a second sweep
+    changes nothing."""
+    import os
+
+    from samplebatchprocessing_spark.pipeline.manifest import (
+        LocalObjectStoreClient, quarantine_sweep)
+    rng = random.Random(48_000 + seed)
+    store = LocalObjectStoreClient(str(tmp_path / "objects"))
+    log_dir = str(tmp_path / "log")
+    ledger_dir = str(tmp_path / "ledger")
+    ma = rng.randint(1, 3)
+
+    log_rows, expected, pre_ledgered = [], {}, []
+    for i in range(rng.randint(3, 7)):
+        name = f"f{i}.bin"
+        n_fail = rng.randint(0, 4)
+        recovered = rng.random() < 0.4
+        for k in range(n_fail):
+            log_rows.append((name, 1, 0, "", False, float(k + 1), 0))
+        if recovered:
+            log_rows.append((name, 1, 1, "out", True,
+                             float(n_fail + 1), 0))
+        is_poison = (not recovered) and n_fail >= ma and n_fail > 0
+        state = rng.choice(["input", "orphaned", "done"]) \
+            if is_poison else "input"
+        key_in = f"b/input/{name}"
+        key_q = f"b/quarantine/{name}"
+        if state == "input":
+            store.put(key_in, b"x")
+        else:
+            store.put(key_q, b"x")      # already moved...
+            if state == "done":         # ...and ledgered
+                pre_ledgered.append((name, n_fail,
+                                     f"mock://{key_q}"))
+        if is_poison:
+            expected[name] = n_fail
+    schema = ("file_name string, in_bytes long, out_bytes long, "
+              "out_path string, ok boolean, run_seq double, "
+              "batch_id long")
+    spark.createDataFrame(log_rows, schema).write.parquet(log_dir)
+    if pre_ledgered:
+        from samplebatchprocessing_spark.pipeline.manifest import (
+            LEDGER_SCHEMA)
+        (spark.createDataFrame(pre_ledgered, LEDGER_SCHEMA)
+         .write.parquet(ledger_dir))
+
+    for _ in range(2):                  # sweep + idempotence
+        ledger = quarantine_sweep(spark, "mock://b", store=store,
+                                  log_dir=log_dir,
+                                  ledger_dir=ledger_dir,
+                                  max_attempts=ma)
+        got = sorted((r["file_name"], r["n_failures"])
+                     for r in ledger.collect())
+        assert got == sorted(expected.items()), \
+            f"seed={seed} ma={ma}: {got} != {sorted(expected.items())}"
+        q_names = {k.rsplit("/", 1)[-1]
+                   for k in store.list("b/quarantine/")}
+        assert q_names == set(expected), f"seed={seed}"
+        in_names = {k.rsplit("/", 1)[-1] for k in store.list("b/input/")}
+        assert not (in_names & set(expected)), f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(3))
 def test_differential_lsh_index_lifecycle(spark, seed, tmp_path):
     """x132 fuzz: build -> append -> probe on random corpora must
     equal the in-flight banding twin exactly (identity contract:
