@@ -225,9 +225,13 @@ class LocalObjectStoreClient(ObjectStoreClient):
         return os.path.join(self.root, key)
 
     def put(self, key: str, data: bytes) -> None:
+        import uuid
         p = self._p(key)
         os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
+        # unique temp per writer: concurrent puts of the SAME key
+        # must each stay atomic (S3 = last-writer-wins, never an
+        # interleaved object), so they may not share a temp path
+        tmp = f"{p}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, p)

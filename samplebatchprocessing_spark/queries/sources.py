@@ -424,7 +424,12 @@ def p21_object_store_quarantine(spark: SparkSession,
     commit); deliver everything three times (tempkey commit,
     returncode gate — the poison object fails each delivery, and
     each run's log rows append run_seq-tagged exactly like a watch
-    drain); sweep through the store verbs; then PROVE via
+    drain; delivery BYTES come from the binaryFile scan of the
+    fixture dir, because the contract ships no GET verb — the real
+    deployment's read side is Spark's own s3a scan, not a per-object
+    client download; the store governs object EXISTENCE, commits,
+    and the sweep's moves); sweep through the store verbs; then
+    PROVE via
     ``store.list`` that the poison object left ``input/`` and landed
     in ``quarantine/`` (``moved_in_store``), that a fourth delivery
     over the SURVIVING input listing adds zero failure rows
