@@ -471,6 +471,36 @@ def ivf_index_write(emb: DataFrame, index_dir: str,
     return cmat
 
 
+def ivf_index_recluster(spark, index_dir: str, out_dir: str,
+                        n_cells: int = 16, sample_cap: int = 4096):
+    """IVF RE-CENTROIDING (x133, r10) — the maintenance pass x87's
+    docstring left as "a policy knob": after a cadence of
+    frozen-quantizer delta appends the centroids no longer describe
+    the corpus (a drifted crawl's vectors crowd a few stale cells,
+    so probes read ever-bigger partitions for the same recall).
+    Retrain the coarse quantizer on the CURRENT index contents (the
+    same deterministic xxhash64-ordered sample and fixed seeds as
+    the one-shot build), reassign every vector in one Arrow pass,
+    and rewrite ``out_dir`` in the canonical cell-partitioned
+    layout; returns the new centroid matrix for the caller to
+    publish alongside the swapped index.
+
+    Identity contract: the index stores exactly the (vec_id,
+    embedding) relation the builds wrote, so reclustering a layered
+    index == ``ivf_index_write`` over the same corpus — same sample,
+    same seeds, same centroids, same assignment (both parity
+    booleans declared by the x133 registry row).  Scale (100 TB):
+    one corpus-sized Arrow assignment pass + one cell-partitioned
+    write, amortized over the recluster cadence (the ANN analog of
+    l17/x123 compaction); probes keep serving the old layout until
+    the atomic directory swap."""
+    emb = spark.read.parquet(index_dir).select("vec_id", "embedding")
+    cmat = ivf_centroids(emb, n_cells, "kmeans", sample_cap)
+    (ivf_assign(emb, cmat).write.mode("overwrite")
+     .partitionBy("cell").parquet(out_dir))
+    return cmat
+
+
 def ivf_index_probe(spark, index_dir: str, cmat, emb: DataFrame,
                     query_pred, k: int = 5,
                     n_probe: int = 4) -> DataFrame:

@@ -4015,6 +4015,77 @@ FROM embeddings
 """
 
 
+def x133_ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X133 (r10): IVF RE-CENTROIDING — the ANN lifecycle's last
+    maintenance quadrant, completing the symmetry the other serving
+    families already have (text: x123 compaction; dedup: l17
+    compaction): x87's frozen-quantizer delta appends are
+    delta-priced precisely because they never retrain the coarse
+    quantizer, and its docstring prices the re-centroiding cadence
+    as "a policy knob" — this row makes the knob executable
+    (``operators.similarity.ivf_index_recluster``).
+
+    Build the index from the base slice, x87-append the delta slice
+    against the FROZEN centroids (the drifted layered state a
+    recluster cadence starts from), then RECLUSTER: retrain the
+    quantizer on the index's current contents with the build's own
+    deterministic sample discipline, reassign every vector in one
+    Arrow pass, rewrite the canonical cell-partitioned layout.
+    Declared booleans:
+    - ``conserved``: the reclustered index holds exactly the corpus'
+      (vec_id) multiset — reassignment moves rows across cells but
+      drops and duplicates nothing;
+    - ``recluster_equals_rebuild``: probing the reclustered index
+      (with its new centroids) == probing a from-scratch
+      ``ivf_index_write`` over the same corpus — exact, because the
+      sample order (xxhash64), seeds, and assignment depend only on
+      the (vec_id, embedding) relation, which the index preserves."""
+    from .sources import _work_dir
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % 7 == 3
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    idx = _work_dir(sf_dir, "x133_ivf")
+    recl = _work_dir(sf_dir, "x133_ivf_recl")
+    rebuild = _work_dir(sf_dir, "x133_ivf_rebuild")
+    cmat0 = similarity.ivf_index_write(base, idx, n_cells=16)
+    (similarity.ivf_assign(delta, cmat0).write.mode("append")
+     .partitionBy("cell").parquet(idx))
+
+    cmat_r = similarity.ivf_index_recluster(spark, idx, recl,
+                                            n_cells=16)
+    cmat_b = similarity.ivf_index_write(emb, rebuild, n_cells=16)
+
+    ids_a = spark.read.parquet(recl).select("vec_id")
+    ids_b = emb.select("vec_id")
+    conserved = (ids_a.exceptAll(ids_b).count() == 0
+                 and ids_b.exceptAll(ids_a).count() == 0
+                 and ids_a.count() > 0)
+    pred = F.col("vec_id") % 50 == 0
+    pa = similarity.ivf_index_probe(spark, recl, cmat_r, emb, pred,
+                                    k=5, n_probe=4)
+    pb = similarity.ivf_index_probe(spark, rebuild, cmat_b, emb, pred,
+                                    k=5, n_probe=4)
+    cols = ["query_id", "vec_id", "rank", "cosine"]
+    a, b = pa.select(cols), pb.select(cols)
+    parity = (a.exceptAll(b).count() == 0
+              and b.exceptAll(a).count() == 0
+              and a.count() > 0)
+    return spark.createDataFrame(
+        [(base.count(), delta.count(), conserved, parity)],
+        "n_base long, n_delta long, conserved boolean, "
+        "recluster_equals_rebuild boolean")
+
+
+X133_SQL = """
+SELECT CAST(SUM(CASE WHEN vec_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_base,
+       CAST(SUM(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_delta,
+       TRUE AS conserved, TRUE AS recluster_equals_rebuild
+FROM embeddings
+"""
+
+
 def x114_ann_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X114 (r8, VERDICT r7 #3): DISTRIBUTED-QUERY IVF batch top-k —
     the variant of the ANN probe where the query set stays a
@@ -5015,6 +5086,7 @@ QUERIES: dict[str, tuple] = {
     "x108_lsh_parameter_sweep": (x108_lsh_parameter_sweep, _x108_sql()),
     "x109_ann_index_lifecycle": (x109_ann_index_lifecycle, X109_SQL),
     "x87_ann_index_merge": (x87_ann_index_merge, X87_SQL),
+    "x133_ivf_recluster": (x133_ivf_recluster, X133_SQL),
     "x114_ann_batch_probe": (x114_ann_batch_probe, X114_SQL),
     "x119_bnl_topk": (x119_bnl_topk, X119_SQL),
     "x115_nb_quality_eval": (x115_nb_quality_eval, _x115_sql()),
