@@ -1132,6 +1132,49 @@ def test_differential_lsh_index_lifecycle(spark, seed, tmp_path):
     assert got == c_got, f"seed={seed}: compact != layered probe"
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_differential_ivf_recluster(spark, seed, tmp_path):
+    """x133 fuzz: build -> frozen-quantizer delta append -> RECLUSTER
+    must equal a from-scratch rebuild over the same corpus EXACTLY
+    (same deterministic sample order + seeds -> same centroids ->
+    same assignment), under random corpora, random split fractions,
+    and random cell counts; and reassignment must conserve the
+    vec_id multiset."""
+    import numpy as np
+
+    from samplebatchprocessing_spark.operators import similarity as S
+    rng = random.Random(49_000 + seed)
+    np_rng = np.random.default_rng(49_000 + seed)
+    n = rng.randint(12, 60)
+    dim = rng.choice([4, 8])
+    n_cells = rng.choice([2, 4, 8])
+    rows = [(i, [float(x) for x in np_rng.normal(size=dim)])
+            for i in range(n)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    cut = rng.randint(1, n - 1)
+    base = emb.filter(F.col("vec_id") < cut)
+    delta = emb.filter(F.col("vec_id") >= cut)
+
+    idx = str(tmp_path / "idx")
+    recl = str(tmp_path / "recl")
+    rebuild = str(tmp_path / "rebuild")
+    cmat0 = S.ivf_index_write(base, idx, n_cells=n_cells)
+    (S.ivf_assign(delta, cmat0).write.mode("append")
+     .partitionBy("cell").parquet(idx))
+    cmat_r = S.ivf_index_recluster(spark, idx, recl, n_cells=n_cells)
+    cmat_b = S.ivf_index_write(emb, rebuild, n_cells=n_cells)
+    assert np.allclose(cmat_r, cmat_b), f"seed={seed}: centroids drift"
+
+    a = {(r["vec_id"], r["cell"]) for r in
+         spark.read.parquet(recl).select("vec_id", "cell").collect()}
+    b = {(r["vec_id"], r["cell"]) for r in
+         spark.read.parquet(rebuild).select("vec_id", "cell").collect()}
+    assert a == b, f"seed={seed}: recluster != rebuild assignment"
+    assert sorted(v for v, _ in a) == list(range(n)), \
+        f"seed={seed}: vec_ids not conserved"
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_differential_lateral_topk(spark, seed, tmp_path):
     """j16 fuzz: the decorrelated lateralJoin must equal pure-python
