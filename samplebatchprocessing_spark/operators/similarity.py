@@ -501,6 +501,46 @@ def ivf_index_recluster(spark, index_dir: str, out_dir: str,
     return cmat
 
 
+def ivf_cell_census(spark, index_dir: str) -> tuple[int, int, int]:
+    """(max_cell_rows, n_nonempty_cells, total_rows) over a persisted
+    IVF index — ONE cell-keyed aggregate reading only the partition
+    column (o(index) driver metadata), the input to
+    :func:`recluster_is_due`."""
+    row = (spark.read.parquet(index_dir)
+           .groupBy("cell").agg(F.count(F.lit(1)).alias("c"))
+           .agg(F.max("c").alias("mx"), F.count(F.lit(1)).alias("n"),
+                F.sum("c").alias("tot")).first())
+    return int(row["mx"]), int(row["n"]), int(row["tot"])
+
+
+def recluster_is_due(max_cell: int, n_cells: int, total: int,
+                     skew_threshold: int = 4) -> bool:
+    """The recluster-cadence decision predicate (the
+    ``orientation_is_skewed`` pattern: a pure, unit-testable integer
+    rule apart from the operator it steers): re-centroiding is due
+    when the largest cell holds >= ``skew_threshold`` x the mean
+    cell size — ``max_cell * n_cells >= skew_threshold * total``.
+    A fresh k-means build is roughly balanced; frozen-quantizer
+    delta appends from a DRIFTED distribution crowd a few stale
+    cells, and a crowded cell is exactly what makes probes read
+    ever-bigger partitions for the same recall (the x126 n_probe
+    economics decay with imbalance).  Exact integer arithmetic, no
+    float division.
+
+    Two documented limits: the ratio's ceiling is n_cells, so the
+    trigger needs ``skew_threshold < n_cells`` to ever fire; and a
+    refresh only rebalances imbalance CAUSED by staleness — an
+    angularly tight mode stays one cell under spherical k-means by
+    design (k-means++ will not seed twice inside a tiny cap, which
+    is correct for cosine retrieval), so the trigger still firing
+    right after a refresh says the imbalance is the data itself, not
+    the quantizer (test-pinned)."""
+    if skew_threshold < 1:
+        raise ValueError(
+            f"skew_threshold must be >= 1, got {skew_threshold}")
+    return max_cell * n_cells >= skew_threshold * total
+
+
 def ivf_index_probe(spark, index_dir: str, cmat, emb: DataFrame,
                     query_pred, k: int = 5,
                     n_probe: int = 4) -> DataFrame:

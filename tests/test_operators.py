@@ -995,6 +995,64 @@ def test_triangle_orientation_decision_rule(spark):
         == (0, 0, 0, 0, None)
 
 
+def test_ivf_recluster_trigger(spark, tmp_path):
+    """x133's cadence rule (the orientation_is_skewed pattern): the
+    pure predicate is pinned on both regimes, and the census + rule
+    fire on a PLANTED drift — a fresh balanced build is not due;
+    appending a tight duplicate cluster into one stale cell makes it
+    due; reclustering the drifted index restores balance."""
+    import numpy as np
+
+    from samplebatchprocessing_spark.operators import similarity as S
+
+    # pure predicate: balanced (all cells equal) vs one crowded cell
+    assert not S.recluster_is_due(10, 8, 80)          # ratio 1
+    assert S.recluster_is_due(50, 8, 80)              # ratio 5
+    assert S.recluster_is_due(4, 4, 4, skew_threshold=4)   # boundary
+    assert not S.recluster_is_due(4, 4, 5, skew_threshold=4)
+    with pytest.raises(ValueError, match="skew_threshold"):
+        S.recluster_is_due(1, 1, 1, skew_threshold=0)
+
+    # note the predicate's ceiling: max/mean cannot exceed n_cells,
+    # so the trigger needs skew_threshold < n_cells to ever fire —
+    # 8 cells here against the default threshold 4
+    rng = np.random.default_rng(11)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=4)])
+         for i in range(64)], "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "idx")
+    cmat = S.ivf_index_write(base, idx, n_cells=8)
+    assert not S.recluster_is_due(*S.ivf_cell_census(spark, idx))
+
+    # drift: 200 vectors from a SHIFTED tight mode the stale
+    # quantizer never saw — they all crowd whichever old cell is
+    # nearest, exactly the decay the cadence rule watches for
+    center = np.array([8.0, 0.0, 0.0, 0.0])
+    drift = spark.createDataFrame(
+        [(1000 + i,
+          [float(x) for x in center + 0.3 * rng.normal(size=4)])
+         for i in range(200)], "vec_id long, embedding array<float>")
+    (S.ivf_assign(drift, cmat).write.mode("append")
+     .partitionBy("cell").parquet(idx))
+    assert S.recluster_is_due(*S.ivf_cell_census(spark, idx))
+
+    # re-centroiding equals a fresh build EXACTLY (the fuzzed x133
+    # identity), so the post-refresh census is the DATA-INHERENT
+    # imbalance: under spherical k-means an angularly tight mode
+    # stays one cell by design (k-means++ won't seed twice inside a
+    # tiny cap — correct for cosine retrieval), so the trigger
+    # firing again after a refresh tells the operator the imbalance
+    # is the data, not quantizer staleness
+    recl = str(tmp_path / "recl")
+    rebuild = str(tmp_path / "rebuild")
+    S.ivf_index_recluster(spark, idx, recl, n_cells=8)
+    S.ivf_index_write(
+        base.unionByName(drift), rebuild, n_cells=8)
+    assert (S.ivf_cell_census(spark, recl)
+            == S.ivf_cell_census(spark, rebuild))
+    assert S.ivf_cell_census(spark, recl)[2] == 264
+
+
 def test_label_propagation_two_bridged_triangles(spark):
     """Two triangles joined by one bridge edge resolve to TWO
     communities under the declared 4-round synchronous recurrence —
