@@ -680,6 +680,44 @@ def lsh_band_relation(df: DataFrame, text_col: str = "text",
                          F.lit(n_buckets)).cast("int"))
 
 
+def _lsh_meta_write(index_dir: str, n_bands: int,
+                    n_buckets: int) -> None:
+    """Stamp the index's FROZEN parameters next to its data (r10):
+    a ``_``-prefixed sidecar Spark's parquet reader ignores, like
+    ``_SUCCESS``.  Written AFTER the parquet sink (an overwrite
+    clears the directory first)."""
+    import json
+    import os
+    with open(os.path.join(index_dir, "_lsh_meta.json"), "w") as f:
+        json.dump({"n_hashes": N_HASHES, "n_bands": n_bands,
+                   "n_buckets": n_buckets}, f)
+
+
+def _lsh_meta_check(index_dir: str, n_bands: int,
+                    n_buckets: int) -> None:
+    """Fail loudly on a frozen-parameter mismatch (r10): an append
+    or probe with a different ``n_buckets`` silently scatters rows
+    across an inconsistent bucket layout, and a different
+    ``n_bands`` changes the band keys — both corrupt the index
+    without an error anywhere near the cause.  A legacy index with
+    no sidecar passes unchecked (backward compatible; its parity
+    booleans still catch drift end-to-end)."""
+    import json
+    import os
+    path = os.path.join(index_dir, "_lsh_meta.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        meta = json.load(f)
+    want = {"n_hashes": N_HASHES, "n_bands": n_bands,
+            "n_buckets": n_buckets}
+    if meta != want:
+        raise ValueError(
+            f"LSH index at {index_dir} was built with {meta}, "
+            f"called with {want} — the hash family and bucket "
+            f"layout are FROZEN at build time")
+
+
 def lsh_index_write(df: DataFrame, index_dir: str,
                     text_col: str = "text", id_col: str = "doc_id",
                     n_bands: int = N_BANDS,
@@ -703,6 +741,7 @@ def lsh_index_write(df: DataFrame, index_dir: str,
      .repartition("bucket")
      .sortWithinPartitions("band_idx", "band_hash")
      .write.mode("overwrite").partitionBy("bucket").parquet(index_dir))
+    _lsh_meta_write(index_dir, n_bands, n_buckets)
 
 
 def lsh_index_append(df: DataFrame, index_dir: str,
@@ -717,6 +756,7 @@ def lsh_index_append(df: DataFrame, index_dir: str,
     cost is one tokenize scan + one shuffle of the DELTA only.
     append == rebuild EXACTLY because a (doc, band) row depends only
     on that doc's text (x132 registry parity boolean)."""
+    _lsh_meta_check(index_dir, n_bands, n_buckets)
     (lsh_band_relation(df, text_col, id_col, n_bands, n_buckets)
      .repartition("bucket")
      .sortWithinPartitions("band_idx", "band_hash")
@@ -741,6 +781,7 @@ def lsh_index_probe(spark, index_dir: str, batch: DataFrame,
     Identity contract: with the same frozen hash family this is
     row-identical to banding the corpus in memory and equi-joining
     (the in-flight L6 path) — locked by the x132 registry row."""
+    _lsh_meta_check(index_dir, n_bands, n_buckets)
     q = lsh_band_relation(batch, text_col, id_col, n_bands, n_buckets)
     q = q.localCheckpoint(eager=True)   # reused: bucket list + join
     buckets = sorted(r["bucket"] for r in
@@ -774,17 +815,29 @@ def lsh_index_compact(spark, layers: list[str], out_dir: str) -> None:
     band hashes, never document text), amortized over a cadence;
     probes between compactions stay correct on the layered form,
     merely reading more, smaller files."""
+    import json
+    import os
     cols = ["did", "band_idx", "band_hash", "bucket"]
-    rel = None
+    rel, metas = None, []
     for layer in layers:
         part = spark.read.parquet(layer).select(cols)
         rel = part if rel is None else rel.unionByName(part)
+        mp = os.path.join(layer, "_lsh_meta.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                metas.append(json.load(f))
     if rel is None:
         raise ValueError("layers must be non-empty")
+    if any(m != metas[0] for m in metas[1:]):
+        raise ValueError(f"layers disagree on frozen LSH parameters: "
+                         f"{metas}")
     (rel.repartition("bucket")
         .sortWithinPartitions("band_idx", "band_hash")
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(out_dir))
+    if metas:   # carry the frozen parameters onto the new layout
+        _lsh_meta_write(out_dir, metas[0]["n_bands"],
+                        metas[0]["n_buckets"])
 
 
 def simhash(df: DataFrame, text_col: str = "text",

@@ -43,6 +43,45 @@ def test_lsh_band_count_guard(spark, sf_smoke):
         dedup.lsh_band_relation(doc, n_bands=ok)
 
 
+def test_lsh_index_frozen_parameter_guard(spark, sf_smoke, tmp_path):
+    """r10: a persisted LSH index carries its frozen parameters in a
+    ``_lsh_meta.json`` sidecar (ignored by Spark's parquet reader,
+    like _SUCCESS); an append or probe with different n_bands /
+    n_buckets would silently scatter rows across an inconsistent
+    bucket layout, so it must raise AT the call.  A legacy index
+    with no sidecar still works (backward compatible), and
+    compaction carries the parameters onto the new layout."""
+    import os
+
+    doc = load_table(spark, sf_smoke, "documents").limit(30)
+    idx = str(tmp_path / "idx")
+    dedup.lsh_index_write(doc, idx, n_bands=8, n_buckets=16)
+    assert os.path.exists(os.path.join(idx, "_lsh_meta.json"))
+
+    for bad in ({"n_bands": 8, "n_buckets": 8},
+                {"n_bands": 4, "n_buckets": 16}):
+        with pytest.raises(ValueError, match="FROZEN"):
+            dedup.lsh_index_append(doc, idx, **bad)
+        with pytest.raises(ValueError, match="FROZEN"):
+            dedup.lsh_index_probe(spark, idx, doc, **bad)
+
+    # matching parameters pass; compaction carries the sidecar
+    dedup.lsh_index_append(doc.limit(5), idx, n_bands=8, n_buckets=16)
+    out = str(tmp_path / "compacted")
+    dedup.lsh_index_compact(spark, [idx], out)
+    assert os.path.exists(os.path.join(out, "_lsh_meta.json"))
+    with pytest.raises(ValueError, match="FROZEN"):
+        dedup.lsh_index_probe(spark, out, doc, n_bands=8, n_buckets=32)
+    n = dedup.lsh_index_probe(spark, out, doc,
+                              n_bands=8, n_buckets=16).count()
+    assert n >= 0
+
+    # legacy index (no sidecar): unchecked, still serves
+    os.remove(os.path.join(idx, "_lsh_meta.json"))
+    dedup.lsh_index_probe(spark, idx, doc,
+                          n_bands=8, n_buckets=16).count()
+
+
 def test_simhash_near_dups_have_small_hamming(spark, sf_smoke):
     """Near-identical token sets must land within a small Hamming
     distance; random pairs should average much larger."""
