@@ -589,9 +589,12 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 8,
     Returns the merge table as a list of
     ``(round, left, right, merged, pair_count)`` python tuples —
     n_merges rows, the only driver-side data (one argmax row per
-    round; genuinely iterative, so there is no single-query SQL twin
-    — correctness comes from the exact differential test against a
-    pure-python reference, tests/test_operators.py).
+    round).  Correctness is triple-checked: the exact pure-python
+    differential (tests/test_operators.py) AND — since r10 — a
+    round-unrolled DuckDB twin (``queries.llm._x44_sql``: the greedy
+    fold is provably one non-overlapping left-to-right ``replace``
+    per word over a double-delimited symbol string, so the
+    "genuinely iterative, no SQL twin" exception retired).
 
     Scale (100 TB):
     - the corpus collapses ONCE to the word-frequency table (one

@@ -2002,17 +2002,64 @@ def x44_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X44 (r5): FULL iterative BPE vocabulary training — 8 merge
     rounds over the corpus word-frequency table
     (``operators.text.bpe_train_merges``; x22 is round 1's
-    statistic).  Genuinely iterative, so it has no single-query SQL
-    twin (rows-only driver check, like S8); correctness is an exact
-    differential test against a pure-python BPE reference at
-    tests/test_operators.py, and the output is bit-deterministic:
-    count-desc/pair-asc argmax per round, greedy left-to-right
-    merge application."""
+    statistic).  Output is bit-deterministic: count-desc/pair-asc
+    argmax per round, greedy left-to-right merge application.
+
+    Long the registry's ONE rows-only entry ("genuinely iterative,
+    no single-query SQL twin"); r10 retired that exception with the
+    x29/x47 round-unrolling discipline: the greedy fold is provably
+    equal to non-overlapping left-to-right string REPLACE over a
+    double-delimited symbol string (each symbol wrapped ``|sym|``,
+    so adjacent matches never share a delimiter, the pattern
+    ``|l||r|`` can only match whole symbols, and within a round the
+    merged symbol ``l+r`` can never equal ``l``, so no re-merge is
+    possible) — giving an 8-round MATERIALIZED CTE chain DuckDB
+    replays exactly (see ``_x44_sql``).  The pure-python
+    differential at tests/test_operators.py remains the third
+    implementation."""
     doc = load_table(spark, sf_dir, "documents")
     merges = text.bpe_train_merges(doc, n_merges=8)
     return spark.createDataFrame(
         merges, "round int, left string, right string, "
                 "merged string, pair_count long")
+
+
+def _x44_sql(n_merges: int = 8) -> str:
+    """The x44 DuckDB twin: round-unrolled BPE training (r10).  Per
+    round k: exact pair counts over round k-1's symbol strings ->
+    the (count desc, l, r) argmax -> greedy merge application as ONE
+    ``replace`` per word (see :func:`x44_bpe_train` for the
+    equivalence argument).  Every stage is AS MATERIALIZED — each
+    w{{k}} is referenced by both m{{k+1}} and w{{k+1}}, and CTE
+    inlining would expand 3^rounds scans (the x29 lesson)."""
+    parts = [f"""
+WITH w0 AS MATERIALIZED (
+  SELECT '|' || array_to_string(string_split(word, ''), '||') || '|'
+           AS s,
+         CAST(COUNT(*) AS BIGINT) AS wf
+  FROM (SELECT UNNEST({tokenize_sql('text')}) AS word FROM documents)
+  GROUP BY 1)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+m{k} AS MATERIALIZED (
+  SELECT l, r, l || r AS m, c FROM (
+    SELECT syms[i] AS l, syms[i + 1] AS r,
+           CAST(SUM(wf) AS BIGINT) AS c
+    FROM (SELECT string_split(trim(s, '|'), '||') AS syms, wf
+          FROM w{k - 1}
+          WHERE len(string_split(trim(s, '|'), '||')) >= 2) t,
+         UNNEST(generate_series(1, len(t.syms) - 1)) AS g(i)
+    GROUP BY 1, 2)
+  ORDER BY c DESC, l, r LIMIT 1),
+w{k} AS MATERIALIZED (
+  SELECT replace(w.s, '|' || m.l || '||' || m.r || '|',
+                 '|' || m.m || '|') AS s, w.wf
+  FROM w{k - 1} w, m{k} m)""")
+    rounds = "\nUNION ALL\n".join(
+        f'SELECT {k} AS round, l AS "left", r AS "right", m AS merged, '
+        f"c AS pair_count FROM m{k}" for k in range(1, n_merges + 1))
+    parts.append("\n" + rounds)
+    return "".join(parts)
 
 
 def x67_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5049,7 +5096,7 @@ QUERIES: dict[str, tuple] = {
     "x21_substring_dedup": (x21_substring_dedup, X21_SQL),
     "x22_bpe_pair_counts": (x22_bpe_pair_counts,
                             text.bpe_pair_counts_sql(top_k=20)),
-    "x44_bpe_train": (x44_bpe_train, None),   # iterative: rows-only
+    "x44_bpe_train": (x44_bpe_train, _x44_sql()),
     "x46_bpe_encode": (x46_bpe_encode, text.bpe_encode_stats_sql()),
     "x48_cluster_safe_split": (x48_cluster_safe_split, _x48_sql()),
     "x50_gopher_quality": (x50_gopher_quality,

@@ -1132,6 +1132,69 @@ def test_differential_lsh_index_lifecycle(spark, seed, tmp_path):
     assert got == c_got, f"seed={seed}: compact != layered probe"
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_differential_bpe_sql_twin(seed):
+    """x44's r10 DuckDB twin vs the pure-python BPE reference on
+    random corpora — no Spark involved, so this isolates the SQL
+    side of the triangle (Spark vs python is the existing
+    test_operators gate; Spark vs SQL is the registry parity gate).
+    Exercises the replace-equivalence edge cases the proof leans on:
+    runs of repeated characters (greedy non-overlap), multi-char
+    symbols merging in later rounds (whole-symbol matching), and
+    words shorter than a pair."""
+    import duckdb
+    from collections import Counter
+
+    rng = random.Random(50_000 + seed)
+    alphabet = "ab" if seed % 2 == 0 else "abc"
+    docs = [" ".join(
+        "".join(rng.choices(alphabet, k=rng.randint(1, 6)))
+        for _ in range(rng.randint(1, 12)))
+        for _ in range(rng.randint(2, 10))]
+    n_merges = rng.randint(1, 6)
+
+    # pure-python reference (the test_operators spec)
+    words = Counter()
+    for t in docs:
+        for w in t.split():
+            words[w] += 1
+    vocab = {tuple(w): f for w, f in words.items()}
+    expect = []
+    for rnd in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (lft, rgt), c = min(pairs.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merged = lft + rgt
+        expect.append((rnd, lft, rgt, merged, c))
+        nv = {}
+        for syms, f in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == lft and s == rgt:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            nv[tuple(out)] = nv.get(tuple(out), 0) + f
+        vocab = nv
+
+    from samplebatchprocessing_spark.queries.llm import _x44_sql
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)",
+                    [(d,) for d in docs])
+    got = sorted(con.execute(_x44_sql(n_merges)).fetchall())
+    # early stop agrees by construction: when no word has >= 2
+    # symbols left, python breaks AND the SQL round's argmax CTE is
+    # empty, which empties every later round's arm too
+    assert got == sorted(expect), \
+        f"seed={seed} docs={docs}\nsql:    {got}\npython: {expect}"
+
+
 @pytest.mark.parametrize("seed", range(3))
 def test_differential_ivf_recluster(spark, seed, tmp_path):
     """x133 fuzz: build -> frozen-quantizer delta append -> RECLUSTER

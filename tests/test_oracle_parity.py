@@ -24,12 +24,13 @@ def test_oracle_parity(spark, sf_oracle, name):
     assert report["ok"], f"{name}: {report}"
 
 
-@pytest.mark.parametrize("name", NO_ORACLE)
-def test_rows_only(spark, sf_oracle, name):
-    fn, _ = REG[name]
-    df = fn(spark, sf_oracle)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+def test_no_rows_only_entries_remain():
+    """Since r10 (x44's round-unrolled twin) EVERY registry entry
+    carries a DuckDB oracle — the rows-only class is a closed, empty
+    set.  If a future genuinely non-SQL-expressible op re-opens it,
+    restore the per-entry rows-only harness this assertion replaced
+    (fn(spark, sf).count() >= 0 and a nonempty column list)."""
+    assert NO_ORACLE == []
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)

@@ -243,18 +243,17 @@ def test_window_targets_the_never_certified_backlog():
 
 def test_readme_counts_match_registry(reg):
     text = (REPO / "README.md").read_text()
-    m = re.search(r"(\d+) queries, all but (\w+) paired", text)
+    m = re.search(r"(\d+) queries, every one paired", text)
     assert m, "README query-count sentence not found"
     assert int(m.group(1)) == len(reg), (
         f"README claims {m.group(1)} queries, registry has {len(reg)} — "
         "regenerate the README line"
     )
-    # "all but N" is itself a count claim; the rows-only set is the
-    # closed list of genuinely non-SQL-expressible ops.
+    # "every one paired" is itself a claim: since r10 (x44's
+    # round-unrolled twin) the rows-only set is EMPTY — every
+    # registry entry carries a DuckDB oracle.
     rows_only = {n for n, (_fn, sql) in reg.items() if sql is None}
-    assert rows_only == {"x44_bpe_train"}
-    words = {1: "one", 2: "two", 3: "three"}
-    assert m.group(2) == words[len(rows_only)]
+    assert rows_only == set()
 
 
 def test_coverage_doc_mentions_every_registry_entry(reg):
