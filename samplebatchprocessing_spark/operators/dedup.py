@@ -953,8 +953,10 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "doc_a",
     driver only sees a changed-row COUNT per round (no data
     collect), and lineage is truncated with localCheckpoint so plans
     don't grow unboundedly — the standard Spark iterative-algorithm
-    discipline.  Genuinely non-SQL-expressible (SURVEY §2B note) ->
-    rows-only driver check; equality vs union-find is pytest-checked.
+    discipline.  The iteration itself is non-SQL-expressible, but its
+    FIXPOINT is: the l11 registry row oracles the converged clusters
+    against a recursive-CTE reachability twin; equality vs union-find
+    is pytest-checked.
     """
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(

@@ -593,7 +593,9 @@ def ivf_topk(emb: DataFrame, query_pred, k: int = 5,
     shape as here.  Candidate restriction is a broadcast equi-join on
     cell id; the final top-k is a per-query window over the pruned
     candidates.  Recall is property-tested (planted neighbors +
-    recall floor vs the exact operator); rows-only driver check.
+    recall floor vs the exact operator); the registry row declares
+    the measured recall as oracle-checkable booleans/counts rather
+    than hash-matching approximate neighbor lists.
     """
     cmat = ivf_centroids(emb, n_cells, quantizer, sample_cap)
     cands = ivf_assign(emb, cmat)
@@ -769,7 +771,9 @@ def pq_topk(emb: DataFrame, query_pred, k: int = 5,
     refine*k rows; (4) the surviving ~refine*k candidate ids join
     back to raw embeddings for EXACT cosine re-ranking, so the only
     approximation is candidate membership.  Recall is property-tested
-    vs the exact operator (rows-only driver check pattern).
+    vs the exact operator; the registry row declares it as
+    oracle-checkable booleans rather than hash-matching approximate
+    neighbor lists.
 
     Parameter curve at sf0.1 on the UNIFORM fixture vectors — the
     worst case for any quantizer — measured r5, wall-clock on

@@ -2,9 +2,11 @@
 
 Each entry: name -> (spark_fn, oracle_sql_or_None) where
 ``spark_fn(spark, sf_dir) -> DataFrame`` and the SQL twin is ANSI SQL
-runnable by DuckDB over the pre-registered fixture views.  Entries
-with ``None`` oracle are property/parity-checked ops (sketches,
-streaming internals) that get the driver's rows-only check.
+runnable by DuckDB over the pre-registered fixture views.  A ``None``
+oracle would fall back to the driver's weaker rows-only check — since
+r10 the set is EMPTY (x44's round-unrolled twin retired the last
+one; locked by tests/test_oracle_parity.py), so every entry is
+hash-gated.
 
 Determinism contract (SURVEY §2B canonicalization): every output
 column is int/str/bool/date/exact-double/array-thereof; all summing
