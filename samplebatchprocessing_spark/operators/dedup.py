@@ -817,8 +817,20 @@ def lsh_index_compact(spark, layers: list[str], out_dir: str) -> None:
     merely reading more, smaller files."""
     import json
     import os
+    if not layers:
+        raise ValueError("layers must be non-empty")
+    # read-then-overwrite of a path being read corrupts or fails
+    # mid-job — out_dir must be a FRESH directory, published to
+    # readers via the pointer swap (ADVICE r10; see layout.publish)
+    out_real = os.path.realpath(out_dir)
+    for layer in layers:
+        if os.path.realpath(layer) == out_real:
+            raise ValueError(
+                f"out_dir {out_dir!r} is one of the input layers — "
+                f"compaction writes a fresh layout and publishes it "
+                f"atomically; it never rewrites a layer in place")
     cols = ["did", "band_idx", "band_hash", "bucket"]
-    rel, metas = None, []
+    rel, metas, bare = None, [], []
     for layer in layers:
         part = spark.read.parquet(layer).select(cols)
         rel = part if rel is None else rel.unionByName(part)
@@ -826,8 +838,18 @@ def lsh_index_compact(spark, layers: list[str], out_dir: str) -> None:
         if os.path.exists(mp):
             with open(mp) as f:
                 metas.append(json.load(f))
-    if rel is None:
-        raise ValueError("layers must be non-empty")
+        else:
+            bare.append(layer)
+    # all-or-none sidecars (ADVICE r10): a sidecar-less layer mixed
+    # with sidecar-bearing ones CANNOT be verified parameter-
+    # compatible — folding it in could silently merge two different
+    # hash families.  All-bare (a pure legacy index) stays allowed,
+    # matching _lsh_meta_check's backward compatibility.
+    if metas and bare:
+        raise ValueError(
+            f"layers {bare} have no _lsh_meta.json sidecar while "
+            f"other layers do — their frozen LSH parameters cannot "
+            f"be verified; stamp them (or compact them separately)")
     if any(m != metas[0] for m in metas[1:]):
         raise ValueError(f"layers disagree on frozen LSH parameters: "
                          f"{metas}")
@@ -836,8 +858,8 @@ def lsh_index_compact(spark, layers: list[str], out_dir: str) -> None:
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(out_dir))
     if metas:   # carry the frozen parameters onto the new layout
-        _lsh_meta_write(out_dir, metas[0]["n_bands"],
-                        metas[0]["n_buckets"])
+        with open(os.path.join(out_dir, "_lsh_meta.json"), "w") as f:
+            json.dump(metas[0], f)
 
 
 def simhash(df: DataFrame, text_col: str = "text",

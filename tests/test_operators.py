@@ -82,6 +82,42 @@ def test_lsh_index_frozen_parameter_guard(spark, sf_smoke, tmp_path):
                           n_bands=8, n_buckets=16).count()
 
 
+def test_lsh_index_compact_rejects_in_place_and_mixed_sidecars(
+        spark, sf_smoke, tmp_path):
+    """ADVICE r10: (a) compaction must refuse out_dir == any input
+    layer (Spark read-then-overwrite of the same path fails or
+    corrupts mid-job — the fresh-dir + pointer-publish discipline is
+    the contract), including path-spelling variants; (b) a
+    sidecar-less layer mixed with sidecar-bearing ones cannot be
+    verified parameter-compatible and must be rejected, while an
+    all-bare (pure legacy) layer set still compacts."""
+    import os
+
+    doc = load_table(spark, sf_smoke, "documents").limit(20)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    dedup.lsh_index_write(doc, a, n_bands=8, n_buckets=16)
+    dedup.lsh_index_write(doc.limit(5), b, n_bands=8, n_buckets=16)
+
+    with pytest.raises(ValueError, match="input layers"):
+        dedup.lsh_index_compact(spark, [a, b], a)
+    with pytest.raises(ValueError, match="input layers"):  # variant
+        dedup.lsh_index_compact(spark, [a, b],
+                                str(tmp_path / "." / "b"))
+    with pytest.raises(ValueError, match="non-empty"):
+        dedup.lsh_index_compact(spark, [], str(tmp_path / "out"))
+
+    os.remove(os.path.join(b, "_lsh_meta.json"))
+    with pytest.raises(ValueError, match="sidecar"):
+        dedup.lsh_index_compact(spark, [a, b], str(tmp_path / "out"))
+
+    # all-bare legacy layers: still compacts, output stays bare
+    os.remove(os.path.join(a, "_lsh_meta.json"))
+    out = str(tmp_path / "legacy_out")
+    dedup.lsh_index_compact(spark, [a, b], out)
+    assert not os.path.exists(os.path.join(out, "_lsh_meta.json"))
+    assert spark.read.parquet(out).count() > 0
+
+
 def test_simhash_near_dups_have_small_hamming(spark, sf_smoke):
     """Near-identical token sets must land within a small Hamming
     distance; random pairs should average much larger."""
