@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .publish import resolve as _resolve_layout
 from .text import token_set, tokenize
 
 # Deterministic MinHash parameters (seed vector fixed by design,
@@ -756,6 +757,7 @@ def lsh_index_append(df: DataFrame, index_dir: str,
     cost is one tokenize scan + one shuffle of the DELTA only.
     append == rebuild EXACTLY because a (doc, band) row depends only
     on that doc's text (x132 registry parity boolean)."""
+    index_dir = _resolve_layout(index_dir)  # versioned root or plain dir
     _lsh_meta_check(index_dir, n_bands, n_buckets)
     (lsh_band_relation(df, text_col, id_col, n_bands, n_buckets)
      .repartition("bucket")
@@ -780,7 +782,13 @@ def lsh_index_probe(spark, index_dir: str, batch: DataFrame,
 
     Identity contract: with the same frozen hash family this is
     row-identical to banding the corpus in memory and equi-joining
-    (the in-flight L6 path) — locked by the x132 registry row."""
+    (the in-flight L6 path) — locked by the x132 registry row.
+
+    ``index_dir`` may be a plain layout directory or a VERSIONED
+    index root (``publish.publish``): the pointer is resolved ONCE
+    up front, so the whole probe reads a single consistent version
+    even if a compaction publishes mid-query."""
+    index_dir = _resolve_layout(index_dir)
     _lsh_meta_check(index_dir, n_bands, n_buckets)
     q = lsh_band_relation(batch, text_col, id_col, n_bands, n_buckets)
     q = q.localCheckpoint(eager=True)   # reused: bucket list + join

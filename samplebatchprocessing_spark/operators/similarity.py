@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .publish import resolve as _resolve_layout
+
 def _seq_sum(arr):
     """Sequential left fold of an array<double> — order-FIXED double
     summation.  Spark's aggregate() and DuckDB's list_reduce() both
@@ -483,7 +485,9 @@ def ivf_index_recluster(spark, index_dir: str, out_dir: str,
     the one-shot build), reassign every vector in one Arrow pass,
     and rewrite ``out_dir`` in the canonical cell-partitioned
     layout; returns the new centroid matrix for the caller to
-    publish alongside the swapped index.
+    publish alongside the swapped index (or persisted into the new
+    layout via ``ivf_centroids_write`` so one pointer swap covers
+    both — see ``maintenance.ivf_maintenance_sweep``).
 
     Identity contract: the index stores exactly the (vec_id,
     embedding) relation the builds wrote, so reclustering a layered
@@ -493,7 +497,9 @@ def ivf_index_recluster(spark, index_dir: str, out_dir: str,
     one corpus-sized Arrow assignment pass + one cell-partitioned
     write, amortized over the recluster cadence (the ANN analog of
     l17/x123 compaction); probes keep serving the old layout until
-    the atomic directory swap."""
+    the atomic pointer swap (``publish.publish`` — r11, executable
+    form of the swap this docstring used to leave to the caller)."""
+    index_dir = _resolve_layout(index_dir)
     emb = spark.read.parquet(index_dir).select("vec_id", "embedding")
     cmat = ivf_centroids(emb, n_cells, "kmeans", sample_cap)
     (ivf_assign(emb, cmat).write.mode("overwrite")
@@ -501,11 +507,40 @@ def ivf_index_recluster(spark, index_dir: str, out_dir: str,
     return cmat
 
 
+def ivf_centroids_write(index_dir: str, cmat) -> None:
+    """Persist the coarse-quantizer centroid matrix NEXT TO the cell
+    data it quantizes (r11): a ``_``-prefixed sidecar Spark's parquet
+    reader ignores, the ``_lsh_meta.json`` discipline applied to the
+    IVF index.  With centroids inside the layout directory, one
+    pointer swap (``publish.publish``) versions index AND quantizer
+    together — a probe can never pair new cells with stale centroids.
+    JSON float serialization is repr-exact, so read(write(cmat)) is
+    bit-identical (test-pinned)."""
+    import json
+    import os
+    with open(os.path.join(index_dir, "_ivf_centroids.json"),
+              "w") as f:
+        json.dump([[float(v) for v in row] for row in cmat], f)
+
+
+def ivf_centroids_read(index_dir: str):
+    """Centroid matrix (numpy float64) from the layout's sidecar;
+    accepts a plain layout directory or a versioned index root."""
+    import json
+    import os
+
+    import numpy as np
+    index_dir = _resolve_layout(index_dir)
+    with open(os.path.join(index_dir, "_ivf_centroids.json")) as f:
+        return np.array(json.load(f), dtype=np.float64)
+
+
 def ivf_cell_census(spark, index_dir: str) -> tuple[int, int, int]:
     """(max_cell_rows, n_nonempty_cells, total_rows) over a persisted
     IVF index — ONE cell-keyed aggregate reading only the partition
     column (o(index) driver metadata), the input to
     :func:`recluster_is_due`."""
+    index_dir = _resolve_layout(index_dir)
     row = (spark.read.parquet(index_dir)
            .groupBy("cell").agg(F.count(F.lit(1)).alias("c"))
            .agg(F.max("c").alias("mx"), F.count(F.lit(1)).alias("n"),
@@ -548,7 +583,12 @@ def ivf_index_probe(spark, index_dir: str, cmat, emb: DataFrame,
     filter lands on the index scan's partition column, so only the
     probed cell directories are read.  Exact cosine rescoring + the
     (cosine desc, vec_id) per-query top-k window over the pruned
-    candidates — identical output contract to :func:`ivf_topk`."""
+    candidates — identical output contract to :func:`ivf_topk`.
+
+    ``index_dir`` may be a plain layout directory or a VERSIONED
+    index root (``publish.publish``); the pointer is resolved once
+    up front so the probe reads a single consistent version."""
+    index_dir = _resolve_layout(index_dir)
     probe_df = ivf_probe_df(emb, query_pred, cmat, n_probe)
     cells = sorted({r["cell"] for r in probe_df.select("cell")
                     .distinct().collect()})
@@ -700,6 +740,7 @@ def ivf_index_probe_distributed(spark, index_dir: str, cmat,
     (bounded by n_cells — metadata, not data), which is what lets the
     cell filter land on the index scan's partition column so pruning
     still happens with a DataFrame query side."""
+    index_dir = _resolve_layout(index_dir)
     probe_df = ivf_probe_cells_distributed(queries, cmat, n_probe)
     probe_df = probe_df.localCheckpoint(eager=True)  # reused twice
     cells = sorted(r["cell"] for r in

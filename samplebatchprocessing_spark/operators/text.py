@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..exprs import bounded_part
+from .publish import resolve as _resolve_layout
 
 # Deterministic per-language marker vocabularies for the heuristic
 # language-ID scorer.  Tiny on purpose: broadcastable as literals
@@ -899,6 +900,7 @@ def postings_index_append(doc: DataFrame, index_dir: str,
     must pass the SAME ``n_buckets`` as the build — a mismatch
     scatters postings across inconsistent bucket layouts (guarded by
     the x121 full-relation parity boolean)."""
+    index_dir = _resolve_layout(index_dir)  # versioned root or plain dir
     (_postings(doc, text_col, id_col, n_buckets)
      .write.mode("append").partitionBy("bucket").parquet(index_dir))
 
@@ -916,7 +918,12 @@ def postings_probe_and(spark, index_dir: str, terms: list[str],
     index scan's PartitionFilters (plan-gated in tests/test_plans).
     Postings are distinct per (term, doc) by construction, so the
     AND is COUNT(*) == n_terms after the term filter — one keyed
-    groupBy on doc_id over only the query terms' postings."""
+    groupBy on doc_id over only the query terms' postings.
+
+    ``index_dir`` may be a plain layout directory or a VERSIONED
+    index root (``publish.publish``); the pointer is resolved once
+    up front so the probe reads a single consistent version."""
+    index_dir = _resolve_layout(index_dir)
     return postings_probe_and_df(spark.read.parquet(index_dir),
                                  terms, n_buckets)
 
@@ -968,13 +975,23 @@ def postings_index_compact(spark, layers: list[str],
     document text), amortized over a cadence — probes between
     compactions stay correct on the layered form, merely reading
     more, smaller files."""
+    import os
+    if not layers:
+        raise ValueError("layers must be non-empty")
+    # same in-place guard as lsh_index_compact (ADVICE r10): the
+    # fresh layout is published to readers via the pointer swap
+    out_real = os.path.realpath(out_dir)
+    for layer in layers:
+        if os.path.realpath(layer) == out_real:
+            raise ValueError(
+                f"out_dir {out_dir!r} is one of the input layers — "
+                f"compaction writes a fresh layout and publishes it "
+                f"atomically; it never rewrites a layer in place")
     cols = ["tok", "doc_id", "tf", "bucket"]
     rel = None
     for layer in layers:
         part = spark.read.parquet(layer).select(cols)
         rel = part if rel is None else rel.unionByName(part)
-    if rel is None:
-        raise ValueError("layers must be non-empty")
     (rel.repartition("bucket")
         .sortWithinPartitions("tok", "doc_id")
         .write.mode("overwrite").partitionBy("bucket")

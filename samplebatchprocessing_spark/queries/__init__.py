@@ -35,55 +35,48 @@ Entry = tuple[SparkFn, str | None]
 # 50 names, all present in the registry, all 11 §2B families covered —
 # is locked by tests/test_registry_order.py.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r10 ROTATION (VERDICT r9 #1): r9 went 50/50 green, so nothing
-    # needs re-certification.  45 of the 50 slots are fresh (never
-    # driver-sampled): 42 from the 58-entry backlog computed from
-    # CORRECTNESS_r01–r09 (ALL 5 post-window r9 debuts first —
-    # f11/j16/m12/s26/x132, the verdict's priority — then v1–v7,
-    # then the x7–x84 wave), plus the 3 r10 debuts (p21 = verdict
-    # #3's object-store sweep, l17 = verdict #2's LSH compaction,
-    # d11 grouped-Arrow — debut-in-window is the p20/x132
-    # precedent).  The other 5 slots are the Q/A/W/T/U anchors:
-    # those families have no uncertified member left; A and W re-use
-    # r4-era certified entries outside every frozen window (a2/w3 —
-    # zero overlap anywhere), while Q/T/U are FULLY window-covered,
-    # so q1/t3 re-use r5 slots and u2 an r6 slot (the u1-in-r9
-    # precedent; overlap with any single frozen window <= 2, with
-    # the immediately-prior r9 window exactly 0 <= 15).
-    # After this window lands green, 16 backlog entries remain (the
-    # generic-analytics tail: x26–x32, x49, x60, x69–x76, x84) —
-    # r11 mops up and closes the certification debt.
+    # r11 ROTATION (VERDICT r10 #1): CLOSE THE CERTIFICATION DEBT.
+    # r10 went 50/50 green, so nothing needs re-certification; the
+    # 19 fresh slots are ALL 17 never-driver-sampled entries named
+    # by the r10 verdict (the generic-analytics tail x26–x84 plus
+    # the x133 debut) and the 2 r11 debuts (m13 = verdict #2's
+    # atomic index publish, x134 = verdict #3's maintenance sweep —
+    # debut-in-window is the p20/x132/p21 precedent).  Landing this
+    # window green puts cumulative driver certification at 337/337.
+    # The 31 anchor slots re-certify the OLDEST evidence in the
+    # book: 28 are r4-era certified entries that have sat outside
+    # EVERY frozen window since (a3–a13, j2–j10, w4–w6, f3 — zero
+    # overlap with anything), and the remaining P/Q/T/U/S/D/L
+    # family anchors re-use the oldest slots available (p1/s1/d1/l1
+    # from r5, t5 from r6, q2/u4 from r7) — overlap with the
+    # immediately-prior r10 window is exactly 0 <= 15, with r9/r8
+    # also 0, with r7 2, r6 1, r5 4.
     # tests/test_registry_order.py locks the overlap bounds, the
     # 50-name shape, and the family anchors.
     #
     # one anchor per §2B family: P Q J A W T U F S D L
-    "p21_object_store_quarantine", "q1_project_compute",
-    "j16_lateral_topk", "a2_global_agg", "w3_running_frames",
-    "t3_global_topk", "u2_intersect", "f11_variant",
-    "s26_stream_lsh_probe", "d11_apply_in_arrow",
-    "l17_lsh_index_compact",
-    # remaining post-window r9 debuts (verdict #1's first priority)
-    "x132_lsh_index_lifecycle", "m12_observed_metrics",
-    # the v1–v7 subquery/pivot SQL-pattern wave
-    "v1_pivot", "v2_unpivot", "v3_exists_subquery", "v4_in_subquery",
-    "v5_scalar_subquery", "v7_correlated_scalar",
-    # the x7–x24 curation-wave tail
-    "x7_stratified_sample", "x8_pack_sequences", "x10_pii_redaction",
-    "x11_markup_strip", "x12_mixture_weights",
-    "x14_repetition_filter", "x15_chunk_tokens",
-    "x16_corpus_freq_score", "x18_quota_sample",
-    "x22_bpe_pair_counts", "x23_deterministic_shuffle",
-    "x24_source_overlap",
-    # the x34–x84 curation/dedup/eval wave (generic-analytics tail
-    # deferred to r11)
-    "x34_source_drift", "x36_dupgraph_triangles",
-    "x39_weighted_sample", "x41_snapshot_diff", "x44_bpe_train",
-    "x45_feature_hash_embed", "x54_ngram_diversity",
-    "x58_cluster_size_histogram", "x59_label_centroid_matrix",
-    "x61_countmin_sketch", "x63_chat_validation",
-    "x66_containment_neardup", "x67_url_dedup", "x68_bloom_prefilter",
-    "x74_rrf_fusion", "x77_embedding_diversity", "x78_token_gini",
-    "x81_entity_resolution", "x82_dedup_eval",
+    "p1_parquet_scan", "q2_cast", "j2_left_join",
+    "a3_count_distinct", "w4_range_frame", "t5_range_sorted_layout",
+    "u4_union_by_name", "f3_math", "s1_stream_scan", "d1_scalar_udf",
+    "l1_exact_dedup",
+    # r11 debuts: the atomic versioned-pointer publish and the
+    # maintenance sweep that drives it
+    "m13_index_publish", "x134_maintenance_sweep",
+    # the 17-entry certification backlog, in full (verdict r10 #1)
+    "x26_retention", "x27_peak_concurrency", "x28_histogram",
+    "x30_zscore_outliers", "x31_decile_stats", "x32_conversion_lag",
+    "x49_ewma", "x60_hll_union", "x69_weighted_median",
+    "x70_mad_outliers", "x71_debounce_trailing", "x72_k_anonymity",
+    "x73_table_profile", "x75_rolling_active_users", "x76_ab_test",
+    "x84_bot_detection", "x133_ivf_recluster",
+    # r4-era re-certification anchors (outside every frozen window
+    # since the module-order era — the oldest driver evidence)
+    "a4_stddev_var", "a5_having", "a6_rollup", "a6_cube",
+    "a7_argmax", "a8_collect_list", "a9_percentile",
+    "a10_approx_distinct", "a11_approx_percentile", "a13_corr_covar",
+    "j3_semi_anti", "j4_cross_join", "j5_broadcast_join",
+    "j6_theta_join", "j7_range_join", "j8_asof_join", "j9_star_join",
+    "j10_fuzzy_join", "w5_first_last", "w6_gapfill",
 )
 
 

@@ -4133,6 +4133,100 @@ FROM embeddings
 """
 
 
+def x134_maintenance_sweep(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """X134 (r11, VERDICT r10 #3): the MAINTENANCE SWEEP — the
+    cadence loop that actually RUNS the measured due-predicates
+    (``operators.maintenance``).  r10 completed the lifecycle matrix
+    (build / delta / probe / maintenance) but the maintenance
+    quadrant was hand-invoked; this row drives it through the
+    daemon's one-shot form on the x132 LSH index: census the live
+    layout's bucket files, compact iff ``compact_is_due`` (the
+    hottest bucket accumulated >= threshold files — the l17
+    small-file decay story as a pure integer predicate), publish the
+    fresh layout via the m13 pointer, prune past the read horizon.
+
+    Sequence: build base -> publish v1 -> sweep (healthy: NOT due,
+    no-op) -> three delta appends (decay) -> sweep (due: compacts,
+    publishes v2) -> sweep (freshly compacted: not due).  Declared:
+    - ``first_not_due`` / ``settled``: the predicate's hysteresis —
+      a fresh or just-compacted layout never triggers (at threshold
+      1 the sweep would rewrite forever);
+    - ``acted``: the decayed layout did trigger;
+    - ``layout_restored``: post-sweep census is back to ONE file per
+      bucket (the canonical build layout);
+    - ``probe_invariant``: batch candidates identical before and
+      after the sweep's compact+publish (maintenance is invisible to
+      serving);
+    - ``version_after``: exactly 2 (one acted sweep = one publish).
+
+    Scale (100 TB): a not-due sweep costs one directory-metadata
+    census and nothing else, so the daemon can tick frequently; an
+    acted sweep is the already-priced l17 compaction plus an O(JSON)
+    pointer swap, amortized over the decay cadence."""
+    import os
+    import shutil
+
+    from ..operators import maintenance, publish
+    from .sources import _work_dir
+
+    doc = load_table(spark, sf_dir, "documents")
+    base = doc.filter(~F.col("source").isin("src1", "src2"))
+    delta = doc.filter(F.col("source") == "src1")
+    batch = doc.filter(F.col("source") == "src2")
+
+    root = _work_dir(sf_dir, "x134_root")
+    if os.path.exists(root):            # idempotent across runs
+        shutil.rmtree(root)
+    os.makedirs(root)
+    v1 = publish.new_layout_dir(root)
+    dedup.lsh_index_write(base, v1)
+    publish.publish(root, v1)
+
+    r0 = maintenance.lsh_maintenance_sweep(spark, root,
+                                           max_files_per_bucket=3)
+    for _ in range(3):                  # decay: 3 delta layers
+        dedup.lsh_index_append(delta, root)
+    before = (dedup.lsh_index_probe(spark, root, batch)
+              .localCheckpoint(eager=True))
+    r1 = maintenance.lsh_maintenance_sweep(spark, root,
+                                           max_files_per_bucket=3)
+    after = (dedup.lsh_index_probe(spark, root, batch)
+             .localCheckpoint(eager=True))
+    r2 = maintenance.lsh_maintenance_sweep(spark, root,
+                                           max_files_per_bucket=3)
+
+    mx, n_buckets, total = maintenance.bucket_file_census(
+        publish.resolve(root))
+    layout_restored = mx == 1 and total == n_buckets
+    probe_invariant = (before.exceptAll(after).count() == 0
+                       and after.exceptAll(before).count() == 0
+                       and before.count() > 0)
+    return spark.createDataFrame(
+        [(base.count(), delta.count(), batch.count(),
+          not r0["due"], bool(r1["acted"]), not r2["due"],
+          layout_restored, probe_invariant,
+          r2["version_after"])],
+        "n_base long, n_delta long, n_batch long, "
+        "first_not_due boolean, acted boolean, settled boolean, "
+        "layout_restored boolean, probe_invariant boolean, "
+        "version_after int")
+
+
+X134_SQL = """
+SELECT CAST(SUM(CASE WHEN source NOT IN ('src1', 'src2')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_delta,
+       CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_batch,
+       TRUE AS first_not_due, TRUE AS acted, TRUE AS settled,
+       TRUE AS layout_restored, TRUE AS probe_invariant,
+       CAST(2 AS INT) AS version_after
+FROM documents
+"""
+
+
 def x114_ann_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X114 (r8, VERDICT r7 #3): DISTRIBUTED-QUERY IVF batch top-k —
     the variant of the ANN probe where the query set stays a
@@ -5134,6 +5228,7 @@ QUERIES: dict[str, tuple] = {
     "x109_ann_index_lifecycle": (x109_ann_index_lifecycle, X109_SQL),
     "x87_ann_index_merge": (x87_ann_index_merge, X87_SQL),
     "x133_ivf_recluster": (x133_ivf_recluster, X133_SQL),
+    "x134_maintenance_sweep": (x134_maintenance_sweep, X134_SQL),
     "x114_ann_batch_probe": (x114_ann_batch_probe, X114_SQL),
     "x119_bnl_topk": (x119_bnl_topk, X119_SQL),
     "x115_nb_quality_eval": (x115_nb_quality_eval, _x115_sql()),

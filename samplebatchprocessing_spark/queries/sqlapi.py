@@ -1477,6 +1477,104 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def m13_index_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 (r11, VERDICT r10 #2): the ATOMIC VERSIONED-POINTER
+    PUBLISH — the executable form of the swap l17/x123/x133 all
+    documented and left to the caller (``operators.publish``).  An
+    index root holds immutable layout directories plus one
+    atomically-replaced ``_current.json`` pointer; probes resolve
+    the pointer once and read a single consistent version.
+
+    Exercised on the x132 LSH band index over the documents table:
+    BUILD the base layout and publish v1, probe the incoming batch
+    THROUGH the root, append the delta through the root (lands in
+    the live layout), COMPACT into a fresh unpublished layout (an
+    in-flight maintenance pass), probe again — then PUBLISH v2 and
+    probe once more.  Declared booleans:
+    - ``routed_parity``: probe(root) == probe(layout dir) — the
+      pointer adds routing, never rows;
+    - ``swap_invariant``: candidates immediately before and after
+      the v2 publish are identical and nonempty (compaction is a
+      pure layout change; the swap is invisible to results);
+    - ``crash_leaves_old_live``: with a fully-written but
+      UNPUBLISHED layout on disk (the crash window between rewrite
+      and publish), the root still resolves to the published
+      version;
+    - ``old_layout_alive``: after publish + prune(keep=2) the v1
+      directory still exists — the in-flight-reader horizon (m10's
+      vacuum rule).
+    ``version_after`` is the pointer's monotone version (exactly 2).
+
+    Scale (100 TB): the pointer is O(history) JSON bytes; publish
+    cost is independent of index size; readers pay one metadata read
+    to resolve.  Spec parity note: the reference's closest analog is
+    its atomic S3 PUT visibility contract (GetJobs.py:57-60) — this
+    row extends that single-object atomicity to whole index
+    layouts."""
+    import os
+    import shutil
+
+    from ..operators import dedup, publish
+    from .sources import _work_dir
+
+    doc = load_table(spark, sf_dir, "documents")
+    base = doc.filter(~F.col("source").isin("src1", "src2"))
+    delta = doc.filter(F.col("source") == "src1")
+    batch = doc.filter(F.col("source") == "src2")
+
+    root = _work_dir(sf_dir, "m13_root")
+    if os.path.exists(root):            # idempotent across runs
+        shutil.rmtree(root)
+    os.makedirs(root)
+    v1 = publish.new_layout_dir(root)
+    dedup.lsh_index_write(base, v1)
+    publish.publish(root, v1)
+
+    def probe(target):
+        return (dedup.lsh_index_probe(spark, target, batch)
+                .localCheckpoint(eager=True))
+
+    routed, direct = probe(root), probe(v1)
+    routed_parity = (routed.exceptAll(direct).count() == 0
+                     and direct.exceptAll(routed).count() == 0
+                     and routed.count() > 0)
+
+    dedup.lsh_index_append(delta, root)
+    v2 = publish.new_layout_dir(root)
+    dedup.lsh_index_compact(spark, [publish.resolve(root)], v2)
+    before = probe(root)                 # v2 written, NOT published
+    crash_leaves_old_live = publish.resolve(root) == v1
+    publish.publish(root, v2)
+    after = probe(root)
+    swap_invariant = (before.exceptAll(after).count() == 0
+                      and after.exceptAll(before).count() == 0
+                      and before.count() > 0)
+    publish.prune(root, keep=2)
+    old_layout_alive = os.path.isdir(v1)
+    return spark.createDataFrame(
+        [(base.count(), delta.count(), batch.count(), routed_parity,
+          swap_invariant, crash_leaves_old_live, old_layout_alive,
+          publish.current_version(root))],
+        "n_base long, n_delta long, n_batch long, "
+        "routed_parity boolean, swap_invariant boolean, "
+        "crash_leaves_old_live boolean, old_layout_alive boolean, "
+        "version_after int")
+
+
+M13_SQL = """
+SELECT CAST(SUM(CASE WHEN source NOT IN ('src1', 'src2')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_delta,
+       CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_batch,
+       TRUE AS routed_parity, TRUE AS swap_invariant,
+       TRUE AS crash_leaves_old_live, TRUE AS old_layout_alive,
+       CAST(2 AS INT) AS version_after
+FROM documents
+"""
+
+
 def v30_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V30 (r6): the TPC-H REFRESH stream (RF1 insert / RF2 delete) —
     the half of the benchmark read-only ports skip: a deterministic
@@ -1596,6 +1694,7 @@ QUERIES: dict[str, tuple] = {
     "m10_vacuum": (m10_vacuum, M10_SQL),
     "m11_codec_report": (m11_codec_report, M11_SQL),
     "m12_observed_metrics": (m12_observed_metrics, M12_SQL),
+    "m13_index_publish": (m13_index_publish, M13_SQL),
     "v30_tpch_refresh": (v30_tpch_refresh, V30_SQL),
     "w10_interval_frames": (w10_interval_frames, W10_SQL),
 }

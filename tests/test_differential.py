@@ -1283,3 +1283,133 @@ def test_differential_lateral_topk(spark, seed, tmp_path):
             price = next(o[3] for o in orders if o[0] == okey)
             exp.add((c, okey, price))
     assert got == exp, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_lsh_probe_under_maintenance(spark, seed,
+                                                  tmp_path):
+    """r11 (VERDICT r10 #4): the 'composes with in-flight probes'
+    claim, interleaved.  Under random corpora/splits/bucket counts:
+    a probe against the layered index while a compaction of the SAME
+    layers lands in a fresh directory sees no effect; a probe
+    through the versioned pointer returns identical candidates
+    immediately before and immediately after the publish (compaction
+    is a pure layout change); and a reader that resolved the pointer
+    BEFORE the publish keeps reading its old layout consistently
+    until the prune horizon passes it."""
+    import os
+
+    from samplebatchprocessing_spark.operators import (
+        dedup as D2, publish as P)
+
+    rng = random.Random(61_000 + seed)
+    vocab = [f"w{i}" for i in range(rng.randint(6, 24))]
+
+    def doc():
+        return " ".join(rng.choices(vocab, k=rng.randint(3, 15)))
+
+    base = [(i, doc()) for i in range(rng.randint(4, 12))]
+    deltas = [[(100 * (d + 1) + i, doc())
+               for i in range(rng.randint(1, 4))]
+              for d in range(rng.randint(1, 3))]
+    batch = [(9000 + i, doc()) for i in range(rng.randint(1, 6))]
+    batch.append((9999, rng.choice(base)[1]))    # planted near-dup
+    nb = rng.choice([1, 4, 16])
+    schema = "doc_id long, text string"
+    q_df = spark.createDataFrame(batch, schema)
+
+    root = str(tmp_path / "root")
+    v1 = os.path.join(root, "layout-v00001")
+    os.makedirs(root)
+    D2.lsh_index_write(spark.createDataFrame(base, schema), v1,
+                       n_buckets=nb)
+    P.publish(root, v1)
+    for delta in deltas:
+        D2.lsh_index_append(spark.createDataFrame(delta, schema),
+                            root, n_buckets=nb)
+
+    def probe(target):
+        return sorted((r["batch_id"], r["corpus_id"]) for r in
+                      D2.lsh_index_probe(spark, target, q_df,
+                                         n_buckets=nb).collect())
+
+    old_layout = P.resolve(root)            # reader resolves pre-swap
+    p_layered = probe(root)
+    assert any(b == 9999 for b, _ in p_layered), \
+        f"seed={seed}: planted dup missed"
+
+    # compaction LANDS (fresh dir, unpublished): in-flight probes of
+    # the layered form and pointer-routed probes are both unaffected
+    out = P.new_layout_dir(root)
+    D2.lsh_index_compact(spark, [old_layout], out)
+    assert probe(root) == p_layered, f"seed={seed}: pre-publish drift"
+    assert probe(old_layout) == p_layered, f"seed={seed}"
+
+    # the atomic swap: routed probes move to the compacted layout
+    # with identical candidates; the pre-swap reader's layout stays
+    # valid until pruned past the keep>=2 horizon
+    P.publish(root, out)
+    assert probe(root) == p_layered, f"seed={seed}: post-publish drift"
+    assert probe(old_layout) == p_layered, f"seed={seed}: old reader"
+    assert P.prune(root, keep=2) == []
+    assert probe(old_layout) == p_layered, f"seed={seed}: horizon"
+    assert P.prune(root, keep=1) == [old_layout]
+    assert not os.path.exists(old_layout)
+    assert probe(root) == p_layered, f"seed={seed}: live survives prune"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_differential_ivf_probe_under_maintenance(spark, seed,
+                                                  tmp_path):
+    """r11 (VERDICT r10 #4), ANN flavor: a probe always pairs ONE
+    version's cells with THAT version's centroids — resolving the
+    pointer before the recluster publishes serves (old cells, old
+    sidecar); after, (new cells, new sidecar); never a mix.  Routed
+    probes equal direct probes of the version they resolved, both
+    sides of the swap, under random corpora and cell counts."""
+    import os
+
+    import numpy as np
+
+    from samplebatchprocessing_spark.operators import (
+        publish as P, similarity as S)
+
+    rng = random.Random(62_000 + seed)
+    np_rng = np.random.default_rng(62_000 + seed)
+    n = rng.randint(16, 48)
+    dim = rng.choice([4, 8])
+    n_cells = rng.choice([2, 4])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in np_rng.normal(size=dim)])
+         for i in range(n)], "vec_id long, embedding array<float>")
+    pred = f"vec_id < {rng.randint(2, 5)}"
+
+    root = str(tmp_path / "root")
+    v1 = os.path.join(root, "layout-v00001")
+    os.makedirs(root)
+    cmat1 = S.ivf_index_write(emb.filter(F.col("vec_id") % 3 != 0),
+                              v1, n_cells=n_cells)
+    S.ivf_centroids_write(v1, cmat1)
+    P.publish(root, v1)
+    (S.ivf_assign(emb.filter(F.col("vec_id") % 3 == 0), cmat1)
+     .write.mode("append").partitionBy("cell").parquet(P.resolve(root)))
+
+    def probe(layout, cm):
+        return sorted(map(tuple,
+                          S.ivf_index_probe(spark, layout, cm, emb,
+                                            pred, k=3).collect()))
+
+    # recluster lands unpublished: routed reads stay (v1, cmat1)
+    out = P.new_layout_dir(root)
+    cmat2 = S.ivf_index_recluster(spark, root, out, n_cells=n_cells)
+    S.ivf_centroids_write(out, cmat2)
+    before = probe(root, S.ivf_centroids_read(root))
+    assert before == probe(v1, cmat1), f"seed={seed}: version mix"
+
+    P.publish(root, out)
+    assert (S.ivf_centroids_read(root) == cmat2).all(), \
+        f"seed={seed}: sidecar not swapped with cells"
+    after = probe(root, S.ivf_centroids_read(root))
+    assert after == probe(out, cmat2), f"seed={seed}: version mix"
+    # the old version remains self-consistent for in-flight readers
+    assert probe(v1, cmat1) == before, f"seed={seed}: old reader"

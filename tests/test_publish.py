@@ -1,0 +1,360 @@
+"""Atomic versioned-pointer publish (r11, VERDICT r10 #2) and the
+maintenance sweeps that drive it (VERDICT r10 #3).
+
+The three layout-rewriting maintenance passes (l17 LSH compaction,
+x123 postings compaction, x133 IVF re-centroiding) each promised
+"probes keep serving the old layout until the atomic directory
+swap"; these tests pin the executable form of that claim — pointer
+round-trip, crash-leaves-old-version-live, probe-through-pointer
+consistency for all three index families, prune horizon, and the
+census -> due? -> rewrite -> publish sweep end-to-end on the
+drifted/decayed fixtures."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from samplebatchprocessing_spark.catalog import load_table
+from samplebatchprocessing_spark.operators import (dedup, maintenance,
+                                                   publish)
+from samplebatchprocessing_spark.operators import similarity as S
+from samplebatchprocessing_spark.operators import text as T
+
+
+def test_pointer_roundtrip_and_guards(tmp_path):
+    root = str(tmp_path / "idx")
+    v1 = os.path.join(root, "layout-v00001")
+    os.makedirs(v1)
+
+    # unversioned root resolves to itself (pre-r11 back-compat)
+    assert publish.resolve(root) == root
+    assert publish.current_version(root) is None
+
+    assert publish.publish(root, v1) == 1
+    assert publish.resolve(root) == v1
+    assert publish.current_version(root) == 1
+
+    # fresh dir allocation: monotone, skips whatever exists on disk
+    v2 = publish.new_layout_dir(root)
+    assert os.path.basename(v2) == "layout-v00002"
+    os.makedirs(v2)
+    assert publish.publish(root, v2) == 2
+    assert publish.resolve(root) == v2
+
+    # guards: outside root / nonexistent / the live layout / pointer
+    with pytest.raises(ValueError, match="subdirectory"):
+        publish.publish(root, str(tmp_path / "elsewhere"))
+    with pytest.raises(ValueError, match="does not exist"):
+        publish.publish(root, os.path.join(root, "layout-v00009"))
+    with pytest.raises(ValueError, match="already the live"):
+        publish.publish(root, v2)
+    # nested-too-deep is "not a direct subdirectory"
+    deep = os.path.join(v2, "inner")
+    os.makedirs(deep)
+    with pytest.raises(ValueError, match="subdirectory"):
+        publish.publish(root, deep)
+
+
+def test_crash_before_publish_leaves_old_version_live(tmp_path):
+    """The crash contract: a maintenance pass that dies after
+    writing the fresh layout but before the pointer swap leaves
+    every reader on the old version; the orphan is never resolved
+    and never reused for a version name."""
+    root = str(tmp_path / "idx")
+    v1 = os.path.join(root, "layout-v00001")
+    os.makedirs(v1)
+    publish.publish(root, v1)
+
+    orphan = publish.new_layout_dir(root)
+    os.makedirs(orphan)          # "crashed" writer: wrote, no publish
+    assert publish.resolve(root) == v1
+    assert publish.current_version(root) == 1
+    # the NEXT writer gets a fresh name past the orphan
+    nxt = publish.new_layout_dir(root)
+    assert nxt != orphan and not os.path.exists(nxt)
+    assert os.path.basename(nxt) == "layout-v00003"
+    # a torn pointer write can never be observed: the temp file is
+    # invisible to readers even if the replace never happened
+    tmp = os.path.join(root, publish.POINTER + ".inprogress")
+    with open(tmp, "w") as f:
+        f.write("{\"version\": 99")     # torn JSON
+    assert publish.resolve(root) == v1
+
+
+def test_prune_keeps_horizon_and_skips_orphans(tmp_path):
+    root = str(tmp_path / "idx")
+    dirs = []
+    for i in range(1, 5):
+        d = os.path.join(root, f"layout-v{i:05d}")
+        os.makedirs(d)
+        dirs.append(d)
+        publish.publish(root, d)
+    orphan = os.path.join(root, "layout-v00099")
+    os.makedirs(orphan)
+
+    with pytest.raises(ValueError, match="keep"):
+        publish.prune(root, keep=0)
+    deleted = publish.prune(root, keep=2)
+    assert sorted(deleted) == sorted(dirs[:2])
+    assert not os.path.exists(dirs[0]) and not os.path.exists(dirs[1])
+    assert os.path.exists(dirs[2]) and os.path.exists(dirs[3])
+    assert os.path.exists(orphan), "never-published dirs are not GC'd"
+    assert publish.resolve(root) == dirs[3]
+    # idempotent at the horizon; history shrank with the prune
+    assert publish.prune(root, keep=2) == []
+    with open(os.path.join(root, publish.POINTER)) as f:
+        assert [h["version"] for h in json.load(f)["history"]] == [3, 4]
+
+
+def test_lsh_probe_through_pointer(spark, sf_smoke, tmp_path):
+    """Probe/append take a versioned root interchangeably with a
+    plain layout dir, and a publish mid-lifecycle atomically moves
+    probes from the layered to the compacted layout with identical
+    results (the l17 probe_parity claim, now through the pointer)."""
+    doc = load_table(spark, sf_smoke, "documents").limit(40)
+    base, batch = doc.limit(30), doc.limit(40).exceptAll(doc.limit(30))
+    root = str(tmp_path / "lsh_root")
+    v1 = os.path.join(root, "layout-v00001")
+    os.makedirs(root)
+    dedup.lsh_index_write(base, v1)
+    publish.publish(root, v1)
+
+    direct = dedup.lsh_index_probe(spark, v1, batch)
+    routed = dedup.lsh_index_probe(spark, root, batch)
+    assert sorted(map(tuple, direct.collect())) \
+        == sorted(map(tuple, routed.collect()))
+
+    # append through the root lands in the live layout
+    dedup.lsh_index_append(batch, root)
+    n_rows = spark.read.parquet(v1).count()
+    assert n_rows == (base.count() + batch.count()) * dedup.N_BANDS
+
+    # compact into v2, publish: the routed probe follows the pointer
+    v2 = publish.new_layout_dir(root)
+    dedup.lsh_index_compact(spark, [publish.resolve(root)], v2)
+    before = sorted(map(tuple,
+                        dedup.lsh_index_probe(spark, root,
+                                              batch).collect()))
+    publish.publish(root, v2)
+    after = sorted(map(tuple,
+                       dedup.lsh_index_probe(spark, root,
+                                             batch).collect()))
+    assert before == after
+    assert publish.resolve(root) == v2
+
+
+def test_postings_probe_through_pointer(spark, tmp_path):
+    rows = [(1, "big cat big"), (2, "big cat"), (3, "big dog"),
+            (4, "cat big")]
+    doc = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "post_root")
+    v1 = os.path.join(root, "layout-v00001")
+    os.makedirs(root)
+    T.postings_index_write(doc, v1, n_buckets=8)
+    publish.publish(root, v1)
+    got = {(r["doc_id"], r["total_tf"])
+           for r in T.postings_probe_and(spark, root, ["big", "cat"],
+                                         n_buckets=8).collect()}
+    assert got == {(1, 3), (2, 2), (4, 2)}
+
+
+def test_ivf_centroid_sidecar_roundtrip_and_probe(spark, tmp_path):
+    """Centroids persisted INTO the layout are bit-exact on re-read
+    (JSON float repr is roundtrip-exact) and the probe through the
+    versioned root with the sidecar centroids equals the probe with
+    the in-memory matrix on the plain dir."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=4)])
+         for i in range(80)], "vec_id long, embedding array<float>")
+    root = str(tmp_path / "ivf_root")
+    v1 = os.path.join(root, "layout-v00001")
+    os.makedirs(root)
+    cmat = S.ivf_index_write(emb, v1, n_cells=8)
+    S.ivf_centroids_write(v1, cmat)
+    publish.publish(root, v1)
+
+    assert (S.ivf_centroids_read(root) == cmat).all()
+    assert S.ivf_centroids_read(root).dtype == np.float64
+
+    pred = "vec_id < 3"
+    direct = S.ivf_index_probe(spark, v1, cmat, emb, pred, k=4)
+    routed = S.ivf_index_probe(spark, root, S.ivf_centroids_read(root),
+                               emb, pred, k=4)
+    assert sorted(map(tuple, direct.collect())) \
+        == sorted(map(tuple, routed.collect()))
+    assert S.ivf_cell_census(spark, root) \
+        == S.ivf_cell_census(spark, v1)
+
+
+def test_maintenance_sweep_requires_versioned_root(spark, tmp_path):
+    bare = str(tmp_path / "bare")
+    os.makedirs(bare)
+    for fn in (maintenance.lsh_maintenance_sweep,
+               maintenance.postings_maintenance_sweep,
+               maintenance.ivf_maintenance_sweep):
+        with pytest.raises(ValueError, match="VERSIONED"):
+            fn(spark, bare)
+
+
+def test_compact_is_due_predicate():
+    assert not maintenance.compact_is_due(1)
+    assert not maintenance.compact_is_due(3)
+    assert maintenance.compact_is_due(4)
+    assert maintenance.compact_is_due(2, threshold=2)
+    with pytest.raises(ValueError, match="threshold"):
+        maintenance.compact_is_due(5, threshold=1)
+
+
+def test_lsh_maintenance_sweep_end_to_end(spark, sf_smoke, tmp_path):
+    """The l17 small-file decay story, driven through the daemon
+    loop's one-shot form instead of by hand: appends decay the
+    layout; the sweep measures it, compacts into a fresh layout,
+    publishes, and restores one-file-per-bucket — while a not-due
+    sweep is a no-op and probe results are identical across the
+    swap."""
+    doc = load_table(spark, sf_smoke, "documents").limit(40)
+    base, batch = doc.limit(30), doc.limit(40).exceptAll(doc.limit(30))
+    root = str(tmp_path / "root")
+    v1 = os.path.join(root, "layout-v00001")
+    os.makedirs(root)
+    dedup.lsh_index_write(base, v1)
+    publish.publish(root, v1)
+
+    r0 = maintenance.lsh_maintenance_sweep(spark, root,
+                                           max_files_per_bucket=3)
+    assert r0["due"] is False and r0["acted"] is False
+    assert r0["version_before"] == r0["version_after"] == 1
+
+    for _ in range(3):                      # decay the layout
+        dedup.lsh_index_append(batch, root)
+    probe_before = sorted(map(tuple,
+                              dedup.lsh_index_probe(spark, root,
+                                                    batch).collect()))
+    r1 = maintenance.lsh_maintenance_sweep(spark, root,
+                                           max_files_per_bucket=3)
+    assert r1["due"] and r1["acted"]
+    assert r1["version_after"] == 2
+    assert r1["files_before"] > r1["files_after"]
+    mx, n, total = maintenance.bucket_file_census(
+        publish.resolve(root))
+    assert mx == 1 and total == n       # canonical layout restored
+    probe_after = sorted(map(tuple,
+                             dedup.lsh_index_probe(spark, root,
+                                                   batch).collect()))
+    assert probe_before == probe_after
+    # prune horizon: keep=2 leaves v1 alive for in-flight readers
+    assert os.path.exists(v1)
+    # next sweep: freshly compacted, not due
+    r2 = maintenance.lsh_maintenance_sweep(spark, root,
+                                           max_files_per_bucket=3)
+    assert not r2["due"] and r2["version_after"] == 2
+
+
+def test_ivf_maintenance_sweep_on_planted_drift(spark, tmp_path):
+    """The x133 cadence trigger wired end-to-end (VERDICT r10 #3):
+    the drifted-appends fixture of test_ivf_recluster_trigger,
+    driven through the sweep — balanced build not due; appending a
+    shifted tight mode makes it due; the sweep re-centroids into a
+    fresh layout, stamps the centroid sidecar, publishes, and the
+    routed probe serves the new quantizer."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=4)])
+         for i in range(64)], "vec_id long, embedding array<float>")
+    root = str(tmp_path / "root")
+    v1 = os.path.join(root, "layout-v00001")
+    os.makedirs(root)
+    cmat = S.ivf_index_write(base, v1, n_cells=8)
+    S.ivf_centroids_write(v1, cmat)
+    publish.publish(root, v1)
+
+    r0 = maintenance.ivf_maintenance_sweep(spark, root, n_cells=8)
+    assert not r0["due"] and r0["version_after"] == 1
+
+    center = np.array([8.0, 0.0, 0.0, 0.0])
+    drift = spark.createDataFrame(
+        [(1000 + i,
+          [float(x) for x in center + 0.3 * rng.normal(size=4)])
+         for i in range(200)], "vec_id long, embedding array<float>")
+    (S.ivf_assign(drift, cmat).write.mode("append")
+     .partitionBy("cell").parquet(publish.resolve(root)))
+
+    r1 = maintenance.ivf_maintenance_sweep(spark, root, n_cells=8)
+    assert r1["due"] and r1["acted"] and r1["version_after"] == 2
+    live = publish.resolve(root)
+    assert os.path.exists(os.path.join(live, "_ivf_centroids.json"))
+    # recluster == rebuild (the x133 identity), through the pointer
+    rebuild = str(tmp_path / "rebuild")
+    S.ivf_index_write(base.unionByName(drift), rebuild, n_cells=8)
+    assert S.ivf_cell_census(spark, root) \
+        == S.ivf_cell_census(spark, rebuild)
+    # the published sidecar equals a fresh retrain on the contents
+    assert (S.ivf_centroids_read(root)
+            == S.ivf_centroids(base.unionByName(drift), 8)).all()
+
+
+def test_postings_maintenance_sweep(spark, tmp_path):
+    doc = spark.createDataFrame(
+        [(1, "big cat big"), (2, "big cat"), (3, "big dog"),
+         (4, "cat big")], "doc_id long, text string")
+    root = str(tmp_path / "root")
+    v1 = os.path.join(root, "layout-v00001")
+    os.makedirs(root)
+    T.postings_index_write(doc.filter("doc_id <= 2"), v1, n_buckets=8)
+    publish.publish(root, v1)
+    for did in (3, 4):
+        T.postings_index_append(doc.filter(f"doc_id = {did}"), root,
+                                n_buckets=8)
+    r = maintenance.postings_maintenance_sweep(
+        spark, root, max_files_per_bucket=2)
+    assert r["due"] and r["version_after"] == 2
+    got = {(x["doc_id"], x["total_tf"])
+           for x in T.postings_probe_and(spark, root, ["big", "cat"],
+                                         n_buckets=8).collect()}
+    assert got == {(1, 3), (2, 2), (4, 2)}
+    mx, n, total = maintenance.bucket_file_census(
+        publish.resolve(root))
+    assert mx == 1 and total == n
+
+
+def test_maintenance_daemon_loop_and_error_surfacing(spark, tmp_path):
+    """The watch_daemon analog: the background loop runs every sweep
+    per tick, accumulates reports, stops gracefully; a sweep raising
+    stops the loop and re-raises on stop() instead of silently
+    letting the index decay while looking healthy."""
+    import time
+
+    doc = spark.createDataFrame(
+        [(1, "big cat"), (2, "cat dog")], "doc_id long, text string")
+    root = str(tmp_path / "root")
+    v1 = os.path.join(root, "layout-v00001")
+    os.makedirs(root)
+    T.postings_index_write(doc, v1, n_buckets=4)
+    publish.publish(root, v1)
+
+    d = maintenance.maintenance_daemon(
+        [lambda: maintenance.postings_maintenance_sweep(spark, root)],
+        poll_seconds=0.2)
+    deadline = time.time() + 60
+    while not d.reports and time.time() < deadline:
+        time.sleep(0.05)
+    d.stop()
+    assert d.reports and all(r["kind"] == "postings"
+                             for r in d.reports)
+    assert all(not r["acted"] for r in d.reports)  # healthy: no-op
+
+    def boom():
+        raise RuntimeError("sweep exploded")
+
+    d2 = maintenance.maintenance_daemon([boom], poll_seconds=0.2)
+    deadline = time.time() + 60
+    while d2._error is None and time.time() < deadline:
+        time.sleep(0.05)
+    with pytest.raises(RuntimeError, match="sweep exploded"):
+        d2.stop()

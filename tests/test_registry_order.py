@@ -194,51 +194,77 @@ R9_WINDOW = frozenset({
 })
 
 
+# The r10 driver window, frozen (went 50/50 green in CORRECTNESS_r10).
+R10_WINDOW = frozenset({
+    "p21_object_store_quarantine", "q1_project_compute",
+    "j16_lateral_topk", "a2_global_agg", "w3_running_frames",
+    "t3_global_topk", "u2_intersect", "f11_variant",
+    "s26_stream_lsh_probe", "d11_apply_in_arrow",
+    "l17_lsh_index_compact",
+    "x132_lsh_index_lifecycle", "m12_observed_metrics",
+    "v1_pivot", "v2_unpivot", "v3_exists_subquery", "v4_in_subquery",
+    "v5_scalar_subquery", "v7_correlated_scalar",
+    "x7_stratified_sample", "x8_pack_sequences", "x10_pii_redaction",
+    "x11_markup_strip", "x12_mixture_weights",
+    "x14_repetition_filter", "x15_chunk_tokens",
+    "x16_corpus_freq_score", "x18_quota_sample",
+    "x22_bpe_pair_counts", "x23_deterministic_shuffle",
+    "x24_source_overlap",
+    "x34_source_drift", "x36_dupgraph_triangles",
+    "x39_weighted_sample", "x41_snapshot_diff", "x44_bpe_train",
+    "x45_feature_hash_embed", "x54_ngram_diversity",
+    "x58_cluster_size_histogram", "x59_label_centroid_matrix",
+    "x61_countmin_sketch", "x63_chat_validation",
+    "x66_containment_neardup", "x67_url_dedup", "x68_bloom_prefilter",
+    "x74_rrf_fusion", "x77_embedding_diversity", "x78_token_gini",
+    "x81_entity_resolution", "x82_dedup_eval",
+})
+
+
 def test_window_rotation_bounds_overlap_with_prior_rounds():
-    """Rotation policy (VERDICT r5 #3 ... r9 #1): round-over-round
+    """Rotation policy (VERDICT r5 #3 ... r10 #1): round-over-round
     overlap <= 15 so the registry tail accrues driver evidence.
-    r5–r9 all went 50/50 green, so the r10 window re-certifies
-    nothing: overlap with the immediately-prior r9 window (and with
-    r8/r7) is exactly zero; Q/T/U are FULLY covered by frozen
-    windows, so their anchors re-use the oldest slots available —
-    q1/t3 from r5 and u2 from r6 (the u1-in-r9 precedent; per-window
-    overlap <= 2 <= 15)."""
+    r5–r10 all went 50/50 green, so the r11 window re-certifies
+    nothing by need: overlap with the immediately-prior r10 window
+    (and with r9/r8) is exactly zero; the P/Q/T/U/S/D/L family
+    anchors re-use the OLDEST slots available (p1/s1/d1/l1 from r5,
+    t5 from r6, q2/u4 from r7 — per-window overlap <= 4 <= 15); the
+    other 28 anchors are r4-era certified entries outside every
+    frozen window."""
+    assert not R10_WINDOW & set(DRIVER_WINDOW)
     assert not R9_WINDOW & set(DRIVER_WINDOW)
     assert not R8_WINDOW & set(DRIVER_WINDOW)
-    assert not R7_WINDOW & set(DRIVER_WINDOW)
-    assert R6_WINDOW & set(DRIVER_WINDOW) == {"u2_intersect"}
-    assert R5_WINDOW & set(DRIVER_WINDOW) == {"q1_project_compute",
-                                              "t3_global_topk"}
+    assert R7_WINDOW & set(DRIVER_WINDOW) == {"q2_cast",
+                                              "u4_union_by_name"}
+    assert R6_WINDOW & set(DRIVER_WINDOW) == {"t5_range_sorted_layout"}
+    assert R5_WINDOW & set(DRIVER_WINDOW) == {
+        "p1_parquet_scan", "s1_stream_scan", "d1_scalar_udf",
+        "l1_exact_dedup"}
 
 
 def test_window_targets_the_never_certified_backlog():
-    """VERDICT r9 #1: >= 45 fresh (never-driver-sampled) slots,
-    prioritizing ALL 5 post-window r9 debuts (f11/j16/m12/s26/x132),
-    then v1–v7, then the x7–x84 wave; plus the 3 r10 debuts (p21 =
-    verdict #3 object-store sweep, l17 = verdict #2 LSH compaction,
-    d11 grouped-Arrow).  After this window: 16 backlog entries left
-    (the generic-analytics tail), r11 closes the debt."""
-    must_have = {
-        # all 5 post-window r9 debuts
-        "f11_variant", "j16_lateral_topk", "m12_observed_metrics",
-        "s26_stream_lsh_probe", "x132_lsh_index_lifecycle",
-        # the v1–v7 wave (v6 was certified in r6)
-        "v1_pivot", "v2_unpivot", "v3_exists_subquery",
-        "v4_in_subquery", "v5_scalar_subquery", "v7_correlated_scalar",
-        # r10 debuts
-        "p21_object_store_quarantine", "l17_lsh_index_compact",
-        "d11_apply_in_arrow",
-        # head of the x7–x24 curation wave
-        "x7_stratified_sample", "x8_pack_sequences",
-        "x10_pii_redaction", "x11_markup_strip", "x12_mixture_weights",
-        "x14_repetition_filter", "x15_chunk_tokens",
+    """VERDICT r10 #1: close the certification debt — ALL 17
+    never-driver-sampled entries (the generic-analytics tail
+    x26–x84 plus the x133 debut) in this window, plus the 2 r11
+    debuts (m13 index publish, x134 maintenance sweep — the
+    p20/x132/p21 debut-in-window precedent).  Landing green puts
+    cumulative driver certification at 337/337 — debt zero for the
+    first time."""
+    backlog = {
+        "x26_retention", "x27_peak_concurrency", "x28_histogram",
+        "x30_zscore_outliers", "x31_decile_stats",
+        "x32_conversion_lag", "x49_ewma", "x60_hll_union",
+        "x69_weighted_median", "x70_mad_outliers",
+        "x71_debounce_trailing", "x72_k_anonymity",
+        "x73_table_profile", "x75_rolling_active_users", "x76_ab_test",
+        "x84_bot_detection", "x133_ivf_recluster",
     }
-    missing = must_have - set(DRIVER_WINDOW)
+    debuts = {"m13_index_publish", "x134_maintenance_sweep"}
+    missing = (backlog | debuts) - set(DRIVER_WINDOW)
     assert not missing, f"verdict-priority entries not in window: {missing}"
-    # >= 45 fresh: only the 5 reused Q/A/W/T/U anchors are non-fresh
-    reused = {"q1_project_compute", "a2_global_agg",
-              "w3_running_frames", "t3_global_topk", "u2_intersect"}
-    assert len(set(DRIVER_WINDOW) - reused) == 45
+    # exactly 19 fresh slots; the other 31 are re-certification
+    # anchors that already hold driver evidence
+    assert len(backlog | debuts) == 19
 
 
 def test_readme_counts_match_registry(reg):
