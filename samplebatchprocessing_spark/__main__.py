@@ -129,6 +129,69 @@ def cmd_watch(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_maintain(args: argparse.Namespace) -> int:
+    """The maintenance-daemon CLI (r11, VERDICT r10 #3): run the
+    census -> due? -> rewrite -> publish sweep for a versioned index
+    root, either once (``--once``, the AvailableNow analog — cron
+    drives the cadence) or as a continuous loop with the same
+    SIGINT/SIGTERM graceful-stop wiring as ``watch`` (GetJobs.py:
+    63-65,80's signal discipline applied to index upkeep)."""
+    from .operators import maintenance
+
+    spark = _spark()
+    sweeps = {
+        "lsh": lambda: maintenance.lsh_maintenance_sweep(
+            spark, args.index_root,
+            max_files_per_bucket=args.threshold),
+        "postings": lambda: maintenance.postings_maintenance_sweep(
+            spark, args.index_root,
+            max_files_per_bucket=args.threshold),
+        "ivf": lambda: maintenance.ivf_maintenance_sweep(
+            spark, args.index_root, n_cells=args.n_cells,
+            skew_threshold=args.threshold),
+    }
+    sweep = sweeps[args.kind]
+
+    def _print(r: dict) -> None:
+        print(f"{r['kind']} {r['index_root']}: due={r['due']} "
+              f"v{r['version_before']} -> v{r['version_after']} "
+              f"files {r['files_before']} -> {r['files_after']}",
+              flush=True)
+
+    if args.once:
+        _print(sweep())
+        return 0
+
+    d = maintenance.maintenance_daemon([sweep],
+                                       poll_seconds=args.poll)
+    stop = threading.Event()
+
+    def _on_signal(signum, _frame):
+        print(f"signal {signum}: stopping after current sweep",
+              file=sys.stderr, flush=True)
+        stop.set()
+
+    prev = {s: signal.signal(s, _on_signal)
+            for s in (signal.SIGINT, signal.SIGTERM)}
+    print(f"maintaining {args.kind} index {args.index_root} "
+          f"every {args.poll}s (SIGINT to stop)", flush=True)
+    seen = 0
+    try:
+        while not stop.is_set():
+            stop.wait(0.5)
+            while seen < len(d.reports):   # stream reports as they land
+                _print(d.reports[seen])
+                seen += 1
+        d.stop()                           # graceful: finish in-flight
+        while seen < len(d.reports):
+            _print(d.reports[seen])
+            seen += 1
+    finally:
+        for s, h in prev.items():
+            signal.signal(s, h)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="samplebatchprocessing_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -167,6 +230,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="micro-batch poll interval in seconds "
                     "(the reference's 20 s long-poll wait)")
     pw.set_defaults(fn=cmd_watch)
+
+    pm = sub.add_parser("maintain", help="index maintenance daemon: "
+                        "census -> due? -> rewrite -> publish for a "
+                        "versioned index root")
+    pm.add_argument("kind", choices=("lsh", "postings", "ivf"))
+    pm.add_argument("index_root")
+    pm.add_argument("--once", action="store_true",
+                    help="run exactly one sweep and exit (cron mode)")
+    pm.add_argument("--poll", type=float, default=60.0,
+                    help="sweep interval in seconds (daemon mode)")
+    pm.add_argument("--threshold", type=int, default=4,
+                    help="max files per bucket (lsh/postings) or "
+                    "cell-skew ratio (ivf) before maintenance fires")
+    pm.add_argument("--n-cells", type=int, default=16,
+                    help="IVF coarse-quantizer cell count")
+    pm.set_defaults(fn=cmd_maintain)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -358,3 +358,38 @@ def test_maintenance_daemon_loop_and_error_surfacing(spark, tmp_path):
         time.sleep(0.05)
     with pytest.raises(RuntimeError, match="sweep exploded"):
         d2.stop()
+
+
+def test_cli_maintain_once_and_daemon(spark, tmp_path, capsys):
+    """r11: `python -m samplebatchprocessing_spark maintain` drives
+    the sweep from the shell — the reference's CLI discipline
+    (GetJobs is shell-driven) applied to index upkeep.  --once runs
+    one decision (cron mode); daemon mode streams report lines and
+    stops gracefully."""
+    from samplebatchprocessing_spark.__main__ import main
+
+    doc = spark.createDataFrame(
+        [(1, "big cat"), (2, "cat dog"), (3, "dog bird")],
+        "doc_id long, text string")
+    root = str(tmp_path / "root")
+    v1 = os.path.join(root, "layout-v00001")
+    os.makedirs(root)
+    T.postings_index_write(doc.filter("doc_id = 1"), v1, n_buckets=4)
+    publish.publish(root, v1)
+    for did in (2, 3):
+        T.postings_index_append(doc.filter(f"doc_id = {did}"), root,
+                                n_buckets=4)
+
+    assert main(["maintain", "postings", root, "--once",
+                 "--threshold", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "due=True" in out and "v1 -> v2" in out
+    assert publish.current_version(root) == 2
+    mx, n, total = maintenance.bucket_file_census(publish.resolve(root))
+    assert mx == 1 and total == n
+
+    # healthy index: a second --once sweep reports not-due
+    assert main(["maintain", "postings", root, "--once",
+                 "--threshold", "2"]) == 0
+    assert "due=False" in capsys.readouterr().out
+    assert publish.current_version(root) == 2
