@@ -393,3 +393,64 @@ def test_cli_maintain_once_and_daemon(spark, tmp_path, capsys):
                  "--threshold", "2"]) == 0
     assert "due=False" in capsys.readouterr().out
     assert publish.current_version(root) == 2
+
+
+def test_stream_probe_across_midstream_publish(spark, sf_smoke,
+                                               tmp_path):
+    """r11: serving continuity under maintenance for the STREAMING
+    read path — s26's foreachBatch probe runs against a versioned
+    root while a compaction publishes BETWEEN micro-batches.  Each
+    epoch resolves the pointer once (epochs before the swap serve
+    v1, epochs after serve v2), and because compaction is a pure
+    layout change the union of streamed epochs still equals the
+    one-shot batch probe exactly."""
+    from samplebatchprocessing_spark.operators import dedup as D
+
+    doc = load_table(spark, sf_smoke, "documents").limit(40)
+    base = doc.limit(30)
+    shard = doc.limit(40).exceptAll(doc.limit(30))
+
+    root = str(tmp_path / "root")
+    v1 = os.path.join(root, "layout-v00001")
+    os.makedirs(root)
+    D.lsh_index_write(base, v1)
+    publish.publish(root, v1)
+    D.lsh_index_append(shard.limit(3), root)   # decayed layout
+
+    stream_dir = str(tmp_path / "shards")
+    shard.repartition(3).write.parquet(stream_dir)
+    out_dir = str(tmp_path / "cand")
+    ckpt = str(tmp_path / "ckpt")
+    state = {"published": False, "epoch_versions": []}
+
+    def probe_batch(df, batch_id):
+        state["epoch_versions"].append(
+            publish.current_version(root))
+        (D.lsh_index_probe(spark, root, df)
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"epoch={batch_id}")))
+        if not state["published"]:     # maintenance lands mid-stream
+            out = publish.new_layout_dir(root)
+            D.lsh_index_compact(spark, [publish.resolve(root)], out)
+            publish.publish(root, out)
+            state["published"] = True
+
+    schema = spark.read.parquet(stream_dir).schema
+    sdf = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "*.parquet")
+           .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+    q = (sdf.writeStream.foreachBatch(probe_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    assert publish.current_version(root) == 2
+    assert len(state["epoch_versions"]) >= 2, "need multiple epochs"
+    assert state["epoch_versions"][0] == 1       # pre-swap epoch
+    assert state["epoch_versions"][-1] == 2      # post-swap epoch
+    streamed = (spark.read.parquet(f"{out_dir}/epoch=*")
+                .select("batch_id", "corpus_id").distinct())
+    oneshot = D.lsh_index_probe(spark, root, shard)
+    assert (streamed.exceptAll(oneshot).count() == 0
+            and oneshot.exceptAll(streamed).count() == 0
+            and streamed.count() > 0)
