@@ -1095,3 +1095,25 @@ def test_observed_metrics_piggyback_single_scan(spark, sf_smoke):
     plan = plan_str(res)
     assert "CollectMetrics" in plan
     assert plan.count("orders.parquet") == 1
+
+
+def test_lsh_probe_through_pointer_keeps_partition_pruning(
+        spark, sf_smoke, tmp_path):
+    """r11 (m13): resolving the versioned pointer happens BEFORE plan
+    construction, so routing through an index root changes nothing in
+    the physical plan — the bucket PartitionFilters pruning of the
+    direct-path gate above must hold identically."""
+    import os
+
+    from samplebatchprocessing_spark.operators import dedup as D
+    from samplebatchprocessing_spark.operators import publish as P
+    doc = load_table(spark, sf_smoke, "documents")
+    root = str(tmp_path / "root")
+    v1 = os.path.join(root, "layout-v00001")
+    os.makedirs(root)
+    D.lsh_index_write(doc.filter(F.col("doc_id") >= 10), v1)
+    P.publish(root, v1)
+    small = doc.filter(F.col("doc_id") < 2)
+    plan = plan_str(D.lsh_index_probe(spark, root, small))
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "CartesianProduct" not in plan
