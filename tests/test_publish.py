@@ -454,3 +454,56 @@ def test_stream_probe_across_midstream_publish(spark, sf_smoke,
     assert (streamed.exceptAll(oneshot).count() == 0
             and oneshot.exceptAll(streamed).count() == 0
             and streamed.count() > 0)
+
+
+def test_probes_stay_consistent_under_live_daemon(spark, sf_smoke,
+                                                  tmp_path):
+    """r11: the concurrency form of the composes-with-in-flight-
+    probes claim — not interleaved steps but a REAL background
+    maintenance daemon compacting and publishing while the
+    foreground probes in a loop.  Every probe must return the same
+    candidate set (compaction is a pure layout change and each probe
+    resolves one consistent version); the daemon must have acted
+    exactly once (hysteresis) by the time it is stopped."""
+    import time
+
+    doc = load_table(spark, sf_smoke, "documents").limit(40)
+    base, batch = doc.limit(30), doc.limit(40).exceptAll(doc.limit(30))
+    root = str(tmp_path / "root")
+    v1 = os.path.join(root, "layout-v00001")
+    os.makedirs(root)
+    dedup.lsh_index_write(base, v1)
+    publish.publish(root, v1)
+    for _ in range(3):                        # decay the layout
+        dedup.lsh_index_append(batch.limit(3), root)
+
+    expected = sorted(map(tuple,
+                          dedup.lsh_index_probe(spark, root,
+                                                batch).collect()))
+    d = maintenance.maintenance_daemon(
+        [lambda: maintenance.lsh_maintenance_sweep(
+            spark, root, max_files_per_bucket=3)],
+        poll_seconds=0.1)
+    try:
+        deadline = time.time() + 120
+        probes = 0
+        while time.time() < deadline:
+            got = sorted(map(tuple,
+                             dedup.lsh_index_probe(spark, root,
+                                                   batch).collect()))
+            assert got == expected, f"probe #{probes} diverged"
+            probes += 1
+            if any(r["acted"] for r in d.reports) and probes >= 3:
+                break
+    finally:
+        d.stop()
+    assert probes >= 3
+    assert sum(1 for r in d.reports if r["acted"]) == 1
+    assert publish.current_version(root) == 2
+    # and the world after the daemon: canonical layout, same answers
+    mx, n, total = maintenance.bucket_file_census(publish.resolve(root))
+    assert mx == 1 and total == n
+    final = sorted(map(tuple,
+                       dedup.lsh_index_probe(spark, root,
+                                             batch).collect()))
+    assert final == expected
