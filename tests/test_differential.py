@@ -1413,3 +1413,61 @@ def test_differential_ivf_probe_under_maintenance(spark, seed,
     assert after == probe(out, cmat2), f"seed={seed}: version mix"
     # the old version remains self-consistent for in-flight readers
     assert probe(v1, cmat1) == before, f"seed={seed}: old reader"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_differential_publish_lifecycle_invariants(seed, tmp_path):
+    """r11: randomized publish/crash/prune sequences against the
+    pointer primitive all three index families now depend on.
+    Invariants after EVERY operation: resolve() names an existing
+    published directory; the version is strictly monotone; orphans
+    (crashed writers) are never resolved, never name-reused, never
+    pruned; prune never deletes the live layout or any of the newest
+    ``keep`` published ones."""
+    import os
+    import random as _r
+
+    from samplebatchprocessing_spark.operators import publish as P
+
+    rng = _r.Random(63_000 + seed)
+    root = str(tmp_path / "root")
+    os.makedirs(root)
+    published = []          # dirs in publish order
+    orphans = []
+    last_version = 0
+
+    def check():
+        live = P.resolve(root)
+        if published:
+            assert live == published[-1] and os.path.isdir(live)
+            assert P.current_version(root) == last_version
+        else:
+            assert live == root
+        for o in orphans:
+            assert os.path.isdir(o), "orphan deleted"
+            assert live != o, "orphan resolved"
+
+    for _ in range(rng.randint(5, 20)):
+        op = rng.choice(["publish", "crash", "prune"])
+        if op == "publish":
+            d = P.new_layout_dir(root)
+            assert d not in published and d not in orphans
+            os.makedirs(d)
+            v = P.publish(root, d)
+            last_version += 1
+            assert v == last_version, f"seed={seed}: version skew"
+            published.append(d)
+        elif op == "crash":
+            d = P.new_layout_dir(root)
+            assert d not in published and d not in orphans
+            os.makedirs(d)          # written, never published
+            orphans.append(d)
+        elif published:
+            keep = rng.randint(1, 3)
+            deleted = P.prune(root, keep=keep)
+            keep_set = set(published[-keep:]) | {published[-1]}
+            for d in deleted:
+                assert d not in keep_set, f"seed={seed}: horizon"
+                assert d not in orphans
+                published.remove(d)
+        check()
