@@ -1,0 +1,79 @@
+"""GROUPS-mode window frames as a DataFrame composition.
+
+SQL:2011 defines three window frame units — ROWS, RANGE, GROUPS — and
+Spark implements only the first two (the parser rejects GROUPS;
+pinned by tests/test_plans.py::test_w11_spark_lacks_groups_frames).
+A GROUPS frame holds every row whose ORDER-BY value lies within N
+PEER GROUPS of the current row's: insensitive to row order among
+ties (unlike ROWS), counting neighbouring DISTINCT order values
+rather than a value delta (unlike RANGE).
+
+The composition rests on one identity: peer groups ARE the distinct
+(partition, order) pairs, and a GROUPS frame over rows is EXACTLY a
+ROWS frame over the relation collapsed to one row per peer group —
+provided the aggregate distributes over the collapse (COUNT/SUM/
+MIN/MAX do; AVG must be carried as SUM+COUNT).  So:
+
+1. ``groupBy(partition, order)`` with the partial aggregates — one
+   shuffle, sized by the number of peer groups, not rows;
+2. a ROWS window ``rowsBetween(-preceding, following)`` over the
+   collapsed relation;
+3. an equi-join of the framed group rows back onto the base rows.
+
+Scale (100 TB): the window sort never touches the corpus — it runs
+over the group-count-sized relation; the corpus-side cost is one
+equi-join projection, broadcast whenever the group relation is small
+(Catalyst decides; the w11 fixture plan is gated broadcast).  This
+beats even a hypothetical native GROUPS window, which would shuffle
+and sort every corpus row into per-partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+_MERGES = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def groups_frame_agg(df: DataFrame, partition_cols: list[str],
+                     order_col: str,
+                     aggs: dict[str, tuple[Column, str]],
+                     preceding: int = 1,
+                     following: int = 1) -> DataFrame:
+    """``df`` with, per row, each aggregate in ``aggs`` evaluated
+    over the GROUPS frame ``[preceding PRECEDING, following
+    FOLLOWING]`` of ``order_col`` within ``partition_cols``.
+
+    ``aggs`` maps output column name -> (partial aggregate Column,
+    merge) where merge in {"sum", "min", "max"} re-combines the
+    per-peer-group partials across the frame.  Only DISTRIBUTIVE
+    aggregates decompose this way: COUNT is (count, "sum"), SUM is
+    (sum, "sum"), MIN/MAX are (min/max, "min"/"max"); AVG must be
+    carried as SUM+COUNT and divided by the caller.  Output names
+    must not collide with input columns.
+    """
+    if preceding < 0 or following < 0:
+        raise ValueError(
+            f"GROUPS offsets count peer groups and must be >= 0, got "
+            f"preceding={preceding} following={following}")
+    clash = set(aggs) & set(df.columns)
+    if clash:
+        raise ValueError(f"aggregate output names collide with input "
+                         f"columns: {sorted(clash)}")
+    bad = {m for _, m in aggs.values()} - set(_MERGES)
+    if bad:
+        raise ValueError(f"unknown merge(s) {sorted(bad)} — a GROUPS "
+                         f"frame can only re-combine distributive "
+                         f"partials ({sorted(_MERGES)})")
+    keys = [*partition_cols, order_col]
+    grp = df.groupBy(*keys).agg(
+        *[c.alias(f"__g_{name}") for name, (c, _) in aggs.items()])
+    w = (W.partitionBy(*partition_cols).orderBy(order_col)
+         .rowsBetween(-preceding, following))
+    framed = grp.select(
+        *keys,
+        *[_MERGES[m](f"__g_{name}").over(w).alias(name)
+          for name, (_, m) in aggs.items()])
+    return df.join(framed, keys)

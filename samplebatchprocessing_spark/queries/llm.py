@@ -4227,6 +4227,267 @@ FROM documents
 """
 
 
+def x135_vocab_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X135 (r11): the TRAINED-ARTIFACT lifecycle through the m13
+    pointer — a BPE vocabulary as a PUBLISHED, VERSIONED model
+    (``operators.artifacts``).  Indexes are not the only thing a
+    pipeline rewrites on a cadence: the tokenizer the encoders apply
+    is retrained as the corpus grows, and a serving encoder must
+    never see a half-written merge table.  Regime v1 trains 4 merges
+    on the even-doc half (the early-corpus vocabulary); the full
+    corpus then retrains 6 merges into a FRESH layout published as
+    v2.  Every encode resolves the pointer first — the serving read
+    path, not the trainer's in-memory state.
+
+    Declared columns: corpus size, the version transition (1 -> 2),
+    each regime's merge count, the TOTAL ENCODED TOKEN COUNT of the
+    full corpus under each published vocabulary (tokens_v1 >
+    tokens_v2: more merges = fewer pieces — the fertility argument
+    of x89), plus two lifecycle booleans:
+    - ``served_parity``: encoding through the published v2 artifact
+      == encoding with the trainer's in-memory merge list (the
+      artifact round-trip loses nothing);
+    - ``old_layout_alive``: v1's directory survives the v2 publish
+      (the prune read-horizon — an encoder that resolved before the
+      swap finishes its pass on v1).
+
+    The DuckDB twin re-derives BOTH regimes from scratch with the
+    x44 round-unrolled REPLACE chains (v1's chain trains on the
+    even-doc slice, then its 4 rules apply to the full corpus word
+    table; v2's chain trains on the full corpus, so its own final
+    state w6 IS the encode), making tokens_v1/tokens_v2 exact
+    hash-gated integers, not declared booleans.
+
+    Scale (100 TB): the vocab is O(n_merges) driver-side bytes — a
+    plan constant, exactly how ``text.bpe_encode_stats`` folds it;
+    publish/resolve cost is one JSON pointer; training is x44's
+    already-priced iterative path."""
+    import os
+    import shutil
+
+    from ..operators import artifacts, publish
+    from .sources import _work_dir
+
+    doc = load_table(spark, sf_dir, "documents")
+    root = _work_dir(sf_dir, "x135_vocab")
+    if os.path.exists(root):            # idempotent across runs
+        shutil.rmtree(root)
+    os.makedirs(root)
+
+    def total_tokens(merges) -> int:
+        enc = text.bpe_encode_stats(doc, merges)
+        return enc.agg(F.sum("n_pieces")).first()[0]
+
+    m1 = text.bpe_train_merges(doc.filter(F.col("doc_id") % 2 == 0),
+                               n_merges=4)
+    v1 = publish.new_layout_dir(root)
+    artifacts.bpe_vocab_write(m1, v1)
+    ver1 = publish.publish(root, v1)
+    served1 = artifacts.bpe_vocab_read(root)
+    tokens_v1 = total_tokens(served1)
+
+    m2 = text.bpe_train_merges(doc, n_merges=6)
+    v2 = publish.new_layout_dir(root)
+    artifacts.bpe_vocab_write(m2, v2)
+    ver2 = publish.publish(root, v2)
+    served2 = artifacts.bpe_vocab_read(root)
+
+    enc_pub = text.bpe_encode_stats(doc, served2)
+    enc_mem = text.bpe_encode_stats(
+        doc, tuple((l, r, m) for _, l, r, m, _ in m2))
+    served_parity = (enc_pub.exceptAll(enc_mem).count() == 0
+                     and enc_mem.exceptAll(enc_pub).count() == 0)
+    tokens_v2 = enc_pub.agg(F.sum("n_pieces")).first()[0]
+
+    return spark.createDataFrame(
+        [(doc.count(), ver1, ver2, len(served1), len(served2),
+          tokens_v1, tokens_v2, served_parity, os.path.isdir(v1))],
+        "n_docs long, version_first int, version_after int, "
+        "n_merges_v1 int, n_merges_v2 int, tokens_v1 long, "
+        "tokens_v2 long, served_parity boolean, "
+        "old_layout_alive boolean")
+
+
+def _bpe_chain_cte(prefix: str, base: str, n_merges: int) -> str:
+    """The x44 round-unrolled BPE training chain as CTE text: per
+    round k a pair-count argmax ``{prefix}m{k}`` and the post-merge
+    word states ``{prefix}w{k}``, starting from word table ``{base}``
+    (columns s, wf in the double-delimited form).  Shares x44's
+    equivalence argument (greedy fold == non-overlapping REPLACE over
+    ``|sym|`` delimiters); AS MATERIALIZED for the same 3^rounds
+    CTE-inlining reason."""
+    parts = []
+    for k in range(1, n_merges + 1):
+        prev = base if k == 1 else f"{prefix}w{k - 1}"
+        parts.append(f""",
+{prefix}m{k} AS MATERIALIZED (
+  SELECT l, r, l || r AS m, c FROM (
+    SELECT syms[i] AS l, syms[i + 1] AS r,
+           CAST(SUM(wf) AS BIGINT) AS c
+    FROM (SELECT string_split(trim(s, '|'), '||') AS syms, wf
+          FROM {prev}
+          WHERE len(string_split(trim(s, '|'), '||')) >= 2) t,
+         UNNEST(generate_series(1, len(t.syms) - 1)) AS g(i)
+    GROUP BY 1, 2)
+  ORDER BY c DESC, l, r LIMIT 1),
+{prefix}w{k} AS MATERIALIZED (
+  SELECT replace(w.s, '|' || m.l || '||' || m.r || '|',
+                 '|' || m.m || '|') AS s, w.wf
+  FROM {prev} w, {prefix}m{k} m)""")
+    return "".join(parts)
+
+
+def _x135_sql(n_v1: int = 4, n_v2: int = 6) -> str:
+    tk = tokenize_sql("text")
+    # apply v1's rules (trained on the even-doc slice) to the FULL
+    # corpus word table — each rule is one scalar-subquery REPLACE,
+    # in training order (the bpe_encode_stats greedy-fold semantics)
+    enc1 = "c.s"
+    for k in range(1, n_v1 + 1):
+        enc1 = (f"replace({enc1}, '|' || (SELECT l FROM tm{k}) || '||' "
+                f"|| (SELECT r FROM tm{k}) || '|', "
+                f"'|' || (SELECT m FROM tm{k}) || '|')")
+    pieces = "len(string_split(trim(s, '|'), '||'))"
+    return f"""
+WITH t0 AS MATERIALIZED (
+  SELECT '|' || array_to_string(string_split(word, ''), '||') || '|'
+           AS s,
+         CAST(COUNT(*) AS BIGINT) AS wf
+  FROM (SELECT UNNEST({tk}) AS word FROM documents
+        WHERE doc_id % 2 = 0)
+  GROUP BY 1){_bpe_chain_cte('t', 't0', n_v1)},
+c0 AS MATERIALIZED (
+  SELECT '|' || array_to_string(string_split(word, ''), '||') || '|'
+           AS s,
+         CAST(COUNT(*) AS BIGINT) AS wf
+  FROM (SELECT UNNEST({tk}) AS word FROM documents)
+  GROUP BY 1){_bpe_chain_cte('c', 'c0', n_v2)},
+enc1 AS (SELECT {enc1} AS s, c.wf FROM c0 c)
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       CAST(1 AS INT) AS version_first,
+       CAST(2 AS INT) AS version_after,
+       CAST({n_v1} AS INT) AS n_merges_v1,
+       CAST({n_v2} AS INT) AS n_merges_v2,
+       (SELECT CAST(SUM({pieces} * wf) AS BIGINT) FROM enc1)
+         AS tokens_v1,
+       (SELECT CAST(SUM({pieces} * wf) AS BIGINT) FROM cw{n_v2})
+         AS tokens_v2,
+       TRUE AS served_parity, TRUE AS old_layout_alive
+"""
+
+
+def x136_model_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X136 (r11): the NB QUALITY CLASSIFIER as a PUBLISHED model —
+    x128's incremental-maintenance loop driven through the m13
+    pointer and the ``operators.artifacts`` layout, closing the
+    model half of the artifact-lifecycle story x135 opens for the
+    tokenizer.  The count tables are vocabulary-sized (millions of
+    rows at corpus scale), so the layout stores them as parquet
+    written BY SPARK — distributed both ways — with the class-prior
+    counts in a sidecar: a published model carries EVERYTHING
+    scoring needs (x115's score is LLR + prior).
+
+    Lifecycle: train on the base slice -> publish v1 -> the delta
+    batch's counts merge against the counts READ BACK THROUGH THE
+    POINTER (the true incremental path — no base re-read, no trainer
+    state) -> publish v2 -> score the held-out docs from the LIVE
+    model.  Because integer counts merge exactly (x128's argument)
+    and the v2 priors are v1's plus the delta's, the published-model
+    confusion matrix is bit-identical to x115's direct training —
+    the oracle hash-gates that, while ``published_parity`` declares
+    per-doc score equality against x128's in-memory merge path and
+    ``old_layout_alive`` declares the prune read-horizon.
+
+    Scale (100 TB): model write/read are partition-parallel parquet;
+    scoring broadcast-joins the model (x115's plan gate); the
+    pointer swap is O(JSON); the delta update reads ONLY the delta
+    slice plus the published counts relation."""
+    import os
+    import shutil
+
+    from ..operators import artifacts, publish
+    from .sources import _work_dir
+
+    doc = load_table(spark, sf_dir, "documents")
+    is_pos = (F.col("source") == "src0")
+    is_test = (F.col("doc_id") % 3 == 0)
+    is_delta = (F.col("doc_id") % 7 == 3)
+    base = doc.select("doc_id", is_pos.alias("is_pos"),
+                      is_test.alias("is_test"),
+                      is_delta.alias("is_delta"),
+                      F.explode(text.tokenize(F.col("text")))
+                      .alias("tok"))
+
+    def counts(pred):
+        return (base.filter(~F.col("is_test") & pred).groupBy("tok")
+                .agg(F.sum(F.col("is_pos").cast("long")).alias("pc"),
+                     F.sum((~F.col("is_pos")).cast("long"))
+                     .alias("nc")))
+
+    def priors(pred) -> tuple[int, int]:
+        row = (doc.filter(~is_test & pred)
+               .agg(F.sum(is_pos.cast("long")).alias("np"),
+                    F.sum((~is_pos).cast("long")).alias("nn")).first())
+        return int(row["np"]), int(row["nn"])
+
+    root = _work_dir(sf_dir, "x136_nb")
+    if os.path.exists(root):            # idempotent across runs
+        shutil.rmtree(root)
+    os.makedirs(root)
+
+    v1 = publish.new_layout_dir(root)
+    np_b, nn_b = priors(F.col("doc_id") % 7 != 3)
+    artifacts.nb_model_write(counts(~F.col("is_delta")), np_b, nn_b,
+                             v1)
+    ver1 = publish.publish(root, v1)
+
+    cnt_pub, np1, nn1 = artifacts.nb_model_read(spark, root)
+    cnt_d = counts(F.col("is_delta"))
+    np_d, nn_d = priors(F.col("doc_id") % 7 == 3)
+    merged = (cnt_pub.withColumnRenamed("pc", "pc_b")
+              .withColumnRenamed("nc", "nc_b")
+              .join(cnt_d.withColumnRenamed("pc", "pc_d")
+                    .withColumnRenamed("nc", "nc_d"),
+                    "tok", "full_outer")
+              .select("tok",
+                      (F.coalesce("pc_b", F.lit(0))
+                       + F.coalesce("pc_d", F.lit(0))).alias("pc"),
+                      (F.coalesce("nc_b", F.lit(0))
+                       + F.coalesce("nc_d", F.lit(0))).alias("nc")))
+    v2 = publish.new_layout_dir(root)
+    artifacts.nb_model_write(merged, np1 + np_d, nn1 + nn_d, v2)
+    ver2 = publish.publish(root, v2)
+
+    cnt_live, np_live, nn_live = artifacts.nb_model_read(spark, root)
+    scores_pub = _nb_score_eval(doc, base.drop("is_delta"), cnt_live,
+                                return_scores=True,
+                                priors=(np_live, nn_live))
+    scores_mem = _nb_score_eval(doc, base.drop("is_delta"), merged,
+                                return_scores=True)
+    published_parity = (
+        scores_pub.exceptAll(scores_mem).count() == 0
+        and scores_mem.exceptAll(scores_pub).count() == 0
+        and scores_pub.count() > 0)
+
+    cm = _nb_score_eval(doc, base.drop("is_delta"), cnt_live,
+                        priors=(np_live, nn_live))
+    lifecycle = spark.createDataFrame(
+        [(ver1, ver2, published_parity, os.path.isdir(v1))],
+        "version_first int, version_after int, "
+        "published_parity boolean, old_layout_alive boolean")
+    # lifecycle columns lead, mirroring X136_SQL_WRAP's select order
+    # (the driver sorts columns by name, but byte-order parity keeps
+    # raw-tuple comparisons honest too)
+    return lifecycle.crossJoin(cm)
+
+
+X136_SQL_WRAP = """
+SELECT CAST(1 AS INT) AS version_first, CAST(2 AS INT) AS version_after,
+       TRUE AS published_parity, TRUE AS old_layout_alive, cm136.*
+FROM ({x115}) cm136
+"""
+
+
 def x114_ann_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X114 (r8, VERDICT r7 #3): DISTRIBUTED-QUERY IVF batch top-k —
     the variant of the ANN probe where the query set stays a
@@ -5026,13 +5287,18 @@ def x115_nb_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _nb_score_eval(doc: DataFrame, base: DataFrame,
                    cnt: DataFrame,
-                   return_scores: bool = False) -> DataFrame:
+                   return_scores: bool = False,
+                   priors: tuple[int, int] | None = None) -> DataFrame:
     """x115's scoring + held-out evaluation given an arbitrary NB
     count table ``cnt`` (tok, pc, nc) — shared by the direct trainer
-    (x115) and the incremental merge (x128) so the two paths cannot
-    drift: same fixed-point LLR floors, same Laplace-unseen
-    constant, same prior-only empty-doc handling, same exact ppm
-    metrics.  ``doc``/``base`` carry the is_pos/is_test splits."""
+    (x115), the incremental merge (x128), and the published-model
+    reader (x136) so the paths cannot drift: same fixed-point LLR
+    floors, same Laplace-unseen constant, same prior-only empty-doc
+    handling, same exact ppm metrics.  ``doc``/``base`` carry the
+    is_pos/is_test splits.  ``priors``: explicit (np, nn) class
+    counts — a PUBLISHED model carries its priors in the artifact
+    (x136); None re-derives them from ``doc``'s train slice (the
+    training paths, where the two are identical by construction)."""
     is_pos = (F.col("source") == "src0")
     is_test = (F.col("doc_id") % 3 == 0)
     tot = cnt.agg(F.sum("pc").alias("p_tot"), F.sum("nc").alias("n_tot"),
@@ -5043,10 +5309,17 @@ def _nb_score_eval(doc: DataFrame, base: DataFrame,
              - F.log((F.col("nc") + 1)
                      / (F.col("n_tot") + F.col("v")))))
              .cast("long").alias("w")))
-    consts = (doc.select(is_pos.alias("is_pos"), is_test.alias("is_test"))
-              .filter(~F.col("is_test"))
-              .agg(F.sum(F.col("is_pos").cast("long")).alias("np"),
-                   F.sum((~F.col("is_pos")).cast("long")).alias("nn"))
+    if priors is None:
+        pri = (doc.select(is_pos.alias("is_pos"),
+                          is_test.alias("is_test"))
+               .filter(~F.col("is_test"))
+               .agg(F.sum(F.col("is_pos").cast("long")).alias("np"),
+                    F.sum((~F.col("is_pos")).cast("long")).alias("nn")))
+    else:
+        pri = (doc.sparkSession.range(1)
+               .select(F.lit(int(priors[0])).alias("np"),
+                       F.lit(int(priors[1])).alias("nn")))
+    consts = (pri
               .crossJoin(F.broadcast(tot))
               .select(
                   F.floor(1e6 * F.log((F.col("np") + 1)
@@ -5229,6 +5502,9 @@ QUERIES: dict[str, tuple] = {
     "x87_ann_index_merge": (x87_ann_index_merge, X87_SQL),
     "x133_ivf_recluster": (x133_ivf_recluster, X133_SQL),
     "x134_maintenance_sweep": (x134_maintenance_sweep, X134_SQL),
+    "x135_vocab_publish": (x135_vocab_publish, _x135_sql()),
+    "x136_model_publish": (
+        x136_model_publish, X136_SQL_WRAP.format(x115=_x115_sql())),
     "x114_ann_batch_probe": (x114_ann_batch_probe, X114_SQL),
     "x119_bnl_topk": (x119_bnl_topk, X119_SQL),
     "x115_nb_quality_eval": (x115_nb_quality_eval, _x115_sql()),

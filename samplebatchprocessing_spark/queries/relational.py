@@ -1384,6 +1384,77 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def w11_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11 (r11): GROUPS window frame — the third ANSI frame mode
+    (SQL:2011 window frame units, alongside ROWS and RANGE), which
+    NEITHER engine parses natively — Spark rejects the syntax
+    outright (pinned by
+    tests/test_plans.py::test_w11_spark_lacks_groups_frames) and
+    DuckDB raises "not implemented yet" — so both sides are
+    compositions, by different strategies (see ``W11_SQL``).  The
+    frame holds every row whose ORDER-BY value lies within +-1 PEER
+    GROUP of the current row's: unlike ROWS it is insensitive to row
+    order among ties, unlike RANGE the offset counts neighbouring
+    DISTINCT order values, not a value delta — the "previous trading
+    day / next trading day" frame no value arithmetic can express
+    over irregular dates.
+
+    Spark-first composition (``operators.windows.groups_frame_agg``,
+    pure DataFrame ops, no UDF): peer groups ARE the distinct
+    (partition, order) pairs, so
+    1. collapse to one row per peer group carrying the partial
+       aggregates (COUNT, exact-decimal SUM) — one shuffle, sized by
+       the number of peer groups, not rows;
+    2. a GROUPS frame over rows is EXACTLY a ROWS frame over this
+       collapsed relation (each row = one peer group);
+    3. join the framed group rows back onto the base rows on the
+       peer key — broadcast, since the group relation is bounded by
+       |priorities| x |dates|.
+
+    Scale (100 TB): the window sort never sees the corpus — it runs
+    over the group-count-sized relation; the corpus-side cost is one
+    broadcast-join projection.  This beats even a hypothetical native
+    GROUPS window, which would shuffle and sort every corpus row into
+    per-partition order."""
+    from ..operators.windows import groups_frame_agg
+    ord_ = _t(spark, sf_dir, "orders")
+    framed = groups_frame_agg(
+        ord_, ["o_orderpriority"], "o_orderdate",
+        {"frame_rows": (F.count(F.lit(1)), "sum"),
+         "frame_sum": (F.sum(F.col("o_totalprice").cast(DEC)), "sum")})
+    return framed.select(
+        "o_orderkey", "o_orderpriority", "o_orderdate", "frame_rows",
+        F.col("frame_sum").cast("double").alias("frame_sum"))
+
+
+# DuckDB's parser also rejects GROUPS frames ("not implemented yet"),
+# so the twin is a THIRD formulation of the same semantics: dense-rank
+# the peer groups, then a rank-distance self-join (|gi_a - gi_b| <= 1)
+# re-aggregates each group's +-1 neighbourhood — structurally unlike
+# the Spark side's collapsed-relation ROWS window, so the two engines
+# cannot share a mistake.
+W11_SQL = """
+WITH g AS (
+  SELECT o_orderpriority, o_orderdate,
+         COUNT(*) AS gn,
+         SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS gs,
+         DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_orderdate) AS gi
+  FROM orders GROUP BY 1, 2),
+f AS (
+  SELECT a.o_orderpriority, a.o_orderdate,
+         CAST(SUM(b.gn) AS BIGINT) AS frame_rows,
+         CAST(SUM(b.gs) AS DOUBLE) AS frame_sum
+  FROM g a JOIN g b
+    ON a.o_orderpriority = b.o_orderpriority
+   AND b.gi BETWEEN a.gi - 1 AND a.gi + 1
+  GROUP BY 1, 2)
+SELECT o.o_orderkey, o.o_orderpriority, o.o_orderdate,
+       f.frame_rows, f.frame_sum
+FROM orders o JOIN f USING (o_orderpriority, o_orderdate)
+"""
+
+
 # --------------------------------------------------------------------------
 # T* — sort / limit / top-k
 # --------------------------------------------------------------------------
@@ -1918,6 +1989,7 @@ QUERIES: dict[str, tuple] = {
     "w4_range_frame": (w4_range_frame, W4_SQL),
     "w5_first_last": (w5_first_last, W5_SQL),
     "w6_gapfill": (w6_gapfill, W6_SQL),
+    "w11_groups_frame": (w11_groups_frame, W11_SQL),
     "t1_multi_sort": (t1_multi_sort, T1_SQL),
     "t3_global_topk": (t3_global_topk, T3_SQL),
     "t4_topk_per_group": (t4_topk_per_group, T4_SQL),

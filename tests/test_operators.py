@@ -1318,3 +1318,88 @@ def test_pack_offsets_base_off_extends_frozen_prefix(spark):
     assert inc == {i: full[i] for i in full if i > 3}
     with pytest.raises(ValueError, match="base_off"):
         pack_offsets(df, base_off=-1)
+
+
+# ---------------------------------------------------------------------------
+# r11: GROUPS frame composition (operators/windows.py, w11)
+# ---------------------------------------------------------------------------
+
+def _groups_frame_truth(rows, preceding=1, following=1):
+    """Pure-python GROUPS frame: rows = (part, order, val)."""
+    out = {}
+    parts = {}
+    for p, o, v in rows:
+        parts.setdefault(p, {}).setdefault(o, []).append(v)
+    for p, groups in parts.items():
+        keys = sorted(groups)
+        for i, o in enumerate(keys):
+            lo, hi = max(0, i - preceding), min(len(keys), i + following + 1)
+            frame = [v for k in keys[lo:hi] for v in groups[k]]
+            out[(p, o)] = (len(frame), sum(frame))
+    return out
+
+
+def test_groups_frame_matches_pure_python_with_ties(spark):
+    """GROUPS counts neighbouring DISTINCT order values — ties are one
+    peer group.  Constructed fixture has multi-row peer groups and
+    irregular gaps, the two cases that distinguish GROUPS from ROWS
+    (which would split ties) and RANGE (which would span gaps)."""
+    from pyspark.sql import functions as F
+
+    from samplebatchprocessing_spark.operators.windows import (
+        groups_frame_agg)
+    rows = [("a", 1, 10), ("a", 1, 11), ("a", 5, 20),
+            ("a", 100, 30), ("a", 100, 31), ("a", 100, 32),
+            ("b", 7, 1)]
+    df = spark.createDataFrame(rows, "part string, ord int, val int")
+    got = groups_frame_agg(
+        df, ["part"], "ord",
+        {"n": (F.count(F.lit(1)), "sum"),
+         "s": (F.sum("val"), "sum"),
+         "mx": (F.max("val"), "max")})
+    truth = _groups_frame_truth(rows)
+    for r in got.collect():
+        n, s = truth[(r["part"], r["ord"])]
+        assert (r["n"], r["s"]) == (n, s), r
+    # the tie group at ord=100 sees the gap-insensitive frame
+    # {5, 100} (3+1 rows), which ROWS (window of rows) and RANGE
+    # (value distance 95 > 1) would both get wrong
+    r100 = got.filter("part = 'a' and ord = 100").first()
+    assert r100["n"] == 4 and r100["s"] == 20 + 30 + 31 + 32
+    assert r100["mx"] == 32
+
+
+def test_groups_frame_is_row_order_insensitive(spark):
+    """ROWS frames depend on physical order among ties; GROUPS must
+    not — shuffling the input leaves every framed value unchanged."""
+    from pyspark.sql import functions as F
+
+    from samplebatchprocessing_spark.operators.windows import (
+        groups_frame_agg)
+    rows = [("a", i % 5, i) for i in range(40)]
+    df = spark.createDataFrame(rows, "part string, ord int, val int")
+    aggs = {"s": (F.sum("val"), "sum")}
+    base = groups_frame_agg(df, ["part"], "ord", aggs)
+    shuffled = groups_frame_agg(df.repartition(7, "val"),
+                                ["part"], "ord", aggs)
+    assert base.exceptAll(shuffled).count() == 0
+    assert shuffled.exceptAll(base).count() == 0
+
+
+def test_groups_frame_rejects_bad_usage(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from samplebatchprocessing_spark.operators.windows import (
+        groups_frame_agg)
+    df = spark.createDataFrame([("a", 1, 2)],
+                               "part string, ord int, val int")
+    with pytest.raises(ValueError, match="collide"):
+        groups_frame_agg(df, ["part"], "ord",
+                         {"val": (F.sum("val"), "sum")})
+    with pytest.raises(ValueError, match=">= 0"):
+        groups_frame_agg(df, ["part"], "ord",
+                         {"s": (F.sum("val"), "sum")}, preceding=-1)
+    with pytest.raises(ValueError, match="distributive"):
+        groups_frame_agg(df, ["part"], "ord",
+                         {"s": (F.avg("val"), "avg")})

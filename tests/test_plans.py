@@ -1117,3 +1117,34 @@ def test_lsh_probe_through_pointer_keeps_partition_pruning(
     plan = plan_str(D.lsh_index_probe(spark, root, small))
     assert "PartitionFilters" in plan and "bucket" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_w11_spark_lacks_groups_frames(spark):
+    """Pins the premise of w11_groups_frame's existence: Spark's
+    parser rejects the ANSI GROUPS frame mode (only ROWS and RANGE),
+    so the operator must be a composition.  If a future Spark ships
+    native GROUPS, this fails loudly and w11 should be re-planned
+    (and likely re-benched) against the built-in."""
+    import pytest
+    from pyspark.errors import ParseException
+    with pytest.raises(ParseException):
+        spark.sql(
+            "SELECT sum(id) OVER (ORDER BY id GROUPS BETWEEN 1 "
+            "PRECEDING AND 1 FOLLOWING) FROM range(10)").collect()
+
+
+def test_w11_window_runs_on_group_relation_not_corpus(spark, sf_smoke):
+    """w11's scale claim: the window sorts the peer-GROUP relation
+    (post-aggregate), never the corpus, and the framed groups come
+    back to the rows via broadcast — no corpus-side sort-merge join,
+    exactly one Window over exactly one pre-aggregation."""
+    from samplebatchprocessing_spark.queries.relational import (
+        w11_groups_frame)
+    plan = plan_str(w11_groups_frame(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one Window node, fed by the two-phase aggregate ("simple"
+    # mode prints each node once; "formatted" repeats them in details)
+    simple = plan_str(w11_groups_frame(spark, sf_smoke), "simple")
+    assert simple.count("Window") == 1
+    assert simple.count("HashAggregate") == 2

@@ -507,3 +507,69 @@ def test_probes_stay_consistent_under_live_daemon(spark, sf_smoke,
                        dedup.lsh_index_probe(spark, root,
                                              batch).collect()))
     assert final == expected
+
+
+# ---------------------------------------------------------------------------
+# r11: trained-artifact layouts (operators/artifacts.py — x135/x136)
+# ---------------------------------------------------------------------------
+
+def test_bpe_vocab_publish_lifecycle(tmp_path):
+    from samplebatchprocessing_spark.operators import artifacts as A
+    root = str(tmp_path / "vocab")
+    os.makedirs(root)
+    m1 = [(1, "t", "h", "th", 9), (2, "th", "e", "the", 7)]
+    v1 = publish.new_layout_dir(root)
+    A.bpe_vocab_write(m1, v1)
+    assert publish.publish(root, v1) == 1
+    assert A.bpe_vocab_read(root) == (("t", "h", "th"),
+                                      ("th", "e", "the"))
+    # retrain: a FRESH layout; until publish, readers stay on v1
+    m2 = m1 + [(3, "a", "n", "an", 5)]
+    v2 = publish.new_layout_dir(root)
+    A.bpe_vocab_write(m2, v2)
+    assert len(A.bpe_vocab_read(root)) == 2     # crash window: v1 live
+    assert publish.publish(root, v2) == 2
+    assert len(A.bpe_vocab_read(root)) == 3     # order preserved
+    assert A.bpe_vocab_read(root)[2] == ("a", "n", "an")
+    assert os.path.isdir(v1)                    # read horizon intact
+
+
+def test_bpe_vocab_read_guards(tmp_path):
+    from samplebatchprocessing_spark.operators import artifacts as A
+    root = str(tmp_path / "not_a_vocab")
+    os.makedirs(root)
+    with pytest.raises(FileNotFoundError, match="vocab.json"):
+        A.bpe_vocab_read(root)
+    with open(os.path.join(root, "vocab.json"), "w") as f:
+        json.dump({"format": "nb_model"}, f)
+    with pytest.raises(ValueError, match="not a bpe_vocab"):
+        A.bpe_vocab_read(root)
+
+
+def test_nb_model_publish_roundtrip(spark, tmp_path):
+    from samplebatchprocessing_spark.operators import artifacts as A
+    root = str(tmp_path / "nb")
+    os.makedirs(root)
+    cnt = spark.createDataFrame(
+        [("aa", 3, 1), ("bb", 0, 7)], "tok string, pc long, nc long")
+    v1 = publish.new_layout_dir(root)
+    A.nb_model_write(cnt, 11, 22, v1)
+    publish.publish(root, v1)
+    got, np_, nn = A.nb_model_read(spark, root)
+    assert (np_, nn) == (11, 22)
+    assert sorted(got.collect()) == sorted(cnt.collect())
+    # model read through the pointer is the LIVE version only
+    v2 = publish.new_layout_dir(root)
+    A.nb_model_write(cnt.withColumn("pc", cnt.pc + 1), 12, 22, v2)
+    publish.publish(root, v2)
+    got2, np2, _ = A.nb_model_read(spark, root)
+    assert np2 == 12
+    assert {r["pc"] for r in got2.collect()} == {4, 1}
+
+
+def test_nb_model_read_guards(spark, tmp_path):
+    from samplebatchprocessing_spark.operators import artifacts as A
+    root = str(tmp_path / "empty")
+    os.makedirs(root)
+    with pytest.raises(FileNotFoundError, match="_nb_meta"):
+        A.nb_model_read(spark, root)
