@@ -37,17 +37,17 @@ Entry = tuple[SparkFn, str | None]
 DRIVER_WINDOW: tuple[str, ...] = (
     # r11 ROTATION (VERDICT r10 #1): CLOSE THE CERTIFICATION DEBT.
     # r10 went 50/50 green, so nothing needs re-certification; the
-    # 22 fresh slots are ALL 17 never-driver-sampled entries named
+    # 23 fresh slots are ALL 17 never-driver-sampled entries named
     # by the r10 verdict (the generic-analytics tail x26–x84 plus
-    # the x133 debut) and the 5 r11 debuts (m13 = verdict #2's
+    # the x133 debut) and the 6 r11 debuts (m13 = verdict #2's
     # atomic index publish, x134 = verdict #3's maintenance sweep,
-    # w11 = the GROUPS-frame composition, x135/x136 = the published
-    # trained-artifact lifecycles — debut-in-window is the
-    # p20/x132/p21 precedent).  Landing this window green puts
-    # cumulative driver certification at 340/340.
-    # The 28 anchor slots re-certify the OLDEST evidence in the
-    # book: 25 are r4-era certified entries that have sat outside
-    # EVERY frozen window since (a3–a13, j2–j9, w4, f3 — zero
+    # w11 = the GROUPS-frame composition, x135/x136/s27 = the
+    # published trained-artifact lifecycles — debut-in-window is
+    # the p20/x132/p21 precedent).  Landing this window green puts
+    # cumulative driver certification at 341/341.
+    # The 27 anchor slots re-certify the OLDEST evidence in the
+    # book: 20 are r4-era certified entries that have sat outside
+    # EVERY frozen window since (a3–a13, j2–j8, w4, f3 — zero
     # overlap with anything), and the remaining P/Q/T/U/S/D/L
     # family anchors re-use the oldest slots available (p1/s1/d1/l1
     # from r5, t5 from r6, q2/u4 from r7) — overlap with the
@@ -67,6 +67,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (BPE vocab, NB model) riding the same pointer
     "m13_index_publish", "x134_maintenance_sweep",
     "w11_groups_frame", "x135_vocab_publish", "x136_model_publish",
+    "s27_stream_vocab_encode",
     # the 17-entry certification backlog, in full (verdict r10 #1)
     "x26_retention", "x27_peak_concurrency", "x28_histogram",
     "x30_zscore_outliers", "x31_decile_stats", "x32_conversion_lag",
@@ -80,7 +81,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a7_argmax", "a8_collect_list", "a9_percentile",
     "a10_approx_distinct", "a11_approx_percentile", "a13_corr_covar",
     "j3_semi_anti", "j4_cross_join", "j5_broadcast_join",
-    "j6_theta_join", "j7_range_join", "j8_asof_join", "j9_star_join",
+    "j6_theta_join", "j7_range_join", "j8_asof_join",
 )
 
 

@@ -4308,14 +4308,18 @@ def x135_vocab_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_layout_alive boolean")
 
 
-def _bpe_chain_cte(prefix: str, base: str, n_merges: int) -> str:
+def _bpe_chain_cte(prefix: str, base: str, n_merges: int,
+                   carry: str = "") -> str:
     """The x44 round-unrolled BPE training chain as CTE text: per
     round k a pair-count argmax ``{prefix}m{k}`` and the post-merge
     word states ``{prefix}w{k}``, starting from word table ``{base}``
-    (columns s, wf in the double-delimited form).  Shares x44's
-    equivalence argument (greedy fold == non-overlapping REPLACE over
-    ``|sym|`` delimiters); AS MATERIALIZED for the same 3^rounds
-    CTE-inlining reason."""
+    (columns s, wf in the double-delimited form).  ``carry`` names
+    extra pass-through columns of ``{base}`` (e.g. ``"word"`` so the
+    final state can re-join per-slice occurrences, s27).  Shares
+    x44's equivalence argument (greedy fold == non-overlapping
+    REPLACE over ``|sym|`` delimiters); AS MATERIALIZED for the same
+    3^rounds CTE-inlining reason."""
+    keep = "".join(f"w.{c}, " for c in carry.split(",") if c)
     parts = []
     for k in range(1, n_merges + 1):
         prev = base if k == 1 else f"{prefix}w{k - 1}"
@@ -4331,7 +4335,7 @@ def _bpe_chain_cte(prefix: str, base: str, n_merges: int) -> str:
     GROUP BY 1, 2)
   ORDER BY c DESC, l, r LIMIT 1),
 {prefix}w{k} AS MATERIALIZED (
-  SELECT replace(w.s, '|' || m.l || '||' || m.r || '|',
+  SELECT {keep}replace(w.s, '|' || m.l || '||' || m.r || '|',
                  '|' || m.m || '|') AS s, w.wf
   FROM {prev} w, {prefix}m{k} m)""")
     return "".join(parts)

@@ -1471,3 +1471,63 @@ def test_differential_publish_lifecycle_invariants(seed, tmp_path):
                 assert d not in orphans
                 published.remove(d)
         check()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_vocab_artifact_lifecycle(seed, tmp_path):
+    """r11 (x135/s27): randomized retrain/crash/read/prune sequences
+    over the PUBLISHED BPE-vocab artifact — the format layer on top
+    of the pointer fuzz above.  Invariants after every op: a read
+    through the root returns EXACTLY the last PUBLISHED merge list,
+    in training order (never a crashed writer's, never a pruned
+    one's); a reader pinned to a pre-publish layout keeps serving its
+    own version byte-for-byte."""
+    import os
+    import random as _r
+
+    from samplebatchprocessing_spark.operators import artifacts as A
+    from samplebatchprocessing_spark.operators import publish as P
+
+    rng = _r.Random(64_000 + seed)
+    root = str(tmp_path / "vroot")
+    os.makedirs(root)
+
+    def fake_merges(version: int):
+        n = rng.randint(1, 5)
+        return [(k + 1, f"l{version}_{k}", f"r{version}_{k}",
+                 f"m{version}_{k}", rng.randint(1, 99))
+                for k in range(n)]
+
+    published = []      # (dir, expected_tuple) in publish order
+    n_written = 0
+    pinned = None       # (layout_dir, expected_tuple) mid-flight reader
+    for _ in range(rng.randint(6, 18)):
+        op = rng.choice(["retrain", "crash", "read", "prune", "pin"])
+        if op in ("retrain", "crash"):
+            n_written += 1
+            m = fake_merges(n_written)
+            d = P.new_layout_dir(root)
+            A.bpe_vocab_write(m, d)
+            if op == "retrain":
+                P.publish(root, d)
+                published.append(
+                    (d, tuple((l, r, mm) for _, l, r, mm, _ in m)))
+        elif op == "read" and published:
+            assert A.bpe_vocab_read(root) == published[-1][1], \
+                f"seed={seed}: read != last published"
+        elif op == "prune" and published:
+            keep = rng.randint(2, 3)
+            deleted = set(P.prune(root, keep=keep))
+            published = [(d, t) for d, t in published
+                         if d not in deleted]
+            if pinned and pinned[0] in deleted:
+                pinned = None
+        elif op == "pin" and published:
+            pinned = published[-1]
+        if pinned:
+            # a resolve()-pinned reader re-reads ITS layout directly,
+            # untouched by later publishes (prune(keep>=2) horizon)
+            assert A.bpe_vocab_read(pinned[0]) == pinned[1], \
+                f"seed={seed}: pinned reader disturbed"
+    if published:
+        assert A.bpe_vocab_read(root) == published[-1][1]

@@ -245,12 +245,12 @@ def test_window_rotation_bounds_overlap_with_prior_rounds():
 def test_window_targets_the_never_certified_backlog():
     """VERDICT r10 #1: close the certification debt — ALL 17
     never-driver-sampled entries (the generic-analytics tail
-    x26–x84 plus the x133 debut) in this window, plus the 5 r11
+    x26–x84 plus the x133 debut) in this window, plus the 6 r11
     debuts (m13 index publish, x134 maintenance sweep, w11 GROUPS
-    frame, x135 vocab publish, x136 model publish — the
-    p20/x132/p21 debut-in-window precedent).  Landing green puts
-    cumulative driver certification at 340/340 — debt zero for the
-    first time."""
+    frame, x135 vocab publish, x136 model publish, s27 streaming
+    encode — the p20/x132/p21 debut-in-window precedent).  Landing
+    green puts cumulative driver certification at 341/341 — debt
+    zero for the first time."""
     backlog = {
         "x26_retention", "x27_peak_concurrency", "x28_histogram",
         "x30_zscore_outliers", "x31_decile_stats",
@@ -262,12 +262,12 @@ def test_window_targets_the_never_certified_backlog():
     }
     debuts = {"m13_index_publish", "x134_maintenance_sweep",
               "w11_groups_frame", "x135_vocab_publish",
-              "x136_model_publish"}
+              "x136_model_publish", "s27_stream_vocab_encode"}
     missing = (backlog | debuts) - set(DRIVER_WINDOW)
     assert not missing, f"verdict-priority entries not in window: {missing}"
-    # exactly 22 fresh slots; the other 28 are re-certification
+    # exactly 23 fresh slots; the other 27 are re-certification
     # anchors that already hold driver evidence
-    assert len(backlog | debuts) == 22
+    assert len(backlog | debuts) == 23
 
 
 def test_readme_counts_match_registry(reg):
