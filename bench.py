@@ -63,6 +63,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "x130_table_checksum",   # full-table checksum rebuild — the x131 pricing baseline (round 9)
     "x131_delta_merge",      # delta-sized checksum maintenance, merge path only (round 9)
     "s26_epoch_probe",       # steady-state per-epoch streamed LSH probe latency (round 10)
+    "w11_groups_frame",      # GROUPS-frame composition: group-relation window + broadcast-back (round 11)
 )
 
 
