@@ -1531,3 +1531,78 @@ def test_differential_vocab_artifact_lifecycle(seed, tmp_path):
                 f"seed={seed}: pinned reader disturbed"
     if published:
         assert A.bpe_vocab_read(root) == published[-1][1]
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_differential_nb_model_artifact_lifecycle(spark, seed,
+                                                  tmp_path):
+    """r11 (x136): randomized train/delta-merge/crash/read/prune
+    sequences over the PUBLISHED NB-model artifact — the parquet +
+    prior-sidecar format layer on the pointer fuzz.  The reference
+    model is a pure-python dict of keyed counts; invariants after
+    every op: a read through the root returns EXACTLY the last
+    published count multiset and priors (never a crashed writer's,
+    never partially-merged state); the published-model lineage is
+    the prefix-sum of the applied deltas, so merge order can never
+    leak into the artifact."""
+    import os
+    import random as _r
+
+    from samplebatchprocessing_spark.operators import artifacts as A
+    from samplebatchprocessing_spark.operators import publish as P
+
+    rng = _r.Random(65_000 + seed)
+    root = str(tmp_path / "nbroot")
+    os.makedirs(root)
+    vocab = [f"t{j}" for j in range(6)]
+
+    def rand_delta():
+        toks = rng.sample(vocab, rng.randint(1, 4))
+        return ({t: (rng.randint(0, 5), rng.randint(0, 5))
+                 for t in toks},
+                rng.randint(0, 9), rng.randint(0, 9))
+
+    def merged_plus(base, delta):
+        cnt = dict(base)
+        for t, (pc, nc) in delta.items():
+            b = cnt.get(t, (0, 0))
+            cnt[t] = (b[0] + pc, b[1] + nc)
+        return cnt
+
+    def write_and(publish_it):
+        nonlocal model, np_, nn
+        d_cnt, d_np, d_nn = rand_delta()
+        new_cnt = merged_plus(model[0], d_cnt) if model else d_cnt
+        new_np = (model[1] if model else 0) + d_np
+        new_nn = (model[2] if model else 0) + d_nn
+        df = spark.createDataFrame(
+            [(t, pc, nc) for t, (pc, nc) in new_cnt.items()],
+            "tok string, pc long, nc long")
+        d = P.new_layout_dir(root)
+        A.nb_model_write(df, new_np, new_nn, d)
+        if publish_it:
+            P.publish(root, d)
+            model, np_, nn = (new_cnt, new_np, new_nn), new_np, new_nn
+
+    model, np_, nn = None, None, None
+    published_once = False
+    for _ in range(rng.randint(4, 8)):
+        op = rng.choice(["update", "crash", "read", "prune"])
+        if op == "update":
+            write_and(True)
+            published_once = True
+        elif op == "crash":
+            write_and(False)        # layout written, never published
+        elif op == "read" and published_once:
+            got, gnp, gnn = A.nb_model_read(spark, root)
+            assert (gnp, gnn) == (np_, nn), f"seed={seed}: priors"
+            rows = {(r["tok"], r["pc"], r["nc"])
+                    for r in got.collect()}
+            want = {(t, pc, nc)
+                    for t, (pc, nc) in model[0].items()}
+            assert rows == want, f"seed={seed}: counts drifted"
+        elif op == "prune" and published_once:
+            P.prune(root, keep=2)
+    if published_once:
+        got, gnp, gnn = A.nb_model_read(spark, root)
+        assert (gnp, gnn) == (np_, nn)
