@@ -8,7 +8,20 @@ local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <dir>}
 
 Timing = wall-clock of the full action (plan + execute + collect-ish
-materialization via count on the final DataFrame)."""
+materialization via count on the final DataFrame).
+
+Contention instrumentation (VERDICT r11 #1 — the r11 official record
+read 8x on unchanged code from box load while stamping itself clean):
+- per-query PROCESS-TREE CPU seconds (driver + local[*] JVM + Python
+  workers, summed from /proc/<pid>/stat over live descendants, which
+  also carries reaped workers via cutime/cstime) are recorded in
+  "cpu_queries" alongside the wall medians.  Wall time inflates under
+  external load; the tree's CPU time does not — a query whose wall
+  breaches its basis while its CPU holds is load, mechanically.
+- the contamination sentinel now also samples the fixed control
+  BETWEEN suite sections (every 6 queries), not only before/after,
+  so a load burst confined to the middle of the suite is visible.
+"""
 
 from __future__ import annotations
 
@@ -65,6 +78,49 @@ BENCH_QUERIES: tuple[str, ...] = (
     "s26_epoch_probe",       # steady-state per-epoch streamed LSH probe latency (round 10)
     "w11_groups_frame",      # GROUPS-frame composition: group-relation window + broadcast-back (round 11)
 )
+
+
+def tree_cpu_sec() -> float:
+    """Cumulative CPU seconds (user+sys) of this process and every
+    LIVE descendant — on local[*] that is the driver, the JVM with
+    its 32 executor threads, and the Python worker daemons — plus
+    each one's already-reaped children via cutime/cstime (a worker
+    that died mid-query hands its time to the daemon that reaped it,
+    never double-counted because a reaped pid has no /proc entry).
+
+    getrusage(RUSAGE_CHILDREN) would miss the still-running JVM
+    entirely (it only counts waited-for children), so this reads
+    /proc/<pid>/stat directly.  Monotone non-decreasing across calls
+    modulo sub-tick rounding, so deltas are per-query CPU cost —
+    immune to external box load, which inflates wall but not this."""
+    hz = os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, int]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                data = f.read()
+        except OSError:  # raced a process exit
+            continue
+        # comm (field 2) may contain spaces/parens — split after the
+        # LAST ')'; post-comm index i holds 1-based stat field i+3.
+        fields = data[data.rindex(")") + 2:].split()
+        ppid = int(fields[1])                    # field 4
+        ticks = sum(int(fields[i]) for i in (11, 12, 13, 14))
+        procs[int(pid)] = (ppid, ticks)          # fields 14-17
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0, [os.getpid()], set()
+    while stack:
+        p = stack.pop()
+        if p in seen or p not in procs:
+            continue
+        seen.add(p)
+        total += procs[p][1]
+        stack.extend(kids.get(p, ()))
+    return total / hz
 
 
 def main() -> None:
@@ -360,19 +416,29 @@ def main() -> None:
     # must not zero the whole round's perf signal — record {"err": ...}
     # for it, keep timing the rest, ALWAYS print the final JSON line.
     timings: dict[str, object] = {}
+    cpu_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     unstable: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    controls_mid: list[float] = []
+    for qi, name in enumerate(BENCH_QUERIES):
         if name not in reg and name not in overrides:
             continue
+        # interleaved sentinel: one control sample between suite
+        # sections — pre/post alone cannot see a load burst confined
+        # to the middle of a multi-minute suite (VERDICT r11 #1b)
+        if qi and qi % 6 == 0:
+            controls_mid.append(round(_control_once(), 3))
         fn = overrides.get(name) or reg[name][0]
         samples = []
+        cpu_samples = []
         try:
             for _ in range(3):
+                c0 = tree_cpu_sec()
                 t0 = time.monotonic()
                 df = fn(spark, sf_dir)
                 n = df.count()
                 samples.append(time.monotonic() - t0)
+                cpu_samples.append(tree_cpu_sec() - c0)
         except Exception as e:  # noqa: BLE001 — isolate, report, continue
             msg = f"{type(e).__name__}: {e}"
             errors[name] = msg[:500]
@@ -380,6 +446,7 @@ def main() -> None:
             print(f"# {name}: ERROR {msg[:200]}", file=sys.stderr)
             continue
         timings[name] = round(sorted(samples)[1], 3)
+        cpu_timings[name] = round(sorted(cpu_samples)[1], 3)
         # informational per-query instability: spread over the LAST
         # TWO samples (the first may carry a lazy-cache index build,
         # which the median already discards).  NOT a contamination
@@ -391,7 +458,8 @@ def main() -> None:
         if spread > 2.0:
             unstable[name] = spread
         print(f"# {name}: {timings[name]:.3f}s median of "
-              f"{[round(s, 3) for s in samples]} ({n} rows)",
+              f"{[round(s, 3) for s in samples]} "
+              f"(cpu {cpu_timings[name]:.3f}s, {n} rows)",
               file=sys.stderr)
 
     sentinel_post = _sentinel()
@@ -404,25 +472,42 @@ def main() -> None:
             shutil.rmtree(d, ignore_errors=True)
 
     out = summarize(timings, errors, sf_dir)
-    out.update(sentinel_verdict(sentinel_pre, sentinel_post))
+    out["cpu_queries"] = cpu_timings
+    out["cpu_total_sec"] = round(sum(cpu_timings.values()), 3)
+    out.update(sentinel_verdict(sentinel_pre, sentinel_post,
+                                controls_mid))
     if unstable:
         out["unstable_queries"] = unstable
     print(json.dumps(out))
 
 
-def sentinel_verdict(pre: float, post: float) -> dict:
-    """Direction-aware contamination verdict from the pre/post
-    control pair.  Residual C2-tier JIT warmup keeps making the
-    control FASTER through the whole suite (post/pre measured
-    0.51-0.86 on every quiet run), so only a post SLOWER than pre —
-    load ramping during the suite — reads as contamination; a
-    magnitude-only |ratio| > 1.5 rule false-positived on the warmup
-    drift three times during development."""
+def sentinel_verdict(pre: float, post: float,
+                     mid: list[float] | None = None) -> dict:
+    """Contamination verdict from the control series.
+
+    Direction-aware pre/post rule (r9): residual C2-tier JIT warmup
+    keeps making the control FASTER through the whole suite
+    (post/pre measured 0.51-0.86 on every quiet run), so only a post
+    SLOWER than pre — load ramping during the suite — reads as
+    contamination; a magnitude-only |ratio| > 1.5 rule
+    false-positived on the warmup drift three times in development.
+
+    Interleaved rule (r12, VERDICT r11 #1b): pre/post alone is blind
+    to a burst confined to the middle of the suite.  Each mid sample
+    is a SINGLE control run (min-of-3 between every section would
+    cost more than it tells), so one blip is tolerated; TWO OR MORE
+    mid samples above 1.5x the pre floor read as sustained load.
+    Mid samples only ever get faster than pre on a quiet box (more
+    JIT warmup), so the same direction-aware logic applies."""
     ratio = round(post / pre, 3) if pre > 0 else None
+    mid = mid or []
+    n_hot = sum(1 for m in mid if pre > 0 and m / pre > 1.5)
     return {
         "sentinel": {"pre_sec": pre, "post_sec": post,
-                     "post_over_pre": ratio},
-        "contaminated": bool(ratio is not None and ratio > 1.5),
+                     "post_over_pre": ratio,
+                     "mid_sec": mid, "mid_hot": n_hot},
+        "contaminated": bool(ratio is not None and ratio > 1.5)
+        or n_hot >= 2,
     }
 
 

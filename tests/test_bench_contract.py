@@ -66,3 +66,56 @@ def test_sentinel_verdict_direction_aware():
     assert degenerate["sentinel"]["post_over_pre"] is None
     import json
     json.dumps(warm)
+
+
+def test_sentinel_verdict_interleaved_mid_samples():
+    """r12 rule (VERDICT r11 #1b): a load burst confined to the
+    MIDDLE of the suite is invisible to the pre/post pair — two or
+    more mid controls above 1.5x the pre floor must flag, while one
+    blip (mid samples are single runs) must not."""
+    from bench import sentinel_verdict
+    # mid-suite burst: pre/post both quiet, middle controls hot
+    burst = sentinel_verdict(0.30, 0.28, mid=[0.31, 0.95, 1.10, 0.29])
+    assert burst["contaminated"] is True
+    assert burst["sentinel"]["mid_hot"] == 2
+    # one scheduler blip: tolerated (mid samples are single runs)
+    blip = sentinel_verdict(0.30, 0.28, mid=[0.31, 0.95, 0.30, 0.29])
+    assert blip["contaminated"] is False
+    # quiet run: mid samples keep warming like post does
+    quiet = sentinel_verdict(0.30, 0.24, mid=[0.28, 0.26, 0.25])
+    assert quiet["contaminated"] is False
+    # back-compat: omitted mid behaves exactly as before
+    assert sentinel_verdict(0.30, 0.33)["sentinel"]["mid_sec"] == []
+    import json
+    json.dumps(burst)
+
+
+def test_tree_cpu_sec_counts_spun_cpu():
+    """The per-query CPU instrument (VERDICT r11 #1a): the
+    process-tree CPU counter must be monotone and must observe CPU
+    burned by this process AND by a live child — getrusage(CHILDREN)
+    would miss the un-reaped child, which is exactly the local[*]
+    JVM's shape."""
+    import subprocess
+    import time as _t
+    from bench import tree_cpu_sec
+    c0 = tree_cpu_sec()
+    # burn ~0.2 s of CPU in-process
+    t_end = _t.process_time() + 0.2
+    while _t.process_time() < t_end:
+        pass
+    # burn ~0.3 s in a LIVE (not yet reaped) child, sampled mid-run
+    child = subprocess.Popen(
+        [sys.executable, "-c",
+         "import time\n"
+         "t=time.process_time()\n"
+         "while time.process_time()<t+0.3: pass\n"
+         "time.sleep(5)"])
+    try:
+        _t.sleep(1.5)  # child has burned its CPU, still alive
+        c1 = tree_cpu_sec()
+        assert c1 >= c0, (c0, c1)
+        assert c1 - c0 >= 0.4, (c0, c1)  # 0.2 self + 0.3 child, slack
+    finally:
+        child.kill()
+        child.wait()
