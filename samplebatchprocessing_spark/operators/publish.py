@@ -34,12 +34,30 @@ swap cost is independent of index size.  Old layouts are retired
 explicitly via :func:`prune` (keep >= 2 so probes that resolved just
 before a publish finish their scan before their layout is deleted —
 the vacuum-horizon discipline of m10).
+
+Two data planes, one contract (r12, VERDICT r11 #3):
+
+- the module-level functions operate on POSIX roots (temp +
+  ``os.replace`` pointer swap);
+- :class:`StorePublisher` operates the SAME lifecycle over an
+  ``ObjectStoreClient`` bucket — the reference's actual deployment
+  surface (``README.md:114`` input/output prefixes; ``role.json``
+  grants S3 object verbs).  The pointer becomes ONE PUT, atomic by
+  the same contract the P8 direct-PUT commit leans on; a "layout
+  directory" becomes a key PREFIX; prune becomes a paged list +
+  deletes.  Readers keep the identical guarantee: resolve returns
+  one consistent version, and a publish never touches the keys a
+  just-resolved reader is scanning.
 """
 
 from __future__ import annotations
 
 import json
 import os
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # import cycle: manifest imports nothing from here
+    from ..pipeline.manifest import ObjectStoreClient
 
 POINTER = "_current.json"
 
@@ -163,3 +181,141 @@ def prune(index_root: str, keep: int = 2) -> list[str]:
         json.dump(new_meta, f)
     os.replace(tmp, _pointer_path(index_root))
     return deleted
+
+
+class StorePublisher:
+    """The versioned-pointer lifecycle over an object-store bucket.
+
+    Same contract as the module-level POSIX functions, re-expressed
+    in the 5-verb ``ObjectStoreClient`` vocabulary (the p20/p21
+    quarantine discipline, ``pipeline/manifest.py``):
+
+    - ``root`` is a KEY PREFIX (e.g. ``indexes/lsh``); a layout is
+      the prefix ``<root>/<name>`` and "exists" iff at least one
+      object lives under ``<name>/`` — a flat key namespace has no
+      empty directories, so a writer that crashed before its first
+      object left nothing to confuse (the POSIX orphan-dir check
+      degenerates away).
+    - the pointer ``<root>/_current.json`` is ONE object; publish is
+      ONE ``put`` — atomic by the S3 PUT contract, so no temp +
+      rename dance is needed (publish.py module docstring argued
+      this since r11; this class executes it).
+    - ``prune`` pages over each retired layout prefix
+      (``list_pages`` — driver memory bounded by page size, never by
+      layout key count) and deletes; DELETE is idempotent, so a
+      crashed prune re-run converges.
+
+    Physical layout DATA still moves through Spark (parquet over the
+    scheme's Hadoop connector in a real deployment; the file-backed
+    double's ``fs_path`` in this sandbox) — this class owns only the
+    control plane: naming, pointing, retiring."""
+
+    def __init__(self, store: "ObjectStoreClient", root: str) -> None:
+        self.store = store
+        self.root = root.rstrip("/")
+
+    def _pointer_key(self) -> str:
+        return f"{self.root}/{POINTER}"
+
+    def _read_pointer(self) -> dict | None:
+        try:
+            return json.loads(self.store.get(self._pointer_key()))
+        except FileNotFoundError:
+            return None
+
+    def _layout_objects(self, name: str) -> bool:
+        # point-prefix lookup: first page only — membership needs one
+        # object, never the full listing
+        for page in self.store.list_pages(f"{self.root}/{name}/",
+                                          page_size=1):
+            return bool(page)
+        return False
+
+    def current_version(self) -> int | None:
+        meta = self._read_pointer()
+        return None if meta is None else int(meta["version"])
+
+    def resolve(self) -> str:
+        """Live layout prefix; the root itself when unversioned —
+        the same reader-unconditional contract as :func:`resolve`."""
+        meta = self._read_pointer()
+        if meta is None:
+            return self.root
+        return f"{self.root}/{meta['dir']}"
+
+    def new_layout_dir(self, prefix: str = "layout-v") -> str:
+        """A fresh layout prefix for a writer: smallest n above both
+        the published version and every name with objects on the
+        bucket — a crashed writer's partial layout is never reused."""
+        meta = self._read_pointer()
+        n = 0 if meta is None else int(meta["version"])
+        while True:
+            n += 1
+            name = f"{prefix}{n:05d}"
+            if not self._layout_objects(name):
+                return f"{self.root}/{name}"
+
+    def publish(self, layout_key: str) -> int:
+        """Atomically repoint the root at ``layout_key`` (one PUT);
+        returns the new version.  Same preconditions as the POSIX
+        :func:`publish`: a direct child of the root, fully written
+        (>= 1 object), and not the currently-live layout."""
+        key = layout_key.rstrip("/")
+        head, _, rel = key.rpartition("/")
+        if head != self.root or not rel:
+            raise ValueError(
+                f"layout {layout_key!r} is not a direct child of "
+                f"index root {self.root!r} — layouts live inside "
+                f"their root so the pointer's relative name stays "
+                f"valid")
+        if rel == POINTER:
+            raise ValueError(f"{POINTER} is the pointer, not a layout")
+        if not self._layout_objects(rel):
+            raise ValueError(
+                f"layout {layout_key!r} has no objects — write the "
+                f"layout fully, then publish")
+        meta = self._read_pointer()
+        if meta is not None and meta["dir"] == rel:
+            raise ValueError(
+                f"layout {rel!r} is already the live version "
+                f"{meta['version']} — a maintenance pass publishes a "
+                f"FRESH prefix, never re-publishes the live one")
+        version = 1 if meta is None else int(meta["version"]) + 1
+        history = ([] if meta is None else meta.get("history", [])) + [
+            {"version": version, "dir": rel}]
+        new_meta = {"version": version, "dir": rel, "history": history}
+        self.store.put(self._pointer_key(),
+                       json.dumps(new_meta).encode())
+        return version
+
+    def prune(self, keep: int = 2) -> list[str]:
+        """Delete every object under layouts older than the newest
+        ``keep`` published versions; returns the retired layout
+        prefixes.  ``keep >= 2`` is the concurrent-reader floor
+        (module docstring).  Never-published orphan prefixes are not
+        touched — they may be a maintenance pass mid-write."""
+        if keep < 1:
+            raise ValueError(f"keep must be >= 1, got {keep}")
+        meta = self._read_pointer()
+        if meta is None:
+            return []
+        history = meta.get("history", [])
+        retire, remain = history[:-keep], history[-keep:]
+        live = meta["dir"]
+        keep_names = {r["dir"] for r in remain}
+        retired = []
+        for h in retire:
+            if h["dir"] == live or h["dir"] in keep_names:
+                continue
+            prefix = f"{self.root}/{h['dir']}/"
+            found = False
+            for page in self.store.list_pages(prefix):
+                for k in page:
+                    self.store.delete(k)
+                    found = True
+            if found:
+                retired.append(f"{self.root}/{h['dir']}")
+        new_meta = dict(meta, history=remain)
+        self.store.put(self._pointer_key(),
+                       json.dumps(new_meta).encode())
+        return retired

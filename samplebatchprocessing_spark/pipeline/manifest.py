@@ -183,6 +183,12 @@ class ObjectStoreClient:
       object — a reader sees the old object or the new one, never a
       partial (S3 PUT semantics; this is what makes the direct-PUT
       commit safe where POSIX needs write-then-rename).
+    - ``get(key)``: the object's bytes, ``FileNotFoundError`` if the
+      key does not exist (S3 GET / NoSuchKey; the reference's
+      download verb, ``GetJobs.py:31``
+      ``get_contents_to_filename``).  Added r12 for the versioned-
+      pointer publish (``operators.publish.StorePublisher`` reads
+      ``_current.json`` through this).
     - ``copy(src, dst)``: server-side copy — itself a single PUT of
       the destination object.
     - ``delete(key)``: remove the object.
@@ -198,6 +204,9 @@ class ObjectStoreClient:
     """
 
     def put(self, key: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def get(self, key: str) -> bytes:
         raise NotImplementedError
 
     def copy(self, src: str, dst: str) -> None:
@@ -252,6 +261,21 @@ class LocalObjectStoreClient(ObjectStoreClient):
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, p)
+
+    def get(self, key: str) -> bytes:
+        # FileNotFoundError falls out naturally — the contract's
+        # missing-key signal (S3 NoSuchKey)
+        with open(self._p(key), "rb") as f:
+            return f.read()
+
+    def fs_path(self, key: str) -> str:
+        """The POSIX path backing ``key`` — the DOUBLE's data plane.
+        Spark cannot read a ``mock://`` URI, so layout parquet I/O in
+        tests/registry rows goes straight at the backing file while
+        the control plane (pointer, listing, prune) exercises the
+        store verbs.  A real deployment has no analog: Spark reads
+        ``s3a://bucket/key`` and the client wraps the same bucket."""
+        return self._p(key)
 
     def copy(self, src: str, dst: str) -> None:
         with open(self._p(src), "rb") as f:

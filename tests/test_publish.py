@@ -573,3 +573,144 @@ def test_nb_model_read_guards(spark, tmp_path):
     os.makedirs(root)
     with pytest.raises(FileNotFoundError, match="_nb_meta"):
         A.nb_model_read(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# r12: StorePublisher — the same lifecycle over an ObjectStoreClient
+# bucket (VERDICT r11 #3)
+# ---------------------------------------------------------------------------
+
+def _bucket(tmp_path):
+    from samplebatchprocessing_spark.pipeline.manifest import (
+        LocalObjectStoreClient)
+    root = tmp_path / "bucket"
+    root.mkdir()
+    return LocalObjectStoreClient(str(root))
+
+
+def test_store_pointer_roundtrip_and_guards(tmp_path):
+    """The POSIX round-trip test, re-run verb-for-verb on a bucket:
+    unversioned resolve, monotone versions, fresh-prefix allocation,
+    and every publish guard — with 'exists' now meaning 'has at
+    least one object' (a flat key namespace has no empty dirs)."""
+    store = _bucket(tmp_path)
+    pub = publish.StorePublisher(store, "indexes/lsh/")
+
+    assert pub.root == "indexes/lsh"       # trailing slash normalized
+    assert pub.resolve() == "indexes/lsh"  # unversioned: root itself
+    assert pub.current_version() is None
+
+    v1 = pub.new_layout_dir()
+    assert v1 == "indexes/lsh/layout-v00001"
+    with pytest.raises(ValueError, match="no objects"):
+        pub.publish(v1)                    # nothing written yet
+    store.put(f"{v1}/part-0.parquet", b"data")
+    assert pub.publish(v1) == 1
+    assert pub.resolve() == v1
+    assert pub.current_version() == 1
+
+    v2 = pub.new_layout_dir()
+    assert v2 == "indexes/lsh/layout-v00002"
+    store.put(f"{v2}/part-0.parquet", b"data2")
+    assert pub.publish(v2) == 2
+    assert pub.resolve() == v2
+
+    with pytest.raises(ValueError, match="direct child"):
+        pub.publish("elsewhere/layout-v00003")
+    with pytest.raises(ValueError, match="direct child"):
+        pub.publish(f"{v2}/inner")         # nested too deep
+    with pytest.raises(ValueError, match="already the live"):
+        pub.publish(v2)
+    with pytest.raises(ValueError, match="pointer, not a layout"):
+        pub.publish(f"indexes/lsh/{publish.POINTER}")
+
+
+def test_store_crash_before_publish_leaves_old_version_live(tmp_path):
+    """Crash contract on the bucket: a writer that PUT layout objects
+    but died before the pointer PUT leaves readers on the old
+    version; the partial prefix is never resolved and never reused
+    for a version name."""
+    store = _bucket(tmp_path)
+    pub = publish.StorePublisher(store, "idx")
+    v1 = pub.new_layout_dir()
+    store.put(f"{v1}/part-0.parquet", b"v1")
+    pub.publish(v1)
+
+    orphan = pub.new_layout_dir()
+    store.put(f"{orphan}/part-0.parquet", b"partial")  # crashed here
+    assert pub.resolve() == v1
+    assert pub.current_version() == 1
+    nxt = pub.new_layout_dir()
+    assert nxt != orphan
+    assert nxt == "idx/layout-v00003"
+
+
+def test_store_prune_pages_and_keeps_horizon(tmp_path):
+    """Prune = paged list + idempotent deletes over retired layout
+    prefixes, keep>=2 horizon, orphans untouched — and a re-run after
+    a simulated mid-prune crash converges (DELETE idempotence)."""
+    store = _bucket(tmp_path)
+    pub = publish.StorePublisher(store, "idx")
+    layouts = []
+    for i in range(1, 5):
+        d = pub.new_layout_dir()
+        # several objects per layout so prune really pages/deletes >1
+        for j in range(3):
+            store.put(f"{d}/part-{j}.parquet", b"x")
+        layouts.append(d)
+        pub.publish(d)
+    orphan_key = "idx/layout-v00099/part-0.parquet"
+    store.put(orphan_key, b"inflight")
+
+    with pytest.raises(ValueError, match="keep"):
+        pub.prune(keep=0)
+    retired = pub.prune(keep=2)
+    assert sorted(retired) == sorted(layouts[:2])
+    for d in layouts[:2]:
+        assert store.list(f"{d}/") == []
+    for d in layouts[2:]:
+        assert len(store.list(f"{d}/")) == 3
+    assert store.list(orphan_key) == [orphan_key], \
+        "never-published prefixes are not GC'd"
+    assert pub.resolve() == layouts[3]
+    assert pub.prune(keep=2) == []         # idempotent at the horizon
+    meta = json.loads(store.get(f"idx/{publish.POINTER}"))
+    assert [h["version"] for h in meta["history"]] == [3, 4]
+
+
+def test_store_lsh_lifecycle_end_to_end(spark, sf_smoke, tmp_path):
+    """build -> publish -> probe -> append -> compact -> crash-window
+    probe -> publish -> probe over a mock:// bucket: the control
+    plane (pointer, naming, prune) runs the store verbs; the data
+    plane (Spark parquet) runs against the double's backing files
+    exactly where a real deployment would hand Spark s3a:// URIs."""
+    doc = load_table(spark, sf_smoke, "documents").limit(40)
+    base, batch = doc.limit(30), doc.limit(40).exceptAll(doc.limit(30))
+    store = _bucket(tmp_path)
+    pub = publish.StorePublisher(store, "indexes/lsh")
+
+    v1 = pub.new_layout_dir()
+    dedup.lsh_index_write(base, store.fs_path(v1))
+    pub.publish(v1)
+
+    def probe():
+        return sorted(map(tuple, dedup.lsh_index_probe(
+            spark, store.fs_path(pub.resolve()), batch).collect()))
+
+    routed = probe()
+    direct = sorted(map(tuple, dedup.lsh_index_probe(
+        spark, store.fs_path(v1), batch).collect()))
+    assert routed == direct and routed
+
+    dedup.lsh_index_append(batch, store.fs_path(pub.resolve()))
+    v2 = pub.new_layout_dir()
+    dedup.lsh_index_compact(spark, [store.fs_path(pub.resolve())],
+                            store.fs_path(v2))
+    before = probe()                       # v2 written, NOT published
+    assert pub.resolve() == v1             # crash window: v1 live
+    pub.publish(v2)
+    after = probe()
+    assert before == after and before
+    assert pub.resolve() == v2
+    pub.prune(keep=2)
+    assert store.list(f"{v1}/"), "keep=2 horizon holds v1 alive"
