@@ -139,6 +139,17 @@ def cmd_maintain(args: argparse.Namespace) -> int:
     from .operators import maintenance
 
     spark = _spark()
+    if args.kind in ("vocab", "nb") and not args.fresh_parquet:
+        print(f"maintain {args.kind}: --fresh-parquet is required "
+              f"(the retrain due-predicate measures drift on a "
+              f"fresh slice)", file=sys.stderr)
+        return 2
+
+    def _fresh():
+        # re-read per sweep: daemon mode should see the slice as it
+        # is NOW, not as it was at startup
+        return spark.read.parquet(args.fresh_parquet)
+
     sweeps = {
         "lsh": lambda: maintenance.lsh_maintenance_sweep(
             spark, args.index_root,
@@ -149,14 +160,32 @@ def cmd_maintain(args: argparse.Namespace) -> int:
         "ivf": lambda: maintenance.ivf_maintenance_sweep(
             spark, args.index_root, n_cells=args.n_cells,
             skew_threshold=args.threshold),
+        "vocab": lambda: maintenance.vocab_maintenance_sweep(
+            spark, args.index_root, _fresh(),
+            n_merges=args.n_merges,
+            max_drift_x1000=args.max_drift),
+        "nb": lambda: maintenance.nb_maintenance_sweep(
+            spark, args.index_root, _fresh(),
+            pos_col=args.pos_col,
+            max_oov_x1000=args.max_oov,
+            max_prior_drift_x1000=args.max_prior_drift),
     }
     sweep = sweeps[args.kind]
 
     def _print(r: dict) -> None:
+        if "files_before" in r:
+            detail = (f"files {r['files_before']} -> "
+                      f"{r['files_after']}")
+        elif "fertility_fresh_x1000" in r:
+            detail = (f"fertility {r['fertility_trained_x1000']} -> "
+                      f"{r['fertility_fresh_x1000']} (x1000)")
+        else:
+            detail = (f"oov {r['oov_x1000']} prior "
+                      f"{r['model_prior_x1000']} -> "
+                      f"{r['fresh_prior_x1000']} (x1000)")
         print(f"{r['kind']} {r['index_root']}: due={r['due']} "
               f"v{r['version_before']} -> v{r['version_after']} "
-              f"files {r['files_before']} -> {r['files_after']}",
-              flush=True)
+              f"{detail}", flush=True)
 
     if args.once:
         _print(sweep())
@@ -231,10 +260,11 @@ def main(argv: list[str] | None = None) -> int:
                     "(the reference's 20 s long-poll wait)")
     pw.set_defaults(fn=cmd_watch)
 
-    pm = sub.add_parser("maintain", help="index maintenance daemon: "
+    pm = sub.add_parser("maintain", help="maintenance daemon: "
                         "census -> due? -> rewrite -> publish for a "
-                        "versioned index root")
-    pm.add_argument("kind", choices=("lsh", "postings", "ivf"))
+                        "versioned index OR trained-artifact root")
+    pm.add_argument("kind",
+                    choices=("lsh", "postings", "ivf", "vocab", "nb"))
     pm.add_argument("index_root")
     pm.add_argument("--once", action="store_true",
                     help="run exactly one sweep and exit (cron mode)")
@@ -245,6 +275,23 @@ def main(argv: list[str] | None = None) -> int:
                     "cell-skew ratio (ivf) before maintenance fires")
     pm.add_argument("--n-cells", type=int, default=16,
                     help="IVF coarse-quantizer cell count")
+    pm.add_argument("--fresh-parquet", default=None,
+                    help="parquet of the fresh slice the retrain "
+                    "due-predicate measures drift on (vocab: doc_id+"
+                    "text; nb: doc_id+text+label column) — required "
+                    "for vocab/nb kinds")
+    pm.add_argument("--n-merges", type=int, default=8,
+                    help="BPE merge count for a vocab retrain")
+    pm.add_argument("--max-drift", type=int, default=150,
+                    help="vocab retrain bound: fresh fertility minus "
+                    "the stamped baseline, x1000 pieces per word")
+    pm.add_argument("--pos-col", default="is_pos",
+                    help="boolean label column in the nb fresh slice")
+    pm.add_argument("--max-oov", type=int, default=100,
+                    help="nb retrain bound: OOV token mass per mille")
+    pm.add_argument("--max-prior-drift", type=int, default=250,
+                    help="nb retrain bound: class-prior shift per "
+                    "mille")
     pm.set_defaults(fn=cmd_maintain)
 
     args = p.parse_args(argv)

@@ -42,19 +42,29 @@ _NB_COUNTS = "counts"
 Merge = tuple[str, str, str]
 
 
-def bpe_vocab_write(merges, layout_dir: str) -> None:
+def bpe_vocab_write(merges, layout_dir: str,
+                    fertility_x1000: int | None = None) -> None:
     """Write a trained BPE merge table as a vocab layout.
 
     ``merges``: the ``text.bpe_train_merges`` output — (round, left,
     right, merged, pair_count) tuples in training order.  The order
     IS the model (rules apply sequentially), so it is preserved
     verbatim.  The layout is a plain directory so ``publish.publish``
-    can version it like any index layout."""
+    can version it like any index layout.
+
+    ``fertility_x1000`` (r12, VERDICT r11 #4): the AT-TRAINING encode
+    fertility — ``1000 * pieces DIV words`` measured on the training
+    corpus (``text.encode_fertility_x1000``).  Stamping it into the
+    layout gives the retrain due-predicate its baseline: drift is
+    fresh-data fertility minus THIS number, with no re-encode of the
+    training corpus at sweep time."""
     os.makedirs(layout_dir, exist_ok=True)
     doc = {"format": "bpe_vocab", "n_merges": len(merges),
            "merges": [[l, r, m] for _, l, r, m, _ in merges],
            "rounds": [[int(k), l, r, m, int(c)]
                       for k, l, r, m, c in merges]}
+    if fertility_x1000 is not None:
+        doc["fertility_x1000"] = int(fertility_x1000)
     with open(os.path.join(layout_dir, _VOCAB_FILE), "w") as f:
         json.dump(doc, f)
 
@@ -78,6 +88,26 @@ def bpe_vocab_read(root: str) -> tuple[Merge, ...]:
         raise ValueError(f"{path!r} is not a bpe_vocab artifact: "
                          f"format={doc.get('format')!r}")
     return tuple((l, r, m) for l, r, m in doc["merges"])
+
+
+def bpe_vocab_meta(root: str) -> dict:
+    """The LIVE vocab layout's full metadata document (format,
+    n_merges, merges, and — when the writer stamped one — the
+    at-training ``fertility_x1000`` baseline the retrain
+    due-predicate compares against).  Same pointer resolution and
+    guards as :func:`bpe_vocab_read`."""
+    layout = publish.resolve(root)
+    path = os.path.join(layout, _VOCAB_FILE)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{layout!r} holds no {_VOCAB_FILE} — not a published BPE "
+            f"vocab layout")
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("format") != "bpe_vocab":
+        raise ValueError(f"{path!r} is not a bpe_vocab artifact: "
+                         f"format={doc.get('format')!r}")
+    return doc
 
 
 def nb_model_write(cnt: DataFrame, np_: int, nn: int,

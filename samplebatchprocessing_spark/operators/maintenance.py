@@ -167,6 +167,190 @@ def ivf_maintenance_sweep(spark, index_root: str, n_cells: int = 16,
             "files_before": mx, "files_after": mx2}
 
 
+def vocab_retrain_is_due(fresh_x1000: int, trained_x1000: int,
+                         max_drift_x1000: int = 150) -> bool:
+    """The tokenizer retrain decision predicate (pure, integer, r12
+    — VERDICT r11 #4): a published BPE vocabulary carries its
+    AT-TRAINING corpus fertility (``artifacts.bpe_vocab_write``
+    stamp); a fresh slice whose fertility under the live merges
+    exceeds that baseline by >= ``max_drift_x1000`` (x1000 fixed
+    point, i.e. 150 = +0.15 pieces per word) is drifted vocabulary —
+    the merges no longer cover what the corpus now says, and every
+    encoded sequence pays the shred.  Downward drift (fresh text
+    EASIER than training text) never triggers: a vocabulary is not
+    wrong for over-covering.  ``max_drift_x1000 >= 1`` — at 0 the
+    sweep would retrain on every measurement tick."""
+    if max_drift_x1000 < 1:
+        raise ValueError(
+            f"max_drift_x1000 must be >= 1, got {max_drift_x1000}")
+    return fresh_x1000 - trained_x1000 >= max_drift_x1000
+
+
+def nb_retrain_is_due(oov_x1000: int, fresh_prior_x1000: int,
+                      model_prior_x1000: int,
+                      max_oov_x1000: int = 100,
+                      max_prior_drift_x1000: int = 250) -> bool:
+    """The NB-classifier retrain decision predicate (pure, integer):
+    due when fresh labeled data shows either
+    - TOKEN NOVELTY: >= ``max_oov_x1000`` per mille of fresh token
+      occurrences are absent from the model's count table (the model
+      has no evidence for what it is now asked to score — every OOV
+      token scores 0 LLR, pulling toward the prior), or
+    - CLASS-PRIOR DRIFT: the fresh positive-class rate differs from
+      the model's trained prior by >= ``max_prior_drift_x1000`` per
+      mille (the prior term in x115's score is stale).
+    Both thresholds >= 1 for the same no-retrain-forever hysteresis
+    as :func:`compact_is_due`."""
+    if max_oov_x1000 < 1 or max_prior_drift_x1000 < 1:
+        raise ValueError(
+            f"thresholds must be >= 1, got max_oov_x1000="
+            f"{max_oov_x1000} max_prior_drift_x1000="
+            f"{max_prior_drift_x1000}")
+    return (oov_x1000 >= max_oov_x1000
+            or abs(fresh_prior_x1000 - model_prior_x1000)
+            >= max_prior_drift_x1000)
+
+
+def vocab_maintenance_sweep(spark, root: str, fresh_df,
+                            n_merges: int = 4,
+                            max_drift_x1000: int = 150,
+                            text_col: str = "text",
+                            keep_versions: int = 2) -> dict:
+    """One retrain decision for a published BPE vocabulary — the
+    x134 sweep shape applied to a TRAINED ARTIFACT (r12, VERDICT r11
+    #4): measure fresh-slice fertility under the LIVE merges (one
+    bounded aggregate — the x89 measurement collapsed to an
+    integer), compare against the stamped at-training baseline,
+    retrain-and-publish iff :func:`vocab_retrain_is_due`.
+
+    The retrain trains on ``fresh_df`` and stamps the NEW vocab with
+    its own fresh-corpus fertility, so an immediately-following
+    sweep over the same slice measures zero drift — the
+    just-compacted hysteresis of :func:`compact_is_due`, for models.
+
+    Scale (100 TB): a not-due sweep costs one delta-sized encode
+    aggregate (the corpus collapses to its distinct words first);
+    an acted sweep is x44's already-priced training pass amortized
+    over the drift cadence; the swap is O(JSON)."""
+    from . import artifacts
+    from .text import bpe_train_merges, encode_fertility_x1000
+
+    _require_versioned(root, "vocab")
+    before = publish.current_version(root)
+    meta = artifacts.bpe_vocab_meta(root)
+    if "fertility_x1000" not in meta:
+        raise ValueError(
+            f"the live vocab under {root!r} carries no "
+            f"fertility_x1000 stamp — retrain drift has no baseline. "
+            f"Republish it via bpe_vocab_write(..., fertility_x1000="
+            f"encode_fertility_x1000(training_df, merges))")
+    trained = int(meta["fertility_x1000"])
+    merges = tuple((l, r, m) for l, r, m in meta["merges"])
+    fresh = encode_fertility_x1000(fresh_df, merges,
+                                   text_col=text_col)
+    due = vocab_retrain_is_due(fresh, trained, max_drift_x1000)
+    if due:
+        m2 = bpe_train_merges(fresh_df, n_merges, text_col=text_col)
+        rules = tuple((l, r, m) for _, l, r, m, _ in m2)
+        new_fert = encode_fertility_x1000(fresh_df, rules,
+                                          text_col=text_col)
+        out = publish.new_layout_dir(root)
+        artifacts.bpe_vocab_write(m2, out, fertility_x1000=new_fert)
+        publish.publish(root, out)
+        publish.prune(root, keep=keep_versions)
+    return {"index_root": root, "kind": "vocab", "due": due,
+            "acted": due, "version_before": before,
+            "version_after": publish.current_version(root),
+            "fertility_trained_x1000": trained,
+            "fertility_fresh_x1000": fresh}
+
+
+def nb_maintenance_sweep(spark, root: str, fresh_doc,
+                         pos_col: str = "is_pos",
+                         text_col: str = "text",
+                         max_oov_x1000: int = 100,
+                         max_prior_drift_x1000: int = 250,
+                         keep_versions: int = 2) -> dict:
+    """One retrain decision for a published NB quality model (r12,
+    VERDICT r11 #4): census the fresh labeled slice's OOV token mass
+    and class prior against the LIVE model (two bounded aggregates),
+    and iff :func:`nb_retrain_is_due`, fold the fresh counts into
+    the published counts (x128's exact integer merge — reads ONLY
+    the fresh slice plus the published relation, never the training
+    corpus), sum the priors, publish, prune.
+
+    Hysteresis: after an acted sweep every fresh token is in the
+    count table (OOV mass 0) and the fresh slice's counts are part
+    of the model, so re-sweeping the same slice is not due unless
+    its prior is drifted beyond the folded model's — the control
+    loop keeps folding until converged, which is the correct
+    steady-state for a persistently skewed feed.
+
+    ``fresh_doc``: (doc_id, ``text_col``, boolean ``pos_col``).
+
+    Scale (100 TB): the census and the fold are delta-sized; the
+    count-table join is vocabulary-keyed (broadcast at scoring, hash
+    at fold); the swap is O(JSON)."""
+    from pyspark.sql import functions as F
+
+    from . import artifacts
+    from .text import tokenize
+
+    _require_versioned(root, "nb")
+    before = publish.current_version(root)
+    cnt, np_, nn = artifacts.nb_model_read(spark, root)
+
+    toks = fresh_doc.select(
+        F.col(pos_col).alias("is_pos"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"))
+    row = (toks.join(cnt.select("tok").distinct()
+                     .withColumn("known", F.lit(True)),
+                     "tok", "left")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("known").isNull().cast("long"))
+                .alias("oov")).first())
+    if not row["n"]:
+        raise ValueError("NB drift census needs a non-empty fresh "
+                         "slice — an empty delta has no drift signal")
+    oov_x1000 = int(1000 * row["oov"] // row["n"])
+    pr = (fresh_doc.agg(
+        F.sum(F.col(pos_col).cast("long")).alias("np"),
+        F.sum((~F.col(pos_col)).cast("long")).alias("nn")).first())
+    np_f, nn_f = int(pr["np"]), int(pr["nn"])
+    fresh_prior_x1000 = 1000 * np_f // (np_f + nn_f)
+    model_prior_x1000 = 1000 * np_ // (np_ + nn)
+
+    due = nb_retrain_is_due(oov_x1000, fresh_prior_x1000,
+                            model_prior_x1000, max_oov_x1000,
+                            max_prior_drift_x1000)
+    if due:
+        cnt_d = (toks.groupBy("tok")
+                 .agg(F.sum(F.col("is_pos").cast("long")).alias("pc"),
+                      F.sum((~F.col("is_pos")).cast("long"))
+                      .alias("nc")))
+        merged = (cnt.withColumnRenamed("pc", "pc_b")
+                  .withColumnRenamed("nc", "nc_b")
+                  .join(cnt_d.withColumnRenamed("pc", "pc_d")
+                        .withColumnRenamed("nc", "nc_d"),
+                        "tok", "full_outer")
+                  .select("tok",
+                          (F.coalesce("pc_b", F.lit(0))
+                           + F.coalesce("pc_d", F.lit(0))).alias("pc"),
+                          (F.coalesce("nc_b", F.lit(0))
+                           + F.coalesce("nc_d", F.lit(0)))
+                          .alias("nc")))
+        out = publish.new_layout_dir(root)
+        artifacts.nb_model_write(merged, np_ + np_f, nn + nn_f, out)
+        publish.publish(root, out)
+        publish.prune(root, keep=keep_versions)
+    return {"index_root": root, "kind": "nb", "due": due,
+            "acted": due, "version_before": before,
+            "version_after": publish.current_version(root),
+            "oov_x1000": oov_x1000,
+            "fresh_prior_x1000": fresh_prior_x1000,
+            "model_prior_x1000": model_prior_x1000}
+
+
 def maintenance_daemon(sweeps, poll_seconds: float = 5.0):
     """The continuously-running form (the ``watch_daemon`` analog):
     run every thunk in ``sweeps`` (zero-arg callables returning a

@@ -755,6 +755,28 @@ GROUP BY {group_col}
 """
 
 
+def encode_fertility_x1000(df: DataFrame,
+                           merges: tuple[tuple[str, str, str], ...],
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> int:
+    """Corpus-level encode fertility of ``df`` under a trained merge
+    table: ``1000 * total_pieces DIV total_words`` (the x89 health
+    metric collapsed to ONE integer).  This is the measurement the
+    vocab retrain due-predicate runs on fresh data — a vocabulary
+    whose fresh-corpus fertility has drifted up is shredding new
+    words into characters (under-trained for the corpus it now
+    serves) and pays that cost in sequence length forever.
+
+    Scale: :func:`bpe_encode_stats`'s distinct-word collapse plus one
+    global aggregate; the result is a single driver-side integer."""
+    row = (bpe_encode_stats(df, merges, text_col, id_col)
+           .agg(F.sum("n_pieces").alias("p"),
+                F.sum("n_words").alias("w")).first())
+    if not row["w"]:
+        raise ValueError("fertility is undefined on an empty corpus")
+    return int(1000 * row["p"] // row["w"])
+
+
 def feature_hash_vectors(df: DataFrame, dim: int = 64,
                          text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:

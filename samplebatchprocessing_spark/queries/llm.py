@@ -4492,6 +4492,203 @@ FROM ({x115}) cm136
 """
 
 
+def x137_vocab_retrain_sweep(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """X137 (r12, VERDICT r11 #4): the RETRAIN DUE-PREDICATE for the
+    published BPE vocabulary — the x134 census -> due? -> act ->
+    publish loop closed over a TRAINED ARTIFACT.  Indexes got the
+    full measured-trigger treatment in r11; the tokenizer retrain
+    (x135) was still hand-invoked.  This row drives
+    ``maintenance.vocab_maintenance_sweep``: fresh-slice encode
+    fertility under the LIVE merges (the x89 measurement collapsed
+    to one integer) against the at-training baseline stamped into
+    the layout, retrain-and-publish iff
+    ``vocab_retrain_is_due`` — the reference's one control loop is
+    exactly measured-trigger -> action (README.md:91-94, the
+    CloudWatch queue-depth alarm), applied to model upkeep.
+
+    Sequence: train v1 (4 merges, full corpus) and publish with its
+    fertility stamp -> sweep over the SAME corpus (healthy: zero
+    drift, not due) -> sweep over the PLANTED-DRIFT slice (every
+    word reversed — the trained merges no longer match, fertility
+    jumps past the +0.15 pieces/word bound) -> the sweep retrains on
+    the drifted slice and publishes v2 -> sweep again (settled: the
+    new vocab covers the drifted corpus, zero drift).  Exactly one
+    retrain — the x134 hysteresis pattern.
+
+    Declared booleans ride the hash-gated INTEGER fertilities: the
+    DuckDB twin re-derives both trainings with the x44
+    round-unrolled REPLACE chains (natural corpus -> v1; reversed
+    corpus -> v2) and replays v1's rules over the reversed word
+    table for the drift measurement, so all three x1000 fertilities
+    are exact.
+
+    Scale (100 TB): a not-due sweep is one delta-sized encode
+    aggregate (corpus collapses to distinct words first); the acted
+    sweep is x44's already-priced training amortized over the drift
+    cadence; the swap is O(JSON)."""
+    import os
+    import shutil
+
+    from ..operators import artifacts, maintenance, publish
+    from .sources import _work_dir
+
+    doc = load_table(spark, sf_dir, "documents")
+    root = _work_dir(sf_dir, "x137_vocab")
+    if os.path.exists(root):            # idempotent across runs
+        shutil.rmtree(root)
+    os.makedirs(root)
+
+    m1 = text.bpe_train_merges(doc, n_merges=4)
+    rules1 = tuple((l, r, m) for _, l, r, m, _ in m1)
+    f1 = text.encode_fertility_x1000(doc, rules1)
+    v1 = publish.new_layout_dir(root)
+    artifacts.bpe_vocab_write(m1, v1, fertility_x1000=f1)
+    publish.publish(root, v1)
+
+    r0 = maintenance.vocab_maintenance_sweep(spark, root, doc,
+                                             n_merges=4)
+    drifted = doc.withColumn("text", F.reverse(F.col("text")))
+    r1 = maintenance.vocab_maintenance_sweep(spark, root, drifted,
+                                             n_merges=4)
+    r2 = maintenance.vocab_maintenance_sweep(spark, root, drifted,
+                                             n_merges=4)
+    return spark.createDataFrame(
+        [(doc.count(), not r0["due"], bool(r1["acted"]),
+          not r2["due"], r2["version_after"], f1,
+          r1["fertility_fresh_x1000"],
+          r2["fertility_trained_x1000"])],
+        "n_docs long, first_not_due boolean, acted boolean, "
+        "settled boolean, version_after int, "
+        "fert_trained_x1000 long, fert_drifted_x1000 long, "
+        "fert_retrained_x1000 long")
+
+
+def _x137_sql(n_merges: int = 4) -> str:
+    tk = tokenize_sql("text")
+    tk_rev = tokenize_sql("reverse(text)")
+    # v1's rules applied to the REVERSED word table — the sweep's
+    # drift measurement (bpe_encode_stats greedy-fold semantics, one
+    # scalar-subquery REPLACE per rule in training order)
+    enc = "r.s"
+    for k in range(1, n_merges + 1):
+        enc = (f"replace({enc}, '|' || (SELECT l FROM nm{k}) || '||' "
+               f"|| (SELECT r FROM nm{k}) || '|', "
+               f"'|' || (SELECT m FROM nm{k}) || '|')")
+    pieces = "len(string_split(trim(s, '|'), '||'))"
+    fert = (f"CAST(1000 * SUM({pieces} * wf) // SUM(wf) AS BIGINT)")
+    return f"""
+WITH n0 AS MATERIALIZED (
+  SELECT '|' || array_to_string(string_split(word, ''), '||') || '|'
+           AS s,
+         CAST(COUNT(*) AS BIGINT) AS wf
+  FROM (SELECT UNNEST({tk}) AS word FROM documents)
+  GROUP BY 1){_bpe_chain_cte('n', 'n0', n_merges)},
+r0 AS MATERIALIZED (
+  SELECT '|' || array_to_string(string_split(word, ''), '||') || '|'
+           AS s,
+         CAST(COUNT(*) AS BIGINT) AS wf
+  FROM (SELECT UNNEST({tk_rev}) AS word FROM documents)
+  GROUP BY 1){_bpe_chain_cte('r', 'r0', n_merges)},
+drift AS (SELECT {enc} AS s, r.wf FROM r0 r)
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       TRUE AS first_not_due, TRUE AS acted, TRUE AS settled,
+       CAST(2 AS INT) AS version_after,
+       (SELECT {fert} FROM nw{n_merges}) AS fert_trained_x1000,
+       (SELECT {fert} FROM drift) AS fert_drifted_x1000,
+       (SELECT {fert} FROM rw{n_merges}) AS fert_retrained_x1000
+"""
+
+
+def x138_model_retrain_sweep(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """X138 (r12, VERDICT r11 #4): the RETRAIN DUE-PREDICATE for the
+    published NB quality model — x137's control loop for the
+    classifier half of the artifact story.  The census measures two
+    drift signals on a fresh LABELED slice against the LIVE model:
+    OOV token mass (occurrences absent from the count table score
+    zero LLR — the model is blind to them) and class-prior shift;
+    ``nb_retrain_is_due`` triggers the x128 exact integer fold of
+    the fresh counts into the published counts (reads ONLY the
+    fresh slice plus the published relation) and a v2 publish.
+
+    Sequence: train v1 on the full labeled corpus -> sweep the same
+    slice (healthy: OOV 0, prior drift 0 — not due) -> sweep the
+    PLANTED-NOVELTY slice (every word reversed, same labels: almost
+    the entire token mass is new) -> one fold-and-publish -> sweep
+    again (settled: every fresh token is now in the table, OOV
+    exactly 0).  Exactly one retrain — the x134 hysteresis.
+
+    The drifted OOV mass is a hash-gated integer (the oracle
+    replays the anti-join of reversed-token occurrences against the
+    natural vocabulary); the settled OOV is 0 BY CONSTRUCTION (the
+    fold contains every fresh token), so Spark measures it and the
+    oracle declares it — a real cross-check, not a tautology.
+
+    Scale (100 TB): census and fold are delta-sized; the count
+    table joins on its vocabulary key; the swap is O(JSON)."""
+    import os
+    import shutil
+
+    from ..operators import artifacts, maintenance, publish
+    from .sources import _work_dir
+
+    doc = load_table(spark, sf_dir, "documents")
+    lab = doc.select("doc_id", "text",
+                     (F.col("source") == "src0").alias("is_pos"))
+    root = _work_dir(sf_dir, "x138_nb")
+    if os.path.exists(root):            # idempotent across runs
+        shutil.rmtree(root)
+    os.makedirs(root)
+
+    toks = lab.select("is_pos",
+                      F.explode(text.tokenize(F.col("text")))
+                      .alias("tok"))
+    cnt = (toks.groupBy("tok")
+           .agg(F.sum(F.col("is_pos").cast("long")).alias("pc"),
+                F.sum((~F.col("is_pos")).cast("long")).alias("nc")))
+    pr = lab.agg(F.sum(F.col("is_pos").cast("long")).alias("np"),
+                 F.sum((~F.col("is_pos")).cast("long"))
+                 .alias("nn")).first()
+    v1 = publish.new_layout_dir(root)
+    artifacts.nb_model_write(cnt, pr["np"], pr["nn"], v1)
+    publish.publish(root, v1)
+
+    s0 = maintenance.nb_maintenance_sweep(spark, root, lab)
+    fresh = lab.withColumn("text", F.reverse(F.col("text")))
+    s1 = maintenance.nb_maintenance_sweep(spark, root, fresh)
+    s2 = maintenance.nb_maintenance_sweep(spark, root, fresh)
+    return spark.createDataFrame(
+        [(lab.count(), not s0["due"], bool(s1["acted"]),
+          not s2["due"], s2["version_after"], s1["oov_x1000"],
+          s2["oov_x1000"], s0["model_prior_x1000"])],
+        "n_docs long, first_not_due boolean, acted boolean, "
+        "settled boolean, version_after int, "
+        "oov_drifted_x1000 long, oov_after_x1000 long, "
+        "model_prior_x1000 long")
+
+
+def _x138_sql() -> str:
+    tk = tokenize_sql("text")
+    tk_rev = tokenize_sql("reverse(text)")
+    return f"""
+WITH nat AS (SELECT UNNEST({tk}) AS tok FROM documents),
+vocab AS (SELECT DISTINCT tok FROM nat),
+rev AS (SELECT UNNEST({tk_rev}) AS tok FROM documents)
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       TRUE AS first_not_due, TRUE AS acted, TRUE AS settled,
+       CAST(2 AS INT) AS version_after,
+       (SELECT CAST(1000 * SUM(CASE WHEN v.tok IS NULL THEN 1
+                                    ELSE 0 END) // COUNT(*) AS BIGINT)
+        FROM rev r LEFT JOIN vocab v ON r.tok = v.tok)
+         AS oov_drifted_x1000,
+       CAST(0 AS BIGINT) AS oov_after_x1000,
+       (SELECT CAST(1000 * SUM(CASE WHEN source = 'src0' THEN 1
+                                    ELSE 0 END) // COUNT(*) AS BIGINT)
+        FROM documents) AS model_prior_x1000
+"""
+
+
 def x114_ann_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X114 (r8, VERDICT r7 #3): DISTRIBUTED-QUERY IVF batch top-k —
     the variant of the ANN probe where the query set stays a
@@ -5509,6 +5706,10 @@ QUERIES: dict[str, tuple] = {
     "x135_vocab_publish": (x135_vocab_publish, _x135_sql()),
     "x136_model_publish": (
         x136_model_publish, X136_SQL_WRAP.format(x115=_x115_sql())),
+    "x137_vocab_retrain_sweep": (x137_vocab_retrain_sweep,
+                                 _x137_sql()),
+    "x138_model_retrain_sweep": (x138_model_retrain_sweep,
+                                 _x138_sql()),
     "x114_ann_batch_probe": (x114_ann_batch_probe, X114_SQL),
     "x119_bnl_topk": (x119_bnl_topk, X119_SQL),
     "x115_nb_quality_eval": (x115_nb_quality_eval, _x115_sql()),

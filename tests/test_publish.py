@@ -714,3 +714,177 @@ def test_store_lsh_lifecycle_end_to_end(spark, sf_smoke, tmp_path):
     assert pub.resolve() == v2
     pub.prune(keep=2)
     assert store.list(f"{v1}/"), "keep=2 horizon holds v1 alive"
+
+
+# ---------------------------------------------------------------------------
+# r12: artifact retrain due-predicates + sweeps (VERDICT r11 #4)
+# ---------------------------------------------------------------------------
+
+def test_vocab_retrain_predicate_pure():
+    """Upward fertility drift >= bound triggers; downward drift never
+    does (a vocabulary is not wrong for over-covering); bound >= 1."""
+    due = maintenance.vocab_retrain_is_due
+    assert due(4200, 4000, max_drift_x1000=150) is True
+    assert due(4149, 4000, max_drift_x1000=150) is False
+    assert due(4150, 4000, max_drift_x1000=150) is True
+    assert due(3000, 4000, max_drift_x1000=150) is False  # downward
+    with pytest.raises(ValueError, match=">= 1"):
+        due(4200, 4000, max_drift_x1000=0)
+
+
+def test_nb_retrain_predicate_pure():
+    """Either signal triggers: OOV token mass >= bound, or class-prior
+    shift >= bound (absolute, either direction); bounds >= 1."""
+    due = maintenance.nb_retrain_is_due
+    assert due(0, 500, 500) is False
+    assert due(100, 500, 500) is True            # OOV at the bound
+    assert due(99, 500, 500) is False
+    assert due(0, 760, 500) is True              # prior up-shift
+    assert due(0, 240, 500) is True              # prior down-shift
+    assert due(0, 740, 500) is False             # inside the band
+    with pytest.raises(ValueError, match=">= 1"):
+        due(0, 500, 500, max_oov_x1000=0)
+    with pytest.raises(ValueError, match=">= 1"):
+        due(0, 500, 500, max_prior_drift_x1000=0)
+
+
+def test_vocab_sweep_requires_fertility_stamp(spark, tmp_path):
+    """A pre-r12 vocab layout (no at-training fertility stamp) has no
+    drift baseline — the sweep must refuse loudly, not guess."""
+    from samplebatchprocessing_spark.operators import artifacts
+    root = str(tmp_path / "vocab_root")
+    os.makedirs(root)
+    df = spark.createDataFrame([(1, "aa bb aa bb")],
+                               "doc_id long, text string")
+    merges = T.bpe_train_merges(df, n_merges=1)
+    v1 = publish.new_layout_dir(root)
+    artifacts.bpe_vocab_write(merges, v1)        # no stamp
+    publish.publish(root, v1)
+    with pytest.raises(ValueError, match="fertility_x1000"):
+        maintenance.vocab_maintenance_sweep(spark, root, df)
+
+
+def test_vocab_sweep_planted_drift_retrains_once(spark, tmp_path):
+    """The x134 hysteresis on the tokenizer artifact: healthy slice
+    not due -> reversed-word slice triggers exactly one
+    retrain-and-publish -> same slice settled under the new vocab."""
+    from pyspark.sql import functions as F
+
+    from samplebatchprocessing_spark.operators import artifacts
+    root = str(tmp_path / "vocab_root")
+    os.makedirs(root)
+    rows = [(i, "the cat and the hat and the bat") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m1 = T.bpe_train_merges(df, n_merges=3)
+    rules = tuple((l, r, m) for _, l, r, m, _ in m1)
+    f1 = T.encode_fertility_x1000(df, rules)
+    v1 = publish.new_layout_dir(root)
+    artifacts.bpe_vocab_write(m1, v1, fertility_x1000=f1)
+    publish.publish(root, v1)
+
+    r0 = maintenance.vocab_maintenance_sweep(spark, root, df,
+                                             n_merges=3)
+    assert not r0["due"] and r0["version_after"] == 1
+    assert r0["fertility_fresh_x1000"] == f1
+
+    drifted = df.withColumn("text", F.reverse(F.col("text")))
+    r1 = maintenance.vocab_maintenance_sweep(spark, root, drifted,
+                                             n_merges=3)
+    assert r1["due"] and r1["acted"] and r1["version_after"] == 2
+    assert (r1["fertility_fresh_x1000"]
+            - r1["fertility_trained_x1000"]) >= 150
+
+    r2 = maintenance.vocab_maintenance_sweep(spark, root, drifted,
+                                             n_merges=3)
+    assert not r2["due"] and r2["version_after"] == 2
+    # the retrained vocab serves through the pointer
+    served = artifacts.bpe_vocab_read(root)
+    assert len(served) == 3
+    # prune horizon: v1 still on disk after the v2 publish
+    assert os.path.isdir(v1)
+
+
+def test_nb_sweep_planted_novelty_folds_once(spark, tmp_path):
+    """OOV-mass drift triggers exactly one fold-and-publish; the
+    folded model contains every fresh token so the re-sweep is
+    settled (OOV exactly 0); empty fresh slice refused."""
+    from pyspark.sql import functions as F
+
+    from samplebatchprocessing_spark.operators import artifacts
+    root = str(tmp_path / "nb_root")
+    os.makedirs(root)
+    rows = [(i, "good clean text here", i % 2 == 0) for i in range(8)]
+    lab = spark.createDataFrame(
+        rows, "doc_id long, text string, is_pos boolean")
+    toks = lab.select("is_pos",
+                      F.explode(T.tokenize(F.col("text"))).alias("tok"))
+    cnt = (toks.groupBy("tok")
+           .agg(F.sum(F.col("is_pos").cast("long")).alias("pc"),
+                F.sum((~F.col("is_pos")).cast("long")).alias("nc")))
+    v1 = publish.new_layout_dir(root)
+    artifacts.nb_model_write(cnt, 4, 4, v1)
+    publish.publish(root, v1)
+
+    s0 = maintenance.nb_maintenance_sweep(spark, root, lab)
+    assert not s0["due"] and s0["oov_x1000"] == 0
+    assert s0["fresh_prior_x1000"] == s0["model_prior_x1000"] == 500
+
+    fresh = lab.withColumn("text", F.reverse(F.col("text")))
+    s1 = maintenance.nb_maintenance_sweep(spark, root, fresh)
+    assert s1["due"] and s1["acted"] and s1["version_after"] == 2
+    assert s1["oov_x1000"] >= 100
+
+    s2 = maintenance.nb_maintenance_sweep(spark, root, fresh)
+    assert not s2["due"] and s2["oov_x1000"] == 0
+    assert s2["version_after"] == 2
+    # the folded model's priors carry both slices
+    _cnt, np_, nn = artifacts.nb_model_read(spark, root)
+    assert (np_, nn) == (8, 8)
+
+    with pytest.raises(ValueError, match="non-empty"):
+        maintenance.nb_maintenance_sweep(
+            spark, root, lab.filter("doc_id < 0"))
+
+
+def test_cli_maintain_artifact_roots(spark, tmp_path, capsys):
+    """r12 stretch (VERDICT r11 #7): one `maintain` CLI covers
+    indexes AND trained artifacts — the vocab kind runs the retrain
+    sweep against a --fresh-parquet slice, refuses without one, and
+    reports the fertility drift it measured."""
+    from pyspark.sql import functions as F
+
+    from samplebatchprocessing_spark.__main__ import main
+    from samplebatchprocessing_spark.operators import artifacts
+
+    rows = [(i, "the cat and the hat and the bat") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "vocab_root")
+    os.makedirs(root)
+    m1 = T.bpe_train_merges(df, n_merges=3)
+    rules = tuple((l, r, m) for _, l, r, m, _ in m1)
+    v1 = publish.new_layout_dir(root)
+    artifacts.bpe_vocab_write(
+        m1, v1, fertility_x1000=T.encode_fertility_x1000(df, rules))
+    publish.publish(root, v1)
+
+    # no fresh slice -> loud refusal, exit 2
+    assert main(["maintain", "vocab", root, "--once"]) == 2
+    assert "--fresh-parquet" in capsys.readouterr().err
+
+    fresh_dir = str(tmp_path / "fresh")
+    (df.withColumn("text", F.reverse(F.col("text")))
+       .write.parquet(fresh_dir))
+    assert main(["maintain", "vocab", root, "--once",
+                 "--fresh-parquet", fresh_dir,
+                 "--n-merges", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "due=True" in out and "v1 -> v2" in out
+    assert "fertility" in out
+    assert publish.current_version(root) == 2
+
+    # settled: the retrained vocab covers the drifted slice
+    assert main(["maintain", "vocab", root, "--once",
+                 "--fresh-parquet", fresh_dir,
+                 "--n-merges", "3"]) == 0
+    assert "due=False" in capsys.readouterr().out
+    assert publish.current_version(root) == 2
