@@ -35,53 +35,47 @@ Entry = tuple[SparkFn, str | None]
 # 50 names, all present in the registry, all 11 §2B families covered —
 # is locked by tests/test_registry_order.py.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r11 ROTATION (VERDICT r10 #1): CLOSE THE CERTIFICATION DEBT.
-    # r10 went 50/50 green, so nothing needs re-certification; the
-    # 23 fresh slots are ALL 17 never-driver-sampled entries named
-    # by the r10 verdict (the generic-analytics tail x26–x84 plus
-    # the x133 debut) and the 6 r11 debuts (m13 = verdict #2's
-    # atomic index publish, x134 = verdict #3's maintenance sweep,
-    # w11 = the GROUPS-frame composition, x135/x136/s27 = the
-    # published trained-artifact lifecycles — debut-in-window is
-    # the p20/x132/p21 precedent).  Landing this window green puts
-    # cumulative driver certification at 341/341.
-    # The 27 anchor slots re-certify the OLDEST evidence in the
-    # book: 20 are r4-era certified entries that have sat outside
-    # EVERY frozen window since (a3–a13, j2–j8, w4, f3 — zero
-    # overlap with anything), and the remaining P/Q/T/U/S/D/L
-    # family anchors re-use the oldest slots available (p1/s1/d1/l1
-    # from r5, t5 from r6, q2/u4 from r7) — overlap with the
-    # immediately-prior r10 window is exactly 0 <= 15, with r9/r8
-    # also 0, with r7 2, r6 1, r5 4.
-    # tests/test_registry_order.py locks the overlap bounds, the
-    # 50-name shape, and the family anchors.
+    # r12 ROTATION (VERDICT r11 #5): ROTATE BY EVIDENCE AGE.
+    # Certification debt is zero (r11 closed it at 341/341), so this
+    # window re-certifies the 50 entries whose last driver-green is
+    # OLDEST: every r4-era survivor outside the r11 window (j9/j10/
+    # x35/w5/w6/f4/f5/f6/f8 — last sampled 7 rounds ago) and the
+    # deepest r5-era block (the P/S/D/L family depth of the r5
+    # window, untouched since), plus the 3 r12 debuts
+    # (m13b = verdict #3's object-store publish, x137/x138 =
+    # verdict #4's artifact retrain sweeps — debut-in-window is the
+    # p20/x132/m13 precedent).  The Q/T/U family anchors take the
+    # stalest entries those families offer outside r11 (q5 from r6,
+    # t6 from r7, u3 from r8).  Overlap with the immediately-prior
+    # r11 window is exactly 0; with r10/r9 also 0; with r8 {u3},
+    # r7 {t6}, r6 {q5}; the heavy overlap with the FROZEN r5 window
+    # is the point — those slots hold the oldest evidence in the
+    # book.  tests/test_registry_order.py locks the overlap bounds,
+    # the 50-name shape, and the family anchors.
     #
     # one anchor per §2B family: P Q J A W T U F S D L
-    "p1_parquet_scan", "q2_cast", "j2_left_join",
-    "a3_count_distinct", "w4_range_frame", "t5_range_sorted_layout",
-    "u4_union_by_name", "f3_math", "s1_stream_scan", "d1_scalar_udf",
-    "l1_exact_dedup",
-    # r11 debuts: the atomic versioned-pointer publish, the
-    # maintenance sweep that drives it, the GROUPS-frame window
-    # composition, and the two published-trained-artifact lifecycles
-    # (BPE vocab, NB model) riding the same pointer
-    "m13_index_publish", "x134_maintenance_sweep",
-    "w11_groups_frame", "x135_vocab_publish", "x136_model_publish",
-    "s27_stream_vocab_encode",
-    # the 17-entry certification backlog, in full (verdict r10 #1)
-    "x26_retention", "x27_peak_concurrency", "x28_histogram",
-    "x30_zscore_outliers", "x31_decile_stats", "x32_conversion_lag",
-    "x49_ewma", "x60_hll_union", "x69_weighted_median",
-    "x70_mad_outliers", "x71_debounce_trailing", "x72_k_anonymity",
-    "x73_table_profile", "x75_rolling_active_users", "x76_ab_test",
-    "x84_bot_detection", "x133_ivf_recluster",
-    # r4-era re-certification anchors (outside every frozen window
-    # since the module-order era — the oldest driver evidence)
-    "a4_stddev_var", "a5_having", "a6_rollup", "a6_cube",
-    "a7_argmax", "a8_collect_list", "a9_percentile",
-    "a10_approx_distinct", "a11_approx_percentile", "a13_corr_covar",
-    "j3_semi_anti", "j4_cross_join", "j5_broadcast_join",
-    "j6_theta_join", "j7_range_join", "j8_asof_join",
+    "p3_csv_infer", "q5_nested_pruning", "j9_star_join",
+    "a1_pricing_summary", "w5_first_last", "t6_pagination",
+    "u3_except", "f4_conditional", "s2_tumbling_window",
+    "d2_pandas_udf", "l2_tokenize",
+    # r12 debuts: the object-store versioned-pointer publish and the
+    # two trained-artifact retrain sweeps
+    "m13b_store_publish", "x137_vocab_retrain_sweep",
+    "x138_model_retrain_sweep",
+    # remaining r4-era survivors (last driver-green 7 rounds ago)
+    "j10_fuzzy_join", "x35_quality_audit", "w6_gapfill",
+    "f5_array", "f6_struct_map", "f8_hash",
+    # the r5-era block: the oldest evidence after r4
+    "a12_two_phase", "j1_inner_join", "w1_ranking", "f1_string",
+    "l3_token_counts", "l4_tfidf", "l5_jaccard_pairs",
+    "l6_minhash_lsh", "l7_cosine_topk", "l8_sim_join",
+    "l9_binary_ingest", "l11_dedup_clusters", "x20_pretrain_pipeline",
+    "x65_dsir_weights", "mm1_image_features", "x13_contamination",
+    "d3_apply_in_pandas", "d4_map_in_pandas", "d5_udtf_explode",
+    "p6_parquet_sink", "p7_partitioned_sink", "p8_manifest_pipeline",
+    "s3_sliding_window", "s4_session_window", "s5_watermark_append",
+    "s6_stream_dedup", "s7_stateful_agg", "v8_tpch_q3", "m1_upsert",
+    "x25_funnel",
 )
 
 

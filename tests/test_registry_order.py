@@ -221,53 +221,64 @@ R10_WINDOW = frozenset({
 })
 
 
+# The r11 driver window, frozen (went 50/50 green in CORRECTNESS_r11,
+# closing cumulative driver certification at 341/341 — debt zero).
+R11_WINDOW = frozenset({
+    "p1_parquet_scan", "q2_cast", "j2_left_join",
+    "a3_count_distinct", "w4_range_frame", "t5_range_sorted_layout",
+    "u4_union_by_name", "f3_math", "s1_stream_scan", "d1_scalar_udf",
+    "l1_exact_dedup",
+    "m13_index_publish", "x134_maintenance_sweep",
+    "w11_groups_frame", "x135_vocab_publish", "x136_model_publish",
+    "s27_stream_vocab_encode",
+    "x26_retention", "x27_peak_concurrency", "x28_histogram",
+    "x30_zscore_outliers", "x31_decile_stats", "x32_conversion_lag",
+    "x49_ewma", "x60_hll_union", "x69_weighted_median",
+    "x70_mad_outliers", "x71_debounce_trailing", "x72_k_anonymity",
+    "x73_table_profile", "x75_rolling_active_users", "x76_ab_test",
+    "x84_bot_detection", "x133_ivf_recluster",
+    "a4_stddev_var", "a5_having", "a6_rollup", "a6_cube",
+    "a7_argmax", "a8_collect_list", "a9_percentile",
+    "a10_approx_distinct", "a11_approx_percentile", "a13_corr_covar",
+    "j3_semi_anti", "j4_cross_join", "j5_broadcast_join",
+    "j6_theta_join", "j7_range_join", "j8_asof_join",
+})
+
+
 def test_window_rotation_bounds_overlap_with_prior_rounds():
-    """Rotation policy (VERDICT r5 #3 ... r10 #1): round-over-round
-    overlap <= 15 so the registry tail accrues driver evidence.
-    r5–r10 all went 50/50 green, so the r11 window re-certifies
-    nothing by need: overlap with the immediately-prior r10 window
-    (and with r9/r8) is exactly zero; the P/Q/T/U/S/D/L family
-    anchors re-use the OLDEST slots available (p1/s1/d1/l1 from r5,
-    t5 from r6, q2/u4 from r7 — per-window overlap <= 4 <= 15); the
-    other 28 anchors are r4-era certified entries outside every
-    frozen window."""
+    """Rotation policy (VERDICT r5 #3 ... r11 #5): overlap with the
+    immediately-prior window is ZERO (debt is zero, nothing needs
+    re-certification by need) and the r12 window rotates to the
+    entries whose last driver-green is OLDEST.  The Q/T/U family
+    anchors take the stalest slots those families offer outside r11
+    (q5 from the r6 window, t6 from r7, u3 from r8 — one-entry
+    overlaps); the heavy overlap with the FROZEN r5 window is the
+    point: those slots hold the oldest evidence in the book (the r5
+    P/S/D/L family-depth block, never re-sampled since)."""
+    assert not R11_WINDOW & set(DRIVER_WINDOW)
     assert not R10_WINDOW & set(DRIVER_WINDOW)
     assert not R9_WINDOW & set(DRIVER_WINDOW)
-    assert not R8_WINDOW & set(DRIVER_WINDOW)
-    assert R7_WINDOW & set(DRIVER_WINDOW) == {"q2_cast",
-                                              "u4_union_by_name"}
-    assert R6_WINDOW & set(DRIVER_WINDOW) == {"t5_range_sorted_layout"}
-    assert R5_WINDOW & set(DRIVER_WINDOW) == {
-        "p1_parquet_scan", "s1_stream_scan", "d1_scalar_udf",
-        "l1_exact_dedup"}
+    assert R8_WINDOW & set(DRIVER_WINDOW) == {"u3_except"}
+    assert R7_WINDOW & set(DRIVER_WINDOW) == {"t6_pagination"}
+    assert R6_WINDOW & set(DRIVER_WINDOW) == {"q5_nested_pruning"}
+    # oldest-evidence block: >= 30 slots re-certify r5-era evidence
+    assert len(R5_WINDOW & set(DRIVER_WINDOW)) >= 30
 
 
-def test_window_targets_the_never_certified_backlog():
-    """VERDICT r10 #1: close the certification debt — ALL 17
-    never-driver-sampled entries (the generic-analytics tail
-    x26–x84 plus the x133 debut) in this window, plus the 6 r11
-    debuts (m13 index publish, x134 maintenance sweep, w11 GROUPS
-    frame, x135 vocab publish, x136 model publish, s27 streaming
-    encode — the p20/x132/p21 debut-in-window precedent).  Landing
-    green puts cumulative driver certification at 341/341 — debt
-    zero for the first time."""
-    backlog = {
-        "x26_retention", "x27_peak_concurrency", "x28_histogram",
-        "x30_zscore_outliers", "x31_decile_stats",
-        "x32_conversion_lag", "x49_ewma", "x60_hll_union",
-        "x69_weighted_median", "x70_mad_outliers",
-        "x71_debounce_trailing", "x72_k_anonymity",
-        "x73_table_profile", "x75_rolling_active_users", "x76_ab_test",
-        "x84_bot_detection", "x133_ivf_recluster",
+def test_window_targets_the_stalest_evidence():
+    """VERDICT r11 #5: with debt at zero, the window is chosen by
+    evidence AGE — every r4-era survivor outside the r11 window is
+    present (last driver-sampled in round 4, seven rounds ago), and
+    the 3 r12 debuts ride the debut-in-window precedent."""
+    r4_era = {
+        "j9_star_join", "j10_fuzzy_join", "x35_quality_audit",
+        "w5_first_last", "w6_gapfill", "f4_conditional", "f5_array",
+        "f6_struct_map", "f8_hash",
     }
-    debuts = {"m13_index_publish", "x134_maintenance_sweep",
-              "w11_groups_frame", "x135_vocab_publish",
-              "x136_model_publish", "s27_stream_vocab_encode"}
-    missing = (backlog | debuts) - set(DRIVER_WINDOW)
-    assert not missing, f"verdict-priority entries not in window: {missing}"
-    # exactly 23 fresh slots; the other 27 are re-certification
-    # anchors that already hold driver evidence
-    assert len(backlog | debuts) == 23
+    debuts = {"m13b_store_publish", "x137_vocab_retrain_sweep",
+              "x138_model_retrain_sweep"}
+    missing = (r4_era | debuts) - set(DRIVER_WINDOW)
+    assert not missing, f"stalest entries not in window: {missing}"
 
 
 def test_readme_counts_match_registry(reg):
