@@ -167,6 +167,66 @@ def ivf_maintenance_sweep(spark, index_root: str, n_cells: int = 16,
             "files_before": mx, "files_after": mx2}
 
 
+def store_bucket_census(store, layout_key: str) -> tuple[int, int, int]:
+    """:func:`bucket_file_census` over an object-store layout prefix
+    (r12): page the layout's keys (memory bounded by the page size,
+    never the key count) and count ``*.parquet`` objects per
+    ``bucket=N`` key segment.  Same return shape: (max files in one
+    bucket, nonempty buckets, total files)."""
+    counts: dict[str, int] = {}
+    prefix = layout_key.rstrip("/") + "/"
+    for page in store.list_pages(prefix):
+        for key in page:
+            if not key.endswith(".parquet"):
+                continue
+            rest = key[len(prefix):]
+            seg = rest.split("/", 1)[0]
+            if seg.startswith("bucket="):
+                counts[seg] = counts.get(seg, 0) + 1
+    if not counts:
+        return 0, 0, 0
+    return max(counts.values()), len(counts), sum(counts.values())
+
+
+def lsh_maintenance_sweep_store(spark, store, root: str,
+                                max_files_per_bucket: int = 4,
+                                keep_versions: int = 2,
+                                spark_uri=None) -> dict:
+    """:func:`lsh_maintenance_sweep` over an object-store bucket
+    (r12, completing VERDICT r11 #3: publish went store-native in
+    m13b; this takes the census -> due? -> rewrite -> publish loop
+    with it, so index upkeep runs where a 100 TB index actually
+    lives).  Control plane = the 5-verb client via
+    :class:`publish.StorePublisher`; census = one paged listing;
+    data plane = Spark parquet against ``spark_uri(key)`` — the
+    file-backed double's ``fs_path`` by default, a
+    ``lambda k: f"s3a://{bucket}/{k}"`` on a real deployment."""
+    from . import publish as _pub
+
+    pub = _pub.StorePublisher(store, root)
+    if pub.current_version() is None:
+        raise ValueError(
+            f"LSH store sweep needs a VERSIONED index root (no "
+            f"{_pub.POINTER} object under {root!r}): build into "
+            f"pub.new_layout_dir(), then pub.publish() it")
+    if spark_uri is None:
+        spark_uri = store.fs_path      # the sandbox double's plane
+    live = pub.resolve()
+    before = pub.current_version()
+    mx, _n, total = store_bucket_census(store, live)
+    due = compact_is_due(mx, max_files_per_bucket)
+    if due:
+        out = pub.new_layout_dir()
+        lsh_index_compact(spark, [spark_uri(live)], spark_uri(out))
+        pub.publish(out)
+        pub.prune(keep=keep_versions)
+    mx2, _n2, total2 = store_bucket_census(store, pub.resolve())
+    return {"index_root": root, "kind": "lsh", "due": due,
+            "acted": due, "version_before": before,
+            "version_after": pub.current_version(),
+            "files_before": total, "files_after": total2}
+
+
 def vocab_retrain_is_due(fresh_x1000: int, trained_x1000: int,
                          max_drift_x1000: int = 150) -> bool:
     """The tokenizer retrain decision predicate (pure, integer, r12

@@ -888,3 +888,45 @@ def test_cli_maintain_artifact_roots(spark, tmp_path, capsys):
                  "--n-merges", "3"]) == 0
     assert "due=False" in capsys.readouterr().out
     assert publish.current_version(root) == 2
+
+
+def test_store_lsh_maintenance_sweep(spark, sf_smoke, tmp_path):
+    """r12: the census -> due? -> compact -> publish loop over a
+    bucket — store-native census (paged listing, bucket=N key
+    segments), StorePublisher control plane, x134 hysteresis: fresh
+    not due -> decayed acts once -> compacted settles; probes are
+    invariant across the swap."""
+    doc = load_table(spark, sf_smoke, "documents").limit(40)
+    base, batch = doc.limit(30), doc.limit(40).exceptAll(doc.limit(30))
+    store = _bucket(tmp_path)
+    pub = publish.StorePublisher(store, "idx/lsh")
+    v1 = pub.new_layout_dir()
+    dedup.lsh_index_write(base, store.fs_path(v1))
+    pub.publish(v1)
+
+    with pytest.raises(ValueError, match="VERSIONED"):
+        maintenance.lsh_maintenance_sweep_store(
+            spark, store, "idx/other")
+
+    r0 = maintenance.lsh_maintenance_sweep_store(
+        spark, store, "idx/lsh", max_files_per_bucket=3)
+    assert not r0["due"] and r0["version_after"] == 1
+
+    for _ in range(3):                   # decay: 3 delta layers
+        dedup.lsh_index_append(batch, store.fs_path(pub.resolve()))
+    mx, _n, _t = maintenance.store_bucket_census(store, pub.resolve())
+    assert mx >= 3
+
+    probe = lambda: sorted(map(tuple, dedup.lsh_index_probe(
+        spark, store.fs_path(pub.resolve()), batch).collect()))
+    before = probe()
+    r1 = maintenance.lsh_maintenance_sweep_store(
+        spark, store, "idx/lsh", max_files_per_bucket=3)
+    assert r1["due"] and r1["acted"] and r1["version_after"] == 2
+    assert probe() == before and before
+
+    r2 = maintenance.lsh_maintenance_sweep_store(
+        spark, store, "idx/lsh", max_files_per_bucket=3)
+    assert not r2["due"] and r2["version_after"] == 2
+    mx2, n2, t2 = maintenance.store_bucket_census(store, pub.resolve())
+    assert mx2 == 1 and t2 == n2         # canonical one-file layout
