@@ -227,6 +227,81 @@ def lsh_maintenance_sweep_store(spark, store, root: str,
             "files_before": total, "files_after": total2}
 
 
+def postings_maintenance_sweep_store(spark, store, root: str,
+                                     max_files_per_bucket: int = 4,
+                                     keep_versions: int = 2,
+                                     spark_uri=None) -> dict:
+    """:func:`postings_maintenance_sweep` over a bucket — the
+    postings index shares the ``bucket=N`` layout, so the store
+    census is :func:`store_bucket_census` verbatim and the rewrite
+    is x123's compaction against the ``spark_uri`` data plane."""
+    from . import publish as _pub
+
+    pub = _pub.StorePublisher(store, root)
+    if pub.current_version() is None:
+        raise ValueError(
+            f"postings store sweep needs a VERSIONED index root (no "
+            f"{_pub.POINTER} object under {root!r})")
+    if spark_uri is None:
+        spark_uri = store.fs_path
+    live = pub.resolve()
+    before = pub.current_version()
+    mx, _n, total = store_bucket_census(store, live)
+    due = compact_is_due(mx, max_files_per_bucket)
+    if due:
+        out = pub.new_layout_dir()
+        postings_index_compact(spark, [spark_uri(live)],
+                               spark_uri(out))
+        pub.publish(out)
+        pub.prune(keep=keep_versions)
+    mx2, _n2, total2 = store_bucket_census(store, pub.resolve())
+    return {"index_root": root, "kind": "postings", "due": due,
+            "acted": due, "version_before": before,
+            "version_after": pub.current_version(),
+            "files_before": total, "files_after": total2}
+
+
+def ivf_maintenance_sweep_store(spark, store, root: str,
+                                n_cells: int = 16,
+                                skew_threshold: int = 4,
+                                sample_cap: int = 4096,
+                                keep_versions: int = 2,
+                                spark_uri=None) -> dict:
+    """:func:`ivf_maintenance_sweep` over a bucket — the IVF census
+    is already a Spark aggregate over the layout parquet, so only
+    the control plane changes: resolve/name/publish/prune through
+    :class:`publish.StorePublisher`, parquet I/O through
+    ``spark_uri``.  The recluster stamps the new centroids INTO the
+    fresh layout before the publish, so the one-PUT swap versions
+    quantizer and cells together (the x133 invariant, unchanged)."""
+    from . import publish as _pub
+
+    pub = _pub.StorePublisher(store, root)
+    if pub.current_version() is None:
+        raise ValueError(
+            f"IVF store sweep needs a VERSIONED index root (no "
+            f"{_pub.POINTER} object under {root!r})")
+    if spark_uri is None:
+        spark_uri = store.fs_path
+    live = pub.resolve()
+    before = pub.current_version()
+    mx, n, total = ivf_cell_census(spark, spark_uri(live))
+    due = recluster_is_due(mx, n_cells, total, skew_threshold)
+    if due:
+        out = pub.new_layout_dir()
+        cmat = ivf_index_recluster(spark, spark_uri(live),
+                                   spark_uri(out), n_cells,
+                                   sample_cap)
+        ivf_centroids_write(spark_uri(out), cmat)
+        pub.publish(out)
+        pub.prune(keep=keep_versions)
+    mx2, _n2, _t2 = ivf_cell_census(spark, spark_uri(pub.resolve()))
+    return {"index_root": root, "kind": "ivf", "due": due,
+            "acted": due, "version_before": before,
+            "version_after": pub.current_version(),
+            "files_before": mx, "files_after": mx2}
+
+
 def vocab_retrain_is_due(fresh_x1000: int, trained_x1000: int,
                          max_drift_x1000: int = 150) -> bool:
     """The tokenizer retrain decision predicate (pure, integer, r12
