@@ -21,6 +21,19 @@ read 8x on unchanged code from box load while stamping itself clean):
 - the contamination sentinel now also samples the fixed control
   BETWEEN suite sections (every 6 queries), not only before/after,
   so a load burst confined to the middle of the suite is visible.
+
+Stdout contract (VERDICT r12 #1 — BENCH_r12 was unparseable because
+the one stdout line grew past the driver's tail-capture window and
+lost its HEAD): stdout carries exactly ONE compact JSON line, kept
+under COMPACT_LINE_BUDGET bytes (gate essentials: suite wall/CPU
+totals, per-query wall medians, contamination flag, verdict counts).
+The FULL record — cpu_queries, sentinel series, per-query basis
+ratios and verdicts — goes to a sidecar file (bench_full.json next
+to this script, override $SBP_BENCH_SIDECAR) and to stderr.
+
+Breach adjudication is mechanized (VERDICT r12 #3): each benched
+query is compared against the r12 UNIFIED basis (BASELINE.md) on
+BOTH axes and stamped with a verdict — see ``adjudicate``.
 """
 
 from __future__ import annotations
@@ -78,6 +91,114 @@ BENCH_QUERIES: tuple[str, ...] = (
     "s26_epoch_probe",       # steady-state per-epoch streamed LSH probe latency (round 10)
     "w11_groups_frame",      # GROUPS-frame composition: group-relation window + broadcast-back (round 11)
 )
+
+# The r12 UNIFIED basis (BASELINE.md "Round-12 UNIFIED baseline"):
+# per-query (wall sec, process-tree CPU sec), median of the 5
+# sentinel-clean runs of the two r12 basis sessions.  CPU is the
+# contention-immune anchor; wall is the 2x gate axis.  A test
+# (tests/test_bench_contract.py) parses BASELINE.md's table and
+# asserts this dict matches it, so the two can't drift.
+BASIS_NAME = "r12-unified"
+BASIS: dict[str, tuple[float, float]] = {
+    "a1_pricing_summary": (0.511, 0.88),
+    "j9_star_join": (1.496, 4.18),
+    "t4_topk_per_group": (0.487, 1.32),
+    "a6_rollup": (0.47, 1.31),
+    "w3_running_frames": (0.25, 0.63),
+    "u1_union": (0.5, 1.5),
+    "f7_json": (0.263, 0.52),
+    "s2_tumbling_batch": (0.355, 0.91),
+    "l1_exact_dedup": (0.26, 0.82),
+    "l4_tfidf": (0.823, 2.36),
+    "l7_cosine_topk": (1.337, 2.68),
+    "l7_topk_numpy": (0.546, 1.02),
+    "l5_jaccard_pairs": (1.24, 2.22),
+    "l5_ngram_lsh": (2.875, 4.95),
+    "l13_paragraph_dedup": (0.994, 1.62),
+    "x16_corpus_freq_score": (0.536, 0.74),
+    "x21_substring_dedup": (1.068, 1.49),
+    "v9_tpch_q5": (1.456, 2.84),
+    "p8_manifest_pipeline": (0.606, 1.61),
+    "x44_bpe_train": (2.931, 11.23),
+    "x47_kmeans_clusters": (2.559, 4.08),
+    "x64_span_dedup": (1.033, 1.44),
+    "x65_dsir_weights": (2.682, 17.77),
+    "x88_hard_negatives": (1.546, 2.68),
+    "x92_dominant_direction": (2.233, 3.79),
+    "m9_skipping_report": (2.547, 9.87),
+    "x103_prefix_filter_join": (6.162, 6.98),
+    "j15_multi_asof": (0.394, 0.57),
+    "x112_triangle_count": (2.557, 8.81),
+    "x113_dq_audit": (1.434, 2.97),
+    "x109_ann_index_probe": (1.448, 18.6),
+    "p10_watch_drain": (1.357, 5.38),
+    "x116_edit_distance_join": (5.472, 14.41),
+    "x117_postings_probe": (0.597, 8.13),
+    "x119_bnl_topk": (0.751, 1.61),
+    "x120_label_propagation": (3.295, 10.79),
+    "x122_sequence_pack": (1.251, 9.33),
+    "l7_ivf_dist_probe": (1.973, 2.92),
+    "x132_lsh_probe": (1.76, 9.25),
+    "x130_table_checksum": (0.251, 0.48),
+    "x131_delta_merge": (0.275, 0.54),
+    "s26_epoch_probe": (1.93, 11.61),
+    "w11_groups_frame": (0.467, 1.01),
+}
+
+# The driver's tail capture clipped BENCH_r12's single 5 KB stdout
+# line; the observed surviving window was ~3 KB, so the compact line
+# budgets well under that with headroom for future suite growth.
+COMPACT_LINE_BUDGET = 2048
+
+
+def paired_median(samples: list[float],
+                  cpu_samples: list[float]) -> tuple[float, float]:
+    """The (wall, cpu) pair of the wall-median SAMPLE (ADVICE r12 #3):
+    sorting the two series independently could report a CPU median
+    taken from a different run than the wall median it is adjudicated
+    against, weakening the 'wall breaches while CPU holds' pairing —
+    so sort paired tuples by wall and take the middle pair."""
+    pairs = sorted(zip(samples, cpu_samples))
+    wall, cpu = pairs[len(pairs) // 2]
+    return round(wall, 3), round(cpu, 3)
+
+
+def adjudicate(wall: float, cpu: float,
+               basis: tuple[float, float] | None,
+               unstable: bool = False) -> dict:
+    """Mechanized dual-basis breach verdict (VERDICT r12 #3 — the
+    rule previously lived only in BASELINE.md prose):
+
+    - ``new``       no basis recorded yet (debut row).
+    - ``ok``        wall within the 2x gate.
+    - ``box_load``  wall breaches 2x but CPU holds inside 1.5x —
+                    external load inflates wall, not tree CPU.
+    - ``unstable``  wall breaches, CPU breaches, but the query
+                    self-flagged an intra-run spread > 2x: the median
+                    itself is untrustworthy, re-measure before
+                    treating it as real (the r12 m9 precedent).
+    - ``watch``     wall breaches, CPU in (1.5x, 2x] — above the
+                    hold but below its own 2x; hold for a quiet
+                    re-run (the r12 j15 precedent).
+    - ``real``      wall breaches 2x AND CPU breaches 2x on a stable
+                    median — a genuine regression.
+    """
+    if basis is None:
+        return {"verdict": "new"}
+    bw, bc = basis
+    wr = round(wall / bw, 2)
+    cr = round(cpu / bc, 2)
+    if wr <= 2.0:
+        v = "ok"
+    elif cr <= 1.5:
+        v = "box_load"
+    elif unstable:
+        v = "unstable"
+    elif cr <= 2.0:
+        v = "watch"
+    else:
+        v = "real"
+    return {"wall_ratio": wr, "cpu_ratio": cr, "verdict": v}
 
 
 def tree_cpu_sec() -> float:
@@ -445,8 +566,8 @@ def main() -> None:
             timings[name] = {"err": msg[:200]}
             print(f"# {name}: ERROR {msg[:200]}", file=sys.stderr)
             continue
-        timings[name] = round(sorted(samples)[1], 3)
-        cpu_timings[name] = round(sorted(cpu_samples)[1], 3)
+        timings[name], cpu_timings[name] = paired_median(samples,
+                                                         cpu_samples)
         # informational per-query instability: spread over the LAST
         # TWO samples (the first may carry a lazy-cache index build,
         # which the median already discards).  NOT a contamination
@@ -478,7 +599,94 @@ def main() -> None:
                                 controls_mid))
     if unstable:
         out["unstable_queries"] = unstable
-    print(json.dumps(out))
+    # The basis is recorded at sf0.1 — adjudicating another scale
+    # factor against it would stamp junk verdicts on every row.
+    if os.path.basename(sf_dir.rstrip("/")) == "sf0.1":
+        out["basis"] = BASIS_NAME
+        out["verdicts"] = {
+            name: adjudicate(wall, cpu_timings.get(name, 0.0),
+                             BASIS.get(name), unstable=name in unstable)
+            for name, wall in timings.items()
+            if isinstance(wall, (int, float))
+        }
+    else:
+        out["basis"] = None
+        out["verdicts"] = {}
+    emit(out)
+
+
+def emit(full: dict) -> None:
+    """Stdout = exactly ONE compact JSON line (the driver's record);
+    the full record goes to the sidecar file and to stderr."""
+    sidecar = os.environ.get(
+        "SBP_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_full.json"))
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1)
+        full["full_record"] = sidecar
+    except OSError as e:  # read-only checkout: compact line still out
+        full["full_record"] = f"unwritable: {e}"
+    print("# FULL " + json.dumps(full), file=sys.stderr)
+    print(compact_line(full))
+
+
+def compact_line(full: dict) -> str:
+    """The driver-facing stdout line, kept <= COMPACT_LINE_BUDGET
+    bytes (VERDICT r12 #1: the r12 record's 5 KB line lost its head
+    to the driver's tail capture — 'the improved instrument made the
+    official artifact worse').  Keeps the driver contract fields
+    (metric/value/unit/queries/sf) plus the gate essentials:
+    cpu_total_sec, contaminated, verdict counts, and the non-ok
+    queries with their ratio pairs.  Detail drops in fixed stages
+    until the line fits; the per-query wall medians are the contract
+    and always survive."""
+    verdicts = full.get("verdicts", {})
+    counts: dict[str, int] = {}
+    for v in verdicts.values():
+        counts[v["verdict"]] = counts.get(v["verdict"], 0) + 1
+    breaches = {n: [v["verdict"], v.get("wall_ratio"),
+                    v.get("cpu_ratio")]
+                for n, v in verdicts.items()
+                if v["verdict"] not in ("ok", "new")}
+    line = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": full["queries"],
+        "sf": full["sf"],
+        "cpu_total_sec": full.get("cpu_total_sec"),
+        "contaminated": full.get("contaminated"),
+        "basis": full.get("basis"),
+        "verdict_counts": counts,
+        "breaches": breaches,
+        "full_record": full.get("full_record"),
+    }
+    if "n_errored" in full:
+        line["n_errored"] = full["n_errored"]
+        line["partial_sum_sec"] = full["partial_sum_sec"]
+    # fixed shrink stages; each stage's result is tried in order
+    def render(d: dict) -> str:
+        return json.dumps(d, separators=(",", ":"))
+
+    s = render(line)
+    if len(s.encode()) <= COMPACT_LINE_BUDGET:
+        return s
+    line["breaches"] = {n: v[0] for n, v in breaches.items()}
+    s = render(line)
+    if len(s.encode()) <= COMPACT_LINE_BUDGET:
+        return s
+    line.pop("breaches")
+    line.pop("full_record", None)
+    s = render(line)
+    if len(s.encode()) <= COMPACT_LINE_BUDGET:
+        return s
+    # last resort: error-dict timing values (rare) truncate hard
+    line["queries"] = {
+        n: (t if isinstance(t, (int, float)) else {"err": "see sidecar"})
+        for n, t in line["queries"].items()}
+    return render(line)
 
 
 def sentinel_verdict(pre: float, post: float,

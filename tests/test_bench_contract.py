@@ -119,3 +119,111 @@ def test_tree_cpu_sec_counts_spun_cpu():
     finally:
         child.kill()
         child.wait()
+
+
+def test_paired_median_keeps_wall_cpu_from_same_sample():
+    """ADVICE r12 #3: the recorded CPU must come from the SAME sample
+    as the wall median, not an independently sorted series — two
+    independent medians can pair sample-2 wall with sample-1 CPU and
+    weaken the 'wall breaches while CPU holds' adjudication."""
+    from bench import paired_median
+    # wall median is sample index 2 (1.5); its CPU is 9.0 — the
+    # independently-sorted CPU median would be 5.0 (from sample 0)
+    wall, cpu = paired_median([1.0, 2.0, 1.5], [5.0, 1.0, 9.0])
+    assert (wall, cpu) == (1.5, 9.0)
+    # degenerate equal walls: any pair is a faithful pair
+    wall, cpu = paired_median([1.0, 1.0, 1.0], [3.0, 1.0, 2.0])
+    assert wall == 1.0 and cpu in (1.0, 2.0, 3.0)
+
+
+def test_adjudicate_dual_basis_rule():
+    """VERDICT r12 #3: the BASELINE.md prose rule, mechanized.
+    wall <= 2x = ok; wall breach with CPU inside 1.5x = box load;
+    both breached on a stable median = real; CPU in (1.5, 2] = watch
+    (the r12 j15 precedent); unstable median = re-measure first (the
+    r12 m9 precedent); no basis = new."""
+    from bench import adjudicate
+    basis = (1.0, 10.0)
+    assert adjudicate(1.9, 30.0, basis)["verdict"] == "ok"
+    assert adjudicate(4.7, 14.0, basis)["verdict"] == "box_load"
+    assert adjudicate(4.7, 19.6, basis)["verdict"] == "watch"
+    assert adjudicate(4.7, 22.0, basis)["verdict"] == "real"
+    assert adjudicate(4.7, 22.0, basis,
+                      unstable=True)["verdict"] == "unstable"
+    # unstable never masks a box_load call: CPU holding is decisive
+    assert adjudicate(4.7, 14.0, basis,
+                      unstable=True)["verdict"] == "box_load"
+    assert adjudicate(9.9, 9.9, None) == {"verdict": "new"}
+    r = adjudicate(2.5, 18.0, basis)
+    assert r["wall_ratio"] == 2.5 and r["cpu_ratio"] == 1.8
+
+
+def _fake_full_record(n_breaches: int = 0):
+    from bench import BENCH_QUERIES, adjudicate, BASIS, summarize
+    timings = {n: 11.234 for n in BENCH_QUERIES}
+    full = summarize(timings, {}, "/root/testdata/sf0.1")
+    full["cpu_queries"] = {n: 22.345 for n in BENCH_QUERIES}
+    full["cpu_total_sec"] = 987.654
+    full["contaminated"] = False
+    full["sentinel"] = {"pre_sec": 0.4, "post_sec": 0.3,
+                        "post_over_pre": 0.75,
+                        "mid_sec": [0.4] * 7, "mid_hot": 0}
+    full["basis"] = "r12-unified"
+    # force n_breaches real verdicts, rest ok
+    full["verdicts"] = {}
+    for i, n in enumerate(BENCH_QUERIES):
+        if i < n_breaches:
+            full["verdicts"][n] = adjudicate(99.0, 99.0, (1.0, 1.0))
+        else:
+            full["verdicts"][n] = adjudicate(0.5, 0.5, (1.0, 1.0))
+    full["full_record"] = "/root/repo/bench_full.json"
+    return full
+
+
+def test_compact_line_fits_budget_and_parses():
+    """VERDICT r12 #1: BENCH_r12 was unparseable because the single
+    stdout line outgrew the driver's tail capture.  The compact line
+    must stay under the budget — with the FULL current suite and even
+    with every query breaching — and round-trip through json.loads
+    with the driver-contract fields intact."""
+    from bench import BENCH_QUERIES, COMPACT_LINE_BUDGET, compact_line
+    for n_breaches in (0, 5, len(BENCH_QUERIES)):
+        s = compact_line(_fake_full_record(n_breaches))
+        assert len(s.encode()) <= COMPACT_LINE_BUDGET, (
+            n_breaches, len(s.encode()))
+        back = json.loads(s)
+        assert back["metric"] == "bench_suite_wall_sec"
+        assert len(back["queries"]) == len(BENCH_QUERIES)
+        assert back["value"] is not None
+        assert back["cpu_total_sec"] == 987.654
+        assert back["contaminated"] is False
+        assert "verdict_counts" in back
+
+
+def test_compact_line_survives_error_rows():
+    from bench import compact_line
+    full = _fake_full_record(0)
+    full["queries"]["x44_bpe_train"] = {"err": "Boom: " + "x" * 400}
+    full["value"] = None
+    full["n_errored"] = 1
+    full["partial_sum_sec"] = 100.0
+    s = compact_line(full)
+    back = json.loads(s)
+    assert back["n_errored"] == 1
+    assert back["value"] is None
+
+
+def test_basis_table_matches_baseline_md():
+    """The embedded BASIS dict and BASELINE.md's r12 UNIFIED table
+    are the same numbers — parse the markdown and compare, so the
+    instrument can't silently drift from the human-canon record."""
+    import re as _re
+    from bench import BASIS
+    text = (Path(__file__).resolve().parent.parent
+            / "BASELINE.md").read_text()
+    anchor = text.index("Round-12 UNIFIED baseline")
+    rows = _re.findall(
+        r"^\| (\w+) \| ([\d.]+) \| ([\d.]+) \|$",
+        text[anchor:], flags=_re.M)
+    table = {n: (float(w), float(c)) for n, w, c in rows}
+    assert table == BASIS
