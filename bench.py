@@ -540,6 +540,7 @@ def main() -> None:
     cpu_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     unstable: dict[str, float] = {}
+    cpu_anomalies: list[str] = []
     controls_mid: list[float] = []
     for qi, name in enumerate(BENCH_QUERIES):
         if name not in reg and name not in overrides:
@@ -559,7 +560,18 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 n = df.count()
                 samples.append(time.monotonic() - t0)
-                cpu_samples.append(tree_cpu_sec() - c0)
+                d_cpu = tree_cpu_sec() - c0
+                if d_cpu < 0:
+                    # a descendant re-parented away mid-query (its
+                    # parent died; init adopted it) and took its
+                    # accumulated ticks out of the tree — the delta
+                    # is incomplete, not negative work.  Clamp and
+                    # flag: the query's CPU median can't be trusted
+                    # this run (observed live on a loaded box, r13).
+                    if name not in cpu_anomalies:
+                        cpu_anomalies.append(name)
+                    d_cpu = 0.0
+                cpu_samples.append(d_cpu)
         except Exception as e:  # noqa: BLE001 — isolate, report, continue
             msg = f"{type(e).__name__}: {e}"
             errors[name] = msg[:500]
@@ -599,13 +611,18 @@ def main() -> None:
                                 controls_mid))
     if unstable:
         out["unstable_queries"] = unstable
+    if cpu_anomalies:
+        out["cpu_anomalies"] = cpu_anomalies
     # The basis is recorded at sf0.1 — adjudicating another scale
     # factor against it would stamp junk verdicts on every row.
     if os.path.basename(sf_dir.rstrip("/")) == "sf0.1":
         out["basis"] = BASIS_NAME
         out["verdicts"] = {
-            name: adjudicate(wall, cpu_timings.get(name, 0.0),
-                             BASIS.get(name), unstable=name in unstable)
+            name: adjudicate(
+                wall, cpu_timings.get(name, 0.0), BASIS.get(name),
+                # a CPU anomaly means the CPU median is incomplete —
+                # distrust it exactly like an unstable wall median
+                unstable=name in unstable or name in cpu_anomalies)
             for name, wall in timings.items()
             if isinstance(wall, (int, float))
         }
