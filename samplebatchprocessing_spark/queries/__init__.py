@@ -35,47 +35,44 @@ Entry = tuple[SparkFn, str | None]
 # 50 names, all present in the registry, all 11 §2B families covered —
 # is locked by tests/test_registry_order.py.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r12 ROTATION (VERDICT r11 #5): ROTATE BY EVIDENCE AGE.
-    # Certification debt is zero (r11 closed it at 341/341), so this
-    # window re-certifies the 50 entries whose last driver-green is
-    # OLDEST: every r4-era survivor outside the r11 window (j9/j10/
-    # x35/w5/w6/f4/f5/f6/f8 — last sampled 7 rounds ago) and the
-    # deepest r5-era block (the P/S/D/L family depth of the r5
-    # window, untouched since), plus the 3 r12 debuts
-    # (m13b = verdict #3's object-store publish, x137/x138 =
-    # verdict #4's artifact retrain sweeps — debut-in-window is the
-    # p20/x132/m13 precedent).  The Q/T/U family anchors take the
-    # stalest entries those families offer outside r11 (q5 from r6,
-    # t6 from r7, u3 from r8).  Overlap with the immediately-prior
-    # r11 window is exactly 0; with r10/r9 also 0; with r8 {u3},
-    # r7 {t6}, r6 {q5}; the heavy overlap with the FROZEN r5 window
-    # is the point — those slots hold the oldest evidence in the
-    # book.  tests/test_registry_order.py locks the overlap bounds,
-    # the 50-name shape, and the family anchors.
+    # r13 ROTATION (VERDICT r12 #5): ROTATE BY EVIDENCE AGE.
+    # With the r12 window green, the stalest driver evidence in the
+    # book is the r6-certified block (47 entries whose last
+    # driver-green row is CORRECTNESS_r06, six rounds old — the
+    # P/S/D/M depth plus the r6 curation/TPC-H breadth) and the one
+    # r5 survivor (s2_tumbling_batch, the S-family batch twin).
+    # That pool is 48 entries; v6_cte steps aside because
+    # v29_recursive_cte — in this same window — exercises a strict
+    # superset of its CTE machinery, freeing 3 slots for the three
+    # families the stale pool cannot anchor: Q/T/U take their
+    # stalest entries anywhere outside r12 (q3_filter and
+    # t4_topk_per_group from r8, u1_union from r9).  Overlap with
+    # the immediately-prior r12 window is exactly 0; with r11/r10
+    # also 0; with r9 {u1}, r8 {q3, t4}; the heavy overlap with the
+    # FROZEN r6 window is the point — those slots hold the oldest
+    # evidence in the book.  tests/test_registry_order.py locks the
+    # overlap bounds, the 50-name shape, and the family anchors.
     #
     # one anchor per §2B family: P Q J A W T U F S D L
-    "p3_csv_infer", "q5_nested_pruning", "j9_star_join",
-    "a1_pricing_summary", "w5_first_last", "t6_pagination",
-    "u3_except", "f4_conditional", "s2_tumbling_window",
-    "d2_pandas_udf", "l2_tokenize",
-    # r12 debuts: the object-store versioned-pointer publish and the
-    # two trained-artifact retrain sweeps
-    "m13b_store_publish", "x137_vocab_retrain_sweep",
-    "x138_model_retrain_sweep",
-    # remaining r4-era survivors (last driver-green 7 rounds ago)
-    "j10_fuzzy_join", "x35_quality_audit", "w6_gapfill",
-    "f5_array", "f6_struct_map", "f8_hash",
-    # the r5-era block: the oldest evidence after r4
-    "a12_two_phase", "j1_inner_join", "w1_ranking", "f1_string",
-    "l3_token_counts", "l4_tfidf", "l5_jaccard_pairs",
-    "l6_minhash_lsh", "l7_cosine_topk", "l8_sim_join",
-    "l9_binary_ingest", "l11_dedup_clusters", "x20_pretrain_pipeline",
-    "x65_dsir_weights", "mm1_image_features", "x13_contamination",
-    "d3_apply_in_pandas", "d4_map_in_pandas", "d5_udtf_explode",
-    "p6_parquet_sink", "p7_partitioned_sink", "p8_manifest_pipeline",
-    "s3_sliding_window", "s4_session_window", "s5_watermark_append",
-    "s6_stream_dedup", "s7_stateful_agg", "v8_tpch_q3", "m1_upsert",
-    "x25_funnel",
+    "p2_csv_roundtrip", "q3_filter", "j2_full_outer",
+    "a15_grouping_sets", "w7_distribution_ranks",
+    "t4_topk_per_group", "u1_union", "f9_bitwise",
+    "s2_tumbling_batch", "d6_udaf_grouped", "l10_lang_stats",
+    # the rest of the r6-era block, alphabetical (all equally stale)
+    "d7_udtf_table_arg", "l5_ngram_lsh", "m2_scd2", "m3_salted_join",
+    "m6_incremental_mv", "m7_zorder_layout", "p15_text_roundtrip",
+    "p4_json_roundtrip", "p9_orc_roundtrip", "s10_stream_stream_join",
+    "s12_stream_weighted_sample", "s16_stream_quality_gate",
+    "s17_stream_decontaminate", "s8_foreach_batch_sink",
+    "s9_custom_stateful", "v23_tpch_q6", "v25_tpch_q12_shape",
+    "v29_recursive_cte", "v9_tpch_q5", "x103_prefix_filter_join",
+    "x37_join_skew_report", "x40_mixture_budget", "x43_semantic_dedup",
+    "x46_bpe_encode", "x47_kmeans_clusters", "x48_cluster_safe_split",
+    "x50_gopher_quality", "x51_shard_pack", "x52_domain_stats",
+    "x53_cluster_balanced_sample", "x55_decontaminate",
+    "x56_dedup_threshold_curve", "x57_embedding_outliers",
+    "x62_c4_filters", "x6_train_split", "x79_transition_matrix",
+    "x92_dominant_direction", "x98_rag_pipeline", "x9_corpus_curation",
 )
 
 

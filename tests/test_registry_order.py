@@ -245,40 +245,72 @@ R11_WINDOW = frozenset({
 })
 
 
+# The r12 driver window, frozen (went 50/50 green in CORRECTNESS_r12
+# — the stalest-evidence rotation: every r4-era survivor, the r5
+# P/S/D/L depth block, q5/t6/u3 family anchors, 3 debuts).
+R12_WINDOW = frozenset({
+    "p3_csv_infer", "q5_nested_pruning", "j9_star_join",
+    "a1_pricing_summary", "w5_first_last", "t6_pagination",
+    "u3_except", "f4_conditional", "s2_tumbling_window",
+    "d2_pandas_udf", "l2_tokenize",
+    "m13b_store_publish", "x137_vocab_retrain_sweep",
+    "x138_model_retrain_sweep",
+    "j10_fuzzy_join", "x35_quality_audit", "w6_gapfill",
+    "f5_array", "f6_struct_map", "f8_hash",
+    "a12_two_phase", "j1_inner_join", "w1_ranking", "f1_string",
+    "l3_token_counts", "l4_tfidf", "l5_jaccard_pairs",
+    "l6_minhash_lsh", "l7_cosine_topk", "l8_sim_join",
+    "l9_binary_ingest", "l11_dedup_clusters", "x20_pretrain_pipeline",
+    "x65_dsir_weights", "mm1_image_features", "x13_contamination",
+    "d3_apply_in_pandas", "d4_map_in_pandas", "d5_udtf_explode",
+    "p6_parquet_sink", "p7_partitioned_sink", "p8_manifest_pipeline",
+    "s3_sliding_window", "s4_session_window", "s5_watermark_append",
+    "s6_stream_dedup", "s7_stateful_agg", "v8_tpch_q3", "m1_upsert",
+    "x25_funnel",
+})
+
+
 def test_window_rotation_bounds_overlap_with_prior_rounds():
-    """Rotation policy (VERDICT r5 #3 ... r11 #5): overlap with the
+    """Rotation policy (VERDICT r5 #3 ... r12 #5): overlap with the
     immediately-prior window is ZERO (debt is zero, nothing needs
-    re-certification by need) and the r12 window rotates to the
-    entries whose last driver-green is OLDEST.  The Q/T/U family
-    anchors take the stalest slots those families offer outside r11
-    (q5 from the r6 window, t6 from r7, u3 from r8 — one-entry
-    overlaps); the heavy overlap with the FROZEN r5 window is the
-    point: those slots hold the oldest evidence in the book (the r5
-    P/S/D/L family-depth block, never re-sampled since)."""
+    re-certification by need) and the r13 window rotates to the
+    entries whose last driver-green is OLDEST — the r6-certified
+    block, untouched for six rounds.  The Q/T/U family anchors take
+    the stalest slots those families offer outside r12 (q3 and t4
+    from the r8 window, u1 from r9 — one/two-entry overlaps); the
+    heavy overlap with the FROZEN r6 window is the point: those
+    slots hold the oldest evidence in the book."""
+    assert not R12_WINDOW & set(DRIVER_WINDOW)
     assert not R11_WINDOW & set(DRIVER_WINDOW)
     assert not R10_WINDOW & set(DRIVER_WINDOW)
-    assert not R9_WINDOW & set(DRIVER_WINDOW)
-    assert R8_WINDOW & set(DRIVER_WINDOW) == {"u3_except"}
-    assert R7_WINDOW & set(DRIVER_WINDOW) == {"t6_pagination"}
-    assert R6_WINDOW & set(DRIVER_WINDOW) == {"q5_nested_pruning"}
-    # oldest-evidence block: >= 30 slots re-certify r5-era evidence
-    assert len(R5_WINDOW & set(DRIVER_WINDOW)) >= 30
+    assert R9_WINDOW & set(DRIVER_WINDOW) == {"u1_union"}
+    assert R8_WINDOW & set(DRIVER_WINDOW) == {"q3_filter",
+                                              "t4_topk_per_group"}
+    # oldest-evidence block: >= 45 slots re-certify r6-era evidence,
+    # plus the one r5 survivor never re-sampled since
+    assert len(R6_WINDOW & set(DRIVER_WINDOW)) >= 45
+    assert "s2_tumbling_batch" in DRIVER_WINDOW  # r5-era, the stalest
 
 
 def test_window_targets_the_stalest_evidence():
-    """VERDICT r11 #5: with debt at zero, the window is chosen by
-    evidence AGE — every r4-era survivor outside the r11 window is
-    present (last driver-sampled in round 4, seven rounds ago), and
-    the 3 r12 debuts ride the debut-in-window precedent."""
-    r4_era = {
-        "j9_star_join", "j10_fuzzy_join", "x35_quality_audit",
-        "w5_first_last", "w6_gapfill", "f4_conditional", "f5_array",
-        "f6_struct_map", "f8_hash",
-    }
-    debuts = {"m13b_store_publish", "x137_vocab_retrain_sweep",
-              "x138_model_retrain_sweep"}
-    missing = (r4_era | debuts) - set(DRIVER_WINDOW)
-    assert not missing, f"stalest entries not in window: {missing}"
+    """VERDICT r12 #5: with debt at zero, the window is chosen by
+    evidence AGE — every r6-era-certified entry outside the r12
+    window is present except v6_cte, which steps aside because
+    v29_recursive_cte (in this window) exercises a strict superset
+    of its CTE machinery and three family anchors (Q/T/U) have no
+    stale-pool representative."""
+    import json
+    last: dict[str, int] = {}
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f.name).group(1))
+        for k, v in json.loads(f.read_text()).items():
+            if v.get("hash_match") or v.get("rows_match"):
+                last[k] = max(last.get(k, 0), rnd)
+    stale_pool = {n for n, r in last.items() if r <= 6} - R12_WINDOW
+    missing = stale_pool - set(DRIVER_WINDOW)
+    assert missing == {"v6_cte"}, (
+        f"stalest entries not in window: {missing}")
+    assert "v29_recursive_cte" in DRIVER_WINDOW
 
 
 def test_readme_counts_match_registry(reg):
