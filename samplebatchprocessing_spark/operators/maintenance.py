@@ -450,7 +450,21 @@ def nb_maintenance_sweep(spark, root: str, fresh_doc,
     oov_x1000 = int(1000 * row["oov"] // row["n"])
     pr = (fresh_doc.agg(
         F.sum(F.col(pos_col).cast("long")).alias("np"),
-        F.sum((~F.col(pos_col)).cast("long")).alias("nn")).first())
+        F.sum((~F.col(pos_col)).cast("long")).alias("nn"),
+        F.sum(F.col(pos_col).isNull().cast("long")).alias("nx"),
+        F.count(F.lit(1)).alias("nt")).first())
+    # Labels are REQUIRED to be total (ADVICE r12): F.sum over an
+    # all-NULL boolean census returns NULL — the old code crashed
+    # with an opaque int(None) TypeError before computing any drift
+    # signal — and partially-NULL labels silently shrink the prior
+    # denominator relative to the OOV census's row count, biasing
+    # the drift comparison.  Fail loudly with the defect named.
+    if int(pr["nx"] or 0):
+        raise ValueError(
+            f"NB drift census needs a TOTAL {pos_col!r} label: "
+            f"{int(pr['nx'])} of {int(pr['nt'])} fresh rows are "
+            f"NULL — label the slice (or filter it) before the "
+            f"sweep; a partial label biases the prior drift signal")
     np_f, nn_f = int(pr["np"]), int(pr["nn"])
     fresh_prior_x1000 = 1000 * np_f // (np_f + nn_f)
     model_prior_x1000 = 1000 * np_ // (np_ + nn)

@@ -208,7 +208,24 @@ class StorePublisher:
     Physical layout DATA still moves through Spark (parquet over the
     scheme's Hadoop connector in a real deployment; the file-backed
     double's ``fs_path`` in this sandbox) — this class owns only the
-    control plane: naming, pointing, retiring."""
+    control plane: naming, pointing, retiring.
+
+    SINGLE-MAINTAINER DESIGN (ADVICE r12): ``publish`` and ``prune``
+    are GET-modify-PUT sequences over the pointer object.  S3's
+    plain PUT is atomic PER OBJECT — a reader always sees one
+    complete pointer, never a torn one (fuzzed in
+    tests/test_publish.py) — but it is not compare-and-swap, so two
+    concurrent maintainers race: the second PUT silently wins and
+    the first maintainer's version (or a publish landing inside
+    prune's read-modify window) is rolled back — a LOST UPDATE, not
+    corruption.  Readers are never endangered: every pointer state
+    is a complete published version whose layout objects exist.
+    This mirrors the deployment assumption the maintenance daemon
+    already enforces (one sweep loop per index root); a
+    multi-maintainer deployment needs the pointer PUT upgraded to a
+    conditional write (S3 If-Match on the pointer's ETag, public
+    API since 2024) and a retry loop — deliberately out of scope for
+    the sandbox double, which has no ETags."""
 
     def __init__(self, store: "ObjectStoreClient", root: str) -> None:
         self.store = store

@@ -1009,3 +1009,185 @@ def test_store_ivf_maintenance_sweep_on_planted_drift(spark,
     # no settled assertion: this fixture's true distribution is
     # bimodal, so the reclustered layout may legitimately remain
     # skew-flagged (the POSIX twin omits it for the same reason)
+
+
+def test_concurrent_publishers_never_tear_the_pointer(tmp_path):
+    """Concurrent-publisher race fuzz (VERDICT r12 #6): two
+    interleaved publish sequences against ONE bucket root, every
+    writer-order-preserving interleaving drawn from 40 seeds.  The
+    invariant under test is the per-PUT atomicity claim: after EVERY
+    step, the pointer is either absent or a COMPLETE published
+    version — valid JSON, all fields, and the named layout has at
+    least one object — and the observed version number never moves
+    backwards.  Racing publishers may LOSE an update (last writer
+    wins; single-maintainer design, see StorePublisher docstring) or
+    collide on a layout name and take the already-live ValueError,
+    but no interleaving may ever expose a torn or dangling pointer
+    to a reader."""
+    import random
+
+    for seed in range(40):
+        rng = random.Random(seed)
+        d = tmp_path / f"race{seed}"
+        d.mkdir()
+        store = _bucket(d)
+        root = "indexes/race"
+
+        def observe(last_seen: int | None) -> int | None:
+            try:
+                raw = store.get(f"{root}/{publish.POINTER}")
+            except FileNotFoundError:
+                return last_seen
+            meta = json.loads(raw)       # torn write would die here
+            assert {"version", "dir", "history"} <= set(meta)
+            assert store.list(f"{root}/{meta['dir']}/"), (
+                f"seed {seed}: pointer names layout {meta['dir']} "
+                "with no objects")
+            v = int(meta["version"])
+            if last_seen is not None:
+                assert v >= last_seen, (
+                    f"seed {seed}: version moved backwards "
+                    f"{last_seen} -> {v}")
+            return v
+
+        def writer_steps(tag: str):
+            pub = publish.StorePublisher(store, root)
+            state: dict = {}
+
+            def alloc():
+                state["dir"] = pub.new_layout_dir()
+
+            def write():
+                store.put(f"{state['dir']}/part-0.parquet",
+                          tag.encode())
+
+            def pub_step():
+                try:
+                    state["v"] = pub.publish(state["dir"])
+                except ValueError as e:
+                    # the one legal collision: both writers allocated
+                    # the same fresh name and the other published it
+                    assert "already the live" in str(e)
+                    state["v"] = None
+
+            return [alloc, write, pub_step], state
+
+        a_steps, a_state = writer_steps("A")
+        b_steps, b_state = writer_steps("B")
+        queues = [list(a_steps), list(b_steps)]
+        seen: int | None = None
+        while queues[0] or queues[1]:
+            which = rng.choice([i for i in (0, 1) if queues[i]])
+            queues[which].pop(0)()
+            seen = observe(seen)
+
+        # end state: at least one writer published; the pointer is a
+        # complete version resolving to objects one of them wrote
+        final = publish.StorePublisher(store, root)
+        assert final.current_version() is not None
+        live = final.resolve()
+        assert store.get(f"{live}/part-0.parquet") in (b"A", b"B")
+        published = [s["v"] for s in (a_state, b_state)
+                     if s["v"] is not None]
+        assert published, "neither writer published"
+        assert final.current_version() == max(published)
+
+
+def test_publish_inside_prune_window_is_lost_not_torn(tmp_path):
+    """The documented lost-update (ADVICE r12, single-maintainer
+    design): a publish landing between prune's pointer READ and its
+    closing PUT is silently rolled back — last writer wins — but the
+    rolled-back pointer is still a COMPLETE earlier version whose
+    layout objects exist, and the lost layout's objects remain on
+    the bucket (orphaned, re-publishable), so readers never dangle."""
+    inner = _bucket(tmp_path)
+    root = "idx"
+
+    class InterceptStore:
+        """Wraps the bucket; fires a hook once, immediately before
+        prune's closing pointer PUT — the widest race window."""
+
+        def __init__(self, store):
+            self._store = store
+            self.hook = None
+
+        def __getattr__(self, name):
+            return getattr(self._store, name)
+
+        def put(self, key, data):
+            if key.endswith(publish.POINTER) and self.hook:
+                hook, self.hook = self.hook, None
+                hook()
+            self._store.put(key, data)
+
+    wrapped = InterceptStore(inner)
+    maintainer = publish.StorePublisher(wrapped, root)
+    racer = publish.StorePublisher(inner, root)
+
+    dirs = []
+    for i, tag in enumerate((b"v1", b"v2", b"v3"), 1):
+        d = maintainer.new_layout_dir()
+        inner.put(f"{d}/part-0.parquet", tag)
+        assert maintainer.publish(d) == i
+        dirs.append(d)
+
+    racer_state = {}
+
+    def racing_publish():
+        d = racer.new_layout_dir()
+        inner.put(f"{d}/part-0.parquet", b"v4")
+        racer_state["v"] = racer.publish(d)   # v4 goes live...
+        racer_state["dir"] = d
+
+    wrapped.hook = racing_publish
+    retired = maintainer.prune(keep=2)        # ...and prune rolls it back
+
+    assert racer_state["v"] == 4              # the racer saw success
+    assert retired == [dirs[0]]
+    final = publish.StorePublisher(inner, root)
+    # LOST update: the pointer is back on v3 — complete, resolvable
+    assert final.current_version() == 3
+    assert inner.get(f"{final.resolve()}/part-0.parquet") == b"v3"
+    # the lost layout is orphaned, not corrupted: objects intact,
+    # name never reused, re-publishable by the next maintainer pass
+    assert inner.get(f"{racer_state['dir']}/part-0.parquet") == b"v4"
+    nxt = final.new_layout_dir()
+    assert nxt != racer_state["dir"]
+
+
+def test_nb_sweep_refuses_null_labels_loudly(spark, tmp_path):
+    """ADVICE r12: an all-NULL pos_col used to crash with an opaque
+    int(None) TypeError (F.sum over all-NULL booleans is NULL), and
+    partially-NULL labels silently shrank the prior denominator
+    relative to the OOV census.  Both now fail loudly, naming the
+    defect, before any drift signal is computed."""
+    from pyspark.sql import functions as F
+
+    from samplebatchprocessing_spark.operators import artifacts
+    root = str(tmp_path / "nb_root")
+    os.makedirs(root)
+    rows = [(i, "good clean text here", i % 2 == 0) for i in range(8)]
+    lab = spark.createDataFrame(
+        rows, "doc_id long, text string, is_pos boolean")
+    toks = lab.select("is_pos",
+                      F.explode(T.tokenize(F.col("text"))).alias("tok"))
+    cnt = (toks.groupBy("tok")
+           .agg(F.sum(F.col("is_pos").cast("long")).alias("pc"),
+                F.sum((~F.col("is_pos")).cast("long")).alias("nc")))
+    v1 = publish.new_layout_dir(root)
+    artifacts.nb_model_write(cnt, 4, 4, v1)
+    publish.publish(root, v1)
+
+    all_null = lab.withColumn("is_pos",
+                              F.lit(None).cast("boolean"))
+    with pytest.raises(ValueError, match="TOTAL 'is_pos' label"):
+        maintenance.nb_maintenance_sweep(spark, root, all_null)
+
+    partial = lab.withColumn(
+        "is_pos", F.when(F.col("doc_id") < 6, F.col("is_pos")))
+    with pytest.raises(ValueError, match="2 of 8 fresh rows"):
+        maintenance.nb_maintenance_sweep(spark, root, partial)
+
+    # total labels still sweep exactly as before
+    s0 = maintenance.nb_maintenance_sweep(spark, root, lab)
+    assert not s0["due"] and s0["oov_x1000"] == 0
