@@ -210,26 +210,42 @@ class StorePublisher:
     double's ``fs_path`` in this sandbox) — this class owns only the
     control plane: naming, pointing, retiring.
 
-    SINGLE-MAINTAINER DESIGN (ADVICE r12): ``publish`` and ``prune``
-    are GET-modify-PUT sequences over the pointer object.  S3's
-    plain PUT is atomic PER OBJECT — a reader always sees one
-    complete pointer, never a torn one (fuzzed in
-    tests/test_publish.py) — but it is not compare-and-swap, so two
-    concurrent maintainers race: the second PUT silently wins and
-    the first maintainer's version (or a publish landing inside
-    prune's read-modify window) is rolled back — a LOST UPDATE, not
-    corruption.  Readers are never endangered: every pointer state
-    is a complete published version whose layout objects exist.
-    This mirrors the deployment assumption the maintenance daemon
-    already enforces (one sweep loop per index root); a
-    multi-maintainer deployment needs the pointer PUT upgraded to a
-    conditional write (S3 If-Match on the pointer's ETag, public
-    API since 2024) and a retry loop — deliberately out of scope for
-    the sandbox double, which has no ETags."""
+    CONCURRENCY, two modes (ADVICE r12):
 
-    def __init__(self, store: "ObjectStoreClient", root: str) -> None:
+    - ``cas=False`` (default) — SINGLE-MAINTAINER: ``publish`` and
+      ``prune`` are GET-modify-PUT sequences over the pointer
+      object.  S3's plain PUT is atomic PER OBJECT — a reader always
+      sees one complete pointer, never a torn one (fuzzed in
+      tests/test_publish.py) — but it is not compare-and-swap, so
+      two concurrent maintainers race: the second PUT silently wins
+      and the first maintainer's version (or a publish landing
+      inside prune's read-modify window) is rolled back — a LOST
+      UPDATE, not corruption.  Readers are never endangered: every
+      pointer state is a complete published version whose layout
+      objects exist.  This mirrors the deployment assumption the
+      maintenance daemon already enforces (one sweep loop per index
+      root).
+    - ``cas=True`` (r13) — MULTI-MAINTAINER: every pointer write
+      goes through the store's conditional-PUT verb
+      (``put_if``: S3 If-Match on the pointer's ETag / If-None-Match
+      for the first version — public S3 API since 2024; the
+      file-backed double serializes writers on an flock and ETags by
+      content md5).  A maintainer that loses the race gets
+      :class:`~...pipeline.manifest.PreconditionFailed`, RE-READS,
+      and retries the whole read-validate-modify cycle (bounded by
+      ``cas_retries``), so concurrent publishes all land — versions
+      stay monotone and none is lost — and a publish inside prune's
+      window survives (prune's stale PUT fails its precondition and
+      the re-run recomputes against the new pointer).  Retry
+      side-effects are safe: deletes are idempotent and validation
+      reruns from the fresh pointer."""
+
+    def __init__(self, store: "ObjectStoreClient", root: str,
+                 cas: bool = False, cas_retries: int = 16) -> None:
         self.store = store
         self.root = root.rstrip("/")
+        self.cas = cas
+        self.cas_retries = cas_retries
 
     def _pointer_key(self) -> str:
         return f"{self.root}/{POINTER}"
@@ -239,6 +255,42 @@ class StorePublisher:
             return json.loads(self.store.get(self._pointer_key()))
         except FileNotFoundError:
             return None
+
+    def _read_pointer_v(self) -> tuple[dict | None, str | None]:
+        """(meta, etag) — the etag is the CAS token for the closing
+        conditional PUT; (None, None) when unversioned."""
+        if not self.cas:
+            return self._read_pointer(), None
+        try:
+            raw, etag = self.store.get_with_etag(self._pointer_key())
+        except FileNotFoundError:
+            return None, None
+        return json.loads(raw), etag
+
+    def _put_pointer(self, new_meta: dict, etag: str | None) -> None:
+        data = json.dumps(new_meta).encode()
+        if self.cas:
+            # etag None = first version: create-if-absent, so two
+            # maintainers racing to publish v1 can't both win
+            self.store.put_if(self._pointer_key(), data, etag)
+        else:
+            self.store.put(self._pointer_key(), data)
+
+    def _cas_loop(self, attempt):
+        """Run ``attempt`` once (plain mode) or until its conditional
+        pointer PUT wins (cas mode, bounded)."""
+        from ..pipeline.manifest import PreconditionFailed
+        tries = self.cas_retries if self.cas else 1
+        last: Exception | None = None
+        for _ in range(tries):
+            try:
+                return attempt()
+            except PreconditionFailed as e:
+                last = e       # lost the race: re-read and retry
+        raise PreconditionFailed(
+            f"lost {tries} consecutive CAS races on "
+            f"{self._pointer_key()} — raise cas_retries or reduce "
+            f"maintainer concurrency") from last
 
     def _layout_objects(self, name: str) -> bool:
         # point-prefix lookup: first page only — membership needs one
@@ -273,8 +325,9 @@ class StorePublisher:
                 return f"{self.root}/{name}"
 
     def publish(self, layout_key: str) -> int:
-        """Atomically repoint the root at ``layout_key`` (one PUT);
-        returns the new version.  Same preconditions as the POSIX
+        """Atomically repoint the root at ``layout_key`` (one PUT —
+        conditional in cas mode, retried until it wins); returns the
+        new version.  Same preconditions as the POSIX
         :func:`publish`: a direct child of the root, fully written
         (>= 1 object), and not the currently-live layout."""
         key = layout_key.rstrip("/")
@@ -291,48 +344,65 @@ class StorePublisher:
             raise ValueError(
                 f"layout {layout_key!r} has no objects — write the "
                 f"layout fully, then publish")
-        meta = self._read_pointer()
-        if meta is not None and meta["dir"] == rel:
-            raise ValueError(
-                f"layout {rel!r} is already the live version "
-                f"{meta['version']} — a maintenance pass publishes a "
-                f"FRESH prefix, never re-publishes the live one")
-        version = 1 if meta is None else int(meta["version"]) + 1
-        history = ([] if meta is None else meta.get("history", [])) + [
-            {"version": version, "dir": rel}]
-        new_meta = {"version": version, "dir": rel, "history": history}
-        self.store.put(self._pointer_key(),
-                       json.dumps(new_meta).encode())
-        return version
+
+        def attempt() -> int:
+            meta, etag = self._read_pointer_v()
+            if meta is not None and meta["dir"] == rel:
+                raise ValueError(
+                    f"layout {rel!r} is already the live version "
+                    f"{meta['version']} — a maintenance pass "
+                    f"publishes a FRESH prefix, never re-publishes "
+                    f"the live one")
+            version = 1 if meta is None else int(meta["version"]) + 1
+            history = ([] if meta is None
+                       else meta.get("history", [])) + [
+                {"version": version, "dir": rel}]
+            self._put_pointer({"version": version, "dir": rel,
+                               "history": history}, etag)
+            return version
+
+        return self._cas_loop(attempt)
 
     def prune(self, keep: int = 2) -> list[str]:
         """Delete every object under layouts older than the newest
         ``keep`` published versions; returns the retired layout
         prefixes.  ``keep >= 2`` is the concurrent-reader floor
         (module docstring).  Never-published orphan prefixes are not
-        touched — they may be a maintenance pass mid-write."""
+        touched — they may be a maintenance pass mid-write.
+
+        In cas mode the returned list is best-effort under
+        contention: a layout whose objects fell in an attempt that
+        then lost its pointer race is not re-reported by the winning
+        retry (its prefix lists empty, so ``found`` stays False) —
+        the deletions themselves are idempotent and complete."""
         if keep < 1:
             raise ValueError(f"keep must be >= 1, got {keep}")
-        meta = self._read_pointer()
-        if meta is None:
-            return []
-        history = meta.get("history", [])
-        retire, remain = history[:-keep], history[-keep:]
-        live = meta["dir"]
-        keep_names = {r["dir"] for r in remain}
-        retired = []
-        for h in retire:
-            if h["dir"] == live or h["dir"] in keep_names:
-                continue
-            prefix = f"{self.root}/{h['dir']}/"
-            found = False
-            for page in self.store.list_pages(prefix):
-                for k in page:
-                    self.store.delete(k)
-                    found = True
-            if found:
-                retired.append(f"{self.root}/{h['dir']}")
-        new_meta = dict(meta, history=remain)
-        self.store.put(self._pointer_key(),
-                       json.dumps(new_meta).encode())
-        return retired
+
+        def attempt() -> list[str]:
+            meta, etag = self._read_pointer_v()
+            if meta is None:
+                return []
+            history = meta.get("history", [])
+            retire, remain = history[:-keep], history[-keep:]
+            live = meta["dir"]
+            keep_names = {r["dir"] for r in remain}
+            retired = []
+            for h in retire:
+                if h["dir"] == live or h["dir"] in keep_names:
+                    continue
+                prefix = f"{self.root}/{h['dir']}/"
+                found = False
+                for page in self.store.list_pages(prefix):
+                    for k in page:
+                        self.store.delete(k)
+                        found = True
+                if found:
+                    retired.append(f"{self.root}/{h['dir']}")
+            # cas retry is safe here: deletes are idempotent, the
+            # horizon recomputes from the FRESH pointer (so a version
+            # published inside this window is never rolled back), and
+            # layout names below the live version are never reused
+            self._put_pointer(dict(meta, history=remain), etag)
+            return retired
+
+        return self._cas_loop(attempt)

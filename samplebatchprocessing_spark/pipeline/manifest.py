@@ -169,6 +169,13 @@ def _split_scheme(uri: str) -> tuple[str, str]:
     return scheme, rest
 
 
+class PreconditionFailed(Exception):
+    """A conditional PUT lost its race: the object changed (If-Match
+    mismatch) or appeared (If-None-Match) between the caller's read
+    and its write.  The caller re-reads and retries — this is the
+    optimistic-concurrency signal, not an error state."""
+
+
 class ObjectStoreClient:
     """Worker-side commit contract for object-store schemes — the
     three verbs the reference's S3 flow actually uses (public boto2
@@ -209,6 +216,32 @@ class ObjectStoreClient:
         raise NotImplementedError
 
     def get(self, key: str) -> bytes:
+        raise NotImplementedError
+
+    # -- conditional-write extension (r13, ADVICE r12) --------------
+    # S3 shipped conditional writes on the public API (If-None-Match
+    # on PutObject 2024-08, If-Match 2024-11), which upgrades the
+    # pointer's GET-modify-PUT from last-writer-wins to
+    # compare-and-swap.  Two verbs, ETag-based:
+
+    def get_with_etag(self, key: str) -> tuple[bytes, str]:
+        """The object's bytes plus its ETag (the version token a
+        conditional put compares against); FileNotFoundError if the
+        key does not exist."""
+        raise NotImplementedError
+
+    def put_if(self, key: str, data: bytes,
+               etag: str | None) -> str:
+        """Conditional atomic PUT; returns the new object's ETag.
+
+        - ``etag=None``: create-if-absent (If-None-Match: *) — fails
+          with :class:`PreconditionFailed` if the key exists.
+        - ``etag='...'``: replace-if-match (If-Match) — fails with
+          :class:`PreconditionFailed` unless the LIVE object's ETag
+          equals ``etag``.
+
+        The success path keeps plain-PUT atomicity: readers see the
+        old object or the new one, never a partial."""
         raise NotImplementedError
 
     def copy(self, src: str, dst: str) -> None:
@@ -312,6 +345,49 @@ class LocalObjectStoreClient(ObjectStoreClient):
                     out.append(key)
         return sorted(out)
 
+    # -- conditional writes (r13) ------------------------------------
+    # ETag = md5 of the content, exactly S3's single-part-PUT ETag.
+    # POSIX has no native compare-and-swap on file contents, so
+    # writers of the SAME key serialize on an flock'd lock file in a
+    # SIBLING directory (never under root — lock files must not
+    # appear in listings); readers never lock (they read the
+    # atomically-replaced object as before).
+
+    @staticmethod
+    def _etag(data: bytes) -> str:
+        import hashlib
+        return hashlib.md5(data).hexdigest()
+
+    def _lock_path(self, key: str) -> str:
+        import hashlib
+        d = self.root.rstrip("/") + ".locks"
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, hashlib.md5(key.encode()).hexdigest())
+
+    def get_with_etag(self, key: str) -> tuple[bytes, str]:
+        data = self.get(key)
+        return data, self._etag(data)
+
+    def put_if(self, key: str, data: bytes,
+               etag: str | None) -> str:
+        import fcntl
+        with open(self._lock_path(key), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                current: str | None = self._etag(self.get(key))
+            except FileNotFoundError:
+                current = None
+            if etag is None:
+                if current is not None:
+                    raise PreconditionFailed(
+                        f"{key}: exists (etag {current}), "
+                        f"create-if-absent refused")
+            elif current != etag:
+                raise PreconditionFailed(
+                    f"{key}: live etag {current} != expected {etag}")
+            self.put(key, data)       # atomic replace, under the lock
+            return self._etag(data)
+
 
 def _boto3_client_factory() -> object:
     """Default client factory for :class:`S3ObjectStoreClient` — the
@@ -402,6 +478,37 @@ class S3ObjectStoreClient(ObjectStoreClient):
                 raise FileNotFoundError(key) from e
             raise
         return resp["Body"].read()
+
+    def get_with_etag(self, key: str) -> tuple[bytes, str]:
+        try:
+            resp = self._c().get_object(Bucket=self.bucket, Key=key)
+        except Exception as e:
+            if _is_missing_key_error(e):
+                raise FileNotFoundError(key) from e
+            raise
+        return resp["Body"].read(), resp["ETag"].strip('"')
+
+    def put_if(self, key: str, data: bytes,
+               etag: str | None) -> str:
+        """S3 conditional writes (public API: If-None-Match on
+        PutObject since 2024-08, If-Match since 2024-11).  412
+        PreconditionFailed = the condition lost; 409
+        ConditionalRequestConflict = a concurrent conditional write
+        on the same key is in flight — both mean re-read and retry,
+        so both map to :class:`PreconditionFailed`."""
+        kw = ({"IfNoneMatch": "*"} if etag is None
+              else {"IfMatch": etag})
+        try:
+            resp = self._c().put_object(Bucket=self.bucket, Key=key,
+                                        Body=data, **kw)
+        except Exception as e:
+            code = (getattr(e, "response", None) or {}).get(
+                "Error", {}).get("Code")
+            if code in ("PreconditionFailed",
+                        "ConditionalRequestConflict", "412", "409"):
+                raise PreconditionFailed(f"{key}: {code}") from e
+            raise
+        return resp["ETag"].strip('"')
 
     def copy(self, src: str, dst: str) -> None:
         self._c().copy_object(

@@ -58,6 +58,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a15_grouping_sets", "w7_distribution_ranks",
     "t4_topk_per_group", "u1_union", "f9_bitwise",
     "s2_tumbling_batch", "d6_udaf_grouped", "l10_lang_stats",
+    # r13 debut (the m13b/x137/x138 debut-in-window precedent): the
+    # multi-maintainer CAS pointer lifecycle.  It takes the slot of
+    # x98_rag_pipeline, whose constituent operators (semantic dedup,
+    # embedding outliers, k-means assignment) are each independently
+    # in-window via x43/x57/x47.
+    "m14_cas_publish",
     # the rest of the r6-era block, alphabetical (all equally stale)
     "d7_udtf_table_arg", "l5_ngram_lsh", "m2_scd2", "m3_salted_join",
     "m6_incremental_mv", "m7_zorder_layout", "p15_text_roundtrip",
@@ -72,7 +78,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x53_cluster_balanced_sample", "x55_decontaminate",
     "x56_dedup_threshold_curve", "x57_embedding_outliers",
     "x62_c4_filters", "x6_train_split", "x79_transition_matrix",
-    "x92_dominant_direction", "x98_rag_pipeline", "x9_corpus_curation",
+    "x92_dominant_direction", "x9_corpus_curation",
 )
 
 

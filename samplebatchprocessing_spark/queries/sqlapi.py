@@ -1661,6 +1661,145 @@ def m13b_store_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 M13B_SQL = M13_SQL
 
 
+def m14_cas_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14 (r13, ADVICE r12): MULTI-MAINTAINER pointer lifecycle —
+    ``StorePublisher(store, root, cas=True)`` routes every pointer
+    write through the conditional-PUT verb (S3 If-Match on the
+    pointer's ETag / If-None-Match:* for the first version, public
+    API since 2024; the file-backed double flock-serializes same-key
+    writers and ETags by content md5), so concurrent maintainers
+    RETRY instead of silently overwriting — the upgrade from m13b's
+    single-writer last-writer-wins mode.
+
+    Two deterministic races are replayed in-query (the threaded and
+    seeded-interleaving forms are fuzzed in tests/test_publish.py):
+
+    1. *publish vs publish*: maintainer A's pointer PUT is
+       intercepted so maintainer B's publish lands FIRST; A's CAS
+       fails, A re-reads and retries, and BOTH versions land in
+       order (``race_both_landed``) — the exact update m13b's plain
+       mode loses.
+    2. *publish vs prune*: a publish lands inside prune's
+       read-modify window; prune's stale conditional PUT fails its
+       precondition and the retry recomputes the horizon against
+       the fresh pointer, so the racing version stays live
+       (``prune_kept_racer``) and the history is exactly the keep
+       horizon (``no_lost_updates``).
+
+    The data columns anchor the oracle: the per-source document
+    counts ride the published layouts as payload bytes and
+    ``n_batch`` is read BACK through ``resolve()`` from the bucket,
+    so the row proves the pointer the racers fought over serves
+    consistent data.
+
+    Scale (100 TB): the CAS loop costs one extra GET per lost race
+    and nothing uncontended; pointer size stays O(history) — the
+    contention domain is one metadata object, never the layouts.
+
+    Reference parity: the reference's S3 flow has no conditional
+    writes (boto2 predates them); this is the operational upgrade a
+    multi-writer deployment of its bucket layout needs."""
+    import json as _json
+    import os
+    import shutil
+
+    from ..operators import publish
+    from ..pipeline.manifest import LocalObjectStoreClient
+    from .sources import _work_dir
+
+    doc = load_table(spark, sf_dir, "documents")
+    n_base = doc.filter(~F.col("source").isin("src1", "src2")).count()
+    n_delta = doc.filter(F.col("source") == "src1").count()
+    n_batch = doc.filter(F.col("source") == "src2").count()
+
+    bucket = _work_dir(sf_dir, "m14_bucket")
+    if os.path.exists(bucket):          # idempotent across runs
+        shutil.rmtree(bucket)
+    os.makedirs(bucket)
+    store = LocalObjectStoreClient(bucket)
+    root = "indexes/cas"
+
+    class InterceptStore:
+        """Fires a hook once, immediately before a conditional
+        pointer PUT — the widest possible race window."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.hook = None
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def put_if(self, key, data, etag):
+            if key.endswith(publish.POINTER) and self.hook:
+                hook, self.hook = self.hook, None
+                hook()
+            return self._inner.put_if(key, data, etag)
+
+    wrapped = InterceptStore(store)
+    pub_a = publish.StorePublisher(wrapped, root, cas=True)
+    pub_b = publish.StorePublisher(store, root, cas=True)
+
+    def layout(name: str, payload: dict) -> str:
+        key = f"{root}/{name}"
+        store.put(f"{key}/part-0.json",
+                  _json.dumps(payload).encode())
+        return key
+
+    # race 1: A's v1 PUT is preempted by B's publish — A retries,
+    # both land, versions strictly ordered B then A
+    l_base = layout("layout-base", {"n": n_base})
+    l_delta = layout("layout-delta", {"n": n_delta})
+    versions = {}
+
+    def b_publishes_first():
+        versions["b"] = pub_b.publish(l_delta)
+
+    wrapped.hook = b_publishes_first
+    versions["a"] = pub_a.publish(l_base)
+    race_both_landed = (versions == {"b": 1, "a": 2}
+                        and pub_b.current_version() == 2)
+
+    # race 2: C's publish lands inside prune's read-modify window
+    l_batch = layout("layout-batch", {"n_batch": n_batch})
+
+    def c_publishes_midprune():
+        versions["c"] = pub_b.publish(l_batch)
+
+    wrapped.hook = c_publishes_midprune
+    pub_a.prune(keep=2)
+    prune_kept_racer = (versions.get("c") == 3
+                        and pub_b.resolve() == l_batch)
+    history = [h["version"] for h in _json.loads(
+        store.get(f"{root}/{publish.POINTER}"))["history"]]
+    no_lost_updates = history == [2, 3]
+
+    # the pointer the racers fought over serves consistent data
+    n_batch_rb = int(_json.loads(store.get(
+        f"{pub_b.resolve()}/part-0.json"))["n_batch"])
+
+    return spark.createDataFrame(
+        [(n_base, n_delta, n_batch_rb, race_both_landed,
+          prune_kept_racer, no_lost_updates,
+          pub_b.current_version())],
+        "n_base long, n_delta long, n_batch long, "
+        "race_both_landed boolean, prune_kept_racer boolean, "
+        "no_lost_updates boolean, version_after int")
+
+
+M14_SQL = """
+SELECT CAST(SUM(CASE WHEN source NOT IN ('src1', 'src2')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_delta,
+       CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_batch,
+       TRUE AS race_both_landed, TRUE AS prune_kept_racer,
+       TRUE AS no_lost_updates, CAST(3 AS INT) AS version_after
+FROM documents
+"""
+
+
 def v30_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V30 (r6): the TPC-H REFRESH stream (RF1 insert / RF2 delete) —
     the half of the benchmark read-only ports skip: a deterministic
@@ -1782,6 +1921,7 @@ QUERIES: dict[str, tuple] = {
     "m12_observed_metrics": (m12_observed_metrics, M12_SQL),
     "m13_index_publish": (m13_index_publish, M13_SQL),
     "m13b_store_publish": (m13b_store_publish, M13B_SQL),
+    "m14_cas_publish": (m14_cas_publish, M14_SQL),
     "v30_tpch_refresh": (v30_tpch_refresh, V30_SQL),
     "w10_interval_frames": (w10_interval_frames, W10_SQL),
 }

@@ -1191,3 +1191,117 @@ def test_nb_sweep_refuses_null_labels_loudly(spark, tmp_path):
     # total labels still sweep exactly as before
     s0 = maintenance.nb_maintenance_sweep(spark, root, lab)
     assert not s0["due"] and s0["oov_x1000"] == 0
+
+
+def test_cas_publishers_lose_no_updates_under_threads(tmp_path):
+    """The multi-maintainer upgrade (r13, ADVICE r12): with
+    cas=True, N concurrent publishers each land EVERY one of their
+    publishes — losers of a pointer race re-read and retry instead
+    of silently overwriting.  Real thread contention over the
+    flock-serialized file-backed double."""
+    import threading
+
+    store = _bucket(tmp_path)
+    root = "idx"
+    n_threads, n_each = 4, 5
+    results: dict[str, list[int]] = {}
+    errors: list[Exception] = []
+    barrier = threading.Barrier(n_threads)
+
+    def maintainer(tag: str):
+        pub = publish.StorePublisher(store, root, cas=True,
+                                     cas_retries=200)
+        got = results.setdefault(tag, [])
+        try:
+            barrier.wait()
+            for i in range(n_each):
+                # each writer writes its OWN uniquely named layout:
+                # new_layout_dir races on names, so allocate
+                # explicitly (a real maintainer derives the name
+                # from its job id for the same reason)
+                d = f"{root}/layout-{tag}-{i:03d}"
+                store.put(f"{d}/part-0.parquet", tag.encode())
+                got.append(pub.publish(d))
+        except Exception as e:  # noqa: BLE001 — surface in main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=maintainer, args=(f"w{t}",))
+               for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    all_versions = sorted(v for got in results.values() for v in got)
+    total = n_threads * n_each
+    # NO lost update: every publish got a distinct monotone version
+    assert all_versions == list(range(1, total + 1))
+    final = publish.StorePublisher(store, root)
+    assert final.current_version() == total
+    meta = json.loads(store.get(f"{root}/{publish.POINTER}"))
+    assert [h["version"] for h in meta["history"]] \
+        == list(range(1, total + 1))
+    # each writer's own versions are strictly increasing
+    for got in results.values():
+        assert got == sorted(got)
+
+
+def test_cas_prune_window_race_keeps_the_racing_publish(tmp_path):
+    """The CAS counterpart of the lost-update demonstration: with
+    cas=True a publish landing between prune's pointer read and its
+    closing PUT SURVIVES — prune's stale conditional PUT fails, the
+    retry recomputes against the fresh pointer, and v4 stays live."""
+    inner = _bucket(tmp_path)
+    root = "idx"
+
+    class InterceptStore:
+        def __init__(self, store):
+            self._store = store
+            self.hook = None
+
+        def __getattr__(self, name):
+            return getattr(self._store, name)
+
+        def put_if(self, key, data, etag):
+            if key.endswith(publish.POINTER) and self.hook:
+                hook, self.hook = self.hook, None
+                hook()
+            return self._store.put_if(key, data, etag)
+
+    wrapped = InterceptStore(inner)
+    maintainer = publish.StorePublisher(wrapped, root, cas=True)
+    racer = publish.StorePublisher(inner, root, cas=True)
+
+    dirs = []
+    for i in range(1, 4):
+        d = maintainer.new_layout_dir()
+        inner.put(f"{d}/part-0.parquet", f"v{i}".encode())
+        assert maintainer.publish(d) == i
+        dirs.append(d)
+
+    def racing_publish():
+        d = racer.new_layout_dir()
+        inner.put(f"{d}/part-0.parquet", b"v4")
+        assert racer.publish(d) == 4
+
+    wrapped.hook = racing_publish
+    retired = maintainer.prune(keep=2)
+
+    final = publish.StorePublisher(inner, root)
+    # v4 SURVIVES (contrast: the plain-mode twin above loses it)
+    assert final.current_version() == 4
+    assert inner.get(f"{final.resolve()}/part-0.parquet") == b"v4"
+    # prune's retry recomputed the horizon against the fresh pointer:
+    # with keep=2 both v1 and v2 objects are gone, v3/v4 intact.
+    # (The RETURNED list reflects the final attempt only — v1's
+    # objects fell in the pre-race attempt, so the retry reports just
+    # v2; deletes are idempotent, the report is best-effort under
+    # contention.)
+    assert retired == [dirs[1]]
+    assert inner.list(f"{dirs[0]}/") == []
+    assert inner.list(f"{dirs[1]}/") == []
+    assert inner.list(f"{dirs[2]}/")
+    remaining = {h["version"] for h in json.loads(
+        inner.get(f"{root}/{publish.POINTER}"))["history"]}
+    assert remaining == {3, 4}

@@ -308,9 +308,15 @@ def test_window_targets_the_stalest_evidence():
                 last[k] = max(last.get(k, 0), rnd)
     stale_pool = {n for n, r in last.items() if r <= 6} - R12_WINDOW
     missing = stale_pool - set(DRIVER_WINDOW)
-    assert missing == {"v6_cte"}, (
+    assert missing == {"v6_cte", "x98_rag_pipeline"}, (
         f"stalest entries not in window: {missing}")
     assert "v29_recursive_cte" in DRIVER_WINDOW
+    # x98's slot went to the r13 debut (debut-in-window precedent);
+    # its constituents are independently in-window
+    assert "m14_cas_publish" in DRIVER_WINDOW
+    for constituent in ("x43_semantic_dedup", "x57_embedding_outliers",
+                        "x47_kmeans_clusters"):
+        assert constituent in DRIVER_WINDOW
 
 
 def test_readme_counts_match_registry(reg):

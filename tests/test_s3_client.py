@@ -65,15 +65,37 @@ class FakeS3Client:
             raise FakeClientError("NoSuchBucket", "any")
         return self._store[name]
 
-    def put_object(self, Bucket: str, Key: str, Body: bytes):
-        self._bucket(Bucket)[Key] = bytes(Body)
-        return {}
+    @staticmethod
+    def _etag(data: bytes) -> str:
+        import hashlib
+        return f'"{hashlib.md5(data).hexdigest()}"'
+
+    def put_object(self, Bucket: str, Key: str, Body: bytes,
+                   IfMatch: str | None = None,
+                   IfNoneMatch: str | None = None):
+        objs = self._bucket(Bucket)
+        # S3 conditional-write semantics (public API 2024): If-Match
+        # compares the live ETag; If-None-Match:* requires absence
+        if IfNoneMatch is not None:
+            assert IfNoneMatch == "*"
+            if Key in objs:
+                raise FakeClientError("PreconditionFailed",
+                                      "PutObject")
+        if IfMatch is not None:
+            if Key not in objs:
+                raise FakeClientError("NoSuchKey", "PutObject")
+            if self._etag(objs[Key]).strip('"') != IfMatch.strip('"'):
+                raise FakeClientError("PreconditionFailed",
+                                      "PutObject")
+        objs[Key] = bytes(Body)
+        return {"ETag": self._etag(objs[Key])}
 
     def get_object(self, Bucket: str, Key: str):
         objs = self._bucket(Bucket)
         if Key not in objs:
             raise FakeClientError("NoSuchKey", "GetObject")
-        return {"Body": io.BytesIO(objs[Key])}
+        return {"Body": io.BytesIO(objs[Key]),
+                "ETag": self._etag(objs[Key])}
 
     def copy_object(self, Bucket: str, Key: str, CopySource: dict):
         src = self._bucket(CopySource["Bucket"])
@@ -262,3 +284,56 @@ def test_local_and_s3_clients_agree_on_the_contract(tmp_path):
     for impl in (local, s3):
         with pytest.raises(FileNotFoundError):
             impl.get("p/b")
+
+
+def test_put_if_conditional_semantics(s3):
+    """The r13 conditional-write verbs over the SDK shapes:
+    create-if-absent, replace-if-match, and PreconditionFailed on
+    either condition losing."""
+    from samplebatchprocessing_spark.pipeline.manifest import (
+        PreconditionFailed)
+    e1 = s3.put_if("k", b"v1", None)          # create-if-absent
+    with pytest.raises(PreconditionFailed):
+        s3.put_if("k", b"v1b", None)          # exists now
+    data, etag = s3.get_with_etag("k")
+    assert data == b"v1" and etag == e1
+    e2 = s3.put_if("k", b"v2", e1)            # replace-if-match
+    assert e2 != e1
+    with pytest.raises(PreconditionFailed):
+        s3.put_if("k", b"v3", e1)             # stale token
+    assert s3.get("k") == b"v2"
+
+
+def test_local_and_s3_agree_on_conditional_writes(tmp_path):
+    from samplebatchprocessing_spark.pipeline.manifest import (
+        LocalObjectStoreClient, PreconditionFailed)
+    buckets = {"b": {}}
+    s3 = S3ObjectStoreClient("b",
+                             client_factory=lambda: FakeS3Client(buckets))
+    local = LocalObjectStoreClient(str(tmp_path))
+    for c in (local, s3):
+        t1 = c.put_if("p", b"one", None)
+        with pytest.raises(PreconditionFailed):
+            c.put_if("p", b"x", None)
+        with pytest.raises(PreconditionFailed):
+            c.put_if("p", b"x", "bogus-etag")
+        t2 = c.put_if("p", b"two", t1)
+        assert c.get_with_etag("p") == (b"two", t2)
+    # md5-content ETags: the two implementations agree bit-for-bit
+    assert local.get_with_etag("p")[1] == s3.get_with_etag("p")[1]
+
+
+def test_cas_publisher_lifecycle_on_s3_client(s3):
+    """StorePublisher(cas=True) over the conditional-write verbs:
+    the same lifecycle, now safe for multiple maintainers."""
+    from samplebatchprocessing_spark.operators.publish import (
+        StorePublisher)
+    pub = StorePublisher(s3, "idx", cas=True)
+    d1 = pub.new_layout_dir()
+    s3.put(f"{d1}/part-0.parquet", b"d1")
+    assert pub.publish(d1) == 1
+    d2 = pub.new_layout_dir()
+    s3.put(f"{d2}/part-0.parquet", b"d2")
+    assert pub.publish(d2) == 2
+    assert pub.resolve() == d2
+    assert pub.prune(keep=2) == []
