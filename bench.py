@@ -90,6 +90,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "x131_delta_merge",      # delta-sized checksum maintenance, merge path only (round 9)
     "s26_epoch_probe",       # steady-state per-epoch streamed LSH probe latency (round 10)
     "w11_groups_frame",      # GROUPS-frame composition: group-relation window + broadcast-back (round 11)
+    "x88b_hard_negatives_bnl",  # hard negatives on the tiled dgemm path (round 13; compare x88)
 )
 
 # The r12 UNIFIED basis (BASELINE.md "Round-12 UNIFIED baseline"):
@@ -143,6 +144,10 @@ BASIS: dict[str, tuple[float, float]] = {
     "x131_delta_merge": (0.275, 0.54),
     "s26_epoch_probe": (1.93, 11.61),
     "w11_groups_frame": (0.467, 1.01),
+    # r13 debut, PROVISIONAL basis (single sentinel-clean run; the
+    # other two runs of its mini-session self-stamped contaminated —
+    # re-record at the next quiet multi-run session)
+    "x88b_hard_negatives_bnl": (0.832, 1.53),
 }
 
 # The driver's tail capture clipped BENCH_r12's single 5 KB stdout
@@ -468,7 +473,23 @@ def main() -> None:
          .write.mode("overwrite").parquet(out))
         return spark.read.parquet(out).select("batch_id", "corpus_id")
 
+    # x88b bench = the RAW tiled hard-negative miner (the registry
+    # entry deliberately runs the expression path TOO plus a parity
+    # join — the x119 lesson: that would time the harness).  Same
+    # tile sizes as the registry row; compare with the x88 row —
+    # same semantics on the expression path — for the measured
+    # expression-vs-dgemm price.
+    def _x88b_bnl_raw(spark, sf_dir):
+        from pyspark.sql import functions as F
+        from samplebatchprocessing_spark.catalog import load_table
+        from samplebatchprocessing_spark.operators import similarity
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.bnl_hard_negatives(
+            emb, F.col("vec_id") % 50 == 0, k=3,
+            q_block=16, c_block=256)
+
     overrides = {"l7_topk_numpy": _l7_numpy_raw,
+                 "x88b_hard_negatives_bnl": _x88b_bnl_raw,
                  "l5_ngram_lsh": _l5_ngram_lsh_raw,
                  "x109_ann_index_probe": _x109_probe_raw,
                  "p10_watch_drain": _p10_watch_raw,

@@ -367,6 +367,108 @@ def bnl_topk(emb: DataFrame, query_pred, k: int = 5,
             .withColumn("cosine", F.round("cosine", 6)))
 
 
+def bnl_hard_negatives(emb: DataFrame, query_pred, k: int = 3,
+                       label_col: str = "label",
+                       q_block: int = 64,
+                       c_block: int = 1024) -> DataFrame:
+    """X88b (r13): HARD-NEGATIVE MINING on the tiled block
+    nested-loop path — :func:`hard_negative_topk`'s semantics
+    (top-k most-cosine-similar vectors whose LABEL differs, the
+    contrastive-training near-misses) on :func:`bnl_topk`'s
+    execution shape: both sides stay DataFrames end to end, every
+    (corpus-tile x query-tile) pair is one numpy dgemm task, and the
+    label inequality is a vectorized mask applied to the similarity
+    matrix BEFORE the per-query top-k — excluded pairs cost a
+    compare, never a sort slot.
+
+    Why it exists: the expression-path x88 builds per-pair array
+    structs through zip_with/aggregate, which is allocation-heavy
+    and the suite's most cache-state-sensitive row (BASELINE.md r13
+    watch note); the dgemm tile does the same FLOPs out of
+    contiguous float64 buffers.  And like x119 vs l7, it removes
+    the scale ceiling: a 10 M-query mining job tiles out instead of
+    broadcasting the query batch.
+
+    Determinism contract: float64 normalize + matmul, NaN
+    (zero-norm) masked, label-inequality mask (self-pairs fall out
+    for free — a vector shares its own label), (-cosine, vec_id)
+    lexsort at every prune — identical neighbor ids/ranks to the
+    expression path; tiling can change dgemm accumulation order, so
+    raw cosines agree to fp tolerance only (the l7_topk_numpy /
+    x119 oracle discipline)."""
+    from math import ceil
+    n_q = emb.filter(query_pred).count()
+    if n_q == 0:
+        raise ValueError("query predicate selected no vectors")
+    n_c = emb.count()
+    n_qb = max(1, ceil(n_q / q_block))
+    n_cb = max(1, ceil(n_c / c_block))
+    q_g = (emb.filter(query_pred)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col(label_col).alias("q_label"), "embedding")
+           .groupBy(F.pmod(F.hash("query_id"), F.lit(n_qb)).alias("qb"))
+           .agg(F.collect_list(
+               F.struct("query_id", "q_label", "embedding"))
+               .alias("qs")))
+    c_g = (emb.select("vec_id", F.col(label_col).alias("neg_label"),
+                      "embedding")
+           .groupBy(F.pmod(F.hash("vec_id"), F.lit(n_cb)).alias("cb"))
+           .agg(F.collect_list(
+               F.struct("vec_id", "neg_label", "embedding"))
+               .alias("cs")))
+    blocks = c_g.crossJoin(q_g)
+
+    out_schema = ("query_id long, q_label int, vec_id long, "
+                  "neg_label int, cosine double")
+
+    def _tile(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):          # empty Arrow batch (r9, ADVICE)
+                continue
+            for crow, qrow in zip(pdf["cs"], pdf["qs"]):
+                if not len(crow) or not len(qrow):
+                    continue
+                c_ids = np.array([r["vec_id"] for r in crow])
+                c_lab = np.array([r["neg_label"] for r in crow])
+                c_mat = np.array([r["embedding"] for r in crow],
+                                 dtype=np.float64)
+                q_ids = np.array([r["query_id"] for r in qrow])
+                q_lab = np.array([r["q_label"] for r in qrow])
+                q_mat = np.array([r["embedding"] for r in qrow],
+                                 dtype=np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c_mat /= np.linalg.norm(c_mat, axis=1,
+                                            keepdims=True)
+                    q_mat /= np.linalg.norm(q_mat, axis=1,
+                                            keepdims=True)
+                sims = c_mat @ q_mat.T             # (n_cand, n_query)
+                frames = []
+                for j in range(sims.shape[1]):
+                    col = sims[:, j]
+                    mask = (c_lab != q_lab[j]) & ~np.isnan(col)
+                    cid, cl, cs_ = c_ids[mask], c_lab[mask], col[mask]
+                    if len(cid) > k:
+                        top = np.lexsort((cid, -cs_))[:k]
+                        cid, cl, cs_ = cid[top], cl[top], cs_[top]
+                    frames.append(pd.DataFrame(
+                        {"query_id": q_ids[j], "q_label": q_lab[j],
+                         "vec_id": cid, "neg_label": cl,
+                         "cosine": cs_}))
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+    local = _partition_topk(blocks.mapInPandas(_tile, out_schema), k)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("cosine", F.round("cosine", 6))
+            .select("query_id", "q_label", "vec_id", "neg_label",
+                    "cosine", "rank"))
+
+
 def _kmeans_centroids(vecs, n_cells: int, n_iter: int = 8,
                       seed: int = 7):
     """Seeded spherical k-means on a driver-side SAMPLE (numpy).

@@ -3195,6 +3195,61 @@ SELECT query_id, q_label, vec_id, neg_label,
 """
 
 
+def x88b_hard_negatives_bnl(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """X88b (r13): hard-negative mining on the TILED dgemm path —
+    :func:`operators.similarity.bnl_hard_negatives` gives the
+    contrastive-mining operator the same two properties x119 gave
+    exact top-k: both sides stay DataFrames (a 10 M-query mining job
+    tiles out instead of broadcasting the query batch) and the
+    arithmetic runs out of contiguous float64 buffers instead of the
+    expression path's per-pair array allocations — x88 is the
+    suite's most cache-state-sensitive row (BASELINE.md r13 watch
+    note), and the dgemm tile does the same FLOPs allocation-free.
+
+    Both paths really run (the x119 discipline): the expression path
+    and the tiled path share the float64 normalize / NaN-mask /
+    label-inequality / (-cosine, vec_id) tie-break invariants, so
+    neighbor ids, labels and ranks are identical; tiling can change
+    dgemm accumulation order, so cosines are asserted to fp
+    tolerance (2e-6, measured bit-equal on the fixture).  Block
+    sizes small enough that sf0.01 exercises real multi-tile merges
+    on both axes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    expr = similarity.hard_negative_topk(emb, pred, k=3).select(
+        "query_id", "rank", F.col("vec_id").alias("vid_e"),
+        F.col("q_label").alias("ql_e"),
+        F.col("neg_label").alias("nl_e"),
+        F.col("cosine").alias("cos_e"))
+    tiled = similarity.bnl_hard_negatives(
+        emb, pred, k=3, q_block=16, c_block=256).select(
+        "query_id", "rank", F.col("vec_id").alias("vid_t"),
+        F.col("q_label").alias("ql_t"),
+        F.col("neg_label").alias("nl_t"),
+        F.col("cosine").alias("cos_t"))
+    j = expr.join(tiled, ["query_id", "rank"], "full")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bool_and(F.coalesce(F.col("vid_e") == F.col("vid_t"),
+                              F.lit(False))).alias("ids_identical"),
+        F.bool_and(F.coalesce(
+            (F.col("ql_e") == F.col("ql_t"))
+            & (F.col("nl_e") == F.col("nl_t")),
+            F.lit(False))).alias("labels_identical"),
+        F.bool_and(F.coalesce(
+            F.abs(F.col("cos_e") - F.col("cos_t")) < 2e-6,
+            F.lit(False))).alias("cosine_within_2e6"))
+
+
+X88B_SQL = """
+SELECT CAST(3 * COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS ids_identical, TRUE AS labels_identical,
+       TRUE AS cosine_within_2e6
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
 def x89_tokenizer_fertility(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """X89 (r6): TOKENIZER FERTILITY per language — the health metric
@@ -5684,6 +5739,7 @@ QUERIES: dict[str, tuple] = {
     "x78_token_gini": (x78_token_gini, X78_SQL),
     "x82_dedup_eval": (x82_dedup_eval, _x82_sql()),
     "x88_hard_negatives": (x88_hard_negatives, X88_SQL),
+    "x88b_hard_negatives_bnl": (x88b_hard_negatives_bnl, X88B_SQL),
     "x89_tokenizer_fertility": (x89_tokenizer_fertility, _x89_sql()),
     "x90_padding_waste": (x90_padding_waste, _x90_sql()),
     "x91_source_keywords": (x91_source_keywords, _x91_sql()),

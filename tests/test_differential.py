@@ -1606,3 +1606,58 @@ def test_differential_nb_model_artifact_lifecycle(spark, seed,
     if published_once:
         got, gnp, gnn = A.nb_model_read(spark, root)
         assert (gnp, gnn) == (np_, nn)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_bnl_hard_negatives(spark, seed):
+    """x88b fuzz (the x119 discipline, plus labels): the tiled
+    hard-negative miner must return the same (query_id, rank) ->
+    (vec_id, labels) relation as a driver-side numpy truth under
+    RANDOM tile sizes, with the label-inequality mask applied before
+    the top-k and cosines within fp tolerance.  Zero-norm vectors
+    planted on both sides; a query whose label covers the whole
+    corpus-minus-itself still gets k rows (labels are random over a
+    small alphabet, so ties and near-full masks occur)."""
+    import numpy as np
+
+    from samplebatchprocessing_spark.operators.similarity import (
+        bnl_hard_negatives)
+    rng = random.Random(88_000 + seed)
+    n, dim, k = rng.randint(30, 120), 8, rng.randint(1, 4)
+    n_labels = rng.choice((2, 3, 5))
+    rows = [(i, rng.randrange(n_labels),
+             ([0.0] * dim if i == n - 1       # last vector zero-norm
+              else [rng.uniform(-1, 1) for _ in range(dim)]))
+            for i in range(n)]
+    ids = np.array([r[0] for r in rows])
+    labs = np.array([r[1] for r in rows])
+    mat = np.array([r[2] for r in rows],
+                   dtype=np.float32).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    step = rng.choice((3, 7, 10))
+    truth = {}
+    for qi in range(n):
+        if ids[qi] % step or np.isnan(sims[qi, qi]):
+            continue                          # not a query / zero-norm
+        col = sims[:, qi]
+        mask = (labs != labs[qi]) & ~np.isnan(col)
+        cid, cl, cs = ids[mask], labs[mask], col[mask]
+        top = np.lexsort((cid, -cs))[:k]
+        for rank, t in enumerate(top, 1):
+            truth[(ids[qi], rank)] = (cid[t], labs[qi], cl[t],
+                                      round(cs[t], 6))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    qb, cb = rng.randint(1, n), rng.randint(1, n)
+    got = {(r["query_id"], r["rank"]):
+           (r["vec_id"], r["q_label"], r["neg_label"], r["cosine"])
+           for r in bnl_hard_negatives(
+               emb, F.col("vec_id") % step == 0, k=k,
+               q_block=qb, c_block=cb).collect()}
+    assert set(got) == set(truth), f"seed={seed} qb={qb} cb={cb}"
+    for key, (vid, ql, nl, cos) in truth.items():
+        gvid, gql, gnl, gcos = got[key]
+        assert (gvid, gql, gnl) == (vid, ql, nl), f"seed={seed} {key}"
+        assert abs(gcos - cos) < 2e-6, f"seed={seed} {key}"
