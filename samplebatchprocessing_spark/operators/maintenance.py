@@ -189,6 +189,7 @@ def store_bucket_census(store, layout_key: str) -> tuple[int, int, int]:
 
 
 def lsh_maintenance_sweep_store(spark, store, root: str,
+                                cas: bool = False,
                                 max_files_per_bucket: int = 4,
                                 keep_versions: int = 2,
                                 spark_uri=None) -> dict:
@@ -203,7 +204,7 @@ def lsh_maintenance_sweep_store(spark, store, root: str,
     ``lambda k: f"s3a://{bucket}/{k}"`` on a real deployment."""
     from . import publish as _pub
 
-    pub = _pub.StorePublisher(store, root)
+    pub = _pub.StorePublisher(store, root, cas=cas)
     if pub.current_version() is None:
         raise ValueError(
             f"LSH store sweep needs a VERSIONED index root (no "
@@ -228,6 +229,7 @@ def lsh_maintenance_sweep_store(spark, store, root: str,
 
 
 def postings_maintenance_sweep_store(spark, store, root: str,
+                                     cas: bool = False,
                                      max_files_per_bucket: int = 4,
                                      keep_versions: int = 2,
                                      spark_uri=None) -> dict:
@@ -237,7 +239,7 @@ def postings_maintenance_sweep_store(spark, store, root: str,
     is x123's compaction against the ``spark_uri`` data plane."""
     from . import publish as _pub
 
-    pub = _pub.StorePublisher(store, root)
+    pub = _pub.StorePublisher(store, root, cas=cas)
     if pub.current_version() is None:
         raise ValueError(
             f"postings store sweep needs a VERSIONED index root (no "
@@ -262,6 +264,7 @@ def postings_maintenance_sweep_store(spark, store, root: str,
 
 
 def ivf_maintenance_sweep_store(spark, store, root: str,
+                                cas: bool = False,
                                 n_cells: int = 16,
                                 skew_threshold: int = 4,
                                 sample_cap: int = 4096,
@@ -276,7 +279,7 @@ def ivf_maintenance_sweep_store(spark, store, root: str,
     quantizer and cells together (the x133 invariant, unchanged)."""
     from . import publish as _pub
 
-    pub = _pub.StorePublisher(store, root)
+    pub = _pub.StorePublisher(store, root, cas=cas)
     if pub.current_version() is None:
         raise ValueError(
             f"IVF store sweep needs a VERSIONED index root (no "

@@ -1305,3 +1305,58 @@ def test_cas_prune_window_race_keeps_the_racing_publish(tmp_path):
     remaining = {h["version"] for h in json.loads(
         inner.get(f"{root}/{publish.POINTER}"))["history"]}
     assert remaining == {3, 4}
+
+
+def test_cli_maintain_store_uri_with_cas(spark, tmp_path, capsys):
+    """r13: `maintain` accepts an object-store index root —
+    mock:///bucket-dir/prefix routes to the store-native sweep over
+    the file-backed client (s3://bucket/prefix takes the boto3
+    client + s3a data plane, env-gated), and --cas elects the
+    conditional-write pointer mode.  Same hysteresis as the POSIX
+    CLI test: decayed acts once, settled reports not-due."""
+    from samplebatchprocessing_spark.__main__ import (_store_from_uri,
+                                                      main)
+
+    store = _bucket(tmp_path)
+    bucket_dir = store.root
+    pub = publish.StorePublisher(store, "idx/post")
+    doc = spark.createDataFrame(
+        [(1, "big cat big"), (2, "big cat"), (3, "big dog"),
+         (4, "cat big")], "doc_id long, text string")
+    v1 = pub.new_layout_dir()
+    T.postings_index_write(doc.filter("doc_id <= 2"),
+                           store.fs_path(v1), n_buckets=4)
+    pub.publish(v1)
+    for did in (3, 4):
+        T.postings_index_append(
+            doc.filter(f"doc_id = {did}"),
+            store.fs_path(pub.resolve()), n_buckets=4)
+
+    uri = f"mock://{bucket_dir}/idx/post"
+    assert main(["maintain", "postings", uri, "--once",
+                 "--threshold", "2", "--cas"]) == 0
+    out = capsys.readouterr().out
+    assert "due=True" in out and "v1 -> v2" in out
+    assert pub.current_version() == 2
+
+    assert main(["maintain", "postings", uri, "--once",
+                 "--threshold", "2", "--cas"]) == 0
+    assert "due=False" in capsys.readouterr().out
+    assert pub.current_version() == 2
+
+    # uri parsing contract: canonical split = parent dir as bucket,
+    # final component as root key (equivalent backing files)
+    st, root, _ = _store_from_uri(uri)
+    assert st.root == f"{bucket_dir}/idx" and root == "post"
+    assert _store_from_uri("/plain/posix/path") is None
+    s3p = _store_from_uri("s3://some-bucket/indexes/lsh")
+    assert s3p is not None
+    st3, root3, uri3 = s3p
+    assert st3.bucket == "some-bucket" and root3 == "indexes/lsh"
+    assert uri3("indexes/lsh/layout-v00001/x.parquet") \
+        == "s3a://some-bucket/indexes/lsh/layout-v00001/x.parquet"
+    with pytest.raises(ValueError, match="scheme"):
+        _store_from_uri("ftp://nope/x")
+    # trained-artifact kinds refuse store uris loudly
+    assert main(["maintain", "vocab", uri, "--once",
+                 "--fresh-parquet", "/tmp/nope.parquet"]) == 2
