@@ -507,6 +507,14 @@ class S3ObjectStoreClient(ObjectStoreClient):
             if code in ("PreconditionFailed",
                         "ConditionalRequestConflict", "412", "409"):
                 raise PreconditionFailed(f"{key}: {code}") from e
+            # If-Match on a key that no longer exists is 404 NoSuchKey
+            # on real S3 — semantically the precondition LOST (someone
+            # deleted the object between read and write), so the
+            # caller must re-read, same as a mismatch; the file-backed
+            # double already reports this case as PreconditionFailed
+            if etag is not None and _is_missing_key_error(e):
+                raise PreconditionFailed(
+                    f"{key}: deleted since read (was {etag})") from e
             raise
         return resp["ETag"].strip('"')
 

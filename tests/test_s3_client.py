@@ -319,6 +319,15 @@ def test_local_and_s3_agree_on_conditional_writes(tmp_path):
             c.put_if("p", b"x", "bogus-etag")
         t2 = c.put_if("p", b"two", t1)
         assert c.get_with_etag("p") == (b"two", t2)
+        # If-Match on a key deleted since the read: the precondition
+        # LOST (real S3 answers 404 NoSuchKey here) — both
+        # implementations report PreconditionFailed so the CAS loop
+        # re-reads instead of crashing
+        c.put_if("gone", b"x", None)
+        tg = c.get_with_etag("gone")[1]
+        c.delete("gone")
+        with pytest.raises(PreconditionFailed):
+            c.put_if("gone", b"y", tg)
     # md5-content ETags: the two implementations agree bit-for-bit
     assert local.get_with_etag("p")[1] == s3.get_with_etag("p")[1]
 
