@@ -549,7 +549,13 @@ def main() -> None:
             if stale >= 3:
                 break
 
+    bw_sample = make_bandwidth_control()
+
+    def _bw_min3() -> float:
+        return round(min(bw_sample() for _ in range(3)), 4)
+
     sentinel_pre = _sentinel()
+    bw_pre = _bw_min3()
 
     # Median of 3 full plan+execute runs per query (BASELINE.md
     # protocol) — this box carries variable background load and a
@@ -563,6 +569,7 @@ def main() -> None:
     unstable: dict[str, float] = {}
     cpu_anomalies: list[str] = []
     controls_mid: list[float] = []
+    bw_mid: list[float] = []
     for qi, name in enumerate(BENCH_QUERIES):
         if name not in reg and name not in overrides:
             continue
@@ -571,6 +578,12 @@ def main() -> None:
         # to the middle of a multi-minute suite (VERDICT r11 #1b)
         if qi and qi % 6 == 0:
             controls_mid.append(round(_control_once(), 3))
+            # min-of-3 (unlike the warm mid singles): a bandwidth
+            # sample costs ~40 ms, and a single sample taken right
+            # after a query reads the JVM's own trailing activity
+            # (GC, async cleanup) as pressure — measured 2-10x false
+            # positives on a quiet box when this landed
+            bw_mid.append(_bw_min3())
         fn = overrides.get(name) or reg[name][0]
         samples = []
         cpu_samples = []
@@ -617,6 +630,7 @@ def main() -> None:
               file=sys.stderr)
 
     sentinel_post = _sentinel()
+    bw_post = _bw_min3()
 
     import shutil
     for d in (_p10_dirs + list(_x109.values()) + list(_x117.values())
@@ -630,6 +644,12 @@ def main() -> None:
     out["cpu_total_sec"] = round(sum(cpu_timings.values()), 3)
     out.update(sentinel_verdict(sentinel_pre, sentinel_post,
                                 controls_mid))
+    bw = bandwidth_verdict(bw_pre, bw_post, bw_mid)
+    out.update(bw)
+    # memory pressure contaminates the record exactly like CPU load:
+    # it adds REAL CPU to the big queries (the r12 session-A1
+    # mechanism), so neither axis of the dual-basis rule is safe
+    out["contaminated"] = out["contaminated"] or bw["mem_pressure"]
     if unstable:
         out["unstable_queries"] = unstable
     if cpu_anomalies:
@@ -725,6 +745,48 @@ def compact_line(full: dict) -> str:
         n: (t if isinstance(t, (int, float)) else {"err": "see sidecar"})
         for n, t in line["queries"].items()}
     return render(line)
+
+
+def make_bandwidth_control():
+    """The SECOND control (r13, BASELINE.md addendum 2): a fixed
+    256 MB float64 reduction — memory-BANDWIDTH-bound, ~tens of ms
+    quiet.  The warmed a1 control has a cache-resident working set,
+    so a memory-pressure/bandwidth load (which evicts the big
+    queries' pages and inflates their REAL CPU — the r12 session-A1
+    mechanism, seen again in the r13 addendum-2 session with
+    mid_hot = 0) sails past it; this control contends for the same
+    resource that load consumes.  The array is touched once untimed
+    at creation so the first timed sample isn't page-in."""
+    import numpy as np
+    arr = np.ones(32 * 1024 * 1024, dtype=np.float64)   # 256 MB
+    float(arr.sum())                                    # page-in
+
+    def sample() -> float:
+        t0 = time.monotonic()
+        float(arr.sum())
+        return round(time.monotonic() - t0, 4)
+
+    return sample
+
+
+def bandwidth_verdict(pre: float, post: float,
+                      mid: list[float] | None = None) -> dict:
+    """Memory-pressure verdict from the bandwidth-control series —
+    same shape as :func:`sentinel_verdict`: post slower than 1.5x
+    pre flags (the reduction has no JIT warmup to speak of, but the
+    direction-aware rule costs nothing and keeps the two sentinels
+    symmetric); one mid blip tolerated, two or more above 1.5x the
+    pre floor read as sustained pressure."""
+    ratio = round(post / pre, 3) if pre > 0 else None
+    mid = mid or []
+    n_hot = sum(1 for m in mid if pre > 0 and m / pre > 1.5)
+    return {
+        "bandwidth": {"pre_sec": pre, "post_sec": post,
+                      "post_over_pre": ratio,
+                      "mid_sec": mid, "mid_hot": n_hot},
+        "mem_pressure": bool(ratio is not None and ratio > 1.5)
+        or n_hot >= 2,
+    }
 
 
 def sentinel_verdict(pre: float, post: float,

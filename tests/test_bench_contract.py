@@ -227,3 +227,33 @@ def test_basis_table_matches_baseline_md():
         text[anchor:], flags=_re.M)
     table = {n: (float(w), float(c)) for n, w, c in rows}
     assert table == BASIS
+
+
+def test_bandwidth_verdict_rules():
+    """r13 addendum 2: the memory-bandwidth control's verdict mirrors
+    the warm sentinel's direction-aware rules — post slower than
+    1.5x pre flags, one mid blip tolerated, two or more sustained
+    mid samples flag, no div-by-zero on a degenerate pre."""
+    from bench import bandwidth_verdict
+    quiet = bandwidth_verdict(0.045, 0.047, mid=[0.046, 0.044])
+    assert quiet["mem_pressure"] is False
+    pressured = bandwidth_verdict(0.045, 0.095)
+    assert pressured["mem_pressure"] is True
+    burst = bandwidth_verdict(0.045, 0.046, mid=[0.09, 0.11, 0.05])
+    assert burst["mem_pressure"] is True
+    assert burst["bandwidth"]["mid_hot"] == 2
+    blip = bandwidth_verdict(0.045, 0.046, mid=[0.09, 0.046, 0.044])
+    assert blip["mem_pressure"] is False
+    degenerate = bandwidth_verdict(0.0, 0.05)
+    assert degenerate["mem_pressure"] is False
+    json.dumps(pressured)
+
+
+def test_bandwidth_control_measures_the_reduction():
+    """The control itself: a fixed-size float64 reduction, repeatable
+    within a loose band on a single process (this is a smoke bound,
+    not a perf assertion — the point is it runs and returns seconds)."""
+    from bench import make_bandwidth_control
+    sample = make_bandwidth_control()
+    xs = [sample() for _ in range(3)]
+    assert all(0 < x < 5.0 for x in xs), xs
