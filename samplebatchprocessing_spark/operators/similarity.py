@@ -403,15 +403,22 @@ def bnl_hard_negatives(emb: DataFrame, query_pred, k: int = 3,
     n_c = emb.count()
     n_qb = max(1, ceil(n_q / q_block))
     n_cb = max(1, ceil(n_c / c_block))
+    # NULL labels drop from BOTH sides before tiling (ADVICE r13 #1):
+    # the expression path's `neg_label != q_label` is NULL-rejecting,
+    # while numpy's object-dtype `c_lab != q_lab[j]` evaluates
+    # None != x as True — without this filter the tile kernel would
+    # admit null-label candidates the expression path excludes.
     q_g = (emb.filter(query_pred)
+           .filter(F.col(label_col).isNotNull())
            .select(F.col("vec_id").alias("query_id"),
                    F.col(label_col).alias("q_label"), "embedding")
            .groupBy(F.pmod(F.hash("query_id"), F.lit(n_qb)).alias("qb"))
            .agg(F.collect_list(
                F.struct("query_id", "q_label", "embedding"))
                .alias("qs")))
-    c_g = (emb.select("vec_id", F.col(label_col).alias("neg_label"),
-                      "embedding")
+    c_g = (emb.filter(F.col(label_col).isNotNull())
+           .select("vec_id", F.col(label_col).alias("neg_label"),
+                   "embedding")
            .groupBy(F.pmod(F.hash("vec_id"), F.lit(n_cb)).alias("cb"))
            .agg(F.collect_list(
                F.struct("vec_id", "neg_label", "embedding"))

@@ -1661,3 +1661,268 @@ def test_differential_bnl_hard_negatives(spark, seed):
         gvid, gql, gnl, gcos = got[key]
         assert (gvid, gql, gnl) == (vid, ql, nl), f"seed={seed} {key}"
         assert abs(gcos - cos) < 2e-6, f"seed={seed} {key}"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_bnl_hard_negatives_null_label_parity(spark, seed):
+    """ADVICE r13 #1: the expression path's `neg_label != q_label`
+    is NULL-rejecting (a null-label row drops from either side),
+    but numpy's object-dtype `c_lab != q_lab[j]` evaluates
+    None != x as True — before the r14 fix the tile kernel admitted
+    null-label candidates as negatives.  Plant NULL labels on ~25%
+    of rows (both query and candidate positions) and assert the two
+    paths return the identical (query_id, rank) -> (vec_id, labels)
+    relation, cosines to fp tolerance."""
+    from samplebatchprocessing_spark.operators.similarity import (
+        bnl_hard_negatives, hard_negative_topk)
+    rng = random.Random(88_500 + seed)
+    n, dim, k = rng.randint(30, 80), 6, rng.randint(1, 3)
+    rows = [(i, None if rng.random() < 0.25 else rng.randrange(3),
+             [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(n)]
+    # the scenario under test must actually occur: null-label rows
+    # on the query side AND in the candidate pool
+    assert any(lab is None and i % 5 == 0 for i, lab, _ in rows), seed
+    assert any(lab is None and i % 5 != 0 for i, lab, _ in rows), seed
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    pred = F.col("vec_id") % 5 == 0
+    exp = {(r["query_id"], r["rank"]):
+           (r["vec_id"], r["q_label"], r["neg_label"], r["cosine"])
+           for r in hard_negative_topk(emb, pred, k=k).collect()}
+    qb, cb = rng.randint(1, n), rng.randint(1, n)
+    got = {(r["query_id"], r["rank"]):
+           (r["vec_id"], r["q_label"], r["neg_label"], r["cosine"])
+           for r in bnl_hard_negatives(emb, pred, k=k,
+                                       q_block=qb, c_block=cb).collect()}
+    assert set(got) == set(exp), f"seed={seed} qb={qb} cb={cb}"
+    for key, (vid, ql, nl, cos) in exp.items():
+        gvid, gql, gnl, gcos = got[key]
+        assert (gvid, gql, gnl) == (vid, ql, nl), f"seed={seed} {key}"
+        assert abs(gcos - cos) < 2e-6, f"seed={seed} {key}"
+    # no null label ever appears in the output of either path
+    assert all(ql is not None and nl is not None
+               for _, ql, nl, _ in exp.values())
+    assert all(ql is not None and nl is not None
+               for _, ql, nl, _ in got.values())
+
+
+# ---------------------------------------------------------------------------
+# r14 (VERDICT r13 #7): generator coverage for the newest window/as-of
+# surface — random FRAME specs (ROWS / RANGE / GROUPS bounds, tied and
+# NULL order keys, NULL aggregate inputs) and random AS-OF joins with
+# PLANTED TIMESTAMP TIES (the j8/j14/j15 tie-break machinery), each
+# against an engine-independent oracle: DuckDB window SQL for
+# ROWS/RANGE, a pure-python peer-group evaluator for GROUPS (DuckDB
+# 1.0 does not implement GROUPS framing), and DuckDB ASOF LEFT JOIN
+# over a tie-deduped right side for as-of.  200 pipelines total.
+# ---------------------------------------------------------------------------
+
+def _frame_sql_bound(b) -> str:
+    if b == "unb_p":
+        return "UNBOUNDED PRECEDING"
+    if b == "unb_f":
+        return "UNBOUNDED FOLLOWING"
+    if b == 0:
+        return "CURRENT ROW"
+    return f"{-b} PRECEDING" if b < 0 else f"{b} FOLLOWING"
+
+
+def _frame_spark_bound(b):
+    from pyspark.sql import Window as W
+    return {"unb_p": W.unboundedPreceding,
+            "unb_f": W.unboundedFollowing}.get(b, b)
+
+
+_FRAME_FNS = {"sum": (F.sum, "SUM", sum),
+              "min": (F.min, "MIN", min),
+              "max": (F.max, "MAX", max),
+              "count": (F.count, "COUNT", len)}
+
+
+@pytest.mark.parametrize("seed", range(120))
+def test_differential_window_frames(spark, seed):
+    """Random window-frame pipelines (VERDICT r13 #7): a random
+    aggregate over a random ROWS / RANGE / GROUPS frame, partitions
+    with TIED order keys (small order domain), NULL order keys (ROWS/
+    GROUPS modes) and NULL aggregate inputs, compared exactly against
+    DuckDB (ROWS/RANGE) or a pure-python peer-group evaluator
+    (GROUPS — DuckDB 1.0 rejects GROUPS framing; the python oracle is
+    independent of the operator's groupBy+window+join composition).
+    ROWS orders by (o, id) — a total order, required for ROWS
+    determinism; RANGE/GROUPS order by o alone so TIES ARE EXERCISED
+    (peers must aggregate identically in any engine)."""
+    import duckdb
+
+    rng = random.Random(814_000 + seed)
+    mode = rng.choice(["rows", "range", "groups"])
+    fn_name = rng.choice(list(_FRAME_FNS))
+    n = rng.randint(40, 140)
+    rows = [(i, rng.randrange(4),
+             (None if mode != "range" and rng.random() < 0.12
+              else rng.randrange(8)),
+             (None if rng.random() < 0.15 else rng.randint(-20, 20)))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, p int, o int, v int")
+    f_spark, f_sql, f_py = _FRAME_FNS[fn_name]
+
+    if mode == "groups":
+        prec, foll = rng.randint(0, 3), rng.randint(0, 3)
+        from samplebatchprocessing_spark.operators.windows import (
+            groups_frame_agg)
+        merge = {"sum": "sum", "count": "sum",
+                 "min": "min", "max": "max"}[fn_name]
+        out = groups_frame_agg(df, ["p"], "o",
+                               {"w_out": (f_spark("v"), merge)},
+                               preceding=prec, following=foll)
+        got = {r["id"]: r["w_out"]
+               for r in out.select("id", "w_out").collect()}
+        # pure-python peer-group oracle (NULL o = one group, first)
+        from collections import defaultdict
+        parts = defaultdict(list)
+        for r in rows:
+            parts[r[1]].append(r)
+        expect = {}
+        for rs in parts.values():
+            dist = sorted({r[2] for r in rs},
+                          key=lambda o: (o is not None, o))
+            gidx = {o: i for i, o in enumerate(dist)}
+            for r in rs:
+                g = gidx[r[2]]
+                vals = [x[3] for x in rs
+                        if g - prec <= gidx[x[2]] <= g + foll
+                        and x[3] is not None]
+                expect[r[0]] = (f_py(vals) if (vals or fn_name == "count")
+                                else None)
+        assert got == expect, (
+            f"seed={seed} mode=groups prec={prec} foll={foll}")
+        return
+
+    from pyspark.sql import Window as W
+    lo = rng.choice(["unb_p"] + list(range(-4, 5)))
+    hi = rng.choice(list(range(-4, 5)) + ["unb_f"])
+    if isinstance(lo, int) and isinstance(hi, int) and lo > hi:
+        lo, hi = hi, lo
+    if mode == "rows":
+        w = (W.partitionBy("p")
+             .orderBy(F.col("o").asc_nulls_first(), F.col("id"))
+             .rowsBetween(_frame_spark_bound(lo), _frame_spark_bound(hi)))
+        order_sql = "o ASC NULLS FIRST, id"
+        unit = "ROWS"
+    else:
+        w = (W.partitionBy("p").orderBy(F.col("o").asc())
+             .rangeBetween(_frame_spark_bound(lo), _frame_spark_bound(hi)))
+        order_sql = "o ASC"
+        unit = "RANGE"
+    got = {r["id"]: r["w_out"]
+           for r in df.select("id", f_spark("v").over(w).alias("w_out"))
+           .collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, p INT, o INT, v INT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    expect = dict(con.execute(
+        f"SELECT id, {f_sql}(v) OVER (PARTITION BY p ORDER BY "
+        f"{order_sql} {unit} BETWEEN {_frame_sql_bound(lo)} AND "
+        f"{_frame_sql_bound(hi)}) FROM t").fetchall())
+    assert got == expect, f"seed={seed} mode={mode} lo={lo} hi={hi}"
+
+
+@pytest.mark.parametrize("seed", range(80))
+def test_differential_asof_ties(spark, seed):
+    """Random as-of joins with PLANTED TIES (VERDICT r13 #7): tiny
+    timestamp domain so exact-equal matches and MULTIPLE right rows
+    at the same (key, ts) occur constantly; all four direction x
+    strict combinations of :func:`asof_join` with the documented
+    tie-break (smallest ``rid`` wins among equal-ts matches), plus
+    the j15 multi-table one-shuffle read every third seed.  Oracle:
+    DuckDB ASOF LEFT JOIN over the right side DEDUPED to the
+    tie-break winner per (k, ts) — if the operator's tie-break
+    honors its contract the two relations are identical; if it ever
+    carried an arbitrary equal-ts row the dedup'd oracle differs."""
+    import duckdb
+
+    from samplebatchprocessing_spark.operators.asof import (
+        asof_join, multi_asof_join)
+    rng = random.Random(815_000 + seed)
+    nk = rng.randint(1, 4)
+    n_l, n_r = rng.randint(10, 40), rng.randint(10, 50)
+    left_rows = [(i, rng.randrange(nk), rng.randrange(8))
+                 for i in range(n_l)]
+    # key 99 never occurs on the left; high keys may miss on the right
+    right_rows = [(100 + j, rng.choice(list(range(nk)) + [99]),
+                   rng.randrange(8), rng.randint(-50, 50))
+                  for j in range(n_r)]
+    # the scenario under test must actually occur: at least one
+    # duplicated (k, ts) pair on the right
+    if len({(k, t) for _, k, t, _ in right_rows}) == len(right_rows):
+        right_rows.append((100 + n_r, right_rows[0][1],
+                           right_rows[0][2], rng.randint(-50, 50)))
+    left = spark.createDataFrame(left_rows, "id long, k int, ts int")
+    right = spark.createDataFrame(right_rows,
+                                  "rid long, k int, ts int, val int")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (id BIGINT, k INT, ts INT)")
+    con.execute("CREATE TABLE r (rid BIGINT, k INT, ts INT, val INT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", left_rows)
+    con.executemany("INSERT INTO r VALUES (?,?,?,?)", right_rows)
+    # tie-deduped right: per (k, ts) the smallest-rid row — exactly
+    # the row the operator's tiebreak contract must carry
+    dedup = ("SELECT k, ts, arg_min(val, rid) AS val, "
+             "min(rid) AS rid FROM r GROUP BY k, ts")
+
+    direction = rng.choice(["backward", "forward"])
+    strict = rng.random() < 0.4
+    op = {("backward", False): ">=", ("backward", True): ">",
+          ("forward", False): "<=", ("forward", True): "<"}[
+        (direction, strict)]
+    got = {r["id"]: (r["val"], r["rid"])
+           for r in asof_join(
+               left, right, left_ts="ts", right_ts="ts",
+               left_by="k", right_by="k", right_cols=["val", "rid"],
+               strict=strict, direction=direction,
+               tiebreak="rid").select("id", "val", "rid").collect()}
+    expect = {i: (v, rid) for i, v, rid in con.execute(
+        f"SELECT l.id, r1.val, r1.rid FROM l ASOF LEFT JOIN "
+        f"({dedup}) r1 ON l.k = r1.k AND l.ts {op} r1.ts").fetchall()}
+    # DuckDB ASOF is INNER-shaped on missing keys only with LEFT —
+    # left-outer either way here; unmatched ids must still appear
+    for i, *_ in left_rows:
+        expect.setdefault(i, (None, None))
+        got.setdefault(i, (None, None))
+    assert got == expect, f"seed={seed} dir={direction} strict={strict}"
+
+    if seed % 3 == 0:
+        # j15: two right tables, ONE shuffle.  multi_asof_join has no
+        # tiebreak parameter — its contract requires unique (k, ts)
+        # per right table — so feed it the tie-deduped relations.
+        r1_rows = con.execute(
+            "SELECT k, ts, arg_min(val, rid), min(rid) "
+            "FROM r GROUP BY k, ts").fetchall()  # k, ts, v1, rid
+        r2_rows = [(k, t, v * 3) for k, t, v, _ in r1_rows
+                   if (k + t) % 2 == 0]
+        r1 = spark.createDataFrame(
+            [(k, t, v) for k, t, v, _ in r1_rows],
+            "k int, ts int, v1 int")
+        r2 = spark.createDataFrame(r2_rows or [(99, 0, 0)],
+                                   "k int, ts int, v2 int")
+        con.execute("CREATE TABLE r1 AS SELECT k, ts, "
+                    f"arg_min(val, rid) AS v1 FROM r GROUP BY k, ts")
+        con.register("r2pd", __import__("pandas").DataFrame(
+            r2_rows or [(99, 0, 0)], columns=["k", "ts", "v2"]))
+        got_m = {r["id"]: (r["v1"], r["v2"])
+                 for r in multi_asof_join(
+                     left,
+                     [{"df": r1, "ts": "ts", "by": "k", "cols": ["v1"]},
+                      {"df": r2, "ts": "ts", "by": "k", "cols": ["v2"]}],
+                     left_ts="ts", left_by="k")
+                 .select("id", "v1", "v2").collect()}
+        expect_m = {i: (a, b) for i, a, b in con.execute(
+            "SELECT q.id, q.v1, r2.v2 FROM "
+            "(SELECT l.id, l.k, l.ts, r1.v1 FROM l ASOF LEFT JOIN r1 "
+            " ON l.k = r1.k AND l.ts >= r1.ts) q "
+            "ASOF LEFT JOIN r2pd r2 ON q.k = r2.k AND q.ts >= r2.ts"
+        ).fetchall()}
+        for i, *_ in left_rows:
+            expect_m.setdefault(i, (None, None))
+            got_m.setdefault(i, (None, None))
+        assert got_m == expect_m, f"seed={seed} multi"
