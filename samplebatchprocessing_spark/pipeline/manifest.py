@@ -348,10 +348,13 @@ class LocalObjectStoreClient(ObjectStoreClient):
     # -- conditional writes (r13) ------------------------------------
     # ETag = md5 of the content, exactly S3's single-part-PUT ETag.
     # POSIX has no native compare-and-swap on file contents, so
-    # writers of the SAME key serialize on an flock'd lock file in a
-    # SIBLING directory (never under root — lock files must not
-    # appear in listings); readers never lock (they read the
-    # atomically-replaced object as before).
+    # writers of the SAME key serialize on an flock'd lock file under
+    # the system tempdir (NEVER under any client root — lock files
+    # must not appear in listings; r13 placed them in a "<root>.locks"
+    # sibling, which a client rooted at the PARENT of a re-rooted
+    # client's root could still see in bare string-prefix listings,
+    # ADVICE r13 #2); readers never lock (they read the atomically-
+    # replaced object as before).
 
     @staticmethod
     def _etag(data: bytes) -> str:
@@ -359,10 +362,16 @@ class LocalObjectStoreClient(ObjectStoreClient):
         return hashlib.md5(data).hexdigest()
 
     def _lock_path(self, key: str) -> str:
+        # keyed by the BACKING OBJECT's absolute path, not (root, key):
+        # two clients rooted differently over the same tree (the
+        # __main__._store_from_uri re-rooting) serialize on the same
+        # lock file when they target the same object
         import hashlib
-        d = self.root.rstrip("/") + ".locks"
+        import tempfile
+        d = os.path.join(tempfile.gettempdir(), "sbp_object_locks")
         os.makedirs(d, exist_ok=True)
-        return os.path.join(d, hashlib.md5(key.encode()).hexdigest())
+        obj = os.path.abspath(self._p(key))
+        return os.path.join(d, hashlib.md5(obj.encode()).hexdigest())
 
     def get_with_etag(self, key: str) -> tuple[bytes, str]:
         data = self.get(key)
@@ -495,9 +504,20 @@ class S3ObjectStoreClient(ObjectStoreClient):
         PreconditionFailed = the condition lost; 409
         ConditionalRequestConflict = a concurrent conditional write
         on the same key is in flight — both mean re-read and retry,
-        so both map to :class:`PreconditionFailed`."""
+        so both map to :class:`PreconditionFailed`.
+
+        Wire form (ADVICE r13 #3): S3's native ETag form is QUOTED
+        (`"<md5>"`), and that is what goes on the wire — the
+        contract-level token stays the bare hex (get_with_etag
+        strips, both implementations agree bit-for-bit), so the
+        quotes are re-added here whichever form the caller holds.
+        The boto3-shaped fake compares If-Match VERBATIM against the
+        quoted form, so a client regression to the bare wire form
+        fails the contract tests instead of burning cas_retries
+        against real S3."""
         kw = ({"IfNoneMatch": "*"} if etag is None
-              else {"IfMatch": etag})
+              else {"IfMatch": (etag if etag.startswith('"')
+                                else f'"{etag}"')})
         try:
             resp = self._c().put_object(Bucket=self.bucket, Key=key,
                                         Body=data, **kw)

@@ -84,7 +84,13 @@ class FakeS3Client:
         if IfMatch is not None:
             if Key not in objs:
                 raise FakeClientError("NoSuchKey", "PutObject")
-            if self._etag(objs[Key]).strip('"') != IfMatch.strip('"'):
+            # VERBATIM compare against S3's native QUOTED ETag form
+            # (ADVICE r13 #3): stripping quotes on both sides here
+            # would make a client that sends the bare hex pass the
+            # contract tests while burning all cas_retries against a
+            # quote-strict real endpoint — the fake must be at least
+            # as strict as the strictest documented server behavior
+            if self._etag(objs[Key]) != IfMatch:
                 raise FakeClientError("PreconditionFailed",
                                       "PutObject")
         objs[Key] = bytes(Body)
@@ -330,6 +336,46 @@ def test_local_and_s3_agree_on_conditional_writes(tmp_path):
             c.put_if("gone", b"y", tg)
     # md5-content ETags: the two implementations agree bit-for-bit
     assert local.get_with_etag("p")[1] == s3.get_with_etag("p")[1]
+
+
+def test_put_if_wire_form_is_quoted(s3):
+    """ADVICE r13 #3: the If-Match header carries S3's NATIVE quoted
+    ETag whichever form the caller holds — the fake's verbatim
+    compare (quoted vs quoted) is what makes this test able to fail.
+    The contract-level token stays the bare hex."""
+    e1 = s3.put_if("k", b"v1", None)
+    assert not e1.startswith('"')         # contract token: bare hex
+    e2 = s3.put_if("k", b"v2", e1)        # bare in -> quoted on wire
+    assert s3.get("k") == b"v2"
+    e3 = s3.put_if("k", b"v3", f'"{e2}"')  # quoted in: not re-quoted
+    assert s3.get("k") == b"v3" and not e3.startswith('"')
+
+
+def test_put_if_locks_never_appear_in_listings(tmp_path):
+    """ADVICE r13 #2: r13 placed lock files in a "<root>.locks"
+    SIBLING of the client root, so a client re-rooted at a subtree
+    (the __main__._store_from_uri shape, e.g. root=/bucket/idx) left
+    "idx.locks/<md5>" keys visible to a client rooted at the parent
+    /bucket in bare string-prefix listings.  Locks now live under
+    the system tempdir keyed by the backing object's absolute path:
+    invisible to every listing, and differently-rooted clients
+    targeting the SAME object serialize on the SAME lock file."""
+    parent = LocalObjectStoreClient(str(tmp_path / "bucket"))
+    child = LocalObjectStoreClient(str(tmp_path / "bucket" / "idx"))
+    child.put_if("post", b"v1", None)
+    parent.put_if("idx/other", b"o1", None)
+    # the r13 regression: parent.list("idx") saw "idx.locks/<md5>"
+    assert parent.list("idx") == ["idx/other", "idx/post"]
+    assert parent.list("") == ["idx/other", "idx/post"]
+    # parent's idx/other lives inside the child's subtree root too —
+    # visible from both; the invariant is no LOCK keys anywhere
+    assert child.list("") == ["other", "post"]
+    # same object -> same lock file, regardless of client root
+    assert parent._lock_path("idx/post") == child._lock_path("post")
+    # and the CAS chain composes across the two roots
+    t = child.get_with_etag("post")[1]
+    parent.put_if("idx/post", b"v2", t)
+    assert child.get("post") == b"v2"
 
 
 def test_cas_publisher_lifecycle_on_s3_client(s3):
