@@ -144,10 +144,11 @@ BASIS: dict[str, tuple[float, float]] = {
     "x131_delta_merge": (0.275, 0.54),
     "s26_epoch_probe": (1.93, 11.61),
     "w11_groups_frame": (0.467, 1.01),
-    # r13 debut, PROVISIONAL basis (single sentinel-clean run; the
-    # other two runs of its mini-session self-stamped contaminated —
-    # re-record at the next quiet multi-run session)
-    "x88b_hard_negatives_bnl": (0.832, 1.53),
+    # r13 debut; basis FIRMED r14 (VERDICT r13 #4) as the median pair
+    # of its three sentinel-clean observations: 0.832/1.53 (r13
+    # mini-session), 0.849/1.60 (r13 final-tree), 0.925/1.29 (r14
+    # quiet run 2)
+    "x88b_hard_negatives_bnl": (0.849, 1.53),
 }
 
 # The driver's tail capture clipped BENCH_r12's single 5 KB stdout
@@ -170,18 +171,25 @@ def paired_median(samples: list[float],
 
 def adjudicate(wall: float, cpu: float,
                basis: tuple[float, float] | None,
-               unstable: bool = False) -> dict:
+               unstable: bool = False,
+               cpu_untrusted: bool = False) -> dict:
     """Mechanized dual-basis breach verdict (VERDICT r12 #3 — the
     rule previously lived only in BASELINE.md prose):
 
     - ``new``       no basis recorded yet (debut row).
     - ``ok``        wall within the 2x gate.
-    - ``box_load``  wall breaches 2x but CPU holds inside 1.5x —
-                    external load inflates wall, not tree CPU.
-    - ``unstable``  wall breaches, CPU breaches, but the query
+    - ``unstable``  wall breaches but the CPU median is UNTRUSTED
+                    (``cpu_untrusted``: a clamped-to-zero tree-CPU
+                    anomaly — the delta is incomplete, so "CPU holds"
+                    is unknowable and box_load/real are both
+                    unjustifiable; VERDICT r13 #2 — the r13 record
+                    stamped x103 box_load on a 0.0 cpu_ratio), OR
+                    wall and CPU both breach but the query
                     self-flagged an intra-run spread > 2x: the median
                     itself is untrustworthy, re-measure before
                     treating it as real (the r12 m9 precedent).
+    - ``box_load``  wall breaches 2x but a TRUSTED CPU holds inside
+                    1.5x — external load inflates wall, not tree CPU.
     - ``watch``     wall breaches, CPU in (1.5x, 2x] — above the
                     hold but below its own 2x; hold for a quiet
                     re-run (the r12 j15 precedent).
@@ -195,6 +203,10 @@ def adjudicate(wall: float, cpu: float,
     cr = round(cpu / bc, 2)
     if wr <= 2.0:
         v = "ok"
+    elif cpu_untrusted:
+        # BEFORE the cr <= 1.5 branch: an anomalous CPU median is
+        # distrusted exactly like an unstable wall median
+        v = "unstable"
     elif cr <= 1.5:
         v = "box_load"
     elif unstable:
@@ -550,12 +562,17 @@ def main() -> None:
                 break
 
     bw_sample = make_bandwidth_control()
+    disk_sample, disk_cleanup = make_disk_control()
 
     def _bw_min3() -> float:
         return round(min(bw_sample() for _ in range(3)), 4)
 
+    def _disk_min3() -> float:
+        return round(min(disk_sample() for _ in range(3)), 4)
+
     sentinel_pre = _sentinel()
     bw_pre = _bw_min3()
+    disk_pre = _disk_min3()
 
     # Median of 3 full plan+execute runs per query (BASELINE.md
     # protocol) — this box carries variable background load and a
@@ -570,6 +587,7 @@ def main() -> None:
     cpu_anomalies: list[str] = []
     controls_mid: list[float] = []
     bw_mid: list[float] = []
+    disk_mid: list[float] = []
     for qi, name in enumerate(BENCH_QUERIES):
         if name not in reg and name not in overrides:
             continue
@@ -584,6 +602,7 @@ def main() -> None:
             # (GC, async cleanup) as pressure — measured 2-10x false
             # positives on a quiet box when this landed
             bw_mid.append(_bw_min3())
+            disk_mid.append(_disk_min3())
         fn = overrides.get(name) or reg[name][0]
         samples = []
         cpu_samples = []
@@ -631,6 +650,8 @@ def main() -> None:
 
     sentinel_post = _sentinel()
     bw_post = _bw_min3()
+    disk_post = _disk_min3()
+    disk_cleanup()
 
     import shutil
     for d in (_p10_dirs + list(_x109.values()) + list(_x117.values())
@@ -650,6 +671,8 @@ def main() -> None:
     # it adds REAL CPU to the big queries (the r12 session-A1
     # mechanism), so neither axis of the dual-basis rule is safe
     out["contaminated"] = out["contaminated"] or bw["mem_pressure"]
+    # io_slow is ADVISORY (wall-only inflation; CPU axis stays sound)
+    out.update(disk_verdict(disk_pre, disk_post, disk_mid))
     if unstable:
         out["unstable_queries"] = unstable
     if cpu_anomalies:
@@ -661,9 +684,10 @@ def main() -> None:
         out["verdicts"] = {
             name: adjudicate(
                 wall, cpu_timings.get(name, 0.0), BASIS.get(name),
+                unstable=name in unstable,
                 # a CPU anomaly means the CPU median is incomplete —
-                # distrust it exactly like an unstable wall median
-                unstable=name in unstable or name in cpu_anomalies)
+                # it must never ground a box_load/real call
+                cpu_untrusted=name in cpu_anomalies)
             for name, wall in timings.items()
             if isinstance(wall, (int, float))
         }
@@ -716,6 +740,7 @@ def compact_line(full: dict) -> str:
         "sf": full["sf"],
         "cpu_total_sec": full.get("cpu_total_sec"),
         "contaminated": full.get("contaminated"),
+        "io_slow": full.get("io_slow"),
         "basis": full.get("basis"),
         "verdict_counts": counts,
         "breaches": breaches,
@@ -745,6 +770,73 @@ def compact_line(full: dict) -> str:
         n: (t if isinstance(t, (int, float)) else {"err": "see sidecar"})
         for n, t in line["queries"].items()}
     return render(line)
+
+
+def make_disk_control():
+    """The THIRD control (r14): UNCACHED-disk-read latency.  The r14
+    quiet session exposed the remaining blind spot: a cold-page-cache
+    / slow-storage epoch (the 01:30 container restart left
+    buff/cache at 2 GB of 125) inflated every disk-working-set row —
+    the persisted-index probes x109/x117/x132, the file-backlog
+    drains p10/m9 — 2-8x on WALL at basis CPU, while both existing
+    controls read clean (the warmed scan is cache-resident, the
+    bandwidth reduction never leaves RAM).  This control reads a
+    32 MB file whose pages are dropped (posix_fadvise DONTNEED)
+    before every sample, so it measures STORAGE latency — the
+    resource those rows actually wait on.
+
+    ADVISORY, not contaminating: wall-only inflation leaves the CPU
+    axis sound, so the dual-basis rule already adjudicates the
+    affected rows as box_load; ``io_slow`` exists to EXPLAIN a burst
+    of box_load verdicts on probe rows, not to void the record.
+
+    Returns (sample, cleanup)."""
+    import uuid
+    path = f"/tmp/sbp_bench_disk_{uuid.uuid4().hex[:8]}"
+    blob = os.urandom(1 << 20) * 32            # 32 MB, incompressible
+    with open(path, "wb") as f:
+        f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+
+    def sample() -> float:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+            t0 = time.monotonic()
+            while os.read(fd, 1 << 20):
+                pass
+            return round(time.monotonic() - t0, 4)
+        finally:
+            os.close(fd)
+
+    def cleanup() -> None:
+        import contextlib
+        with contextlib.suppress(OSError):
+            os.remove(path)
+
+    return sample, cleanup
+
+
+def disk_verdict(pre: float, post: float,
+                 mid: list[float] | None = None) -> dict:
+    """Storage-latency verdict from the disk-control series — the
+    sentinel_verdict shape: post slower than 1.5x pre flags, one mid
+    blip tolerated, two or more above 1.5x the pre floor read as a
+    sustained slow-storage epoch.  ``io_slow`` is ADVISORY (see
+    :func:`make_disk_control`): it does not fold into
+    ``contaminated`` because wall-only inflation leaves the CPU axis
+    of the dual-basis rule sound."""
+    ratio = round(post / pre, 3) if pre > 0 else None
+    mid = mid or []
+    n_hot = sum(1 for m in mid if pre > 0 and m / pre > 1.5)
+    return {
+        "disk": {"pre_sec": pre, "post_sec": post,
+                 "post_over_pre": ratio,
+                 "mid_sec": mid, "mid_hot": n_hot},
+        "io_slow": bool(ratio is not None and ratio > 1.5)
+        or n_hot >= 2,
+    }
 
 
 def make_bandwidth_control():

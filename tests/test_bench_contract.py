@@ -158,6 +158,36 @@ def test_adjudicate_dual_basis_rule():
     assert r["wall_ratio"] == 2.5 and r["cpu_ratio"] == 1.8
 
 
+def test_adjudicate_anomalous_cpu_never_stamps_box_load():
+    """VERDICT r13 #2: a query in cpu_anomalies (negative tree-CPU
+    delta clamped to 0.0 — the measurement is INCOMPLETE, not small)
+    must never adjudicate as box_load or real: "CPU holds" cannot be
+    read off a number the instrument itself flagged as untrustworthy.
+    Fixture = x103_prefix_filter_join's official r13 record, which
+    stamped box_load on wall_ratio 2.28 / cpu_ratio 0.0 while sitting
+    in cpu_anomalies (bench_full.json r13)."""
+    from bench import BASIS, adjudicate
+    basis = BASIS["x103_prefix_filter_join"]        # (6.162, 6.98)
+    r = adjudicate(14.04, 0.0, basis, cpu_untrusted=True)
+    assert r["verdict"] == "unstable"
+    assert r["cpu_ratio"] == 0.0
+    # the clamp can also land mid-query leaving a PARTIAL (nonzero
+    # but low) CPU median — equally untrusted
+    assert adjudicate(14.04, 3.0, basis,
+                      cpu_untrusted=True)["verdict"] == "unstable"
+    # untrusted CPU also blocks a real/watch call (both need a
+    # trusted CPU breach)
+    assert adjudicate(14.04, 30.0, basis,
+                      cpu_untrusted=True)["verdict"] == "unstable"
+    # wall inside the gate stays ok: no breach to adjudicate
+    assert adjudicate(6.0, 0.0, basis,
+                      cpu_untrusted=True)["verdict"] == "ok"
+    # and a TRUSTED holding CPU still reads box_load, with or without
+    # wall instability (CPU holding is decisive — unchanged rule)
+    assert adjudicate(14.04, 7.0, basis,
+                      unstable=True)["verdict"] == "box_load"
+
+
 def _fake_full_record(n_breaches: int = 0):
     from bench import BENCH_QUERIES, adjudicate, BASIS, summarize
     timings = {n: 11.234 for n in BENCH_QUERIES}
@@ -247,6 +277,55 @@ def test_bandwidth_verdict_rules():
     degenerate = bandwidth_verdict(0.0, 0.05)
     assert degenerate["mem_pressure"] is False
     json.dumps(pressured)
+
+
+def test_disk_verdict_rules():
+    """r14: the uncached-disk-read control's verdict mirrors the
+    other sentinels' direction-aware rules — post slower than 1.5x
+    pre flags, one mid blip tolerated, two or more sustained mid
+    samples flag, no div-by-zero on a degenerate pre.  io_slow is
+    ADVISORY: the main() wiring must NOT fold it into contaminated
+    (wall-only inflation leaves the CPU axis sound)."""
+    from bench import disk_verdict
+    quiet = disk_verdict(0.02, 0.021, mid=[0.019, 0.022])
+    assert quiet["io_slow"] is False
+    slow = disk_verdict(0.02, 0.045)
+    assert slow["io_slow"] is True
+    burst = disk_verdict(0.02, 0.021, mid=[0.05, 0.06, 0.02])
+    assert burst["io_slow"] is True and burst["disk"]["mid_hot"] == 2
+    blip = disk_verdict(0.02, 0.021, mid=[0.05, 0.02, 0.019])
+    assert blip["io_slow"] is False
+    assert disk_verdict(0.0, 0.05)["io_slow"] is False
+    json.dumps(slow)
+    # advisory, not contaminating: main() computes contaminated
+    # BEFORE merging the disk verdict — lock the wiring order by
+    # source inspection (the cheap honest check; a full main() run
+    # needs a Spark session)
+    src = (Path(__file__).resolve().parent.parent
+           / "bench.py").read_text()
+    fold = src.index('out["contaminated"] = out["contaminated"] or')
+    disk = src.index('out.update(disk_verdict(')
+    assert fold < disk, "disk verdict must not precede the " \
+        "contaminated fold — io_slow is advisory only"
+    assert "io_slow" not in src[fold:src.index("\n", fold)], \
+        "io_slow must not fold into contaminated"
+
+
+def test_disk_control_measures_an_uncached_read():
+    """The control itself: writes a 32 MB file, drops its cache per
+    sample, reads it back — returns seconds > 0, repeatable, and
+    cleanup removes the file."""
+    import glob
+
+    from bench import make_disk_control
+    sample, cleanup = make_disk_control()
+    try:
+        a, b = sample(), sample()
+        assert 0 < a < 30 and 0 < b < 30
+    finally:
+        cleanup()
+    assert not glob.glob("/tmp/sbp_bench_disk_*"), \
+        "disk-control file must be removed by cleanup"
 
 
 def test_bandwidth_control_measures_the_reduction():
