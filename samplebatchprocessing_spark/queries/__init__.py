@@ -35,51 +35,58 @@ Entry = tuple[SparkFn, str | None]
 # 50 names, all present in the registry, all 11 §2B families covered —
 # is locked by tests/test_registry_order.py.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r13 ROTATION (VERDICT r12 #5): ROTATE BY EVIDENCE AGE.
-    # With the r12 window green, the stalest driver evidence in the
-    # book is the r6-certified block (47 entries whose last
-    # driver-green row is CORRECTNESS_r06, six rounds old — the
-    # P/S/D/M depth plus the r6 curation/TPC-H breadth) and the one
-    # r5 survivor (s2_tumbling_batch, the S-family batch twin).
-    # That pool is 48 entries; v6_cte steps aside because
-    # v29_recursive_cte — in this same window — exercises a strict
-    # superset of its CTE machinery, freeing 3 slots for the three
-    # families the stale pool cannot anchor: Q/T/U take their
-    # stalest entries anywhere outside r12 (q3_filter and
-    # t4_topk_per_group from r8, u1_union from r9).  Overlap with
-    # the immediately-prior r12 window is exactly 0; with r11/r10
-    # also 0; with r9 {u1}, r8 {q3, t4}; the heavy overlap with the
-    # FROZEN r6 window is the point — those slots hold the oldest
-    # evidence in the book.  tests/test_registry_order.py locks the
-    # overlap bounds, the 50-name shape, and the family anchors.
+    # r14 ROTATION (VERDICT r13 #3): ROTATE BY EVIDENCE AGE.
+    # With the r13 window green, the stalest driver evidence is the
+    # two r6-era leftovers (v6_cte, x98_rag_pipeline — both stepped
+    # aside in r13 for superset/debut slots) and the 47-entry
+    # r7-certified block, seven rounds old.  That pool is 49; slot 50
+    # goes to x88b_hard_negatives_bnl, the ONLY registry entry with
+    # zero driver-green evidence (debuted after the r13 gate;
+    # judge-verified hash-green in the r13 session, but the driver
+    # gate is the record).  Three §2B families (Q/T/U) have no
+    # representative in the stale pool, so their anchors take the
+    # stalest entries those families offer outside r13: q4_distinct
+    # and t1_multi_sort from the r9 window, u2_intersect from r10
+    # (u-family freshness: u1 r13, u3 r12, u4 r11 — u2 IS the
+    # stalest).  The three r7 entries that step aside, by the
+    # least-needy rule: x104_cc_twophase and x96_market_basket were
+    # independently re-executed and hash-verified by the r13 judge
+    # on a vanilla session (the freshest evidence in the r7 block),
+    # and x106_quality_dedup_interaction composes kernels that are
+    # each independently certified fresh (x50_gopher_quality r13,
+    # l5/l6 dedup r12/r13 — the x98-constituent precedent from r13).
+    # Overlap: r13/r12/r11 ZERO; r10 {u2_intersect}; r9 {q4_distinct,
+    # t1_multi_sort} — the unavoidable family-anchor overlaps, same
+    # shape as r13's {u1}/{q3,t4}.  Locked by
+    # tests/test_registry_order.py.
     #
     # one anchor per §2B family: P Q J A W T U F S D L
-    "p2_csv_roundtrip", "q3_filter", "j2_full_outer",
-    "a15_grouping_sets", "w7_distribution_ranks",
-    "t4_topk_per_group", "u1_union", "f9_bitwise",
-    "s2_tumbling_batch", "d6_udaf_grouped", "l10_lang_stats",
-    # r13 debut (the m13b/x137/x138 debut-in-window precedent): the
-    # multi-maintainer CAS pointer lifecycle.  It takes the slot of
-    # x98_rag_pipeline, whose constituent operators (semantic dedup,
-    # embedding outliers, k-means assignment) are each independently
-    # in-window via x43/x57/x47.
-    "m14_cas_publish",
-    # the rest of the r6-era block, alphabetical (all equally stale)
-    "d7_udtf_table_arg", "l5_ngram_lsh", "m2_scd2", "m3_salted_join",
-    "m6_incremental_mv", "m7_zorder_layout", "p15_text_roundtrip",
-    "p4_json_roundtrip", "p9_orc_roundtrip", "s10_stream_stream_join",
-    "s12_stream_weighted_sample", "s16_stream_quality_gate",
-    "s17_stream_decontaminate", "s8_foreach_batch_sink",
-    "s9_custom_stateful", "v23_tpch_q6", "v25_tpch_q12_shape",
-    "v29_recursive_cte", "v9_tpch_q5", "x103_prefix_filter_join",
-    "x37_join_skew_report", "x40_mixture_budget", "x43_semantic_dedup",
-    "x46_bpe_encode", "x47_kmeans_clusters", "x48_cluster_safe_split",
-    "x50_gopher_quality", "x51_shard_pack", "x52_domain_stats",
-    "x53_cluster_balanced_sample", "x55_decontaminate",
-    "x56_dedup_threshold_curve", "x57_embedding_outliers",
-    "x62_c4_filters", "x6_train_split", "x79_transition_matrix",
-    "x92_dominant_direction", "x9_corpus_curation",
+    "p13_corrupt_csv", "q4_distinct", "j14_asof_nearest",
+    "a16_conditional_aggs", "w10_interval_frames",
+    "t1_multi_sort", "u2_intersect", "f10_regex",
+    "s11_stream_static_join", "d9_map_in_arrow", "l6_simhash",
+    # the debt slot: the one entry with no driver-green row ever
+    "x88b_hard_negatives_bnl",
+    # the two r6-era leftovers — the oldest evidence in the book
+    "v6_cte", "x98_rag_pipeline",
+    # the rest of the r7-era block, alphabetical (all equally stale)
+    "j15_multi_asof", "l12_embedding_neardup", "m8_time_travel",
+    "m10_vacuum", "m11_codec_report", "mm6_interleaved_assembly",
+    "s22_stream_seasonal_gate", "v30_tpch_refresh",
+    "x17_vocab_coverage", "x33_zipf_fit", "x42_bigram_perplexity",
+    "x80_survival_table", "x83_waterfill_allocation",
+    "x85_attribution", "x86_seasonal_outliers",
+    "x87_ann_index_merge", "x88_hard_negatives",
+    "x89_tokenizer_fertility", "x90_padding_waste",
+    "x91_source_keywords", "x93_winsorize", "x94_path_pattern",
+    "x95_trigram_journeys", "x97_rfm", "x99_ngram_novelty",
+    "x100_datasheet_cube", "x101_semdedup_eval", "x102_collocations",
+    "x105_kmeans_elbow", "x107_crawl_stitch",
+    "x108_lsh_parameter_sweep", "x109_ann_index_lifecycle",
+    "x110_revenue_concentration", "x111_fulfillment_lag",
+    "x112_triangle_count", "x113_dq_audit",
 )
+
 
 
 def registry() -> dict[str, Entry]:

@@ -270,35 +270,67 @@ R12_WINDOW = frozenset({
 })
 
 
+# The r13 driver window, frozen (went 50/50 green in
+# CORRECTNESS_r13 — the r6-era stalest-evidence rotation plus the
+# m14 CAS debut).
+R13_WINDOW = frozenset({
+    "p2_csv_roundtrip", "q3_filter", "j2_full_outer",
+    "a15_grouping_sets", "w7_distribution_ranks",
+    "t4_topk_per_group", "u1_union", "f9_bitwise",
+    "s2_tumbling_batch", "d6_udaf_grouped", "l10_lang_stats",
+    "m14_cas_publish",
+    "d7_udtf_table_arg", "l5_ngram_lsh", "m2_scd2", "m3_salted_join",
+    "m6_incremental_mv", "m7_zorder_layout", "p15_text_roundtrip",
+    "p4_json_roundtrip", "p9_orc_roundtrip", "s10_stream_stream_join",
+    "s12_stream_weighted_sample", "s16_stream_quality_gate",
+    "s17_stream_decontaminate", "s8_foreach_batch_sink",
+    "s9_custom_stateful", "v23_tpch_q6", "v25_tpch_q12_shape",
+    "v29_recursive_cte", "v9_tpch_q5", "x103_prefix_filter_join",
+    "x37_join_skew_report", "x40_mixture_budget", "x43_semantic_dedup",
+    "x46_bpe_encode", "x47_kmeans_clusters", "x48_cluster_safe_split",
+    "x50_gopher_quality", "x51_shard_pack", "x52_domain_stats",
+    "x53_cluster_balanced_sample", "x55_decontaminate",
+    "x56_dedup_threshold_curve", "x57_embedding_outliers",
+    "x62_c4_filters", "x6_train_split", "x79_transition_matrix",
+    "x92_dominant_direction", "x9_corpus_curation",
+})
+
+
 def test_window_rotation_bounds_overlap_with_prior_rounds():
-    """Rotation policy (VERDICT r5 #3 ... r12 #5): overlap with the
-    immediately-prior window is ZERO (debt is zero, nothing needs
-    re-certification by need) and the r13 window rotates to the
-    entries whose last driver-green is OLDEST — the r6-certified
-    block, untouched for six rounds.  The Q/T/U family anchors take
-    the stalest slots those families offer outside r12 (q3 and t4
-    from the r8 window, u1 from r9 — one/two-entry overlaps); the
-    heavy overlap with the FROZEN r6 window is the point: those
-    slots hold the oldest evidence in the book."""
+    """Rotation policy (VERDICT r5 #3 ... r13 #3): overlap with the
+    three most recent windows is ZERO (debt is zero, nothing needs
+    re-certification by need) and the r14 window rotates to the
+    entries whose last driver-green is OLDEST — the two r6-era
+    leftovers plus the r7-certified block, seven rounds old.  The
+    Q/T/U family anchors take the stalest slots those families offer
+    outside r13 (q4 and t1 from the r9 window, u2 from r10 —
+    one/two-entry overlaps); the heavy overlap with the FROZEN r7
+    window is the point: those slots hold the oldest evidence in
+    the book."""
+    assert not R13_WINDOW & set(DRIVER_WINDOW)
     assert not R12_WINDOW & set(DRIVER_WINDOW)
     assert not R11_WINDOW & set(DRIVER_WINDOW)
-    assert not R10_WINDOW & set(DRIVER_WINDOW)
-    assert R9_WINDOW & set(DRIVER_WINDOW) == {"u1_union"}
-    assert R8_WINDOW & set(DRIVER_WINDOW) == {"q3_filter",
-                                              "t4_topk_per_group"}
-    # oldest-evidence block: >= 45 slots re-certify r6-era evidence,
-    # plus the one r5 survivor never re-sampled since
-    assert len(R6_WINDOW & set(DRIVER_WINDOW)) >= 45
-    assert "s2_tumbling_batch" in DRIVER_WINDOW  # r5-era, the stalest
+    assert R10_WINDOW & set(DRIVER_WINDOW) == {"u2_intersect"}
+    assert R9_WINDOW & set(DRIVER_WINDOW) == {"q4_distinct",
+                                              "t1_multi_sort"}
+    # oldest-evidence block: >= 42 slots re-certify r7-era evidence,
+    # plus the two r6-era leftovers never re-sampled since
+    assert len(R7_WINDOW & set(DRIVER_WINDOW)) >= 42
+    assert "v6_cte" in DRIVER_WINDOW          # r6-era, the stalest
+    assert "x98_rag_pipeline" in DRIVER_WINDOW
 
 
 def test_window_targets_the_stalest_evidence():
-    """VERDICT r12 #5: with debt at zero, the window is chosen by
-    evidence AGE — every r6-era-certified entry outside the r12
-    window is present except v6_cte, which steps aside because
-    v29_recursive_cte (in this window) exercises a strict superset
-    of its CTE machinery and three family anchors (Q/T/U) have no
-    stale-pool representative."""
+    """VERDICT r13 #3: with debt at zero, the window is chosen by
+    evidence AGE — every r6/r7-era-certified entry outside the r13
+    window is present except the three that step aside for the Q/T/U
+    family anchors: x104_cc_twophase and x96_market_basket (both
+    independently re-executed and hash-verified by the r13 judge on
+    a vanilla session — the freshest evidence in the r7 block) and
+    x106_quality_dedup_interaction (a composition whose kernels are
+    each independently certified fresh: x50 r13, l5/l6 r12/r13).
+    Slot 50 is the debt slot: x88b_hard_negatives_bnl, the only
+    registry entry that has never had a driver-green row."""
     import json
     last: dict[str, int] = {}
     for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
@@ -306,17 +338,14 @@ def test_window_targets_the_stalest_evidence():
         for k, v in json.loads(f.read_text()).items():
             if v.get("hash_match") or v.get("rows_match"):
                 last[k] = max(last.get(k, 0), rnd)
-    stale_pool = {n for n, r in last.items() if r <= 6} - R12_WINDOW
+    stale_pool = {n for n, r in last.items() if r <= 7} - R13_WINDOW
     missing = stale_pool - set(DRIVER_WINDOW)
-    assert missing == {"v6_cte", "x98_rag_pipeline"}, (
+    assert missing == {"x104_cc_twophase", "x96_market_basket",
+                       "x106_quality_dedup_interaction"}, (
         f"stalest entries not in window: {missing}")
-    assert "v29_recursive_cte" in DRIVER_WINDOW
-    # x98's slot went to the r13 debut (debut-in-window precedent);
-    # its constituents are independently in-window
-    assert "m14_cas_publish" in DRIVER_WINDOW
-    for constituent in ("x43_semantic_dedup", "x57_embedding_outliers",
-                        "x47_kmeans_clusters"):
-        assert constituent in DRIVER_WINDOW
+    # the debt slot: zero driver-green evidence anywhere in the book
+    assert "x88b_hard_negatives_bnl" in DRIVER_WINDOW
+    assert "x88b_hard_negatives_bnl" not in last
 
 
 def test_readme_counts_match_registry(reg):
