@@ -791,7 +791,17 @@ def make_disk_control():
     of box_load verdicts on probe rows, not to void the record.
 
     Returns (sample, cleanup)."""
+    import contextlib
+    import glob
     import uuid
+    # orphan sweep: a SIGTERM'd run never reaches cleanup(), leaving
+    # its 32 MB file behind.  Anything older than an hour cannot
+    # belong to a live run (a suite takes minutes); younger files are
+    # left alone so a concurrent run's sampler keeps its file.
+    for old in glob.glob("/tmp/sbp_bench_disk_*"):
+        with contextlib.suppress(OSError):
+            if time.time() - os.path.getmtime(old) > 3600:
+                os.remove(old)
     path = f"/tmp/sbp_bench_disk_{uuid.uuid4().hex[:8]}"
     blob = os.urandom(1 << 20) * 32            # 32 MB, incompressible
     with open(path, "wb") as f:

@@ -314,17 +314,23 @@ def test_disk_verdict_rules():
 def test_disk_control_measures_an_uncached_read():
     """The control itself: writes a 32 MB file, drops its cache per
     sample, reads it back — returns seconds > 0, repeatable, and
-    cleanup removes the file."""
+    cleanup removes THE FILE THIS CONTROL CREATED (a bare
+    no-files-at-all glob flaked on orphans a SIGTERM'd bench run of
+    the same box left behind — those are the orphan sweep's job,
+    not cleanup's)."""
     import glob
 
     from bench import make_disk_control
+    before = set(glob.glob("/tmp/sbp_bench_disk_*"))
     sample, cleanup = make_disk_control()
+    created = set(glob.glob("/tmp/sbp_bench_disk_*")) - before
+    assert len(created) == 1
     try:
         a, b = sample(), sample()
         assert 0 < a < 30 and 0 < b < 30
     finally:
         cleanup()
-    assert not glob.glob("/tmp/sbp_bench_disk_*"), \
+    assert not (set(glob.glob("/tmp/sbp_bench_disk_*")) & created), \
         "disk-control file must be removed by cleanup"
 
 
