@@ -144,11 +144,13 @@ BASIS: dict[str, tuple[float, float]] = {
     "x131_delta_merge": (0.275, 0.54),
     "s26_epoch_probe": (1.93, 11.61),
     "w11_groups_frame": (0.467, 1.01),
-    # r13 debut; basis FIRMED r14 (VERDICT r13 #4) as the median pair
-    # of its three sentinel-clean observations: 0.832/1.53 (r13
-    # mini-session), 0.849/1.60 (r13 final-tree), 0.925/1.29 (r14
-    # quiet run 2)
-    "x88b_hard_negatives_bnl": (0.849, 1.53),
+    # r13 debut; basis FIRMED r14 (VERDICT r13 #4) as the PAIRED
+    # median (sorted by wall, middle pair kept whole — the ADVICE
+    # r12 #3 rule; mixing one run's wall with another's CPU is
+    # exactly what paired_median exists to prevent) of its three
+    # sentinel-clean observations: 0.832/1.53 (r13 mini-session),
+    # 0.849/1.60 (r13 final-tree), 0.925/1.29 (r14 quiet run 2)
+    "x88b_hard_negatives_bnl": (0.849, 1.60),
 }
 
 # The driver's tail capture clipped BENCH_r12's single 5 KB stdout
@@ -673,6 +675,12 @@ def main() -> None:
     out["contaminated"] = out["contaminated"] or bw["mem_pressure"]
     # io_slow is ADVISORY (wall-only inflation; CPU axis stays sound)
     out.update(disk_verdict(disk_pre, disk_post, disk_mid))
+    if getattr(disk_sample, "inert", False):
+        # tmpfs-backed control file: DONTNEED can't evict the pages,
+        # so the series measured RAM — record that nothing was
+        # actually checked rather than implying storage read clean
+        out["disk"]["inert"] = True
+        out["io_slow"] = None
     if unstable:
         out["unstable_queries"] = unstable
     if cpu_anomalies:
@@ -794,15 +802,42 @@ def make_disk_control():
     import contextlib
     import glob
     import uuid
+    # The control file must live on DISK-backed storage: on a tmpfs
+    # /tmp (Fedora/Arch defaults) POSIX_FADV_DONTNEED cannot evict
+    # the pages, every sample reads RAM, and the control silently
+    # measures nothing.  Pick the first non-tmpfs candidate; if none
+    # exists the control still runs but is flagged inert so the
+    # record never implies storage latency was checked when it
+    # wasn't.
+    def _is_tmpfs(d: str) -> bool:
+        try:
+            mounts = open("/proc/mounts").read().splitlines()
+        except OSError:
+            return False
+        best, fstype = "", ""
+        rd = os.path.realpath(d)
+        for line in mounts:
+            parts = line.split()
+            if len(parts) >= 3 and (rd == parts[1] or
+                                    rd.startswith(parts[1].rstrip("/")
+                                                  + "/")):
+                if len(parts[1]) >= len(best):
+                    best, fstype = parts[1], parts[2]
+        return fstype in ("tmpfs", "ramfs")
+
+    base = next((d for d in ("/tmp", "/var/tmp", ".")
+                 if os.access(d, os.W_OK) and not _is_tmpfs(d)), "/tmp")
+    inert = _is_tmpfs(base)
     # orphan sweep: a SIGTERM'd run never reaches cleanup(), leaving
     # its 32 MB file behind.  Anything older than an hour cannot
-    # belong to a live run (a suite takes minutes); younger files are
-    # left alone so a concurrent run's sampler keeps its file.
-    for old in glob.glob("/tmp/sbp_bench_disk_*"):
+    # belong to a live run — sample() refreshes its own file's mtime,
+    # so even a marathon suite's control file stays young; files
+    # younger than the threshold are left alone for concurrent runs.
+    for old in glob.glob(os.path.join(base, "sbp_bench_disk_*")):
         with contextlib.suppress(OSError):
             if time.time() - os.path.getmtime(old) > 3600:
                 os.remove(old)
-    path = f"/tmp/sbp_bench_disk_{uuid.uuid4().hex[:8]}"
+    path = os.path.join(base, f"sbp_bench_disk_{uuid.uuid4().hex[:8]}")
     blob = os.urandom(1 << 20) * 32            # 32 MB, incompressible
     with open(path, "wb") as f:
         f.write(blob)
@@ -819,6 +854,13 @@ def make_disk_control():
             return round(time.monotonic() - t0, 4)
         finally:
             os.close(fd)
+            # keep the file YOUNG so another run's orphan sweep
+            # (>1h mtime) can never reap it out from under a live
+            # marathon suite
+            with __import__("contextlib").suppress(OSError):
+                os.utime(path)
+
+    sample.inert = inert
 
     def cleanup() -> None:
         import contextlib

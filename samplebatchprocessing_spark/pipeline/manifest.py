@@ -362,16 +362,31 @@ class LocalObjectStoreClient(ObjectStoreClient):
         return hashlib.md5(data).hexdigest()
 
     def _lock_path(self, key: str) -> str:
-        # keyed by the BACKING OBJECT's absolute path, not (root, key):
+        # keyed by the BACKING OBJECT's realpath, not (root, key):
         # two clients rooted differently over the same tree (the
-        # __main__._store_from_uri re-rooting) serialize on the same
-        # lock file when they target the same object
+        # __main__._store_from_uri re-rooting) — or through a symlink
+        # alias of it (macOS /tmp -> /private/tmp) — serialize on the
+        # same lock file when they target the same object.  The dir is
+        # PER-UID and 0700 (a fixed world-shared /tmp name would hand
+        # a second user a PermissionError on every CAS write, and a
+        # pre-created hostile dir could squat the path), and the
+        # namespace is SHARDED to 4096 slots rather than one file per
+        # object: flock is advisory, so hash collisions merely
+        # over-serialize two unrelated writers for the lock's
+        # microseconds — correctness is unaffected — while the dir
+        # stays bounded at 4096 zero-byte files forever (per-object
+        # names grew without bound, and lock files can never be
+        # safely unlinked: a waiter blocked in flock on the old inode
+        # plus a fresh creator on the new one would both hold "the"
+        # lock).
         import hashlib
         import tempfile
-        d = os.path.join(tempfile.gettempdir(), "sbp_object_locks")
-        os.makedirs(d, exist_ok=True)
-        obj = os.path.abspath(self._p(key))
-        return os.path.join(d, hashlib.md5(obj.encode()).hexdigest())
+        d = os.path.join(tempfile.gettempdir(),
+                         f"sbp_object_locks_{os.getuid()}")
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        obj = os.path.realpath(self._p(key))
+        shard = int(hashlib.md5(obj.encode()).hexdigest(), 16) % 4096
+        return os.path.join(d, f"{shard:04x}")
 
     def get_with_etag(self, key: str) -> tuple[bytes, str]:
         data = self.get(key)

@@ -69,7 +69,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x88b_hard_negatives_bnl",
     # the two r6-era leftovers — the oldest evidence in the book
     "v6_cte", "x98_rag_pipeline",
-    # the rest of the r7-era block, alphabetical (all equally stale)
+    # the rest of the r7-era block in numeric-aware id order (all
+    # equally stale; NOT string-alphabetical — m8 before m10, x99
+    # before x100)
     "j15_multi_asof", "l12_embedding_neardup", "m8_time_travel",
     "m10_vacuum", "m11_codec_report", "mm6_interleaved_assembly",
     "s22_stream_seasonal_gate", "v30_tpch_refresh",
