@@ -62,6 +62,40 @@ def bounded_part(col: Column | str) -> Column:
     return F.coalesce(F.pmod(c.cast("long"), F.lit(1)), F.lit(0))
 
 
+def spread(df, n_parts: int | None = None, force: bool = False):
+    """Raise a frame's partition count to the session default BEFORE
+    an expensive downstream stage (r14 optimization round, guide §2).
+
+    Two mechanisms leave hot frames at 1 partition locally: a small
+    parquet fixture scans as a single split, and AQE's partition
+    coalescing (advisory 64 MB) collapses any small-BYTES shuffle
+    output — correct for data-sized stages, wrong when the few-MB
+    frame feeds a candidate join that fans out 1000x (x103's prefix
+    self-join ran 1 task on 32 cores: wall ~= tree-CPU, measured).
+    Spark sizes stages by input bytes; only we know the fan-out.
+
+    Scale-adaptive by construction: the repartition targets
+    ``defaultParallelism`` (executor-count-derived on a real
+    cluster) and is SKIPPED when the frame is already at least that
+    wide — at 100 TB the scan/shuffle already provides the
+    parallelism and this is a no-op, so nothing here is tuned to
+    local[32].  The explicit numPartitions keeps AQE from
+    re-coalescing the exchange.
+
+    ``force=True`` skips the width guard: on a LAZY frame downstream
+    of a shuffle, ``getNumPartitions`` reports the pre-AQE static
+    count (spark.sql.shuffle.partitions), not the runtime-coalesced
+    one, so the guard would wrongly conclude the frame is wide.  Use
+    force at staging points right after an aggregation/window whose
+    output is small in bytes but fans out downstream; the guarded
+    form everywhere else (scans, checkpointed frames — their counts
+    are truthful)."""
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    if not force and df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def r6(col: Column, alias: str | None = None) -> Column:
     """Round to 6 dp — for aggregates that cannot be made exact
     (stddev/percentile); relative FP error ~1e-12 makes a 6-dp

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..exprs import spread
 from .publish import resolve as _resolve_layout
 from .text import token_set, tokenize
 
@@ -209,7 +210,18 @@ def _df_ordered_prefixes(base: DataFrame, n: int, d: int,
               .select("pid", "m", (F.col("pos0") + 1).alias("pos"),
                       "ptok")
               .localCheckpoint(eager=True))
-    return dfreq, prefix
+    # The checkpointed prefix frame is the PROBE side of the
+    # candidate self-join (the build side broadcasts), so the join
+    # stage's parallelism equals this frame's partition count — and
+    # AQE's byte-based coalescing leaves the small-bytes frame at 1
+    # partition while the join fans out ~100x (measured r14: the
+    # whole join+verify+count ran as ONE 5.4 s task on 32 cores;
+    # wall 7.6-9.4 s -> 2.1-2.6 s at IDENTICAL ~10 s tree-CPU after
+    # the spread).  Spreading AFTER the checkpoint beat force-
+    # spreading before it (wall equal, CPU 13.5 vs 10 s): two cheap
+    # consumer exchanges of a 26 k-row frame cost less than a
+    # 32-task checkpoint write.  No-op at scale (guarded).
+    return dfreq, spread(prefix)
 
 
 def prefix_filter_pairs(df: DataFrame, threshold_num: int = 4,
@@ -308,10 +320,20 @@ def prefix_filter_pairs(df: DataFrame, threshold_num: int = 4,
         sb = masked.select(F.col(id_col).alias("doc_b"),
                            F.col("mask").alias("mask_b"),
                            F.col("sz").alias("sz_b"))
-        raw = (prefix.alias("a").join(prefix.alias("b"), join_cond)
+        # Precompute the generating token's bit ON THE PREFIX FRAME
+        # (r14, guide §1.2 "per-task work"): ``element_at(create_map(
+        # 62 literals), ptok)`` is not constant-folded — Catalyst
+        # rebuilds the literal map PER EVALUATION — so filtering the
+        # RAW candidate rows on it paid one map construction per
+        # candidate (~10M at sf0.1).  As a prefix-frame column it is
+        # evaluated once per prefix row (~100k) and crosses the join
+        # as 8 fixed bytes.
+        pexp = prefix.withColumn(
+            "pbit", F.element_at(token_bit, F.col("ptok")))
+        raw = (pexp.alias("a").join(pexp.alias("b"), join_cond)
                .select(F.col("a.pid").alias("doc_a"),
                        F.col("b.pid").alias("doc_b"),
-                       F.col("a.ptok").alias("ptok"))
+                       F.col("a.pbit").alias("pbit"))
                .join(sa, "doc_a").join(sb, "doc_b")
                .withColumn("shared", F.col("mask_a")
                            .bitwiseAND(F.col("mask_b"))))
@@ -322,8 +344,7 @@ def prefix_filter_pairs(df: DataFrame, threshold_num: int = 4,
         # its position), so exactly one row survives per true pair.
         first_shared = F.col("shared").bitwiseAND(-F.col("shared"))
         inter = F.bit_count("shared").cast("int")
-        ver = (raw.filter(F.element_at(token_bit, F.col("ptok"))
-                          == first_shared)
+        ver = (raw.filter(F.col("pbit") == first_shared)
                .select("doc_a", "doc_b", inter.alias("inter"),
                        (F.col("sz_a") + F.col("sz_b") - inter)
                        .cast("int").alias("uni")))
@@ -1661,7 +1682,23 @@ def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
         info = (base.select(id_col, F.size("g").alias("__n"))
                 .join(masks, id_col)
                 .withColumnRenamed(id_col, "pid"))
-        pm = prefix.join(info, "pid")
+        # Stage the mask-carrying prefix relation ONCE and pin the
+        # candidate join's width (r14): unstaged, the whole
+        # explode->dfreq->window->mask subtree executed twice (plan
+        # ops 16-55 duplicated as 61-115 in the r14 before capture);
+        # un-pinned, AQE coalesces the small-bytes gram shuffle to
+        # ~11 lumpy partitions under a join that evaluates ~54 M
+        # same-gram pairs (measured sf0.1).  The explicit gram-keyed
+        # repartition is exempt from AQE coalescing and matches the
+        # join's required distribution, so the sort-merge join adds
+        # no further exchange.  Measured r14 (median of 3, quiet):
+        # 7.2 s -> 6.2 s wall at flat tree-CPU; wider-spread
+        # variants (input spread, spread-everything) REGRESSED
+        # tree-CPU 3-5x from this box's ~0.15 s-per-task fixed cost
+        # and were rejected — see OPTIMIZATION_r14.md.
+        pm = prefix.join(info, "pid").localCheckpoint(eager=True)
+        pm = pm.repartition(
+            pm.sparkSession.sparkContext.defaultParallelism, "gram")
         pa = pm.select(F.col("pid").alias("ida"),
                        F.col("len").alias("la"),
                        F.col("__n").alias("__na"), "gram",
