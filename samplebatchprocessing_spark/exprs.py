@@ -96,6 +96,32 @@ def spread(df, n_parts: int | None = None, force: bool = False):
     return df.repartition(n)
 
 
+def local_df(spark, rows, schema):
+    """Small driver-local relation via the pandas/Arrow path (r14,
+    guide §4): ``createDataFrame(list_of_tuples)`` plans as
+    ``Scan ExistingRDD`` over PICKLED rows, so every consuming stage
+    deserializes through a Python worker round-trip — measured on
+    x109's 800-row probe frame as ~0.3 s of blocked runtime per task
+    across TWO 32-task stages (distinct + broadcast build) while the
+    actual join work was 1.35 s.  Routing the same rows through a
+    pandas frame plans a ``LocalTableScan``: pure JVM, no tasks to
+    read it, broadcast builds driver-side.  Schema (names, types,
+    nullability) and row values are identical on both paths
+    (asserted when this landed).  Use for metadata-sized frames
+    (probe relations, offset tables, lifecycle summaries) — data-
+    scale frames never come from driver lists.
+
+    Constraint: rows must be NULL-free in numeric columns — pandas
+    stores a numeric None as NaN, which Arrow would surface as NaN,
+    not SQL NULL (the pickle path keeps it NULL).  Every converted
+    call site builds its rows from non-null Python ints/floats."""
+    import pandas as pd
+    st = schema if not isinstance(schema, str) \
+        else spark.createDataFrame([], schema).schema
+    pdf = pd.DataFrame.from_records(list(rows), columns=st.names)
+    return spark.createDataFrame(pdf, schema=st)
+
+
 def r6(col: Column, alias: str | None = None) -> Column:
     """Round to 6 dp — for aggregates that cannot be made exact
     (stddev/percentile); relative FP error ~1e-12 makes a 6-dp

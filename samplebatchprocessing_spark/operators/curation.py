@@ -544,7 +544,8 @@ FROM r GROUP BY source
 
 def pack_offsets(df: DataFrame, n_tok_col: str = "n_tok",
                  id_col: str = "doc_id", seq_len: int = 128,
-                 n_parts: int = 32, base_off: int = 0) -> DataFrame:
+                 n_parts: int | None = None,
+                 base_off: int = 0) -> DataFrame:
     """Concat-and-chunk sequence packing — the GPT-2/LLaMA
     pretraining layout: every document's tokens are concatenated in
     one fixed global order (``id_col``) and the stream is cut every
@@ -584,6 +585,15 @@ def pack_offsets(df: DataFrame, n_tok_col: str = "n_tok",
     from pyspark.sql import Window as W
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if n_parts is None:
+        # Scale-adaptive split count (r14, guide §2.5): one range
+        # partition per upstream scan split instead of a constant 32
+        # — locally a 5k-row input is 1-2 splits (the old constant
+        # meant 156-row tasks, pure per-task fixed cost), at 100 TB
+        # the scan is thousands of splits and the range shuffle
+        # keeps that width.  Results are n_parts-invariant
+        # (tests/test_operators.py::test_pack_offsets_n_parts_invariance).
+        n_parts = max(1, df.rdd.getNumPartitions())
     if n_parts < 1:
         raise ValueError(f"n_parts must be >= 1, got {n_parts}")
     if base_off < 0:
@@ -599,8 +609,8 @@ def pack_offsets(df: DataFrame, n_tok_col: str = "n_tok",
         offs.append((pid, base))
         base += int(totals[pid])
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offs, "_pid int, _base bigint") \
-        if offs else spark.createDataFrame([], "_pid int, _base bigint")
+    from ..exprs import local_df
+    off_df = local_df(spark, offs, "_pid int, _base bigint")
     within = (W.partitionBy("_pid").orderBy(id_col)
               .rowsBetween(W.unboundedPreceding, -1))
     start = (F.col("_base")

@@ -549,11 +549,10 @@ def ivf_assign(emb: DataFrame, cmat) -> DataFrame:
         _assign, assign_schema)
 
 
-def ivf_probe_df(emb: DataFrame, query_pred, cmat,
-                 n_probe: int) -> DataFrame:
-    """One (query_id, q_emb, cell) row per probed cell per query —
-    the query side is tiny by contract, so probe cells are computed
-    driver-side and the frame is broadcast into the candidate join."""
+def _probe_arrays(emb: DataFrame, query_pred, cmat, n_probe: int):
+    """(collected query rows, per-query probe-cell matrix) — the
+    driver-side arrays both the probe frame and the probed-cell list
+    derive from (the query side is tiny by contract)."""
     import numpy as np
     q_rows = emb.filter(query_pred).select("vec_id", "embedding").collect()
     if not q_rows:
@@ -561,10 +560,27 @@ def ivf_probe_df(emb: DataFrame, query_pred, cmat,
     qmat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
     probe = np.argsort(-(qmat @ cmat.T), axis=1)[:, :n_probe]
-    return emb.sparkSession.createDataFrame(
+    return q_rows, probe
+
+
+def _probe_frame(spark, q_rows, probe) -> DataFrame:
+    from ..exprs import local_df
+    return local_df(
+        spark,
         [(int(r["vec_id"]), r["embedding"], int(c))
          for r, cells in zip(q_rows, probe) for c in cells],
         "query_id long, q_emb array<float>, cell int")
+
+
+def ivf_probe_df(emb: DataFrame, query_pred, cmat,
+                 n_probe: int) -> DataFrame:
+    """One (query_id, q_emb, cell) row per probed cell per query —
+    the query side is tiny by contract, so probe cells are computed
+    driver-side and the frame is broadcast into the candidate join.
+    Built via ``exprs.local_df`` (r14): the pickled-list form cost a
+    Python-worker round-trip in every consuming stage."""
+    q_rows, probe = _probe_arrays(emb, query_pred, cmat, n_probe)
+    return _probe_frame(emb.sparkSession, q_rows, probe)
 
 
 def ivf_index_write(emb: DataFrame, index_dir: str,
@@ -698,9 +714,13 @@ def ivf_index_probe(spark, index_dir: str, cmat, emb: DataFrame,
     index root (``publish.publish``); the pointer is resolved once
     up front so the probe reads a single consistent version."""
     index_dir = _resolve_layout(index_dir)
-    probe_df = ivf_probe_df(emb, query_pred, cmat, n_probe)
-    cells = sorted({r["cell"] for r in probe_df.select("cell")
-                    .distinct().collect()})
+    # The probed-cell list is already known driver-side in the numpy
+    # probe matrix — collecting it back out of the probe FRAME ran a
+    # 32-task distinct+collect per probe (r14: 9.3 s of blocked
+    # executor runtime for 0.38 s CPU, the pickled-RDD scan cost).
+    q_rows, probe = _probe_arrays(emb, query_pred, cmat, n_probe)
+    probe_df = _probe_frame(spark, q_rows, probe)
+    cells = sorted({int(c) for c in probe.ravel()})
     index = (spark.read.parquet(index_dir)
              .filter(F.col("cell").isin(cells)))
     pairs = (index.join(F.broadcast(probe_df), "cell")

@@ -962,9 +962,14 @@ def postings_probe_and_df(postings: DataFrame, terms: list[str],
         raise ValueError("terms must be non-empty")
     tset = sorted(set(terms))
     spark = postings.sparkSession
+    # local_df (r14): the bucket ids must come from Spark's own
+    # xxhash64 (writer parity), but the term frame is metadata-sized
+    # — the LocalTableScan form evaluates it without the pickled-RDD
+    # scan's per-task Python round-trips.
+    from ..exprs import local_df
     buckets = sorted({
         r["b"] for r in
-        spark.createDataFrame([(t,) for t in tset], "tok string")
+        local_df(spark, [(t,) for t in tset], "tok string")
         .select(F.pmod(F.xxhash64("tok"), F.lit(n_buckets))
                 .cast("int").alias("b")).collect()})
     return (postings.filter(F.col("bucket").isin(buckets)
