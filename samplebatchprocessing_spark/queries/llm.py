@@ -2658,14 +2658,37 @@ def x65_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the X42 model discipline); the only data-scale shuffles are the
     (doc, bucket) count and the per-source rollup."""
     # Stage the gram explode ONCE (the _stage_sets discipline) — the
-    # lambda training and the per-doc scoring both consume it, and an
-    # unstaged shared subtree re-runs the explode per consumer.
-    feats = _dsir_feats(load_table(spark, sf_dir, "documents")) \
-        .localCheckpoint(eager=True)
-    lam = dsir_lambda(spark, sf_dir, feats=feats)
-    dw = (feats.groupBy("doc_id", "source", "b")
-          .agg(F.count(F.lit(1)).alias("c"))
-          .join(F.broadcast(lam), "b")
+    # lambda training and the per-doc scoring both consume it.  r14
+    # (guide §2.3 "aggregate before you shuffle"): stage the PER-DOC
+    # BUCKET COUNTS, not the raw gram explode — the explode's 536k
+    # rows/sf0.1 collapse to 210k (doc, bucket) counts inside the
+    # explode stage's partial aggregation, so the checkpoint
+    # materializes 2.5x fewer rows and both consumers (lambda totals
+    # and the weight rollup) re-scan the narrow aggregate instead of
+    # the full explode.  t_f = sum(c where is_t) == count of target
+    # occurrences (is_t is per-doc), so every integer is unchanged.
+    per_doc = (_dsir_feats(load_table(spark, sf_dir, "documents"))
+               .groupBy("doc_id", "source", "is_t", "b")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .localCheckpoint(eager=True))
+    # The 64-row bucket-count table is bounded metadata (dim = 64 by
+    # construction) — collect it ONCE and re-enter it as a
+    # LocalTableScan, so the tot and lam broadcast builds don't each
+    # re-scan the per-doc checkpoint (measured r14: cnt fed two
+    # separate broadcast jobs = two extra 210k-row scans).  The
+    # log-ratio arithmetic stays IN SPARK over the local frame —
+    # collecting floats and recomputing ln() in Python could diverge
+    # in the last ulp (libm vs java.lang.Math).
+    from ..exprs import local_df
+    cnt_rows = (per_doc.groupBy("b").agg(
+        F.sum("c").alias("r_f"),
+        F.sum(F.when(F.col("is_t"), F.col("c"))
+              .otherwise(F.lit(0))).alias("t_f"))).collect()
+    cnt = local_df(spark,
+                   [(r["b"], r["r_f"], r["t_f"]) for r in cnt_rows],
+                   "b int, r_f bigint, t_f bigint")
+    lam = _dsir_lambda_from_cnt(cnt)
+    dw = (per_doc.join(F.broadcast(lam), "b")
           .groupBy("doc_id", "source")
           .agg(F.sum(F.col("c") * F.col("lam")).alias("w")))
     return dw.groupBy("source").agg(
@@ -2723,7 +2746,6 @@ def dsir_lambda(spark: SparkSession, sf_dir: str,
     broadcasts into batch scoring (X65) or folds into a streaming
     plan as literals (S18).  Pass a staged ``feats`` frame to share
     the gram explode with a scoring pass."""
-    dim = _DSIR_DIM
     if feats is None:
         feats = _dsir_feats(load_table(spark, sf_dir, "documents"))
     # Raw and target counts in ONE pass (conditional sum), so the
@@ -2733,6 +2755,15 @@ def dsir_lambda(spark: SparkSession, sf_dir: str,
     cnt = feats.groupBy("b").agg(
         F.count(F.lit(1)).alias("r_f"),
         F.sum(F.col("is_t").cast("long")).alias("t_f"))
+    return _dsir_lambda_from_cnt(cnt)
+
+
+def _dsir_lambda_from_cnt(cnt: DataFrame) -> DataFrame:
+    """Fold a (b, r_f, t_f) bucket-count frame into the 64-row
+    fixed-point lambda table — shared by :func:`dsir_lambda` (counts
+    from the raw gram explode) and X65 (counts re-aggregated from
+    the staged per-doc frame; identical integers either way)."""
+    dim = _DSIR_DIM
     tot = cnt.agg(F.sum("r_f").alias("R"), F.sum("t_f").alias("T"))
     return (cnt.crossJoin(F.broadcast(tot))
             .select("b", F.floor(1e6 * (

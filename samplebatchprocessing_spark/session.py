@@ -23,6 +23,13 @@ from pyspark.sql import SparkSession
 ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # parallelismFirst stays at its default (true): the r14 A/B
+    # (OPTIMIZATION_r14.md) measured false — Spark's documented
+    # production lean — doubling x120's wall (its per-round
+    # join/window stages are small-BYTES but real CPU, and advisory-
+    # size coalescing serializes them) for no suite CPU win.  Local
+    # partition-count problems are fixed per-operator (spread(),
+    # size-derived repartition) where measurement shows them.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
