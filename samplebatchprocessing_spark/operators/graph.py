@@ -381,13 +381,24 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
     sym = (fwd.unionByName(fwd.select(F.col("v").alias("u"),
                                       F.col("u").alias("v")))
            .localCheckpoint(eager=True))
-    labels = sym.select(F.col("u").alias("node"),
-                        F.col("u").alias("lbl")).distinct()
     w = Window.partitionBy("node").orderBy(
         F.col("cnt").desc(), F.col("lbl"))
+    # r14 (guide §2.3): round 1's neighbor lookup is an IDENTITY join
+    # — the initial label of v is v itself — so the first round reads
+    # (u, v) straight off the edge list, eliding both the initial
+    # node-universe distinct over the symmetrized relation and the
+    # round-1 join.  The multiset fed to the (node, lbl) count is
+    # identical, so every round's labels are bit-identical; the node
+    # universe is unchanged (every endpoint has >= 1 neighbor, so
+    # round 1's groupBy emits every node).
+    labels = None
     for _ in range(rounds):
-        nbr = (sym.join(labels.withColumnRenamed("node", "v"), "v")
-               .select(F.col("u").alias("node"), "lbl"))
+        if labels is None:
+            nbr = sym.select(F.col("u").alias("node"),
+                             F.col("v").alias("lbl"))
+        else:
+            nbr = (sym.join(labels.withColumnRenamed("node", "v"), "v")
+                   .select(F.col("u").alias("node"), "lbl"))
         labels = (nbr.groupBy("node", "lbl")
                   .agg(F.count(F.lit(1)).alias("cnt"))
                   .withColumn("rn", F.row_number().over(w))

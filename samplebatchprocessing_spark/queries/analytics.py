@@ -1806,8 +1806,14 @@ def x96_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded pair frame; the r6 verdict's single-partition fix);
     the 10 winners broadcast back onto the part-frequency dim."""
     from pyspark.sql import Window as W
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey").distinct()
+    # r14 (guide §2.2): hash-partitioning by l_orderkey ALONE
+    # satisfies both the (l_orderkey, l_partkey) distinct (equal
+    # pairs share an orderkey, so they land in one partition) and
+    # the orderkey self-join below — one exchange instead of the
+    # distinct exchange plus a second orderkey exchange per side.
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey")
+          .repartition("l_orderkey").distinct())
     a = li.select("l_orderkey", F.col("l_partkey").alias("p_a"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("p_b"))
     pairs = (a.join(b, "l_orderkey")
@@ -2100,8 +2106,14 @@ def x112_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical edges, degrees, (deg, id)-orientation, wedge-edge
     equi-join — bit-exact integer outputs end to end."""
     from ..operators.graph import triangle_count
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey").distinct()
+    # r14 (guide §2.2): hash-partitioning by l_orderkey ALONE
+    # satisfies both the (l_orderkey, l_partkey) distinct (equal
+    # pairs share an orderkey, so they land in one partition) and
+    # the orderkey self-join below — one exchange instead of the
+    # distinct exchange plus a second orderkey exchange per side.
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey")
+          .repartition("l_orderkey").distinct())
     edges = (li.alias("x").join(li.alias("y"), "l_orderkey")
              .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
              .groupBy(F.col("x.l_partkey").alias("pa"),
@@ -2287,8 +2299,14 @@ def x118_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01, 1 at sf0.001; the Spark side would RAISE at 40 rounds
     before the oracle bound went stale silently)."""
     from ..operators.graph import kcore
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey").distinct()
+    # r14 (guide §2.2): hash-partitioning by l_orderkey ALONE
+    # satisfies both the (l_orderkey, l_partkey) distinct (equal
+    # pairs share an orderkey, so they land in one partition) and
+    # the orderkey self-join below — one exchange instead of the
+    # distinct exchange plus a second orderkey exchange per side.
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey")
+          .repartition("l_orderkey").distinct())
     edges = (li.alias("x").join(li.alias("y"), "l_orderkey")
              .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
              .groupBy(F.col("x.l_partkey").alias("pa"),
@@ -2345,8 +2363,14 @@ def x120_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     eager localCheckpoint per round (the kcore/pagerank idiom) —
     O(rounds x edges) total, no cartesian anywhere (plan-gated)."""
     from ..operators.graph import label_propagation
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey").distinct()
+    # r14 (guide §2.2): hash-partitioning by l_orderkey ALONE
+    # satisfies both the (l_orderkey, l_partkey) distinct (equal
+    # pairs share an orderkey, so they land in one partition) and
+    # the orderkey self-join below — one exchange instead of the
+    # distinct exchange plus a second orderkey exchange per side.
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey")
+          .repartition("l_orderkey").distinct())
     edges = (li.alias("x").join(li.alias("y"), "l_orderkey")
              .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
              .groupBy(F.col("x.l_partkey").alias("pa"),

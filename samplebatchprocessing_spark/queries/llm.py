@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..exprs import bounded_part, sql_davg
+from ..exprs import bounded_part, local_df, sql_davg
 from ..operators import curation, dedup, similarity, text
 from ..operators.text import token_set_sql, tokenize_sql
 
@@ -2019,9 +2019,14 @@ def x44_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation."""
     doc = load_table(spark, sf_dir, "documents")
     merges = text.bpe_train_merges(doc, n_merges=8)
-    return spark.createDataFrame(
-        merges, "round int, left string, right string, "
-                "merged string, pair_count long")
+    # local_df (r14, guide §4): the 8-row merge table re-entered
+    # Spark as a pickled RDD — a 32-task Python-worker stage (~10 s
+    # tree CPU) to scan 8 driver rows.  Rows are non-null
+    # ints/strings by construction (argmax rows), so the Arrow
+    # LocalTableScan path is value-identical.
+    return local_df(
+        spark, merges, "round int, left string, right string, "
+                       "merged string, pair_count long")
 
 
 def _x44_sql(n_merges: int = 8) -> str:
@@ -2679,7 +2684,7 @@ def x65_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # log-ratio arithmetic stays IN SPARK over the local frame —
     # collecting floats and recomputing ln() in Python could diverge
     # in the last ulp (libm vs java.lang.Math).
-    from ..exprs import local_df
+
     cnt_rows = (per_doc.groupBy("b").agg(
         F.sum("c").alias("r_f"),
         F.sum(F.when(F.col("is_t"), F.col("c"))
