@@ -1618,14 +1618,21 @@ def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
     declared domain (a short-string tier would pair them separately
     — at real scale they are the cheap tier)."""
     grams = F.array_distinct(F.expr(
-        f"transform(sequence(1, length({text_col}) - {q - 1}), "
-        f"i -> substring({text_col}, i, {q}))"))
-    base = (df.select(id_col, F.col(text_col).alias("__txt"),
-                      F.length(text_col).alias("len"),
-                      grams.alias("g"))
+        f"transform(sequence(1, length(__txt) - {q - 1}), "
+        f"i -> substring(__txt, i, {q}))"))
+    # r14 (guide §2.3/§6): the base checkpoint used to materialize
+    # the per-doc DISTINCT GRAM ARRAY (a ~|G|-string nested column)
+    # alongside the text — a 1.8 s single-task stage at sf0.1 whose
+    # array was then only ever exploded or size()d.  Checkpoint the
+    # narrow (id, text, len) frame instead, and materialize the
+    # FLAT exploded gram relation once (it feeds dfreq, the prefix
+    # window, and the mask build — three consumers).
+    base = (df.select(id_col, F.col(text_col).alias("__txt"))
+            .withColumn("len", F.length("__txt"))
             .filter(F.col("len") >= q * (k + 1))
             .localCheckpoint(eager=True))   # feeds prefix + 2 verify branches
-    ex = base.select(id_col, "len", F.explode("g").alias("gram"))
+    ex = (base.select(id_col, "len", F.explode(grams).alias("gram"))
+          .localCheckpoint(eager=True))
     dfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "gram")
     prefix = (ex.join(dfreq, "gram")
@@ -1671,17 +1678,20 @@ def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
         wb = Window.partitionBy(bounded_part("df")).orderBy("df", "gram")
         bits = dfreq.withColumn(
             "bit", (F.row_number().over(wb) - 1).cast("int"))
+        # __n (the doc's distinct-gram count) is exactly this
+        # aggregation's row count — computing it here retires the
+        # former size(g) + base-join (one join and one shuffle
+        # fewer; r14).
         masks = (ex.join(bits, "gram")
                  .groupBy(id_col)
-                 .agg(*[F.expr(
-                     f"bit_or(case when bit div 63 = {wi} then "
-                     f"shiftleft(1L, cast(bit % 63 as int)) "
-                     f"else 0L end)").alias(f"__m{wi}")
-                     for wi in range(n_words)]))
+                 .agg(F.count(F.lit(1)).alias("__n"),
+                      *[F.expr(
+                          f"bit_or(case when bit div 63 = {wi} then "
+                          f"shiftleft(1L, cast(bit % 63 as int)) "
+                          f"else 0L end)").alias(f"__m{wi}")
+                          for wi in range(n_words)]))
         mcols = [f"__m{wi}" for wi in range(n_words)]
-        info = (base.select(id_col, F.size("g").alias("__n"))
-                .join(masks, id_col)
-                .withColumnRenamed(id_col, "pid"))
+        info = masks.withColumnRenamed(id_col, "pid")
         # Stage the mask-carrying prefix relation ONCE and pin the
         # candidate join's width (r14): unstaged, the whole
         # explode->dfreq->window->mask subtree executed twice (plan
@@ -1732,14 +1742,19 @@ def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
                 .filter((F.col("ida") < F.col("idb"))
                         & (F.abs(F.col("la") - F.col("lb")) <= k))
                 .select("ida", "idb").distinct())
-        ta = base.select(F.col(id_col).alias("ida"),
-                         F.col("__txt").alias("__ta"),
-                         F.size("g").alias("__na"),
-                         F.col("g").alias("__ga"))
-        tb = base.select(F.col(id_col).alias("idb"),
-                         F.col("__txt").alias("__tb"),
-                         F.size("g").alias("__nb"),
-                         F.col("g").alias("__gb"))
+        # the open-vocab verify needs the gram ARRAYS — materialize
+        # them once here (this branch only; the bitmap branch never
+        # pays for the nested column)
+        gbase = (base.withColumn("g", grams)
+                 .localCheckpoint(eager=True))
+        ta = gbase.select(F.col(id_col).alias("ida"),
+                          F.col("__txt").alias("__ta"),
+                          F.size("g").alias("__na"),
+                          F.col("g").alias("__ga"))
+        tb = gbase.select(F.col(id_col).alias("idb"),
+                          F.col("__txt").alias("__tb"),
+                          F.size("g").alias("__nb"),
+                          F.col("g").alias("__gb"))
         count_ok = (F.size(F.array_intersect("__ga", "__gb"))
                     >= F.greatest("__na", "__nb") - q * k)
         verified = (cand.join(ta, "ida").join(tb, "idb")
