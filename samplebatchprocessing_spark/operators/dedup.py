@@ -652,13 +652,18 @@ def _lsh_pairs_from_sets(sets_df: DataFrame,
     rpb = _check_bands(n_bands)
     sigs = (sets_df.withColumn("_hs", _h31_expr(F.col("toks")))
             .select("doc_id", _sig_from_hashes(F.col("_hs")).alias("sig")))
-    bands = sigs.select(
+    # r14 (guide §2.4): both sides of the band self-join consumed
+    # this subtree, recomputing the 32-hash MinHash signature per
+    # side (~0.6 s each at sf0.1).  One eager checkpoint of the
+    # narrow (doc_id, band_idx, band_hash) relation computes it once.
+    bands = (sigs.select(
         "doc_id",
         F.posexplode(F.array(*[
             F.hash(*[F.col("sig")[i] for i in
                      range(b * rpb, (b + 1) * rpb)])
             for b in range(n_bands)
         ])).alias("band_idx", "band_hash"))
+        .localCheckpoint(eager=True))
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
     return (a.join(b, ["band_idx", "band_hash"])
