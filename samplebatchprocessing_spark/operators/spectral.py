@@ -30,10 +30,9 @@ Rayleigh quotient (the top-eigenvalue estimate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..exprs import bounded_part
 
 from .clustering import QUANT_SCALE, quantize_vec
 
@@ -78,46 +77,39 @@ def power_iteration_top5(emb: DataFrame, iters: int = 3,
     """X92 report: top-5 |component| dims of the dominant eigenvector
     after ``iters`` fixed-point rounds from the all-ones start, plus
     the x1000 Rayleigh quotient."""
-    # The Gram frame is referenced by every iteration AND the
-    # Rayleigh join — without materialization Spark re-executes the
-    # whole corpus scan per reference (measured: 89 scans at
-    # iters=3).  It is dim^2 = 4096 rows: eager-localCheckpoint it
-    # once (the r5 staging discipline), and truncate each
-    # iteration's lineage the same way (64 rows) so the DAG depth
-    # stays O(1) per round instead of compounding.
-    g = gram_matrix(emb, vec_col).localCheckpoint(eager=True)
-    u = (g.select("j").distinct()
-         .select("j", F.lit(U_SCALE).cast("decimal(38,0)").alias("val")))
+    # The only data-scale pass is the Gram scan; the matrix itself is
+    # dim^2 = 4096 rows of bounded METADATA.  r14 (guide §5): the
+    # iteration used to run RELATIONALLY over that 64-row frame —
+    # ~12 scheduler round-trips (3 rounds x join/agg/max/checkpoint
+    # plus the Rayleigh joins and the rank window) for ~1 s of actual
+    # task CPU, measured 4.3-6.5 s wall at sf0.1.  Collect the Gram
+    # once and run the SAME fixed-point recurrence in exact Python
+    # integer arithmetic: every quantity is an integer, Python's //
+    # IS the portable floor division ``_fdiv`` encodes (and Python
+    # ints exceed decimal(38,0) range, so no precision edge exists),
+    # so the trajectory is bit-identical — locked by the unchanged
+    # DuckDB twin and tests/test_invariants.py.
+    spark = emb.sparkSession
+    s = {(r["i"], r["j"]): r["s"]
+         for r in gram_matrix(emb, vec_col).collect()}
+    u = {j: U_SCALE for j in sorted({j for _, j in s})}
     for _ in range(iters):
-        w = (g.join(u, "j")
-             .groupBy(F.col("i").alias("j"))
-             .agg(F.sum(F.col("s").cast("decimal(38,0)")
-                        * F.col("val")).alias("w")))
-        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
-        u = (w.crossJoin(F.broadcast(m))
-             .select("j", F.expr(
-                 _fdiv(f"w * {U_SCALE}", "m")).alias("val"))
-             .localCheckpoint(eager=True))
+        w = {i: 0 for i in u}
+        for (i, j), v in s.items():
+            w[i] += v * u[j]
+        m = max(abs(x) for x in w.values())
+        u = {j: (w[j] * U_SCALE) // m for j in w}
     # Rayleigh estimate of the top eigenvalue: u^T G u / u^T u, x1000
-    ugu = (g.join(u.select(F.col("j").alias("i"),
-                           F.col("val").alias("ui")), "i")
-           .join(u.select("j", F.col("val").alias("uj")), "j")
-           .agg(F.sum(F.col("s").cast("decimal(38,0)")
-                      * F.col("ui") * F.col("uj")).alias("ugu")))
-    uu = u.agg(F.sum(F.col("val") * F.col("val")).alias("uu"))
-    ray = (ugu.crossJoin(uu)
-           .select(F.expr(_fdiv("ugu * 1000", "uu"))
-                   .cast("long").alias("rayleigh_x1000")))
-    # frame = dim rows (64); r7 bounded_part silences the bench-tail
-    # WindowExec warnings that masked real single-partition regressions
-    wnd = (W.partitionBy(bounded_part("j"))
-           .orderBy(F.abs(F.col("val")).desc(), F.col("j")))
-    top = (u.withColumn("rank", F.row_number().over(wnd))
-           .filter(F.col("rank") <= 5))
-    return (top.crossJoin(F.broadcast(ray))
-            .select("rank", F.col("j").alias("dim"),
-                    F.col("val").cast("long").alias("component"),
-                    "rayleigh_x1000"))
+    ugu = sum(v * u[i] * u[j] for (i, j), v in s.items())
+    uu = sum(v * v for v in u.values())
+    ray = (ugu * 1000) // uu
+    top = sorted(u.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:5]
+    from ..exprs import local_df
+    return local_df(
+        spark,
+        [(rk + 1, j, int(val), int(ray))
+         for rk, (j, val) in enumerate(top)],
+        "rank int, dim int, component long, rayleigh_x1000 long")
 
 
 def power_iteration_sql(iters: int = 3, table: str = "embeddings",
