@@ -12,12 +12,13 @@ Design (the X47 k-means discipline applied to a spectral op):
   matmuls (`mapInPandas`) reduced by one 4096-key aggregate —
   integer sums, so accumulation ORDER is irrelevant and the result
   is exact no matter how Spark partitions the corpus;
-- power iteration runs RELATIONALLY on the 4096-row Gram frame:
-  each round is one join + 64-key aggregate in decimal(38,0), then a
-  fixed-point renormalization ``u * 2^20 fdiv max|u|`` using the
-  portable floor-division form (Spark DIV truncates toward zero,
-  DuckDB // floors — the subtract-remainder form agrees on both for
-  any sign);
+- power iteration runs DRIVER-SIDE over the collected dim^2-row Gram
+  (bounded metadata; r14) in exact Python integers: each round is a
+  matrix-vector product then a fixed-point renormalization
+  ``u * 2^20 fdiv max|u|`` where Python's ``//`` is the same
+  portable floor division the DuckDB twin encodes (Spark DIV
+  truncates toward zero, DuckDB // floors — the subtract-remainder
+  form agrees on both for any sign);
 - a fixed iteration count (no convergence test) keeps the trajectory
   bit-replayable; the DuckDB twin unrolls the same rounds as a CTE
   chain over a relational pair-join Gram.
