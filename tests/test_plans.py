@@ -724,16 +724,17 @@ def test_attribution_join_is_user_keyed(spark, sf_smoke):
 
 def test_power_iteration_gram_is_single_scan(spark, sf_smoke):
     """X92's only data-scale pass is the partial-Gram mapInPandas
-    scan, materialized ONCE by eager localCheckpoint: the final plan
-    must contain ZERO parquet scans (before the checkpoint fix it
-    re-executed the corpus scan per Gram reference — measured 89
-    scans at iters=3) and read only checkpointed frames."""
+    scan, consumed exactly once: the returned report must contain
+    ZERO parquet scans (the r5 bug re-executed the corpus scan per
+    Gram reference — measured 89 scans at iters=3; since r14 the
+    iteration runs driver-side on the collected Gram, so the report
+    is a LocalTableScan and the no-rescan property is structural)."""
     from samplebatchprocessing_spark.queries.llm import (
         x92_dominant_direction)
     plan = plan_str(x92_dominant_direction(spark, sf_smoke), "simple")
     n_scans = plan.count("Scan parquet")
     assert n_scans == 0, f"Gram lineage leaked into the plan: {n_scans}"
-    assert "Scan ExistingRDD" in plan
+    assert "LocalTableScan" in plan
 
 
 def test_skipping_report_truth_is_pushed_down(spark, sf_smoke):
@@ -1148,3 +1149,44 @@ def test_w11_window_runs_on_group_relation_not_corpus(spark, sf_smoke):
     simple = plan_str(w11_groups_frame(spark, sf_smoke), "simple")
     assert simple.count("Window") == 1
     assert simple.count("HashAggregate") == 2
+
+
+def test_copurchase_edges_single_pre_join_exchange(spark, sf_smoke):
+    """r14: the co-purchase edge construction (x96/x112/x118/x120)
+    hash-partitions the (orderkey, partkey) pairs by l_orderkey
+    BEFORE the distinct, so that ONE exchange satisfies both the
+    distinct and the orderkey self-join — no second per-side
+    orderkey exchange.  The plan must show exactly one partitioning
+    exchange on l_orderkey and no (l_orderkey, l_partkey) exchange."""
+    from pyspark.sql import functions as F
+    from samplebatchprocessing_spark.catalog import load_table
+    li = (load_table(spark, sf_smoke, "lineitem")
+          .select("l_orderkey", "l_partkey")
+          .repartition("l_orderkey").distinct())
+    edges = (li.alias("x").join(li.alias("y"), "l_orderkey")
+             .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+             .groupBy(F.col("x.l_partkey").alias("pa"),
+                      F.col("y.l_partkey").alias("pb"))
+             .agg(F.count(F.lit(1)).alias("n_orders")))
+    plan = plan_str(edges)
+    import re
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    pre_join = [p for p in parts if "l_orderkey" in p]
+    # all orderkey-side exchanges key on l_orderkey ALONE (the reused
+    # repartition), never on the (l_orderkey, l_partkey) pair
+    assert pre_join, plan
+    assert all("l_partkey" not in p for p in pre_join), plan
+
+
+def test_power_iteration_result_is_local_scan(spark, sf_smoke):
+    """r14: x92's fixed-point iteration runs driver-side over the
+    collected dim^2 Gram (bounded metadata); the returned report must
+    plan as a LocalTableScan — no joins, no exchanges, no windows."""
+    from samplebatchprocessing_spark.catalog import load_table
+    from samplebatchprocessing_spark.operators.spectral import (
+        power_iteration_top5)
+    emb = load_table(spark, sf_smoke, "embeddings")
+    plan = plan_str(power_iteration_top5(emb, iters=3), "simple")
+    assert "LocalTableScan" in plan
+    for node in ("Join", "Exchange", "Window"):
+        assert node not in plan, plan
