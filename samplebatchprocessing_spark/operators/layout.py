@@ -54,6 +54,8 @@ def compact_prefix(spark: SparkSession, src_dir: str, dst_dir: str,
     files_after = sum(1 for f in os.listdir(dst_dir)
                       if f.endswith(".parquet"))
     rows = spark.read.parquet(dst_dir).count()
-    return spark.createDataFrame(
+    from ..exprs import local_df
+    return local_df(
+        spark,
         [(files_before, files_after, rows)],
         "files_before int, files_after int, rows long")

@@ -965,7 +965,8 @@ def x58_cluster_size_histogram(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_clusters")))
     n_single = (doc.select("doc_id")
                 .join(clusters, "doc_id", "left_anti").count())
-    single = doc.sparkSession.createDataFrame(
+    single = local_df(
+        doc.sparkSession,
         [(1, n_single)], "cluster_size long, n_clusters long")
     return hist.unionByName(single)
 
@@ -1289,7 +1290,8 @@ def x132_lsh_index_lifecycle(spark: SparkSession,
                                 batch.count())
     n_index = spark.read.parquet(idx).count()
     complete = n_index == (n_base + n_delta) * dedup.N_BANDS
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(n_base, n_delta, n_batch, complete, append_parity,
           inflight_parity)],
         "n_base long, n_delta long, n_batch long, "
@@ -1367,7 +1369,8 @@ def l17_lsh_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout_restored = (set(before) == set(after)
                        and all(v == 1 for v in after.values())
                        and sum(before.values()) > sum(after.values()))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(base.count(), delta.count(), compact_parity, probe_parity,
           layout_restored)],
         "n_base long, n_delta long, compact_parity boolean, "
@@ -2444,7 +2447,8 @@ def x81_entity_resolution(spark: SparkSession,
         F.count(F.lit(1)).alias("nodes"),
         F.countDistinct("cluster_id").alias("n_clusters")).collect()[0]
     n_canonical = n_rec - (cl["nodes"] - cl["n_clusters"])
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(n_rec, n_cand, n_match, int(cl["nodes"]),
           int(cl["n_clusters"]), int(n_canonical))],
         "n_records long, n_candidate_pairs long, n_matches long, "
@@ -4015,7 +4019,8 @@ def x108_lsh_parameter_sweep(spark: SparkSession,
                      / F.count(F.lit(1))).alias("recall")))
         row = agg.first()
         recalls[nb] = row["recall"]
-        rep = spark.createDataFrame(
+        rep = local_df(
+        spark,
             [(nb, 32 // nb, row["n_true_pairs"],
               bool(row["recall"] >= bounds[nb]))],
             "bands int, rows_per_band int, n_true_pairs long, "
@@ -4137,7 +4142,8 @@ def x87_ann_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
               and a.count() > 0)
     n_base, n_delta = base.count(), delta.count()
     merged_rows = spark.read.parquet(idx).count()
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(n_base, n_delta, merged_rows == n_base + n_delta, parity)],
         "n_base long, n_delta long, merge_complete boolean, "
         "probe_parity boolean")
@@ -4208,7 +4214,8 @@ def x133_ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity = (a.exceptAll(b).count() == 0
               and b.exceptAll(a).count() == 0
               and a.count() > 0)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(base.count(), delta.count(), conserved, parity)],
         "n_base long, n_delta long, conserved boolean, "
         "recluster_equals_rebuild boolean")
@@ -4293,7 +4300,8 @@ def x134_maintenance_sweep(spark: SparkSession,
     probe_invariant = (before.exceptAll(after).count() == 0
                        and after.exceptAll(before).count() == 0
                        and before.count() > 0)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(base.count(), delta.count(), batch.count(),
           not r0["due"], bool(r1["acted"]), not r2["due"],
           layout_restored, probe_invariant,
@@ -4390,7 +4398,8 @@ def x135_vocab_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                      and enc_mem.exceptAll(enc_pub).count() == 0)
     tokens_v2 = enc_pub.agg(F.sum("n_pieces")).first()[0]
 
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(doc.count(), ver1, ver2, len(served1), len(served2),
           tokens_v1, tokens_v2, served_parity, os.path.isdir(v1))],
         "n_docs long, version_first int, version_after int, "
@@ -4566,7 +4575,8 @@ def x136_model_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cm = _nb_score_eval(doc, base.drop("is_delta"), cnt_live,
                         priors=(np_live, nn_live))
-    lifecycle = spark.createDataFrame(
+    lifecycle = local_df(
+        spark,
         [(ver1, ver2, published_parity, os.path.isdir(v1))],
         "version_first int, version_after int, "
         "published_parity boolean, old_layout_alive boolean")
@@ -4644,7 +4654,8 @@ def x137_vocab_retrain_sweep(spark: SparkSession,
                                              n_merges=4)
     r2 = maintenance.vocab_maintenance_sweep(spark, root, drifted,
                                              n_merges=4)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(doc.count(), not r0["due"], bool(r1["acted"]),
           not r2["due"], r2["version_after"], f1,
           r1["fertility_fresh_x1000"],
@@ -4749,7 +4760,8 @@ def x138_model_retrain_sweep(spark: SparkSession,
     fresh = lab.withColumn("text", F.reverse(F.col("text")))
     s1 = maintenance.nb_maintenance_sweep(spark, root, fresh)
     s2 = maintenance.nb_maintenance_sweep(spark, root, fresh)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(lab.count(), not s0["due"], bool(s1["acted"]),
           not s2["due"], s2["version_after"], s1["oov_x1000"],
           s2["oov_x1000"], s0["model_prior_x1000"])],
@@ -5333,7 +5345,8 @@ def x126_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * (n_corpus - 1)))
     mono = all(recalls[a] <= recalls[b]
                for a, b in ((1, 2), (2, 4), (4, 8), (8, 16)))
-    return (spark.createDataFrame(
+    return (local_df(
+        spark,
         rows, "n_probe int, n_queries bigint,"
         " recall_meets_floor boolean, full_probe_scans_all boolean")
         .withColumn("recall_monotone", F.lit(mono))

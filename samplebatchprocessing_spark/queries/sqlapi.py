@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
-from ..exprs import dsum, sql_davg, sql_dsum
+from ..exprs import dsum, local_df, sql_davg, sql_dsum
 from ..operators.scd import scd2_apply, upsert
 from ..operators.skew import salted_join
 
@@ -1551,7 +1551,8 @@ def m13_index_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                       and before.count() > 0)
     publish.prune(root, keep=2)
     old_layout_alive = os.path.isdir(v1)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(base.count(), delta.count(), batch.count(), routed_parity,
           swap_invariant, crash_leaves_old_live, old_layout_alive,
           publish.current_version(root))],
@@ -1646,7 +1647,8 @@ def m13b_store_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                       and before.count() > 0)
     pub.prune(keep=2)
     old_layout_alive = bool(store.list(f"{v1}/"))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(base.count(), delta.count(), batch.count(), routed_parity,
           swap_invariant, crash_leaves_old_live, old_layout_alive,
           pub.current_version())],
@@ -1778,7 +1780,8 @@ def m14_cas_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_batch_rb = int(_json.loads(store.get(
         f"{pub_b.resolve()}/part-0.json"))["n_batch"])
 
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(n_base, n_delta, n_batch_rb, race_both_landed,
           prune_kept_racer, no_lost_updates,
           pub_b.current_version())],

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..exprs import DEC, dsum, sql_dsum
+from ..exprs import DEC, dsum, local_df, sql_dsum
 from ..streaming.jobs import events_stream, run_available_now
 
 _HOUR_US = 3600 * 1_000_000
@@ -1242,7 +1242,8 @@ def s27_stream_vocab_encode(spark: SparkSession,
         F.min("vocab_version").alias("vlo"),
         F.max("vocab_version").alias("vhi")).first()
 
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(p1_row["n"], p2_row["n"], p1_row["tok"], p2_row["tok"],
           int(p1_row["vlo"]), int(p2_row["vhi"]),
           bool(p1_row["vlo"] == p1_row["vhi"]
