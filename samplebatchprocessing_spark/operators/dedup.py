@@ -1697,35 +1697,47 @@ def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
                           for wi in range(n_words)]))
         mcols = [f"__m{wi}" for wi in range(n_words)]
         info = masks.withColumnRenamed(id_col, "pid")
-        # Stage the mask-carrying prefix relation ONCE and pin the
-        # candidate join's width (r14): unstaged, the whole
-        # explode->dfreq->window->mask subtree executed twice (plan
-        # ops 16-55 duplicated as 61-115 in the r14 before capture);
-        # un-pinned, AQE coalesces the small-bytes gram shuffle to
-        # ~11 lumpy partitions under a join that evaluates ~54 M
-        # same-gram pairs (measured sf0.1).  The explicit gram-keyed
-        # repartition is exempt from AQE coalescing and matches the
-        # join's required distribution, so the sort-merge join adds
-        # no further exchange.  Measured r14 (median of 3, quiet):
-        # 7.2 s -> 6.2 s wall at flat tree-CPU; wider-spread
-        # variants (input spread, spread-everything) REGRESSED
-        # tree-CPU 3-5x from this box's ~0.15 s-per-task fixed cost
-        # and were rejected — see OPTIMIZATION_r14.md.
+        # Stage the mask-carrying prefix relation ONCE (r14):
+        # unstaged, the whole explode->dfreq->window->mask subtree
+        # executed twice (plan ops 16-55 duplicated as 61-115 in
+        # the r14 before capture).  An explicit 32-wide gram-keyed
+        # repartition lived here while the candidate join evaluated
+        # ~54 M same-gram pairs; the length banding below cut that
+        # to ~2.6 M, after which the forced width was pure per-task
+        # fixed cost — A/B at sf0.1 (3 runs each): forced-32
+        # 6.4-7.1 s wall / 23-30 s tree CPU vs AQE-sized 5.5-6.2 s
+        # / 18-22 s.  AQE's byte-proportional sizing is right again
+        # once the fan-out matches the bytes, so the join is left
+        # to it (guide §2.2).
         pm = prefix.join(info, "pid").localCheckpoint(eager=True)
-        pm = pm.repartition(
-            pm.sparkSession.sparkContext.defaultParallelism, "gram")
+        # LENGTH BANDING on the join key (r14, guide §3 "avoid
+        # exploding joins"): |la - lb| <= k puts a qualifying pair
+        # in the same or adjacent width-(k+1) length band, so
+        # joining on (gram, band) with one side exploded to its 3
+        # adjacent bands enumerates only length-compatible pairs —
+        # measured sf0.1: 4.2% of same-gram pairs survive the
+        # length filter, so the join stops evaluating the other
+        # ~96% (54 M -> ~2.6 M pair evaluations).  Lossless: the
+        # exact |la - lb| <= k filter below is unchanged, banding
+        # only prunes pairs that filter already rejected.  Both
+        # sides stay hash-partitioned by gram ({gram} is a subset
+        # of the (gram, band) join keys), so no new exchange.
+        band = F.floor(F.col("len") / F.lit(k + 1)).cast("int")
         pa = pm.select(F.col("pid").alias("ida"),
                        F.col("len").alias("la"),
                        F.col("__n").alias("__na"), "gram",
+                       band.alias("band"),
                        *[F.col(m).alias("__a" + m) for m in mcols])
         pb = pm.select(F.col("pid").alias("idb"),
                        F.col("len").alias("lb"),
                        F.col("__n").alias("__nb"), "gram",
+                       F.explode(F.array(band - 1, band,
+                                         band + 1)).alias("band"),
                        *[F.col(m).alias("__b" + m) for m in mcols])
         shared = sum(F.bit_count(
             F.col("__a" + m).bitwiseAND(F.col("__b" + m)))
             for m in mcols)
-        cand = (pa.join(pb, "gram")
+        cand = (pa.join(pb, ["gram", "band"])
                 .filter((F.col("ida") < F.col("idb"))
                         & (F.abs(F.col("la") - F.col("lb")) <= k)
                         & (shared >= F.greatest("__na", "__nb")
@@ -1739,11 +1751,17 @@ def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
                                       F.col("__txt").alias("__tb")),
                           "idb"))
     else:
+        # same length banding as the bitmap branch (lossless — the
+        # exact length filter below is unchanged)
+        band = F.floor(F.col("len") / F.lit(k + 1)).cast("int")
         a = prefix.select(F.col("pid").alias("ida"),
-                          F.col("len").alias("la"), "gram")
+                          F.col("len").alias("la"), "gram",
+                          band.alias("band"))
         b = prefix.select(F.col("pid").alias("idb"),
-                          F.col("len").alias("lb"), "gram")
-        cand = (a.join(b, "gram")
+                          F.col("len").alias("lb"), "gram",
+                          F.explode(F.array(band - 1, band,
+                                            band + 1)).alias("band"))
+        cand = (a.join(b, ["gram", "band"])
                 .filter((F.col("ida") < F.col("idb"))
                         & (F.abs(F.col("la") - F.col("lb")) <= k))
                 .select("ida", "idb").distinct())

@@ -1017,6 +1017,39 @@ def test_qgram_edit_join_bitmap_equals_array_path(spark, sf_smoke):
     assert fast == slow and fast
 
 
+def test_qgram_edit_join_finds_cross_band_pairs(spark):
+    """X116 length banding (r14): the candidate join keys on
+    (gram, len // (k+1)) with one side exploded to its adjacent
+    bands, so a qualifying pair whose lengths straddle a band
+    boundary at the maximum |la - lb| = k must still surface.
+    Construct pairs sitting exactly on the boundary — len w*(k+1)-1
+    vs w*(k+1)+k-1 (bands w-1 and w, length gap exactly k) — in
+    both length orders, and a control pair at gap k+1 that must NOT
+    surface."""
+    from samplebatchprocessing_spark.operators.dedup import (
+        qgram_edit_pairs)
+    k, q = 3, 2
+    w = k + 1
+    # lengths 4*w-1=15 (band 3) and 4*w+k-1=18 (band 4): gap k,
+    # adjacent bands.  Edit distance == 3 (three appended chars).
+    base = "abcdefgh" + "ijklmno"           # len 15
+    longer = base + "xyz"                   # len 18, ed 3
+    too_far = base + "wxyz"                 # len 19, ed 4 > k
+    # reversed length order (smaller id holds the LONGER text), on
+    # a disjoint alphabet so no cross pairs with docs 1-3
+    rbase = "ABCDEFGH" + "IJKLMNO"
+    rows = [(1, base), (2, longer), (3, too_far),
+            (4, rbase + "XYZ"), (5, rbase)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for cf in ("auto", "array"):
+        pairs = {(r["doc_a"], r["doc_b"])
+                 for r in qgram_edit_pairs(df, k=k, q=q,
+                                           count_filter=cf).collect()}
+        assert (1, 2) in pairs, cf
+        assert (4, 5) in pairs, cf
+        assert (1, 3) not in pairs, cf
+
+
 def test_cc_two_phase_rejects_nonpositive_max_iter(spark):
     """r8 (ADVICE): max_iter < 1 skips the loop entirely, leaving
     delta at its 0 sentinel — which would bypass the non-convergence
