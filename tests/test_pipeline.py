@@ -204,9 +204,11 @@ def test_watch_daemon_two_drops_and_stop(spark, bucket, sf_smoke):
     try:
         # generous: under full-suite load with concurrent Spark apps
         # the 0.5 s poll loop's micro-batches can each take seconds
-        # (a 90 s deadline expired once under a 4-session box);
-        # polling means a healthy run never waits this long
-        deadline = time.time() + 240
+        # (a 90 s deadline expired once under a 4-session box, and
+        # 240 s expired once in r14 under a hypervisor burst that
+        # starved single queries 5x for minutes); polling means a
+        # healthy run never waits this long
+        deadline = time.time() + 600
         while n_out() < 4 and time.time() < deadline:
             time.sleep(0.2)
         assert n_out() == 4, "startup backlog not drained"
@@ -222,7 +224,7 @@ def test_watch_daemon_two_drops_and_stop(spark, bucket, sf_smoke):
         shutil.copy(extra, tmp)
         os.rename(tmp,
                   os.path.join(bucket, "input", "late_arrival.bin"))
-        deadline = time.time() + 240   # fresh budget for the live drop
+        deadline = time.time() + 600   # fresh budget for the live drop
         while n_out() < 5 and time.time() < deadline:
             time.sleep(0.2)
         assert n_out() == 5, "live drop not picked up by the poll loop"
