@@ -863,12 +863,18 @@ def x70_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(2 * F.col("cum") >= F.col("tot"))
                 .groupBy("source")
                 .agg(F.min(val_col).alias(out_name)))
-    med = _median_of(doc, "n_chars", "median_chars")
+    # med feeds 3 consumers and mad 2 — unstaged, each re-executes
+    # the whole histogram+window lineage (98 Exchanges in the r14
+    # registry plan audit; ~24 staged).  Both are per-source 20-row
+    # frames, the x65/x92 shared-subtree discipline applies (r14).
+    med = _median_of(doc, "n_chars",
+                     "median_chars").localCheckpoint(eager=True)
     dev = (doc.join(F.broadcast(med), "source")
            .select("source",
                    F.abs(F.col("n_chars") - F.col("median_chars"))
                    .alias("dev")))
-    mad = _median_of(dev, "dev", "mad_chars")
+    mad = _median_of(dev, "dev",
+                     "mad_chars").localCheckpoint(eager=True)
     flags = (doc.join(F.broadcast(med), "source")
              .join(F.broadcast(mad), "source")
              .groupBy("source")
