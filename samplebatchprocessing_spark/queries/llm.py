@@ -3697,10 +3697,15 @@ def x101_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = base.select(F.col("vec_id").alias("id_b"),
                     F.col("embedding").alias("e_b"), "bkt")
     cos = F.round(cosine_expr(F.col("e_a"), F.col("e_b")), 6)
+    # found feeds 3 consumers (tp/fn/extra) — unstaged, each re-ran
+    # the whole detector (bucket self-join + 64-dim cosine; the
+    # embeddings table appeared 16x in the r14 plan audit).  The
+    # pair list is candidate-sized; stage it once (r14, §2.4).
     found = (a.join(b, "bkt")
              .filter(F.col("id_a") < F.col("id_b"))
              .filter(cos >= 0.9)
-             .select("id_a", "id_b"))
+             .select("id_a", "id_b")
+             .localCheckpoint(eager=True))
     truth = (emb.filter(F.col("vec_id") % 25 == 0)
              .select(F.col("vec_id").alias("id_a"),
                      (F.col("vec_id") + 100000).alias("id_b")))
