@@ -5611,6 +5611,14 @@ def _nb_score_eval(doc: DataFrame, base: DataFrame,
     training paths, where the two are identical by construction)."""
     is_pos = (F.col("source") == "src0")
     is_test = (F.col("doc_id") % 3 == 0)
+    # cnt is VOCABULARY-sized but its lineage is a full tokenize+
+    # count pass over the train slice (two passes for x128's merged
+    # form), and it feeds two consumers here (tot, w) — unstaged,
+    # the pass re-ran per consumer (documents scanned 8x in x115's
+    # plan, 12x in x128's; r14 plan audit).  Stage it once — the
+    # x65 discipline: materialize the bounded derived relation, not
+    # the data-scale explode.
+    cnt = cnt.localCheckpoint(eager=True)
     tot = cnt.agg(F.sum("pc").alias("p_tot"), F.sum("nc").alias("n_tot"),
                   F.count(F.lit(1)).alias("v"))
     w = (cnt.crossJoin(F.broadcast(tot))
