@@ -438,16 +438,28 @@ def bigram_model_frames(df: DataFrame, vocab_size: int = 100,
     vocab = (counts.withColumn("_r", F.row_number().over(wv))
              .filter(F.col("_r") <= vocab_size)
              .select("token", F.lit(True).alias("in_vocab")))
+    # The three model frames are by-contract-small (<= vocab_size+1
+    # rows, <= (vocab_size+1)^2 for cb) but each carries a full
+    # tokenize(+map, +lag) pass in its lineage, and every consumer
+    # re-ran it (x42's plan scanned documents 6x; r14 plan audit).
+    # Stage them once — the x65/NB discipline: materialize the
+    # bounded derived relation, never the data-scale bg stream.
+    # All callers train on batch frames (the streaming path trains
+    # on the static table and only SCORES the stream), so the
+    # checkpoint is stream-safe.
+    vocab = vocab.localCheckpoint(eager=True)
     mapped = (e.join(F.broadcast(vocab), "token", "left")
               .select(id_col, "pos",
                       F.when(F.col("in_vocab"), F.col("token"))
                       .otherwise(F.lit("<unk>")).alias("tok")))
-    c1 = mapped.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = mapped.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c1")).localCheckpoint(eager=True)
     wd = W.partitionBy(id_col).orderBy("pos")
     bg = (mapped.withColumn("prev", F.lag("tok").over(wd))
           .filter(F.col("prev").isNotNull()))
     cb = (bg.groupBy("prev", "tok")
-          .agg(F.count(F.lit(1)).alias("cb")))
+          .agg(F.count(F.lit(1)).alias("cb"))
+          .localCheckpoint(eager=True))
     return vocab, c1, bg, cb
 
 
