@@ -1909,7 +1909,13 @@ def x20_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("_rn") == 1).drop("_rn"))
     pairs = dedup.jaccard_pairs(s3, threshold=0.9, open_vocab="signature")
     clusters = dedup.dedup_clusters(pairs)
-    s4 = dedup.apply_dedup_clusters(s3, clusters)
+    # s4 feeds two consumers (its own funnel count + the quota
+    # sample), each of which re-ran the entire fuzzy-dedup lineage
+    # (r14 plan audit: documents scanned 10x).  Both need only
+    # (doc_id, source), so stage that narrow survivor list — at
+    # scale this is the stage-boundary write a real funnel does.
+    s4 = (dedup.apply_dedup_clusters(s3, clusters)
+          .select("doc_id", "source").localCheckpoint(eager=True))
     s5 = sampling.quota_sample(s4, quota=10)
     stages = [("0_raw", doc), ("1_lang", s1), ("2_quality", s2),
               ("3_exact_dedup", s3), ("4_fuzzy_dedup", s4),
