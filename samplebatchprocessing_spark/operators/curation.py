@@ -80,25 +80,36 @@ def mixture_weights(df: DataFrame, group_col: str = "source",
 
 def _word_ngrams(toks, n: int):
     """Order-preserving word n-grams of a token array (empty when the
-    doc is shorter than n — guards Spark's descending sequence())."""
+    doc is shorter than n — guards Spark's descending sequence()).
+
+    ``array_join(slice(...))`` with ONE ``toks`` reference per lambda,
+    never n ``element_at`` refs: Catalyst substitutes the argument
+    expression into every reference, so an unstaged ``tokenize``
+    passed here would re-run its regex n times PER POSITION (r14,
+    guide §1.2 "per-task work": the element_at form cost x55
+    83 s tree CPU at sf0.1; slice + a caller-staged token column
+    runs the identical explode in ~1 s).  Callers must still stage
+    ``tokenize`` into a column first — see ``ngram_contamination``."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
-                                         for j in range(n)]))
+            lambda i: F.array_join(F.slice(toks, i, n), " "))
     ).otherwise(F.array().cast("array<string>"))
 
 
-def repetition_stats(text: Column,
+def repetition_stats(toks: Column,
                      max_dup_2gram: float = 0.30,
                      max_dup_3gram: float = 0.20) -> dict[str, Column]:
     """Gopher-style repetition quality signals: the fraction of
     duplicate word 2-/3-grams per document, plus the keep/drop flag at
     the given thresholds.  Pure row-local expressions — codegen, no
-    shuffle, no Python."""
-    from .text import tokenize
-    toks = tokenize(text)
+    shuffle, no Python.
+
+    ``toks`` must be a STAGED token-array column (the caller projects
+    ``tokenize(text)`` first — r14): these expressions reference the
+    array several times per row and per n-gram position, and an
+    unstaged tokenize would re-run its regex at every reference."""
     out: dict[str, Column] = {}
     for n, cap, key in ((2, max_dup_2gram, "dup_2gram_frac"),
                         (3, max_dup_3gram, "dup_3gram_frac")):
@@ -123,12 +134,15 @@ def chunk_tokens(df: DataFrame, *, window: int = 64, stride: int = 48,
     One explode per doc — row-local, no shuffle; the chunk text is
     re-materialized so downstream tokenize/pack operators compose."""
     from .text import tokenize
-    toks = tokenize(F.col(text_col))
-    starts = F.when(F.size(toks) > 0,
-                    F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+    # Stage the token array first (r14): the start sequence and the
+    # chunk projection reference it three times per row, and an
+    # unstaged tokenize re-runs its regex at every reference.
+    staged = df.select(id_col, tokenize(F.col(text_col)).alias("toks"))
+    starts = F.when(F.size("toks") > 0,
+                    F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
                     ).otherwise(F.array().cast("array<int>"))
-    exploded = df.select(
-        id_col, toks.alias("toks"),
+    exploded = staged.select(
+        id_col, "toks",
         F.posexplode(starts).alias("chunk_idx", "start"))
     chunk = F.slice(F.col("toks"), F.col("start"), window)
     return exploded.select(
@@ -147,11 +161,17 @@ def ngram_contamination(corpus: DataFrame, eval_pred,
     equi-join; eval shingles are distinct-reduced first (small by
     contract -> broadcast at scale)."""
     from .text import tokenize
-    toks = tokenize(F.col(text_col))
-    shingles = F.array_distinct(_word_ngrams(toks, n))
-    sh = corpus.select(
-        id_col, F.explode(shingles).alias("shingle"),
-        eval_pred.alias("is_eval"))
+    # Stage the token array into its own projection before the
+    # n-gram transform (the ngram_shingle_sets discipline): an
+    # unstaged tokenize gets substituted into the lambda and its
+    # regex re-runs per slice reference.  Measured r14 at sf0.1:
+    # 83 s -> ~1 s tree CPU for the identical 235k-row explode.
+    staged = corpus.select(F.col(id_col),
+                           eval_pred.alias("is_eval"),
+                           tokenize(F.col(text_col)).alias("_tk"))
+    shingles = F.array_distinct(_word_ngrams(F.col("_tk"), n))
+    sh = staged.select(
+        id_col, F.explode(shingles).alias("shingle"), "is_eval")
     ev = sh.filter("is_eval").select("shingle").distinct()
     train = sh.filter(~F.col("is_eval"))
     return (train.join(ev, "shingle")

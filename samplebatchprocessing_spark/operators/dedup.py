@@ -546,9 +546,7 @@ def ngram_shingle_sets(df: DataFrame, n: int = 2,
             .withColumn("toks", F.array_sort(F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.size("_tk") - (n - 1)),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at("_tk", i + j)
-                               for j in range(n)])))))
+                    lambda i: F.array_join(F.slice("_tk", i, n), " ")))))
             .select("doc_id", "toks"))
 
 
@@ -1517,8 +1515,14 @@ def containment_pairs(df: DataFrame, n: int = 2, df_cap: int = 20,
     gram-keyed aggregate; the inverted-index self-join is keyed by
     rare gram (bounded fan-out); exact verify joins sets back by doc
     id.  No cartesian anywhere."""
-    sets_df = (ngram_shingle_sets(df, n, text_col)
-               .filter(F.size("toks") >= min_grams))
+    # Stage the (doc_id, toks) frame (the jaccard_pairs _stage_sets
+    # discipline) — it feeds the inverted index AND both exact-verify
+    # sides, and unstaged the shingle-array projection is collapsed
+    # into the verify join and re-built PER CANDIDATE PAIR (measured
+    # r14 at sf0.1: x66 ~52 s -> ~15 s noop wall with the checkpoint;
+    # combined with the slice n-gram form, ~95 s -> ~15 s).
+    sets_df = _stage_sets(ngram_shingle_sets(df, n, text_col)
+                          .filter(F.size("toks") >= min_grams))
     ex = sets_df.select("doc_id", F.explode("toks").alias("g"))
     rare = (ex.groupBy("g").agg(F.count(F.lit(1)).alias("dfreq"))
             .filter(F.col("dfreq") <= df_cap).select("g"))

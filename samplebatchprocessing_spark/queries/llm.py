@@ -1108,12 +1108,17 @@ def x14_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality gate: duplicate 2-/3-gram
     fractions per doc + keep flag."""
     from ..operators import curation
+    from ..operators.text import tokenize
     doc = load_table(spark, sf_dir, "documents")
-    r = curation.repetition_stats(F.col("text"))
-    return doc.select("doc_id",
-                      r["dup_2gram_frac"].alias("dup_2gram_frac"),
-                      r["dup_3gram_frac"].alias("dup_3gram_frac"),
-                      r["keep"].alias("keep"))
+    # Stage the token array first (r14): repetition_stats' n-gram
+    # expressions reference it per position, and an unstaged
+    # tokenize re-runs its regex at every reference.
+    staged = doc.select("doc_id", tokenize(F.col("text")).alias("__t"))
+    r = curation.repetition_stats(F.col("__t"))
+    return staged.select("doc_id",
+                         r["dup_2gram_frac"].alias("dup_2gram_frac"),
+                         r["dup_3gram_frac"].alias("dup_3gram_frac"),
+                         r["keep"].alias("keep"))
 
 
 def _ngram_sql(n: int) -> str:
