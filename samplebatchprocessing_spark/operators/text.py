@@ -105,17 +105,30 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: length, token stats, punctuation and
     stopword ratios, plus a composite keep/drop signal.  Row-local ->
     embarrassingly parallel at 100 TB."""
+    # Stage the shared subexpressions in their own projection (r14):
+    # the feature expressions reference the token array ~5x and the
+    # alpha-stripped length ~3x per row, and Catalyst substitutes the
+    # unstaged tokenize/regexp into every reference.
     text = F.col(text_col)
-    toks = tokenize(text)
-    n_chars = F.length(text)
-    n_toks = F.size(toks)
-    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    staged = df.select(
+        "doc_id",
+        F.length(text).alias("__n_chars"),
+        tokenize(text).alias("__toks"),
+        F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+        .alias("__n_alpha"))
+    staged = staged.select(
+        "doc_id", "__n_chars", "__n_alpha",
+        F.array_distinct("__toks").alias("__dis"),
+        F.size("__toks").alias("__n_toks"))
+    n_chars = F.col("__n_chars")
+    n_toks = F.col("__n_toks")
+    n_alpha = F.col("__n_alpha")
     n_stop = F.size(F.array_intersect(
-        F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])))
+        F.col("__dis"), F.array(*[F.lit(s) for s in STOPWORDS])))
     avg_tok_len = n_alpha.cast("double") / n_toks
-    stop_ratio = n_stop.cast("double") / F.size(F.array_distinct(toks))
+    stop_ratio = n_stop.cast("double") / F.size("__dis")
     alpha_ratio = n_alpha.cast("double") / n_chars
-    return df.select(
+    return staged.select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_toks.alias("n_tokens"),
@@ -157,17 +170,33 @@ def lang_scores(toks: Column) -> list[tuple[str, Column]]:
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language-ID: argmax marker overlap, alphabetical
-    tie-break, 'und' (undetermined) when no marker hits."""
-    toks = tokenize(F.col(text_col))
-    scores = lang_scores(toks)
+    tie-break, 'und' (undetermined) when no marker hits.
+
+    Staged in three projections (r14): the argmax/tie-break tree
+    references every per-language score 2-3 times and each score
+    references the distinct-token array, so with an unstaged
+    tokenize the regex re-ran ~2 x |languages| times per row
+    (measured: x1_lang_id ~8 s -> ~1 s noop wall at sf0.1)."""
+    staged = df.select("doc_id", F.col("lang").alias("labeled_lang"),
+                       F.array_distinct(tokenize(F.col(text_col)))
+                       .alias("__dis"))
+    score_exprs = [
+        (lang, F.size(F.array_intersect(
+            F.col("__dis"), F.array(*[F.lit(m) for m in markers]))))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = staged.select(
+        "doc_id", "labeled_lang",
+        *[s.alias(f"__s_{lang}") for lang, s in score_exprs])
+    scores = [(lang, F.col(f"__s_{lang}")) for lang, _ in score_exprs]
     best = F.greatest(*[s for _, s in scores])
     pred = F.lit("und")
     # reversed so earlier (alphabetical) languages win ties
     for lang, score in reversed(scores):
         pred = F.when((score == best) & (best > 0), lang).otherwise(pred)
-    out = df.select("doc_id", F.col("lang").alias("labeled_lang"),
-                    pred.alias("pred_lang"), best.alias("marker_hits"))
-    return out
+    return scored.select("doc_id", "labeled_lang",
+                         pred.alias("pred_lang"),
+                         best.alias("marker_hits"))
 
 
 def _lang_score_sql(lang: str) -> str:

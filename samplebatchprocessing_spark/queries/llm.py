@@ -28,11 +28,17 @@ def l2_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalization protocol (driver comparator needs scalar cells).
     ``operators.text.tokenize`` remains the raw-array API."""
     doc = load_table(spark, sf_dir, "documents")
-    return doc.select(
+    # Stage the token array once (r14): the three output columns
+    # referenced tokenize(text) three times (token_set tokenizes
+    # internally), re-running the regex per reference.
+    staged = doc.select(
+        "doc_id", text.tokenize(F.col("text")).alias("__t"))
+    return staged.select(
         "doc_id",
-        F.to_json(text.tokenize(F.col("text"))).alias("tokens"),
-        F.to_json(text.token_set(F.col("text"))).alias("token_set"),
-        F.size(text.tokenize(F.col("text"))).alias("n_tokens"),
+        F.to_json(F.col("__t")).alias("tokens"),
+        F.to_json(F.array_sort(F.array_distinct("__t")))
+        .alias("token_set"),
+        F.size("__t").alias("n_tokens"),
     )
 
 
