@@ -153,10 +153,88 @@ BASIS: dict[str, tuple[float, float]] = {
     "x88b_hard_negatives_bnl": (0.849, 1.60),
 }
 
+# r15 re-anchor (guide §1.4, VERDICT r14 #2): count() as the timed
+# action lets the optimizer prune whatever the row count does not
+# need — measured r14: x130 times 0.25 s under count vs 11.08 s noop
+# (count keeps the grouping but prunes the md5 checksum column),
+# x64 2.65 vs 7.55 (uniquely-keyed left-join branches dropped), and
+# a1/a6/w3/l13/p8 lose their output aggregates.  The timed action is
+# now the NOOP SINK (computes every column of every row, guide
+# §1.4); the count action stays selectable ($SBP_BENCH_ACTION=count)
+# so the legacy r12-unified basis remains reproducible, and
+# $SBP_BENCH_ACTION=both records the count/noop bridge in one
+# session.  Each action adjudicates only against ITS OWN basis.
+ACTION_DEFAULT = "noop"
+BASIS_NOOP_NAME = "r15-noop-unified"
+# Paired (wall, cpu) per-query medians-of-medians of the three
+# sentinel-clean r15 noop-basis sessions (2026-08-18, quiet box,
+# round-start tree f577144; BASELINE.md "Round-15 UNIFIED noop
+# baseline"); tests/test_bench_contract.py asserts this dict matches
+# that table so instrument and human canon cannot drift.
+BASIS_NOOP: dict[str, tuple[float, float]] = {
+    "a1_pricing_summary": (1.526, 2.72),
+    "j9_star_join": (1.166, 3.79),
+    "t4_topk_per_group": (0.243, 0.94),
+    "a6_rollup": (1.096, 2.79),
+    "w3_running_frames": (0.517, 2.17),
+    "u1_union": (0.536, 2.32),
+    "f7_json": (0.46, 0.97),
+    "s2_tumbling_batch": (0.344, 0.45),
+    "l1_exact_dedup": (0.219, 0.88),
+    "l4_tfidf": (0.911, 3.01),
+    "l7_cosine_topk": (1.326, 2.32),
+    "l7_topk_numpy": (0.501, 0.93),
+    "l5_jaccard_pairs": (1.456, 2.23),
+    "l5_ngram_lsh": (2.22, 4.9),
+    "l13_paragraph_dedup": (1.459, 3.76),
+    "x16_corpus_freq_score": (0.724, 1.37),
+    "x21_substring_dedup": (1.304, 2.31),
+    "v9_tpch_q5": (1.669, 4.25),
+    "p8_manifest_pipeline": (0.603, 1.98),
+    "x44_bpe_train": (2.391, 3.93),
+    "x47_kmeans_clusters": (2.275, 3.35),
+    "x64_span_dedup": (2.459, 8.81),
+    "x65_dsir_weights": (2.418, 21.92),
+    "x88_hard_negatives": (1.209, 2.6),
+    "x92_dominant_direction": (0.461, 1.16),
+    "m9_skipping_report": (2.232, 10.09),
+    "x103_prefix_filter_join": (1.894, 8.25),
+    "j15_multi_asof": (0.597, 0.9),
+    "x112_triangle_count": (2.225, 9.03),
+    "x113_dq_audit": (1.25, 2.81),
+    "x109_ann_index_probe": (0.643, 2.75),
+    "p10_watch_drain": (0.9, 4.1),
+    "x116_edit_distance_join": (8.331, 13.23),
+    "x117_postings_probe": (0.298, 0.78),
+    "x119_bnl_topk": (0.843, 1.89),
+    "x120_label_propagation": (3.116, 10.05),
+    "x122_sequence_pack": (0.67, 1.33),
+    "l7_ivf_dist_probe": (1.905, 2.43),
+    "x132_lsh_probe": (1.983, 9.5),
+    "x130_table_checksum": (6.226, 8.85),
+    "x131_delta_merge": (0.944, 2.24),
+    "s26_epoch_probe": (2.405, 6.89),
+    "w11_groups_frame": (0.598, 1.33),
+    "x88b_hard_negatives_bnl": (0.852, 1.61),
+}
+
 # The driver's tail capture clipped BENCH_r12's single 5 KB stdout
 # line; the observed surviving window was ~3 KB, so the compact line
 # budgets well under that with headroom for future suite growth.
 COMPACT_LINE_BUDGET = 2048
+
+
+def run_action(df, action: str) -> int:
+    """The timed materialization.  ``noop`` (guide §1.4) eagerly
+    computes EVERY column of every row and discards the result;
+    ``count`` is the legacy action (kept for basis bridging — the
+    optimizer may prune columns or whole cardinality-preserving
+    subtrees under it).  Returns the row count under ``count``,
+    -1 under ``noop`` (the sink reports no count)."""
+    if action == "count":
+        return df.count()
+    df.write.format("noop").mode("overwrite").save()
+    return -1
 
 
 def paired_median(samples: list[float],
@@ -584,12 +662,44 @@ def main() -> None:
     # for it, keep timing the rest, ALWAYS print the final JSON line.
     timings: dict[str, object] = {}
     cpu_timings: dict[str, float] = {}
+    count_timings: dict[str, float] = {}
+    count_cpu_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     unstable: dict[str, float] = {}
     cpu_anomalies: list[str] = []
     controls_mid: list[float] = []
     bw_mid: list[float] = []
     disk_mid: list[float] = []
+
+    action = os.environ.get("SBP_BENCH_ACTION", ACTION_DEFAULT)
+    if action not in ("count", "noop", "both"):
+        action = ACTION_DEFAULT
+
+    def _time_query(fn, name: str, act: str):
+        """3 timed (wall, tree-CPU) samples of fn under ``act``."""
+        samples: list[float] = []
+        cpu_samples: list[float] = []
+        n = -1
+        for _ in range(3):
+            c0 = tree_cpu_sec()
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            n = run_action(df, act)
+            samples.append(time.monotonic() - t0)
+            d_cpu = tree_cpu_sec() - c0
+            if d_cpu < 0:
+                # a descendant re-parented away mid-query (its
+                # parent died; init adopted it) and took its
+                # accumulated ticks out of the tree — the delta
+                # is incomplete, not negative work.  Clamp and
+                # flag: the query's CPU median can't be trusted
+                # this run (observed live on a loaded box, r13).
+                if name not in cpu_anomalies:
+                    cpu_anomalies.append(name)
+                d_cpu = 0.0
+            cpu_samples.append(d_cpu)
+        return samples, cpu_samples, n
+
     for qi, name in enumerate(BENCH_QUERIES):
         if name not in reg and name not in overrides:
             continue
@@ -606,27 +716,16 @@ def main() -> None:
             bw_mid.append(_bw_min3())
             disk_mid.append(_disk_min3())
         fn = overrides.get(name) or reg[name][0]
-        samples = []
-        cpu_samples = []
         try:
-            for _ in range(3):
-                c0 = tree_cpu_sec()
-                t0 = time.monotonic()
-                df = fn(spark, sf_dir)
-                n = df.count()
-                samples.append(time.monotonic() - t0)
-                d_cpu = tree_cpu_sec() - c0
-                if d_cpu < 0:
-                    # a descendant re-parented away mid-query (its
-                    # parent died; init adopted it) and took its
-                    # accumulated ticks out of the tree — the delta
-                    # is incomplete, not negative work.  Clamp and
-                    # flag: the query's CPU median can't be trusted
-                    # this run (observed live on a loaded box, r13).
-                    if name not in cpu_anomalies:
-                        cpu_anomalies.append(name)
-                    d_cpu = 0.0
-                cpu_samples.append(d_cpu)
+            if action == "both":
+                # bridge order: count FIRST so the noop medians stay
+                # comparable to a plain noop run (the count pass also
+                # absorbs any lazy-cache index build either way)
+                c_samples, c_cpu, _ = _time_query(fn, name, "count")
+                count_timings[name], count_cpu_timings[name] = (
+                    paired_median(c_samples, c_cpu))
+            samples, cpu_samples, n = _time_query(
+                fn, name, "count" if action == "count" else "noop")
         except Exception as e:  # noqa: BLE001 — isolate, report, continue
             msg = f"{type(e).__name__}: {e}"
             errors[name] = msg[:500]
@@ -663,8 +762,13 @@ def main() -> None:
             shutil.rmtree(d, ignore_errors=True)
 
     out = summarize(timings, errors, sf_dir)
+    out["action"] = "count" if action == "count" else "noop"
     out["cpu_queries"] = cpu_timings
     out["cpu_total_sec"] = round(sum(cpu_timings.values()), 3)
+    if action == "both":
+        out["queries_count"] = count_timings
+        out["cpu_queries_count"] = count_cpu_timings
+        out["count_total_sec"] = round(sum(count_timings.values()), 3)
     out.update(sentinel_verdict(sentinel_pre, sentinel_post,
                                 controls_mid))
     bw = bandwidth_verdict(bw_pre, bw_post, bw_mid)
@@ -687,11 +791,20 @@ def main() -> None:
         out["cpu_anomalies"] = cpu_anomalies
     # The basis is recorded at sf0.1 — adjudicating another scale
     # factor against it would stamp junk verdicts on every row.
+    # Each ACTION adjudicates only against its own basis: count
+    # medians vs the legacy r12-unified table, noop medians vs the
+    # r15 noop table (mixing them would stamp junk on every row the
+    # optimizer prunes under count — x130 is 44x apart).
     if os.path.basename(sf_dir.rstrip("/")) == "sf0.1":
-        out["basis"] = BASIS_NAME
+        if action == "count":
+            basis_name, basis_table = BASIS_NAME, BASIS
+        else:
+            basis_name, basis_table = BASIS_NOOP_NAME, BASIS_NOOP
+        out["basis"] = basis_name
         out["verdicts"] = {
             name: adjudicate(
-                wall, cpu_timings.get(name, 0.0), BASIS.get(name),
+                wall, cpu_timings.get(name, 0.0),
+                basis_table.get(name),
                 unstable=name in unstable,
                 # a CPU anomaly means the CPU median is incomplete —
                 # it must never ground a box_load/real call
@@ -746,6 +859,7 @@ def compact_line(full: dict) -> str:
         "unit": full["unit"],
         "queries": full["queries"],
         "sf": full["sf"],
+        "action": full.get("action"),
         "cpu_total_sec": full.get("cpu_total_sec"),
         "contaminated": full.get("contaminated"),
         "io_slow": full.get("io_slow"),

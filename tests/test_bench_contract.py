@@ -259,6 +259,26 @@ def test_basis_table_matches_baseline_md():
     assert table == BASIS
 
 
+def test_noop_basis_table_matches_baseline_md():
+    """r15 re-anchor (guide §1.4): the embedded BASIS_NOOP dict and
+    BASELINE.md's r15 UNIFIED noop table are the same numbers — the
+    noop table's rows carry two extra bridge columns, so the r12
+    3-column regex above cannot cross-match them."""
+    import re as _re
+    from bench import BASIS_NOOP, BENCH_QUERIES, ACTION_DEFAULT
+    assert ACTION_DEFAULT == "noop"
+    text = (Path(__file__).resolve().parent.parent
+            / "BASELINE.md").read_text()
+    anchor = text.index("Round-15 UNIFIED noop baseline")
+    rows = _re.findall(
+        r"^\| (\w+) \| ([\d.]+) \| ([\d.]+) \| [\d.]+ \| [\d.]+ \|$",
+        text[anchor:], flags=_re.M)
+    table = {n: (float(w), float(c)) for n, w, c in rows}
+    assert table == BASIS_NOOP
+    # every bench row has a noop basis (no silent debut rows)
+    assert set(BASIS_NOOP) == set(BENCH_QUERIES)
+
+
 def test_bandwidth_verdict_rules():
     """r13 addendum 2: the memory-bandwidth control's verdict mirrors
     the warm sentinel's direction-aware rules — post slower than
