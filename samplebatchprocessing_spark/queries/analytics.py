@@ -2474,14 +2474,47 @@ def x130_hash_col():
         .cast("decimal(38,0)")
 
 
+#: x130's modulus and the fan-out of the two-level exact reduction.
+#: 4096 buckets x 2^33 rows of bigint-safe per-bucket accumulation
+#: covers ~3.5e16 rows per group — far past 100 TB lineitem.
+_X130_P = 1_000_000_007
+_X130_BUCKETS = 4096
+
+
 def x130_summary(df: DataFrame) -> DataFrame:
     """Per-group mergeable checksum summary: exact row count + modular
     hash sum.  Merging two disjoint slices' summaries (counts add,
     sums add mod p) equals summarizing their union — the x131
-    delta-maintenance identity."""
-    return (df.groupBy("l_returnflag")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 (F.sum(x130_hash_col()) % 1_000_000_007).alias("c")))
+    delta-maintenance identity.
+
+    r15 (guide §1.2): the hash sum accumulates as BIGINT of per-row
+    ``h % p`` terms instead of a decimal(38,0) sum of raw ``h`` — the
+    BigDecimal accumulation was ~55% of the whole query's CPU
+    (measured 7.0 s noop wall vs 3.4 s, identical values: ``sum(h)
+    mod p == sum(h mod p) mod p``).  h < 2^60 parses exactly into a
+    bigint; h % p < 2^30, so a bucket of up to 2^33 rows sums without
+    overflow, and the two-level reduction (bucket partial sums mod p,
+    then a ~``_X130_BUCKETS``-row recombine per group) keeps the
+    arithmetic exact at any realistic scale instead of capping a
+    group at 2^33 rows.  The bucket key hashes the md5 rendering
+    itself, so the summary stays self-contained on any lineitem
+    slice."""
+    h15 = F.substring(F.md5(F.concat_ws(
+        "|", *[F.expr(c) for c in _X130_COLS])), 1, 15)
+    # stage the rendering+md5 into its own projection: the bucket
+    # GROUPING key and the aggregated term both derive from it, and
+    # Catalyst does not share subexpressions between key and buffer
+    # evaluation (measured: the unstaged form re-renders every row
+    # twice, ~5.7 s noop vs ~3.4 s staged)
+    staged = df.select("l_returnflag", h15.alias("__h15"))
+    hmod = F.conv(F.col("__h15"), 16, 10).cast("bigint") % _X130_P
+    bucket = F.pmod(F.xxhash64("__h15"), F.lit(_X130_BUCKETS))
+    part = (staged.groupBy("l_returnflag", bucket.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__pn"),
+                 (F.sum(hmod) % _X130_P).alias("__pc")))
+    return (part.groupBy("l_returnflag")
+            .agg(F.sum("__pn").alias("n"),
+                 (F.sum("__pc") % _X130_P).alias("c")))
 
 
 def x130_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
