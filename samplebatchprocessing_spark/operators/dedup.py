@@ -1394,15 +1394,27 @@ def dup_span_removal(df: DataFrame, window: int = 10,
 
     Scale (100 TB): window explode and deletion-interval explode are
     row-local; keep-first ranking is ONE shuffle keyed by window
-    hash; the distinct deletion set and the anti-join back onto the
-    token relation are both keyed by (doc, pos) — co-partitioned, and
-    the deletion side is only as large as the duplicated volume.  No
-    driver-side state, no global window."""
-    toks = df.select(F.col(id_col), F.col(group_col),
-                     F.posexplode(tokenize(F.col(text_col)))
-                     .alias("pos0", "tok")) \
-             .select(id_col, group_col,
-                     (F.col("pos0") + 1).alias("pos"), "tok")
+    hash; the distinct deletion set is keyed by (doc, pos) and is
+    only as large as the duplicated volume.  No driver-side state,
+    no global window.
+
+    r15 (guide §1.2 "the distributed algorithm"): the audit never
+    needs the token RELATION — only counts.  Every deletion position
+    is by construction a live token position (window spans lie in
+    [1, len]), so ``tokens_after == tokens_before - |dels|`` exactly,
+    and the per-doc token count comes from ``size(tokenize(text))``
+    at DOC level.  This removes the posexplode of every token, the
+    token-level anti-join, and the countDistinct over the token
+    relation (measured: 2.1-2.7 s noop wall / 7-14 s CPU -> ~1.5 s /
+    ~3.5 s at sf0.1, output bit-identical; differential + oracle
+    green).  ``greatest(size, 0)`` guards NULL text under both
+    sizeOfNull settings, and the ``tokens_before > 0`` filter keeps
+    the historical contract that a group whose documents all
+    tokenize empty does not appear (the token relation never had
+    rows for it)."""
+    n_tok = F.greatest(F.size(tokenize(F.col(text_col))), F.lit(0))
+    base = df.select(F.col(id_col), F.col(group_col),
+                     n_tok.alias("__n"))
     t = (df.select(id_col, tokenize(F.col(text_col)).alias("t"))
          .filter(F.size("t") >= window))
     wins = t.select(
@@ -1422,20 +1434,20 @@ def dup_span_removal(df: DataFrame, window: int = 10,
         F.explode(F.sequence(F.col("pos"),
                              F.col("pos") + window - 1)).alias("pos"))
         .distinct())
-    kept = toks.join(dels, [id_col, "pos"], "left_anti")
-    before = toks.groupBy(group_col).agg(
-        F.countDistinct(id_col).alias("n_docs"),
-        F.count(F.lit(1)).alias("tokens_before"))
-    after = kept.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("tokens_after"))
-    changed = (toks.select(id_col, group_col).distinct()
-               .join(dels.select(id_col).distinct(), id_col)
+    before = (base.groupBy(group_col).agg(
+        F.sum((F.col("__n") > 0).cast("long")).alias("n_docs"),
+        F.sum("__n").alias("tokens_before"))
+        .filter(F.col("tokens_before") > 0))
+    removed = (dels.join(base.select(id_col, group_col), id_col)
                .groupBy(group_col)
-               .agg(F.count(F.lit(1)).alias("n_docs_changed")))
-    return (before.join(after, group_col, "left")
-            .join(changed, group_col, "left")
-            .select(group_col, "n_docs", "tokens_before",
-                    F.coalesce("tokens_after", F.lit(0).cast("long"))
+               .agg(F.count(F.lit(1)).alias("__n_del"),
+                    F.countDistinct(id_col).alias("n_docs_changed")))
+    return (before.join(removed, group_col, "left")
+            .select(group_col, "n_docs",
+                    F.col("tokens_before").cast("long")
+                    .alias("tokens_before"),
+                    (F.col("tokens_before")
+                     - F.coalesce("__n_del", F.lit(0))).cast("long")
                     .alias("tokens_after"),
                     F.coalesce("n_docs_changed", F.lit(0).cast("long"))
                     .alias("n_docs_changed")))
