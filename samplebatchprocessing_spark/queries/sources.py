@@ -461,8 +461,12 @@ def p21_object_store_quarantine(spark: SparkSession,
              .load(f"{sf_dir.rstrip('/')}/*.parquet")
              .select(F.regexp_extract("path", r"([^/]+)$", 1)
                      .alias("file_name"), "content"))
-    poison = spark.createDataFrame(
-        [("poison.bin", bytearray(b"POISON"))],
+    # local_df (r15): bytes survive the Arrow path bit-identically
+    # (round-trip test-pinned), retiring the last deliberate
+    # pickled-RDD holdout
+    from ..exprs import local_df
+    poison = local_df(
+        spark, [("poison.bin", bytearray(b"POISON"))],
         "file_name string, content binary")
     staged = files.unionByName(poison).select(
         F.lit(bucket).alias("bucket"),

@@ -1459,7 +1459,13 @@ def m12_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = res.collect()               # the action that fills obs
     metrics = obs.get
     consistent = metrics["n_rows"] == sum(r["n"] for r in rows)
-    return (spark.createDataFrame(rows, res.schema)
+    # local_df (r15): the collected rows are (string, bigint, double)
+    # non-null aggregates — Arrow round-trip asserted identical
+    # (tests/test_operators.py::test_local_df_decimal_binary_roundtrip
+    # covers the wider type surface incl. Decimal), so the pickled-RDD
+    # holdout is retired
+    from ..exprs import local_df
+    return (local_df(spark, rows, res.schema)
             .withColumn("observed_rows",
                         F.lit(metrics["n_rows"]).cast("bigint"))
             .withColumn("observed_total",

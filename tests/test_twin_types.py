@@ -53,3 +53,44 @@ def test_no_hugeint_columns(twin_schemas, name):
         f"{name}: twin emits decimal/HUGEINT columns {bad} — the driver "
         f"formats these as floats and the hash gate goes red; wrap the "
         f"aggregate in CAST(... AS BIGINT)")
+
+
+def test_dsum_split_bigint_equals_direct_decimal_sum(spark):
+    """r15: dsum/davg accumulate as split-bigint partials (exprs.
+    _dec_sum) instead of a BigDecimal sum — the recombined
+    decimal(38,6) must be VALUE-IDENTICAL to the direct
+    SUM(CAST(x AS DECIMAL(30,6))) on adversarial inputs: negatives,
+    NULLs, 6-fraction-digit values, +-1e9 magnitudes, and an
+    all-NULL group (sum must stay NULL, not 0)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from samplebatchprocessing_spark.exprs import DEC, davg, dsum
+
+    random.seed(7)
+    rows = []
+    for i in range(5000):
+        r = random.random()
+        if r < 0.02:
+            v = None
+        elif r < 0.2:
+            v = -round(random.uniform(0, 1e6), 6)
+        elif r < 0.5:
+            v = round(random.uniform(0, 110000), 2)
+        elif r < 0.8:
+            v = random.uniform(-1e9, 1e9)
+        else:
+            v = round(random.uniform(0, 1), 6)
+        rows.append((i % 7, v))
+    rows += [(99, None), (99, None)]          # all-NULL group
+    df = spark.createDataFrame(rows, "g int, x double")
+    old = df.groupBy("g").agg(
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("s"),
+        (F.sum(F.col("x").cast(DEC)).cast("double")
+         / F.count("x")).alias("a"))
+    new = df.groupBy("g").agg(dsum("x", "s"), davg("x", "a"))
+    o = {r["g"]: (r["s"], r["a"]) for r in old.collect()}
+    n = {r["g"]: (r["s"], r["a"]) for r in new.collect()}
+    assert o == n
+    assert n[99] == (None, None)
