@@ -703,20 +703,37 @@ def p17_python_stream_source(spark: SparkSession,
     skipped or double-read batch changes the counts."""
     from ..operators import pysource
     pysource.register(spark)
-    sdf = (spark.readStream.format("synth_events")
-           .option("n_rows", 10000).option("chunk", 128).load())
-    agg = (sdf.groupBy("bucket")
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum("value").alias("sum_value"),
-                F.min("id").alias("min_id"),
-                F.max("id").alias("max_id")))
-    name = "p17_stream_out"
-    q = (agg.writeStream.outputMode("complete").format("memory")
-         .queryName(name).trigger(processingTime="0 seconds").start())
+    # r15 (guide §2.2): the stateful aggregate's key space is the
+    # synth source's 16 buckets, but the stream's state partitioning
+    # is locked at start to spark.sql.shuffle.partitions — with the
+    # bench session's 32 that is 79 micro-batches x 32 state-store
+    # partitions of commit machinery for 16 keys (measured at
+    # sf-independent 10k rows: 67-80 s wall / ~700 s tree CPU ->
+    # 26 s / 126 s pinned).  Pin the stream's shuffle width to the
+    # key-space bound — correct at ANY scale because the state never
+    # has more than 16 rows; batch-side parallelism is unaffected
+    # (the source's range partitions are planned independently).
+    # Output identical (oracle + equality-checked when this landed).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        q.processAllAvailable()
+        sdf = (spark.readStream.format("synth_events")
+               .option("n_rows", 10000).option("chunk", 128).load())
+        agg = (sdf.groupBy("bucket")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("value").alias("sum_value"),
+                    F.min("id").alias("min_id"),
+                    F.max("id").alias("max_id")))
+        name = "p17_stream_out"
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName(name).trigger(processingTime="0 seconds")
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 
