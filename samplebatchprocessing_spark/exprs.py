@@ -151,6 +151,35 @@ def local_df(spark, rows, schema):
     return spark.createDataFrame(pdf, schema=st)
 
 
+def multiset_diff_and_count(a, b) -> tuple[int, int]:
+    """(symmetric multiset difference size, |a|) in ONE Spark action
+    (r15, guide §1.2): the parity idiom
+    ``a.exceptAll(b).count() + b.exceptAll(a).count() + a.count()``
+    runs THREE actions, each re-executing both inputs' whole lazy
+    subtrees — measured on x133's probe-parity check as ~5
+    re-executions of the IVF probes (28 s tree CPU for a 1000-row
+    compare).  exceptAll keeps max(na-nb, 0) copies per key, so the
+    two-way count equals sum(|na - nb|) over distinct rows — computed
+    here with one groupBy per side and one null-safe full-outer join
+    (NULL keys compare equal, matching exceptAll).  Returns
+    (0, n > 0) iff the multisets are equal and non-empty."""
+    from functools import reduce
+
+    cols = a.columns
+    ta = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("__na"))
+    tb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("__nb"))
+    cond = reduce(lambda x, y: x & y,
+                  [ta[c].eqNullSafe(tb[c]) for c in cols])
+    j = ta.join(tb, cond, "full_outer").select(
+        F.abs(F.coalesce("__na", F.lit(0))
+              - F.coalesce("__nb", F.lit(0))).alias("__d"),
+        F.coalesce("__na", F.lit(0)).alias("__a"))
+    row = j.agg(F.coalesce(F.sum("__d"), F.lit(0)).alias("d"),
+                F.coalesce(F.sum("__a"), F.lit(0)).alias("n")) \
+        .collect()[0]
+    return int(row["d"]), int(row["n"])
+
+
 def r6(col: Column, alias: str | None = None) -> Column:
     """Round to 6 dp — for aggregates that cannot be made exact
     (stddev/percentile); relative FP error ~1e-12 makes a 6-dp

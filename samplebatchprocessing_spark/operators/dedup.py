@@ -1109,8 +1109,16 @@ def cc_two_phase(pairs: DataFrame, *, id_a: str = "doc_a",
     for _ in range(max_iter):
         new_e = small_star(large_star(edges))
         new_e = new_e.localCheckpoint(eager=True)
-        delta = (new_e.exceptAll(edges).count()
-                 + edges.exceptAll(new_e).count())
+        # r15 (guide §1.2): ONE tagged-union job per round instead of
+        # two exceptAll jobs.  Both relations are distinct SETS
+        # (post-_sym), so sum(tag) per (u, v) is +1/-1/0 and the
+        # nonzero-key count IS the symmetric difference size — the
+        # exact value the exceptAll pair returned.  One shuffle of
+        # the union vs two exceptAll shuffles.
+        delta = (new_e.withColumn("__t", F.lit(1))
+                 .unionByName(edges.withColumn("__t", F.lit(-1)))
+                 .groupBy("u", "v").agg(F.sum("__t").alias("__s"))
+                 .filter(F.col("__s") != 0).count())
         edges = new_e
         if delta == 0:
             break

@@ -2598,10 +2598,14 @@ def x131_incremental_checksum(spark: SparkSession,
                         + F.coalesce("c_d", F.lit(0)))
                        % 1_000_000_007).cast("bigint")
                       .alias("checksum")))
+    # r15 (guide §1.2): the exceptAll/count parity trio re-derived
+    # BOTH full-table checksum subtrees per action (6 lineitem scans
+    # for a 3-row compare); one null-safe grouped compare does it in
+    # a single action (exprs.multiset_diff_and_count).
+    from ..exprs import multiset_diff_and_count
     full = x130_table_checksum(spark, sf_dir)
-    parity = (merged.exceptAll(full).count() == 0
-              and full.exceptAll(merged).count() == 0
-              and merged.count() > 0)
+    d, n = multiset_diff_and_count(merged, full)
+    parity = d == 0 and n > 0
     return merged.withColumn("merge_parity", F.lit(parity))
 
 

@@ -1284,8 +1284,11 @@ def x132_lsh_index_lifecycle(spark: SparkSession,
     probed = dedup.lsh_index_probe(spark, idx, batch)
     probed = probed.localCheckpoint(eager=True)   # reused 3x below
     re_probed = dedup.lsh_index_probe(spark, rebuild, batch)
-    append_parity = (probed.exceptAll(re_probed).count() == 0
-                     and re_probed.exceptAll(probed).count() == 0)
+    # r15: one grouped-compare action per parity pair instead of the
+    # 2-3-action exceptAll idiom (exprs.multiset_diff_and_count —
+    # value-identical; each lazy input executes once per call)
+    from ..exprs import multiset_diff_and_count
+    append_parity = multiset_diff_and_count(probed, re_probed)[0] == 0
     corpus_bands = (dedup.lsh_band_relation(base.unionByName(delta))
                     .withColumnRenamed("did", "corpus_id"))
     q = (dedup.lsh_band_relation(batch)
@@ -1294,9 +1297,8 @@ def x132_lsh_index_lifecycle(spark: SparkSession,
                 .join(q, ["bucket", "band_idx", "band_hash"])
                 .filter(F.col("batch_id") != F.col("corpus_id"))
                 .select("batch_id", "corpus_id").distinct())
-    inflight_parity = (probed.exceptAll(inflight).count() == 0
-                       and inflight.exceptAll(probed).count() == 0
-                       and probed.count() > 0)
+    d_inf, n_inf = multiset_diff_and_count(probed, inflight)
+    inflight_parity = d_inf == 0 and n_inf > 0
     n_base, n_delta, n_batch = (base.count(), delta.count(),
                                 batch.count())
     n_index = spark.read.parquet(idx).count()
@@ -1360,14 +1362,16 @@ def l17_lsh_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["did", "band_idx", "band_hash", "bucket"]
     a = spark.read.parquet(idx).select(cols)
     b = spark.read.parquet(cmp_dir).select(cols)
-    compact_parity = (a.exceptAll(b).count() == 0
-                      and b.exceptAll(a).count() == 0
-                      and b.count() > 0)
+    # r15: one grouped-compare action per parity pair (see
+    # exprs.multiset_diff_and_count) — note the non-empty witness
+    # moves to the compare's own row count, same boolean
+    from ..exprs import multiset_diff_and_count
+    d_c, n_c = multiset_diff_and_count(b, a)
+    compact_parity = d_c == 0 and n_c > 0
     p1 = dedup.lsh_index_probe(spark, idx, batch)
     p2 = dedup.lsh_index_probe(spark, cmp_dir, batch)
-    probe_parity = (p1.exceptAll(p2).count() == 0
-                    and p2.exceptAll(p1).count() == 0
-                    and p1.count() > 0)
+    d_pp, n_pp = multiset_diff_and_count(p1, p2)
+    probe_parity = d_pp == 0 and n_pp > 0
 
     def census(d: str) -> dict[str, int]:
         import glob
@@ -4159,10 +4163,16 @@ def x87_ann_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, rebuild, cmat, emb, pred, k=5, n_probe=n_probe)
     cols = ["query_id", "vec_id", "rank", "cosine"]
     a, b = merged_probe.select(cols), rebuilt_probe.select(cols)
-    parity = (a.exceptAll(b).count() == 0
-              and b.exceptAll(a).count() == 0
-              and a.count() > 0)
-    n_base, n_delta = base.count(), delta.count()
+    # r15: one grouped-compare action instead of 3 exceptAll/count
+    # legs, each of which re-ran both IVF probes; slice counts fold
+    # into one scan (exprs.multiset_diff_and_count)
+    from ..exprs import multiset_diff_and_count
+    d_p, n_p = multiset_diff_and_count(a, b)
+    parity = d_p == 0 and n_p > 0
+    c_row = emb.agg(F.sum((~is_delta).cast("long")).alias("nb"),
+                    F.sum(is_delta.cast("long")).alias("nd")) \
+        .collect()[0]
+    n_base, n_delta = c_row["nb"], c_row["nd"]
     merged_rows = spark.read.parquet(idx).count()
     return local_df(
         spark,
@@ -4221,24 +4231,34 @@ def x133_ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             n_cells=16)
     cmat_b = similarity.ivf_index_write(emb, rebuild, n_cells=16)
 
+    # r15 (guide §1.2): each exceptAll/count parity leg re-executed
+    # its whole lazy subtree — the probe compare alone re-ran the two
+    # IVF probes ~5x (28 s tree CPU for a 1000-row result).  One
+    # null-safe grouped compare per pair (exprs.multiset_diff_and_
+    # count, value-equal to the exceptAll pair by construction), with
+    # the candidate-sized probe frames checkpointed once; the two
+    # slice counts fold into one scan.
+    from ..exprs import multiset_diff_and_count
     ids_a = spark.read.parquet(recl).select("vec_id")
     ids_b = emb.select("vec_id")
-    conserved = (ids_a.exceptAll(ids_b).count() == 0
-                 and ids_b.exceptAll(ids_a).count() == 0
-                 and ids_a.count() > 0)
+    d_ids, n_ids = multiset_diff_and_count(ids_a, ids_b)
+    conserved = d_ids == 0 and n_ids > 0
     pred = F.col("vec_id") % 50 == 0
     pa = similarity.ivf_index_probe(spark, recl, cmat_r, emb, pred,
                                     k=5, n_probe=4)
     pb = similarity.ivf_index_probe(spark, rebuild, cmat_b, emb, pred,
                                     k=5, n_probe=4)
     cols = ["query_id", "vec_id", "rank", "cosine"]
-    a, b = pa.select(cols), pb.select(cols)
-    parity = (a.exceptAll(b).count() == 0
-              and b.exceptAll(a).count() == 0
-              and a.count() > 0)
+    a = pa.select(cols).localCheckpoint(eager=True)
+    b = pb.select(cols).localCheckpoint(eager=True)
+    d_p, n_p = multiset_diff_and_count(a, b)
+    parity = d_p == 0 and n_p > 0
+    counts = emb.agg(
+        F.sum((~is_delta).cast("long")).alias("nb"),
+        F.sum(is_delta.cast("long")).alias("nd")).collect()[0]
     return local_df(
         spark,
-        [(base.count(), delta.count(), conserved, parity)],
+        [(counts["nb"], counts["nd"], conserved, parity)],
         "n_base long, n_delta long, conserved boolean, "
         "recluster_equals_rebuild boolean")
 
@@ -4319,9 +4339,9 @@ def x134_maintenance_sweep(spark: SparkSession,
     mx, n_buckets, total = maintenance.bucket_file_census(
         publish.resolve(root))
     layout_restored = mx == 1 and total == n_buckets
-    probe_invariant = (before.exceptAll(after).count() == 0
-                       and after.exceptAll(before).count() == 0
-                       and before.count() > 0)
+    from ..exprs import multiset_diff_and_count
+    d_pi, n_pi = multiset_diff_and_count(before, after)
+    probe_invariant = d_pi == 0 and n_pi > 0
     return local_df(
         spark,
         [(base.count(), delta.count(), batch.count(),
@@ -4416,8 +4436,8 @@ def x135_vocab_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc_pub = text.bpe_encode_stats(doc, served2)
     enc_mem = text.bpe_encode_stats(
         doc, tuple((l, r, m) for _, l, r, m, _ in m2))
-    served_parity = (enc_pub.exceptAll(enc_mem).count() == 0
-                     and enc_mem.exceptAll(enc_pub).count() == 0)
+    from ..exprs import multiset_diff_and_count
+    served_parity = multiset_diff_and_count(enc_pub, enc_mem)[0] == 0
     tokens_v2 = enc_pub.agg(F.sum("n_pieces")).first()[0]
 
     return local_df(
@@ -4590,10 +4610,9 @@ def x136_model_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 priors=(np_live, nn_live))
     scores_mem = _nb_score_eval(doc, base.drop("is_delta"), merged,
                                 return_scores=True)
-    published_parity = (
-        scores_pub.exceptAll(scores_mem).count() == 0
-        and scores_mem.exceptAll(scores_pub).count() == 0
-        and scores_pub.count() > 0)
+    from ..exprs import multiset_diff_and_count
+    d_sp, n_sp = multiset_diff_and_count(scores_pub, scores_mem)
+    published_parity = d_sp == 0 and n_sp > 0
 
     cm = _nb_score_eval(doc, base.drop("is_delta"), cnt_live,
                         priors=(np_live, nn_live))
@@ -5009,9 +5028,9 @@ def x121_postings_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["tok", "doc_id", "tf", "bucket"]
     a = spark.read.parquet(idx).select(cols)
     b = spark.read.parquet(rebuild).select(cols)
-    parity = (a.exceptAll(b).count() == 0
-              and b.exceptAll(a).count() == 0
-              and a.count() > 0)
+    from ..exprs import multiset_diff_and_count
+    d_p, n_p = multiset_diff_and_count(a, b)
+    parity = d_p == 0 and n_p > 0
     return (text.postings_probe_and(spark, idx, list(X117_TERMS))
             .withColumn("index_parity", F.lit(parity)))
 
@@ -5291,8 +5310,9 @@ def x127_incremental_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id", "token", "tf", "df", "tf_idf"))
     cols = ["doc_id", "token", "tf", "df", "tf_idf"]
     a, b = served.select(cols), rebuild.select(cols)
-    parity = (a.exceptAll(b).count() == 0
-              and b.exceptAll(a).count() == 0 and a.count() > 0)
+    from ..exprs import multiset_diff_and_count
+    d_p, n_p = multiset_diff_and_count(a, b)
+    parity = d_p == 0 and n_p > 0
     return served.withColumn("merge_parity", F.lit(parity))
 
 
@@ -5434,9 +5454,9 @@ def x125_incremental_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("doc_id") > pivot)
             .select("doc_id", "n_tok", "start_off",
                     "first_seq", "last_seq", "n_seqs"))
-    parity = (inc.exceptAll(full).count() == 0
-              and full.exceptAll(inc).count() == 0
-              and inc.count() > 0)
+    from ..exprs import multiset_diff_and_count
+    d_p, n_p = multiset_diff_and_count(inc, full)
+    parity = d_p == 0 and n_p > 0
     return inc.withColumn("rebuild_parity", F.lit(parity))
 
 
@@ -5492,9 +5512,9 @@ def x123_postings_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["tok", "doc_id", "tf", "bucket"]
     a = spark.read.parquet(idx).select(cols)
     b = spark.read.parquet(compacted).select(cols)
-    parity = (a.exceptAll(b).count() == 0
-              and b.exceptAll(a).count() == 0
-              and b.count() > 0)
+    from ..exprs import multiset_diff_and_count
+    d_p, n_p = multiset_diff_and_count(b, a)
+    parity = d_p == 0 and n_p > 0
     return (text.postings_probe_and(spark, compacted,
                                     list(X117_TERMS))
             .withColumn("compact_parity", F.lit(parity)))

@@ -1541,9 +1541,9 @@ def m13_index_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True))
 
     routed, direct = probe(root), probe(v1)
-    routed_parity = (routed.exceptAll(direct).count() == 0
-                     and direct.exceptAll(routed).count() == 0
-                     and routed.count() > 0)
+    from ..exprs import multiset_diff_and_count
+    d_rp, n_rp = multiset_diff_and_count(routed, direct)
+    routed_parity = d_rp == 0 and n_rp > 0
 
     dedup.lsh_index_append(delta, root)
     v2 = publish.new_layout_dir(root)
@@ -1552,9 +1552,8 @@ def m13_index_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     crash_leaves_old_live = publish.resolve(root) == v1
     publish.publish(root, v2)
     after = probe(root)
-    swap_invariant = (before.exceptAll(after).count() == 0
-                      and after.exceptAll(before).count() == 0
-                      and before.count() > 0)
+    d_si, n_si = multiset_diff_and_count(before, after)
+    swap_invariant = d_si == 0 and n_si > 0
     publish.prune(root, keep=2)
     old_layout_alive = os.path.isdir(v1)
     return local_df(
@@ -1636,9 +1635,9 @@ def m13b_store_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True))
 
     routed, direct = probe(pub.resolve()), probe(v1)
-    routed_parity = (routed.exceptAll(direct).count() == 0
-                     and direct.exceptAll(routed).count() == 0
-                     and routed.count() > 0)
+    from ..exprs import multiset_diff_and_count
+    d_rp, n_rp = multiset_diff_and_count(routed, direct)
+    routed_parity = d_rp == 0 and n_rp > 0
 
     dedup.lsh_index_append(delta, store.fs_path(pub.resolve()))
     v2 = pub.new_layout_dir()
@@ -1648,9 +1647,8 @@ def m13b_store_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     crash_leaves_old_live = pub.resolve() == v1
     pub.publish(v2)
     after = probe(pub.resolve())
-    swap_invariant = (before.exceptAll(after).count() == 0
-                      and after.exceptAll(before).count() == 0
-                      and before.count() > 0)
+    d_si, n_si = multiset_diff_and_count(before, after)
+    swap_invariant = d_si == 0 and n_si > 0
     pub.prune(keep=2)
     old_layout_alive = bool(store.list(f"{v1}/"))
     return local_df(

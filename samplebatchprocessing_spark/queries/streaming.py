@@ -1057,9 +1057,9 @@ def s25_stream_incremental_pack(spark: SparkSession,
                                      seq_len=128, base_off=total)
                .select("doc_id", "n_tok", "start_off", "first_seq",
                        "last_seq", "n_seqs"))
-    parity = (streamed.exceptAll(oneshot).count() == 0
-              and oneshot.exceptAll(streamed).count() == 0
-              and streamed.count() > 0)
+    from ..exprs import multiset_diff_and_count
+    d_p, n_p = multiset_diff_and_count(streamed, oneshot)
+    parity = d_p == 0 and n_p > 0
     return streamed.withColumn("batch_parity", F.lit(parity))
 
 
@@ -1130,9 +1130,9 @@ def s26_stream_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed = (spark.read.parquet(f"{out_dir}/epoch=*")
                 .select("batch_id", "corpus_id"))
     oneshot = dedup.lsh_index_probe(spark, idx, doc.filter(is_batch))
-    parity = (streamed.exceptAll(oneshot).count() == 0
-              and oneshot.exceptAll(streamed).count() == 0
-              and streamed.count() > 0)
+    from ..exprs import multiset_diff_and_count
+    d_p, n_p = multiset_diff_and_count(streamed, oneshot)
+    parity = d_p == 0 and n_p > 0
     return (doc.filter(is_batch)
             .agg(F.count(F.lit(1)).alias("n_shard_docs"))
             .withColumn("stream_equals_batch", F.lit(parity)))

@@ -1475,3 +1475,26 @@ def test_local_df_decimal_binary_roundtrip(spark):
             sorted(map(norm, arrow_df.collect()))
         plan = arrow_df._jdf.queryExecution().executedPlan().toString()
         assert "LocalTableScan" in plan
+
+
+def test_multiset_diff_and_count_matches_exceptall(spark):
+    """r15: the one-action parity compare must equal the exceptAll
+    idiom exactly — on multisets (duplicate rows), NULL keys (which
+    exceptAll treats as equal), equal inputs, and empty inputs."""
+    from samplebatchprocessing_spark.exprs import multiset_diff_and_count
+
+    schema = "k int, v string"
+    cases = [
+        ([(1, "a"), (1, "a"), (2, "b"), (None, "n")],
+         [(1, "a"), (2, "b"), (2, "b"), (None, "n")]),
+        ([(1, "a"), (None, None)], [(1, "a"), (None, None)]),
+        ([(1, "a")], []),
+        ([], []),
+    ]
+    for rows_a, rows_b in cases:
+        a = spark.createDataFrame(rows_a, schema)
+        b = spark.createDataFrame(rows_b, schema)
+        expect = (a.exceptAll(b).count() + b.exceptAll(a).count(),
+                  a.count())
+        assert multiset_diff_and_count(a, b) == expect, (rows_a,
+                                                         rows_b)
