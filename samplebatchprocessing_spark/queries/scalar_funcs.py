@@ -166,7 +166,10 @@ def f5_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: array functions + higher-order transform/filter/aggregate
     over tokenized document text."""
     doc = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # r15 (row-level staging, the r14 lang_id discipline): the raw
+    # split() expression was referenced 8x per row — stage it once
+    doc = doc.select("doc_id", F.split("text", " ").alias("__toks"))
+    toks = F.col("__toks")
     return doc.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
