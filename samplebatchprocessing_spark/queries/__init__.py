@@ -35,59 +35,48 @@ Entry = tuple[SparkFn, str | None]
 # 50 names, all present in the registry, all 11 §2B families covered —
 # is locked by tests/test_registry_order.py.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r14 ROTATION (VERDICT r13 #3): ROTATE BY EVIDENCE AGE.
-    # With the r13 window green, the stalest driver evidence is the
-    # two r6-era leftovers (v6_cte, x98_rag_pipeline — both stepped
-    # aside in r13 for superset/debut slots) and the 47-entry
-    # r7-certified block, seven rounds old.  That pool is 49; slot 50
-    # goes to x88b_hard_negatives_bnl, the ONLY registry entry with
-    # zero driver-green evidence (debuted after the r13 gate;
-    # judge-verified hash-green in the r13 session, but the driver
-    # gate is the record).  Three §2B families (Q/T/U) have no
-    # representative in the stale pool, so their anchors take the
-    # stalest entries those families offer outside r13: q4_distinct
-    # and t1_multi_sort from the r9 window, u2_intersect from r10
-    # (u-family freshness: u1 r13, u3 r12, u4 r11 — u2 IS the
-    # stalest).  The three r7 entries that step aside, by the
-    # least-needy rule: x104_cc_twophase and x96_market_basket were
-    # independently re-executed and hash-verified by the r13 judge
-    # on a vanilla session (the freshest evidence in the r7 block),
-    # and x106_quality_dedup_interaction composes kernels that are
-    # each independently certified fresh (x50_gopher_quality r13,
-    # l5/l6 dedup r12/r13 — the x98-constituent precedent from r13).
-    # Overlap: r13/r12/r11 ZERO; r10 {u2_intersect}; r9 {q4_distinct,
-    # t1_multi_sort} — the unavoidable family-anchor overlaps, same
-    # shape as r13's {u1}/{q3,t4}.  Locked by
-    # tests/test_registry_order.py.
+    # r15 ROTATION: ROTATE BY RISK.  This optimization round
+    # restructured queries under the semantics-preservation rule
+    # (x130/x131's two-level checksum accumulation, x64's count-
+    # algebra rewrite, the dsum/davg split-bigint change under ~100
+    # call sites, the one-action parity compares across 17 lifecycle
+    # queries, l13's staged chunking, p17's pinned stream state,
+    # the m12/p20/p21 local_df conversions) — the window samples
+    # exactly those, so the driver's own gate certifies every
+    # restructured path with a fresh hash-green row.  Anchors: the
+    # touched entry per family where one exists (p17, j9, a1, w6,
+    # t5, u4, f5, s26, l13 — all on the dsum or restructure
+    # surface); Q and D have no touched entry, so q3/d6 take those
+    # slots.  Remaining slots go to the heaviest dsum/davg users
+    # (the exact-sum rewrite is the round's widest-blast-radius
+    # change).  Locked by tests/test_registry_order.py.
     #
     # one anchor per §2B family: P Q J A W T U F S D L
-    "p13_corrupt_csv", "q4_distinct", "j14_asof_nearest",
-    "a16_conditional_aggs", "w10_interval_frames",
-    "t1_multi_sort", "u2_intersect", "f10_regex",
-    "s11_stream_static_join", "d9_map_in_arrow", "l6_simhash",
-    # the debt slot: the one entry with no driver-green row ever
-    "x88b_hard_negatives_bnl",
-    # the two r6-era leftovers — the oldest evidence in the book
-    "v6_cte", "x98_rag_pipeline",
-    # the rest of the r7-era block in numeric-aware id order (all
-    # equally stale; NOT string-alphabetical — m8 before m10, x99
-    # before x100)
-    "j15_multi_asof", "l12_embedding_neardup", "m8_time_travel",
-    "m10_vacuum", "m11_codec_report", "mm6_interleaved_assembly",
-    "s22_stream_seasonal_gate", "v30_tpch_refresh",
-    "x17_vocab_coverage", "x33_zipf_fit", "x42_bigram_perplexity",
-    "x80_survival_table", "x83_waterfill_allocation",
-    "x85_attribution", "x86_seasonal_outliers",
-    "x87_ann_index_merge", "x88_hard_negatives",
-    "x89_tokenizer_fertility", "x90_padding_waste",
-    "x91_source_keywords", "x93_winsorize", "x94_path_pattern",
-    "x95_trigram_journeys", "x97_rfm", "x99_ngram_novelty",
-    "x100_datasheet_cube", "x101_semdedup_eval", "x102_collocations",
-    "x105_kmeans_elbow", "x107_crawl_stitch",
-    "x108_lsh_parameter_sweep", "x109_ann_index_lifecycle",
-    "x110_revenue_concentration", "x111_fulfillment_lag",
-    "x112_triangle_count", "x113_dq_audit",
+    "p17_python_stream_source", "q3_filter", "j9_star_join",
+    "a1_pricing_summary", "w6_gapfill", "t5_range_sorted_layout",
+    "u4_union_by_name", "f5_array", "s26_stream_lsh_probe",
+    "d6_udaf_grouped", "l13_paragraph_dedup",
+    # structurally-restructured paths
+    "x130_table_checksum", "x131_incremental_checksum",
+    "x64_span_dedup", "x104_cc_twophase",
+    "x133_ivf_recluster", "x132_lsh_index_lifecycle",
+    "l17_lsh_index_compact", "x87_ann_index_merge",
+    "x134_maintenance_sweep", "x135_vocab_publish",
+    "x136_model_publish", "x121_postings_merge",
+    "x123_postings_compact", "x125_incremental_pack",
+    "x127_incremental_tfidf", "m13_index_publish",
+    "m13b_store_publish", "s25_stream_incremental_pack",
+    "m12_observed_metrics", "p20_poison_quarantine",
+    "p21_object_store_quarantine",
+    # dsum/davg-rewrite users
+    "a2_global_agg", "a6_rollup", "a6_cube", "a12_two_phase",
+    "j1_inner_join", "j5_broadcast_join", "j13_temporal_join",
+    "m3_salted_join", "m4_bucketed_join", "m8_time_travel",
+    "p2_csv_roundtrip", "p6_parquet_sink", "p11_compaction",
+    "s2_tumbling_window", "s4_session_window", "s7_stateful_agg",
+    "v1_pivot", "x93_winsorize",
 )
+
 
 
 

@@ -296,56 +296,77 @@ R13_WINDOW = frozenset({
 })
 
 
+
+# The r14 driver window, frozen (went 50/50 green in CORRECTNESS_r14
+# — the stalest-evidence rotation: the r7-certified block + the two
+# r6-era leftovers + the x88b debt slot + Q/T/U family anchors).
+R14_WINDOW = frozenset({
+    "p13_corrupt_csv", "q4_distinct", "j14_asof_nearest",
+    "a16_conditional_aggs", "w10_interval_frames",
+    "t1_multi_sort", "u2_intersect", "f10_regex",
+    "s11_stream_static_join", "d9_map_in_arrow", "l6_simhash",
+    "x88b_hard_negatives_bnl", "v6_cte", "x98_rag_pipeline",
+    "j15_multi_asof", "l12_embedding_neardup", "m8_time_travel",
+    "m10_vacuum", "m11_codec_report", "mm6_interleaved_assembly",
+    "s22_stream_seasonal_gate", "v30_tpch_refresh",
+    "x17_vocab_coverage", "x33_zipf_fit", "x42_bigram_perplexity",
+    "x80_survival_table", "x83_waterfill_allocation",
+    "x85_attribution", "x86_seasonal_outliers",
+    "x87_ann_index_merge", "x88_hard_negatives",
+    "x89_tokenizer_fertility", "x90_padding_waste",
+    "x91_source_keywords", "x93_winsorize", "x94_path_pattern",
+    "x95_trigram_journeys", "x97_rfm", "x99_ngram_novelty",
+    "x100_datasheet_cube", "x101_semdedup_eval", "x102_collocations",
+    "x105_kmeans_elbow", "x107_crawl_stitch",
+    "x108_lsh_parameter_sweep", "x109_ann_index_lifecycle",
+    "x110_revenue_concentration", "x111_fulfillment_lag",
+    "x112_triangle_count", "x113_dq_audit",
+})
+
+
 def test_window_rotation_bounds_overlap_with_prior_rounds():
-    """Rotation policy (VERDICT r5 #3 ... r13 #3): overlap with the
-    three most recent windows is ZERO (debt is zero, nothing needs
-    re-certification by need) and the r14 window rotates to the
-    entries whose last driver-green is OLDEST — the two r6-era
-    leftovers plus the r7-certified block, seven rounds old.  The
-    Q/T/U family anchors take the stalest slots those families offer
-    outside r13 (q4 and t1 from the r9 window, u2 from r10 —
-    one/two-entry overlaps); the heavy overlap with the FROZEN r7
-    window is the point: those slots hold the oldest evidence in
-    the book."""
-    assert not R13_WINDOW & set(DRIVER_WINDOW)
-    assert not R12_WINDOW & set(DRIVER_WINDOW)
-    assert not R11_WINDOW & set(DRIVER_WINDOW)
-    assert R10_WINDOW & set(DRIVER_WINDOW) == {"u2_intersect"}
-    assert R9_WINDOW & set(DRIVER_WINDOW) == {"q4_distinct",
-                                              "t1_multi_sort"}
-    # oldest-evidence block: >= 42 slots re-certify r7-era evidence,
-    # plus the two r6-era leftovers never re-sampled since
-    assert len(R7_WINDOW & set(DRIVER_WINDOW)) >= 42
-    assert "v6_cte" in DRIVER_WINDOW          # r6-era, the stalest
-    assert "x98_rag_pipeline" in DRIVER_WINDOW
+    """r15 rotation policy: ROTATE BY RISK.  The r15 optimization
+    round restructured query internals under the semantics-
+    preservation rule; the window samples exactly the touched paths
+    so the driver gate certifies them with fresh hash-green rows.
+    Overlap with the immediately-preceding (r14) window is minimal
+    and every overlapping slot re-certifies on merit: x87
+    (parity-restructured this round), x93/m8 (dsum-rewrite users).
+    Overlaps with older windows are expected and harmless — risk
+    outranks age this round."""
+    assert R14_WINDOW & set(DRIVER_WINDOW) == {
+        "x87_ann_index_merge", "x93_winsorize", "m8_time_travel"}
+    # R13 overlap is only family anchors (q3, d6 — the two families
+    # with no r15-touched entry) and dsum users (m3, p2)
+    assert R13_WINDOW & set(DRIVER_WINDOW) == {
+        "q3_filter", "d6_udaf_grouped", "m3_salted_join",
+        "p2_csv_roundtrip"}
 
 
-def test_window_targets_the_stalest_evidence():
-    """VERDICT r13 #3: with debt at zero, the window is chosen by
-    evidence AGE — every r6/r7-era-certified entry outside the r13
-    window is present except the three that step aside for the Q/T/U
-    family anchors: x104_cc_twophase and x96_market_basket (both
-    independently re-executed and hash-verified by the r13 judge on
-    a vanilla session — the freshest evidence in the r7 block) and
-    x106_quality_dedup_interaction (a composition whose kernels are
-    each independently certified fresh: x50 r13, l5/l6 r12/r13).
-    Slot 50 is the debt slot: x88b_hard_negatives_bnl, the only
-    registry entry that has never had a driver-green row."""
-    import json
-    last: dict[str, int] = {}
-    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"r(\d+)", f.name).group(1))
-        for k, v in json.loads(f.read_text()).items():
-            if v.get("hash_match") or v.get("rows_match"):
-                last[k] = max(last.get(k, 0), rnd)
-    stale_pool = {n for n, r in last.items() if r <= 7} - R13_WINDOW
-    missing = stale_pool - set(DRIVER_WINDOW)
-    assert missing == {"x104_cc_twophase", "x96_market_basket",
-                       "x106_quality_dedup_interaction"}, (
-        f"stalest entries not in window: {missing}")
-    # the debt slot: zero driver-green evidence anywhere in the book
-    assert "x88b_hard_negatives_bnl" in DRIVER_WINDOW
-    assert "x88b_hard_negatives_bnl" not in last
+def test_window_targets_the_r15_touched_paths():
+    """Every query whose internals the r15 round restructured must
+    be in the window: the two-level checksum accumulation (x130,
+    x131), the x64 count-algebra rewrite, the l13 staged chunking,
+    the p17 pinned stream state, the m12/p20/p21 local_df
+    conversions, the cc fixpoint-check rewrite (x104), and all 15
+    remaining one-action parity conversions."""
+    restructured = {
+        "x130_table_checksum", "x131_incremental_checksum",
+        "x64_span_dedup", "l13_paragraph_dedup",
+        "p17_python_stream_source", "m12_observed_metrics",
+        "p20_poison_quarantine", "p21_object_store_quarantine",
+        "x104_cc_twophase", "x133_ivf_recluster",
+        "x132_lsh_index_lifecycle", "l17_lsh_index_compact",
+        "x87_ann_index_merge", "x134_maintenance_sweep",
+        "x135_vocab_publish", "x136_model_publish",
+        "x121_postings_merge", "x123_postings_compact",
+        "x125_incremental_pack", "x127_incremental_tfidf",
+        "m13_index_publish", "m13b_store_publish",
+        "s25_stream_incremental_pack", "s26_stream_lsh_probe",
+        "f5_array",
+    }
+    missing = restructured - set(DRIVER_WINDOW)
+    assert not missing, f"restructured r15 paths not in window: {missing}"
 
 
 def test_readme_counts_match_registry(reg):
