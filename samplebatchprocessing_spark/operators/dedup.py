@@ -1742,6 +1742,24 @@ def qgram_edit_pairs(df: DataFrame, k: int = 10, q: int = 4,
         # once the fan-out matches the bytes, so the join is left
         # to it (guide §2.2).
         pm = prefix.join(info, "pid").localCheckpoint(eager=True)
+        # r15 (guide §2.5; the x103 probe-side lesson at one remove):
+        # the candidate join below lands as a BroadcastHashJoin whose
+        # STREAM side inherits pm's checkpoint width — and AQE
+        # coalesces the small-BYTES pm to ~1 partition while the join
+        # fans out quadratically in bucket sizes.  The r15 scaling
+        # probe (x4 fixture) measured the 42 M-pair stage at width
+        # ~2: 92 s wall / 140 s tree CPU on 32 cores, 8-vs-32-core
+        # ratio 1.04 (i.e. zero parallelism).  Widen pm by ROW COUNT
+        # (a monotone proxy for the fan-out), capped at
+        # defaultParallelism — scale-adaptive: the count is a cheap
+        # job over the materialized checkpoint, the divisor keeps
+        # sf0.1 at its measured-optimal ~8 tasks, and at real scale
+        # the checkpoint is already wide so the guard no-ops.
+        n_pm = pm.count()
+        width = min(max(int(n_pm) // 25_000, 1),
+                    pm.sparkSession.sparkContext.defaultParallelism)
+        if width > pm.rdd.getNumPartitions():
+            pm = pm.repartition(width)
         # LENGTH BANDING on the join key (r14, guide §3 "avoid
         # exploding joins"): |la - lb| <= k puts a qualifying pair
         # in the same or adjacent width-(k+1) length band, so
